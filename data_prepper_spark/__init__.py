@@ -1,0 +1,27 @@
+"""data_prepper_spark — a PySpark-native analytics/ingest engine.
+
+A from-scratch rebuild of the capabilities of OpenSearch Data Prepper
+(reference studied at /root/reference, Java) re-expressed Spark-first:
+
+- ``operators/``  — every Data Prepper processor as a DataFrame transform
+  (mutate, string, parse, date, aggregate actions, routing).
+- ``plans/``      — the Data Prepper expression language compiled to
+  Catalyst Columns; pipeline model (source -> processors -> routed sinks).
+- ``sources/``    — table readers (parquet / Iceberg-style snapshot dirs).
+- ``index/``      — from-scratch inverted-index build: tokenize, SPIMI
+  per-partition posting runs, salted term shuffle, tiered merge,
+  delta-gap + varint compression, block-max metadata, checkpoints.
+- ``query/``      — BM25 top-k: DataFrame-composed scorer and a
+  block-max WAND kernel over the compressed shards.
+- ``oracle/``     — pure-Python golden scorer (plays the role OpenSearch
+  plays for the reference's e2e tests).
+- ``dedup/``      — exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  embedding-cosine dedup, ANN search.
+- ``text/``       — language-ID, quality scoring, token counting,
+  fingerprinting for training-data pipelines.
+
+Everything is pyspark.sql DataFrames + vectorized Arrow/pandas UDFs;
+no per-row Python in hot paths.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,197 @@
+"""Deterministic synthetic transcript corpus + query set (FIXTURES.md §1-2).
+
+Schema (BASELINE.json input_hint):
+    conv_id string, turn_idx int, role string, text string, tool string,
+    ts timestamp
+
+Every value is a pure function of (conv_index, turn_idx, seed) via a
+counter-based splitmix64 hash — NO sequential RNG state — so the corpus
+can be generated vectorized on the driver OR partition-parallel inside
+Spark executors and come out byte-identical. This is the property the
+reference gets from deterministic e2e fixtures
+(reference: e2e-test/log/.../EndToEndBasicLogTest.java:61-69).
+
+Term frequencies are Zipf(s=1.2) over a 10k vocabulary plus ~50 "hot"
+natural terms injected with skewed frequency, so term-frequency skew in
+the index build is real (the north rule requires explicit skew handling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+VOCAB_SIZE = 10_000
+HOT_TERMS = [
+    "error", "timeout", "retry", "deploy", "login", "crash", "panic",
+    "restart", "upgrade", "rollback", "latency", "throttle", "queue",
+    "shard", "index", "search", "query", "token", "cache", "flush",
+    "commit", "merge", "compact", "replica", "leader", "follower",
+    "snapshot", "backup", "restore", "migrate", "schema", "parse",
+    "filter", "route", "sink", "source", "buffer", "batch", "stream",
+    "window", "aggregate", "dedupe", "hash", "join", "scan", "sort",
+    "limit", "offset", "vector", "embed",
+]
+_ZIPF_S = 1.2
+_HOT_S = 1.5
+_HOT_PROB = 0.15  # chance a token position draws from the hot-term pool
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_U64 = np.uint64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain algorithm)."""
+    x = (x + _GOLDEN).astype(np.uint64)
+    x ^= x >> _U64(30)
+    x *= _M1
+    x ^= x >> _U64(27)
+    x *= _M2
+    x ^= x >> _U64(31)
+    return x
+
+
+def _to_unit(h: np.ndarray) -> np.ndarray:
+    """uint64 hash -> float64 in [0, 1)."""
+    return (h >> _U64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _zipf_cum(n: int, s: float) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), s)
+    return np.cumsum(w / w.sum())
+
+
+_VOCAB_CUM = _zipf_cum(VOCAB_SIZE, _ZIPF_S)
+_HOT_CUM = _zipf_cum(len(HOT_TERMS), _HOT_S)
+_VOCAB = np.array([f"w{i:05d}" for i in range(VOCAB_SIZE)])
+_HOT = np.array(HOT_TERMS)
+_ROLES = np.array(["user", "assistant", "tool"])
+_TOOLS = np.array(["bash", "search", "browser", "editor"])
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def conv_len(conv_index: np.ndarray) -> np.ndarray:
+    """1..12 turns per conversation, deterministic (FIXTURES.md)."""
+    return 1 + (conv_index * 7) % 12
+
+
+def generate_pandas(
+    conv_start: int, conv_end: int, seed: int = SEED
+) -> pd.DataFrame:
+    """Generate turns for conversations [conv_start, conv_end) — vectorized."""
+    conv_i = np.arange(conv_start, conv_end, dtype=np.int64)
+    lens = conv_len(conv_i)
+    conv_rep = np.repeat(conv_i, lens)
+    turn_idx = np.concatenate([np.arange(n) for n in lens]).astype(np.int64)
+    n_turns = len(conv_rep)
+
+    # one base hash per turn; everything below derives from it
+    base = _splitmix64(
+        conv_rep.astype(np.uint64) * _U64(1_000_003)
+        + turn_idx.astype(np.uint64)
+        + _U64(seed) * _U64(0x51ED2701)
+    )
+
+    n_tokens = (5 + (base % _U64(56))).astype(np.int64)  # 5..60 tokens
+    total = int(n_tokens.sum())
+    turn_of_token = np.repeat(np.arange(n_turns), n_tokens)
+    # position of each token within its turn
+    starts = np.zeros(n_turns, dtype=np.int64)
+    np.cumsum(n_tokens[:-1], out=starts[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, n_tokens)
+
+    tok_h = _splitmix64(base[turn_of_token] + pos.astype(np.uint64) * _U64(0x2545F491))
+    u_sel = _to_unit(tok_h)
+    u_word = _to_unit(_splitmix64(tok_h))
+    hot_mask = u_sel < _HOT_PROB
+    words = np.where(
+        hot_mask,
+        _HOT[np.searchsorted(_HOT_CUM, u_word * _HOT_CUM[-1], side="right").clip(0, len(_HOT) - 1)],
+        _VOCAB[np.searchsorted(_VOCAB_CUM, u_word * _VOCAB_CUM[-1], side="right").clip(0, VOCAB_SIZE - 1)],
+    )
+    texts = pd.Series(words).groupby(turn_of_token, sort=True).agg(" ".join).to_numpy()
+
+    conv_hash = _splitmix64(conv_rep.astype(np.uint64) * _U64(0x9E3779B1) + _U64(seed))
+    roles = _ROLES[((conv_hash % _U64(3)).astype(np.int64) + turn_idx) % 3]
+    tool = np.where(
+        roles == "tool", _TOOLS[(base % _U64(4)).astype(np.int64)], None
+    )
+    ts = (
+        np.datetime64("2026-01-01T00:00:00")
+        + conv_rep * np.timedelta64(60, "s")
+        + turn_idx * np.timedelta64(5, "s")
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": np.char.add("conv-", np.char.zfill(conv_rep.astype(str), 8)),
+            "turn_idx": turn_idx.astype(np.int32),
+            "role": roles,
+            "text": texts,
+            "tool": tool,
+            "ts": ts,
+        }
+    )
+
+
+def generate_spark(spark, n_convs: int, num_partitions: int | None = None):
+    """Distributed generation: each partition generates its conv range.
+
+    At 10^12-turn scale this is how the corpus materializes — no driver
+    bottleneck; determinism is per-(conv, turn), so partitioning is free
+    to change without changing the data.
+    """
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    bounds = np.linspace(0, n_convs, num_partitions + 1, dtype=np.int64)
+    ranges = [(int(bounds[i]), int(bounds[i + 1])) for i in range(num_partitions)]
+    rdf = spark.createDataFrame(ranges, "lo long, hi long").repartition(num_partitions, "lo")
+
+    def gen(batches):
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                if hi > lo:
+                    yield generate_pandas(int(lo), int(hi))
+
+    return rdf.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+
+
+def write_corpus(spark, n_convs: int, path: str, num_partitions: int | None = None):
+    df = generate_spark(spark, n_convs, num_partitions)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+# ---------------------------------------------------------------- queries
+
+def generate_queries(n_queries: int = 100, seed: int = SEED) -> pd.DataFrame:
+    """Reference query set (FIXTURES.md §2): 1-5 terms; hot + mid-frequency
+    + ~10% containing an absent term; k=10 with a few k=1 / k=100."""
+    rows = []
+    for q in range(n_queries):
+        h = _splitmix64(np.array([q * 7919 + seed], dtype=np.uint64))
+        n_terms = 1 + int(h[0] % _U64(5))
+        terms = []
+        for j in range(n_terms):
+            th = _splitmix64(h + _U64(j + 1))
+            u = _to_unit(th)[0]
+            if q % 10 == 7 and j == 0:
+                terms.append(f"zz_absent_{q}")  # not in corpus
+            elif u < 0.4:
+                terms.append(HOT_TERMS[int(th[0] % _U64(len(HOT_TERMS)))])
+            else:
+                # mid-frequency vocab word (ranks 50..2000)
+                terms.append(f"w{50 + int(th[0] % _U64(1950)):05d}")
+        k = 10
+        if q % 25 == 3:
+            k = 1
+        elif q % 25 == 11:
+            k = 100
+        rows.append({"query_id": f"q-{q:04d}", "query_text": " ".join(terms), "k": k})
+    return pd.DataFrame(rows)

@@ -1,0 +1,41 @@
+"""The ONE tokenizer, shared by the Spark pipeline and the Python oracle.
+
+Determinism between the distributed build and the golden scorer is a core
+correctness requirement (SURVEY.md §7.3 hard part #2), mirroring how the
+reference delegates analysis to a single OpenSearch analyzer
+(reference: data-prepper-plugins/opensearch/.../OpenSearchSink.java — the
+sink ships raw text; OpenSearch's `standard` analyzer lowercases and
+splits on non-alphanumerics).
+
+Semantics: lowercase, split on any non-[a-z0-9] run. Equivalent SQL:
+    split(lower(text), '[^a-z0-9]+')  with empty strings removed
+so the same tokenization is expressible in Spark SQL, DuckDB (oracle
+checks) and this pure-Python function.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def tokenize(text: str) -> list[str]:
+    """Pure-Python tokenizer (oracle + UDF kernel share this)."""
+    if not text:
+        return []
+    return _TOKEN_RE.findall(text.lower())
+
+
+def term_freqs(text: str) -> Counter:
+    return Counter(tokenize(text))
+
+
+# SQL fragment (Spark SQL and DuckDB compatible) producing the same tokens:
+#   Spark:  filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')
+#   DuckDB: list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+SPARK_TOKENIZE_SQL = "filter(split(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+DUCKDB_TOKENIZE_SQL = (
+    "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+)

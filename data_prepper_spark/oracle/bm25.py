@@ -1,0 +1,94 @@
+"""Pure-Python golden BM25 scorer — the rank-identity oracle.
+
+Plays the role OpenSearch plays for the reference's e2e tests (the
+reference sends docs through the pipeline, then polls the index and
+asserts expected documents — reference:
+e2e-test/log/.../EndToEndBasicLogTest.java:49,61-69). Here the "index"
+is a dict of posting lists and the "search" is exact BM25.
+
+BM25 (Lucene-style, what OpenSearch computes for the reference's sink):
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d, q) = sum_t idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+with k1 = 1.2, b = 0.75. Tie-break: score desc, then doc_id asc.
+
+Scoring accumulates per-term contributions in float64 in sorted-term
+order so the distributed engine can reproduce bit-equal sums.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+from data_prepper_spark.index.tokenizer import tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int = 0
+    avgdl: float = 0.0
+    doc_len: dict[int, int] = field(default_factory=dict)
+    # term -> sorted list of (doc_id, tf)
+    postings: dict[str, list[tuple[int, int]]] = field(default_factory=dict)
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, ()))
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+
+def build_index(docs: list[tuple[int, str]]) -> OracleIndex:
+    """docs: (doc_id, text), doc_id unique. Returns the in-memory index."""
+    idx = OracleIndex()
+    post: dict[str, dict[int, int]] = defaultdict(dict)
+    total_len = 0
+    for doc_id, text in docs:
+        toks = tokenize(text)
+        idx.doc_len[doc_id] = len(toks)
+        total_len += len(toks)
+        for t in toks:
+            post[t][doc_id] = post[t].get(doc_id, 0) + 1
+    idx.n_docs = len(idx.doc_len)
+    idx.avgdl = total_len / idx.n_docs if idx.n_docs else 0.0
+    idx.postings = {t: sorted(d.items()) for t, d in post.items()}
+    return idx
+
+
+def score_query(idx: OracleIndex, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+    """Exact top-k: [(doc_id, score)], score desc then doc_id asc.
+
+    Unique query terms, processed in sorted order (dedup — matches
+    Lucene's treatment of repeated query terms as a single clause... we
+    choose dedup; the Spark engine follows the same contract).
+    """
+    terms = sorted(set(tokenize(query_text)))
+    acc: dict[int, float] = defaultdict(float)
+    for t in terms:
+        plist = idx.postings.get(t)
+        if not plist:
+            continue
+        w_idf = idx.idf(t)
+        for doc_id, tf in plist:
+            dl = idx.doc_len[doc_id]
+            denom = tf + K1 * (1.0 - B + B * dl / idx.avgdl)
+            acc[doc_id] += w_idf * tf * (K1 + 1.0) / denom
+    # top-k with deterministic tie-break: score desc, doc_id asc
+    return heapq.nsmallest(k, acc.items(), key=lambda it: (-it[1], it[0]))
+
+
+def score_queries(
+    idx: OracleIndex, queries: list[tuple[str, str, int]]
+) -> list[dict]:
+    """queries: (query_id, query_text, k) -> rows of
+    {query_id, rank, doc_id, score}."""
+    out = []
+    for qid, qtext, k in queries:
+        for rank, (doc_id, score) in enumerate(score_query(idx, qtext, k), 1):
+            out.append(
+                {"query_id": qid, "rank": rank, "doc_id": doc_id, "score": score}
+            )
+    return out

@@ -1,0 +1,18 @@
+from __future__ import annotations
+
+import pytest
+
+from data_prepper_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=8, shuffle_partitions=8, app_name="dps-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -1,0 +1,78 @@
+"""Golden e2e: Spark BM25 (DataFrame engine) vs pure-Python oracle.
+
+The analog of the reference's EndToEndBasicLogTest (fixed input ->
+pipeline -> poll index -> assert expected docs): deterministic corpus ->
+index build -> reference query set -> rank-identical top-k docIDs and
+scores (<=1e-6), deterministic tie-break (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import bm25_df
+
+N_CONVS = 300
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return generate_pandas(0, N_CONVS)
+
+
+@pytest.fixture(scope="module")
+def queries_pdf():
+    return generate_queries(40)
+
+
+@pytest.fixture(scope="module")
+def oracle_results(corpus_pdf, queries_pdf):
+    doc_ids = corpus_pdf.conv_id.str.slice(5).astype(int) * 16 + corpus_pdf.turn_idx
+    idx = oracle.build_index(list(zip(doc_ids, corpus_pdf.text)))
+    rows = oracle.score_queries(
+        idx, list(queries_pdf.itertuples(index=False, name=None))
+    )
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def spark_results(spark, corpus_pdf, queries_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    df = bm25_df.assign_doc_ids(df)
+    index = bm25_df.build_df_index(df)
+    qdf = spark.createDataFrame(queries_pdf)
+    out = bm25_df.score_queries_df(index, qdf)
+    return out.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def test_rank_identity(oracle_results, spark_results):
+    o = oracle_results.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    s = spark_results
+    assert len(o) == len(s), f"row count: oracle={len(o)} spark={len(s)}"
+    assert (o.query_id.values == s.query_id.values).all()
+    assert (o["rank"].values == s["rank"].values).all()
+    mism = o.doc_id.values != s.doc_id.values
+    assert not mism.any(), (
+        f"{mism.sum()} doc_id mismatches, first at "
+        f"{o[mism].head(3).to_dict('records')} vs {s[mism].head(3).to_dict('records')}"
+    )
+    assert (abs(o.score.values - s.score.values) <= 1e-6).all()
+
+
+def test_absent_term_queries_return_rows_only_for_present_terms(
+    oracle_results, queries_pdf
+):
+    # ~10% of queries contain an absent term; they still score on the rest
+    absent = queries_pdf[queries_pdf.query_text.str.contains("zz_absent")]
+    assert len(absent) > 0
+
+
+def test_doc_id_order_matches_conv_turn_order(corpus_pdf):
+    doc_ids = (
+        corpus_pdf.conv_id.str.slice(5).astype(int) * 16 + corpus_pdf.turn_idx
+    ).to_numpy()
+    order = corpus_pdf.sort_values(["conv_id", "turn_idx"]).index.to_numpy()
+    assert (doc_ids[order] == sorted(doc_ids)).all()
