@@ -1,0 +1,256 @@
+"""Distributed inverted-index build — SPIMI per shard, compressed blocks.
+
+Architecture (doc-partitioned, the same sharding model as the
+reference's sink target — OpenSearch routes docs to shards and each
+shard owns a complete Lucene index; reference:
+data-prepper-plugins/opensearch/.../OpenSearchSink.java:132-141 routing,
+index/AbstractIndexManager.java):
+
+    transcripts --assign doc_id (arithmetic, NO shuffle)
+               --shard = xxhash64(conv_id) % n_shards   (conv-sticky)
+               --ONE shuffle: groupBy(shard)
+               --applyInPandas SPIMI kernel per shard:
+                    tokenize (vectorized) -> (term, doc, tf) -> sort ->
+                    128-posting blocks -> delta+varint gaps, varint tf/dl,
+                    float64 block-max partial scores
+               --write parquet partitioned by shard, sorted by term
+                 (row-group pruning on term at query time)
+    dictionary  = per-term global df (term-level agg; partial-agg safe)
+    stats.json  = {n_docs, avgdl, ...}
+    manifest/   = per-shard checkpoint: lineage + build metrics + status
+
+Why this scales to 10^12 turns / 1000 executors:
+- postings for a hot term are split across ALL shards by doc — no
+  reducer ever holds a full global posting list (term-frequency skew is
+  structurally neutralized; this replaces naive term-partitioning where
+  Zipf head terms melt one node);
+- the only wide exchange is the shard groupBy — one shuffle of the doc
+  rows, map-side combine not needed since the kernel aggregates;
+- shard count is the parallelism knob: shards ≫ executors gives AQE
+  room and bounds kernel memory (a shard must fit one task);
+- resume skips completed shards entirely (manifest-gated), so a failed
+  10-hour build restarts with only missing shards (mirrors the
+  reference's LeaseBasedSourceCoordinator per-partition progress,
+  data-prepper-core/.../LeaseBasedSourceCoordinator.java:157-349).
+
+Iceberg note: this sandbox has no Iceberg runtime jar, so tables are
+parquet dirs + a manifest side table with snapshot/lineage columns (the
+layout the SURVEY §7.3 fallback specifies). On a real cluster swap
+`.parquet(...)` for `.format("iceberg")` — the logical plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index import codec
+from data_prepper_spark.index.tokenizer import SPARK_TOKENIZE_SQL
+from data_prepper_spark.query.bm25_df import assign_doc_ids, tokens_col
+
+BLOCK_SCHEMA = (
+    "shard int, term string, block_ord int, first_doc long, last_doc long, "
+    "n int, gaps binary, tfs binary, dls binary, max_partial double"
+)
+_META_TERM = "\x00shard_meta"  # sentinel row carrying per-shard build metrics
+
+K1 = 1.2
+B = 0.75
+_TOKEN_RE = r"[a-z0-9]+"
+
+
+def _spimi_kernel(avgdl: float, block_size: int):
+    """Per-shard SPIMI: one pandas DataFrame in (all docs of the shard),
+    compressed block rows out. All vectorized numpy/pandas."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.monotonic()
+        shard = int(pdf["shard"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        toks = pdf["text"].str.lower().str.findall(_TOKEN_RE)
+        dls = toks.str.len().to_numpy(np.int64)
+        n_tok = int(dls.sum())
+        if n_tok == 0:
+            terms = np.empty(0, dtype=object)
+            docs = np.empty(0, dtype=np.int64)
+        else:
+            terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            docs = np.repeat(doc_ids, dls)
+        dl_of = dict(zip(doc_ids.tolist(), dls.tolist()))
+
+        tf = (
+            pd.DataFrame({"term": terms, "doc_id": docs})
+            .groupby(["term", "doc_id"], sort=True)
+            .size()
+            .reset_index(name="tf")
+        )
+        # (already sorted by term, doc_id — pandas groupby sorts keys)
+        tarr = tf["term"].to_numpy(object)
+        darr = tf["doc_id"].to_numpy(np.int64)
+        farr = tf["tf"].to_numpy(np.int64)
+        larr = np.array([dl_of[d] for d in darr], dtype=np.int64)
+        partial = codec.bm25_partial(farr, larr, avgdl, K1, B)
+
+        # block boundaries: change of term, then block_size chunks
+        rows = []
+        if len(tarr):
+            term_start = np.flatnonzero(
+                np.concatenate(([True], tarr[1:] != tarr[:-1]))
+            )
+            bounds = np.append(term_start, len(tarr))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                term = tarr[s]
+                for ord_, bs in enumerate(range(s, e, block_size)):
+                    be = min(bs + block_size, e)
+                    d = darr[bs:be]
+                    rows.append(
+                        {
+                            "shard": shard,
+                            "term": term,
+                            "block_ord": ord_,
+                            "first_doc": int(d[0]),
+                            "last_doc": int(d[-1]),
+                            "n": int(be - bs),
+                            "gaps": codec.delta_encode(d, base=int(d[0])),
+                            "tfs": codec.varint_encode(farr[bs:be].astype(np.uint64)),
+                            "dls": codec.varint_encode(larr[bs:be].astype(np.uint64)),
+                            "max_partial": float(partial[bs:be].max()),
+                        }
+                    )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        meta = {
+            "n_docs": int(len(pdf)),
+            "n_postings": int(len(tarr)),
+            "n_tokens": n_tok,
+            "wall_ms": wall_ms,
+            "min_conv": str(pdf["conv_id"].min()),
+            "max_conv": str(pdf["conv_id"].max()),
+        }
+        rows.append(
+            {
+                "shard": shard,
+                "term": _META_TERM,
+                "block_ord": -1,
+                "first_doc": 0,
+                "last_doc": 0,
+                "n": 0,
+                "gaps": json.dumps(meta).encode(),
+                "tfs": b"",
+                "dls": b"",
+                "max_partial": 0.0,
+            }
+        )
+        return pd.DataFrame(rows)
+
+    return build
+
+
+def compute_stats(df_docs: DataFrame, text_col: str = "text") -> dict:
+    row = (
+        df_docs.select(F.size(tokens_col(text_col)).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    return {"n_docs": row["n_docs"], "avgdl": float(row["avgdl"])}
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    n_shards: int = 32,
+    block_size: int = 128,
+    shards_subset: list[int] | None = None,
+    resume: bool = False,
+    snapshot_id: int = 0,
+) -> dict:
+    """Build (or resume) the index at index_dir. Returns stats dict.
+
+    ``resume=True`` reads the manifest and skips shards already 'done' —
+    the per-partition checkpoint semantics of the reference's source
+    coordinator. ``shards_subset`` limits this invocation (used by tests
+    to simulate a crash between shard batches)."""
+    os.makedirs(index_dir, exist_ok=True)
+    stats_path = os.path.join(index_dir, "stats.json")
+    if resume and os.path.exists(stats_path):
+        stats = json.load(open(stats_path))
+        assert stats["n_shards"] == n_shards, "resume with different n_shards"
+    else:
+        docs_all = assign_doc_ids(transcripts)
+        stats = compute_stats(docs_all)
+        stats.update(
+            n_shards=n_shards, block_size=block_size, k1=K1, b=B,
+            snapshot_id=snapshot_id,
+        )
+        with open(stats_path, "w") as f:
+            json.dump(stats, f)
+
+    done: set[int] = set()
+    manifest_path = os.path.join(index_dir, "manifest")
+    if resume and os.path.exists(manifest_path):
+        mdf = spark.read.parquet(manifest_path)
+        done = {r["shard"] for r in mdf.filter(F.col("status") == "done").collect()}
+
+    docs = assign_doc_ids(transcripts).withColumn(
+        "shard", F.pmod(F.xxhash64("conv_id"), F.lit(n_shards)).cast("int")
+    )
+    target = [s for s in (shards_subset or range(n_shards)) if s not in done]
+    if not target:
+        return stats
+    docs = docs.filter(F.col("shard").isin(target))
+
+    blocks = (
+        docs.select("shard", "doc_id", "conv_id", "text")
+        .repartition(min(n_shards, 64), "shard")
+        .groupBy("shard")
+        .applyInPandas(_spimi_kernel(stats["avgdl"], block_size), schema=BLOCK_SCHEMA)
+    )
+    (
+        blocks.repartition("shard")
+        .sortWithinPartitions("term", "block_ord")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(os.path.join(index_dir, "blocks"))
+    )
+
+    # checkpoint manifest: lineage + metrics per shard (FIXTURES.md §4)
+    all_blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    meta = (
+        all_blocks.filter(F.col("term") == _META_TERM)
+        .filter(F.col("shard").isin(target))
+        .select("shard", F.col("gaps").cast("string").alias("meta_json"))
+        .toPandas()
+    )
+    mrows = []
+    for _, r in meta.iterrows():
+        m = json.loads(r["meta_json"])
+        mrows.append(
+            {
+                "shard": int(r["shard"]),
+                "status": "done",
+                "rows": m["n_docs"],
+                "n_postings": m["n_postings"],
+                "n_tokens": m["n_tokens"],
+                "wall_ms": m["wall_ms"],
+                "input_desc": f"conv_id in [{m['min_conv']}, {m['max_conv']}] (hash-sharded)",
+                "snapshot_id": snapshot_id,
+            }
+        )
+    mdf_new = spark.createDataFrame(pd.DataFrame(mrows))
+    mdf_new.write.mode("append").parquet(manifest_path)
+
+    # global dictionary over everything built so far (cheap term-level agg)
+    (
+        all_blocks.filter(F.col("term") != _META_TERM)
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "dictionary"))
+    )
+    return stats

@@ -1,0 +1,97 @@
+"""Posting-list compression kernels: delta-gap + LEB128 varint, block-max.
+
+Fully vectorized numpy encode/decode (no per-value Python loops) — these
+run inside Arrow UDF batches on executors, so they must be
+allocation-lean and O(bytes).
+
+Format per posting block (<= block_size postings, one term, one shard):
+    gaps: varint(doc_id[0] - first_doc_base), varint(doc_id[i] - doc_id[i-1])
+    tfs:  varint(tf[i])
+    dls:  varint(dl[i])           (doc length inline -> self-contained blocks,
+                                   no doclens join at query time)
+    max_partial: float64 max of tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+                 — the exact per-block score upper bound (without idf)
+                 used by block-max WAND skipping.
+
+This is what the reference delegates to Lucene inside OpenSearch
+(the `opensearch` sink ships raw docs; Lucene builds FOR-delta postings
+with block-max impacts). We build it from scratch, per the north rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_U8 = np.uint8
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    bits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        bits[nz] += 1
+        tmp >>= _U64(1)
+    nbytes = np.maximum((bits + 6) // 7, 1)
+    total = int(nbytes.sum())
+    # flat position of each emitted byte within its value
+    starts = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    owner = np.repeat(np.arange(v.size), nbytes)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, nbytes)
+    chunk = (v[owner] >> (_U64(7) * pos.astype(np.uint64))) & _U64(0x7F)
+    cont = pos < (nbytes[owner] - 1)
+    out = (chunk | np.where(cont, _U64(0x80), _U64(0))).astype(np.uint8)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes -> uint64 array, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & _U8(0x80)) == 0
+    # group id per byte: number of completed values before this byte
+    gid = np.zeros(b.size, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=gid[1:])
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    pos = np.arange(b.size, dtype=np.int64) - starts[gid]
+    contrib = (b & _U8(0x7F)).astype(np.uint64) << (_U64(7) * pos.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(doc_ids: np.ndarray, base: int = 0) -> bytes:
+    """Sorted doc_ids -> varint gap stream. First gap is doc_ids[0]-base."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    gaps = np.empty(d.shape, dtype=np.uint64)
+    if d.size:
+        gaps[0] = d[0] - base
+        np.subtract(d[1:], d[:-1], out=gaps[1:], casting="unsafe")
+    return varint_encode(gaps)
+
+
+def delta_decode(buf: bytes, base: int = 0) -> np.ndarray:
+    gaps = varint_decode(buf)
+    if gaps.size == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.cumsum(gaps.astype(np.int64))
+    return out + base
+
+
+def bm25_partial(
+    tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float = 1.2, b: float = 0.75
+) -> np.ndarray:
+    """Per-posting score WITHOUT idf: tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+
+    float64 everywhere — rank identity with the oracle requires exact
+    arithmetic agreement."""
+    tff = tf.astype(np.float64)
+    return tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))

@@ -1,0 +1,113 @@
+"""Shard-parallel BM25 top-k over the persisted compressed index.
+
+Execution model (mirrors how OpenSearch serves the reference's BM25
+queries — scatter to doc-partitioned shards, top-k per shard, gather):
+
+    blocks (parquet, partitioned by shard, sorted by term)
+      |> filter term IN query_terms        <- pushed to parquet scan:
+      |                                        partition pruning is free,
+      |                                        row-group pruning via the
+      |                                        term sort order
+      |> broadcast-join tiny (query_id, term, idf, k) table
+      |> groupBy(query_id, shard).applyInPandas(kernel)   # WAND or
+      |                                                   # exhaustive
+      |> per-query global top-k (Window over the small per-shard top-ks)
+
+No stage ever materializes a full per-term posting list; the widest
+data in flight is `sum over query terms of their block rows in one
+shard`, bounded by block_size x blocks-per-term-per-shard. idf uses the
+GLOBAL dictionary (df summed across shards) so scores are identical to
+a single-node oracle — same contract OpenSearch's dfs_query_then_fetch
+provides.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_prepper_spark.query import wand as wand_mod
+from data_prepper_spark.query.bm25_df import tokens_col
+
+_KERNEL_OUT = "query_id string, doc_id long, score double"
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)
+
+
+def _shard_kernel(avgdl: float, n_docs: int, algo: str):
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        k = int(pdf["k"].iloc[0])
+        cursors = []
+        for term, g in pdf.groupby("term", sort=True):
+            g = g.sort_values("block_ord")
+            df_t = int(g["df"].iloc[0])
+            idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+            cursors.append(
+                wand_mod.TermCursor(
+                    term=term,
+                    idf=idf,
+                    avgdl=avgdl,
+                    firsts=g["first_doc"].to_numpy(np.int64),
+                    lasts=g["last_doc"].to_numpy(np.int64),
+                    maxps=g["max_partial"].to_numpy(np.float64),
+                    gaps=list(g["gaps"]),
+                    tfs=list(g["tfs"]),
+                    dls=list(g["dls"]),
+                )
+            )
+        topk = (
+            wand_mod.wand_topk(cursors, k)
+            if algo == "wand"
+            else wand_mod.exhaustive_topk(cursors, k)
+        )
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(topk),
+                "doc_id": [d for d, _ in topk],
+                "score": [s for _, s in topk],
+            }
+        )
+
+    return run
+
+
+def score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    algo: str = "exhaustive",
+) -> DataFrame:
+    """queries(query_id, query_text, k) -> (query_id, rank, doc_id, score)."""
+    stats = load_stats(index_dir)
+    qterms = queries.select(
+        "query_id",
+        "k",
+        F.explode(F.array_distinct(tokens_col("query_text"))).alias("term"),
+    )
+    dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    dict_slice = dictionary.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    needed = blocks.join(F.broadcast(qterms), "term").join(
+        F.broadcast(dict_slice), "term"
+    )
+    per_shard = needed.groupBy("query_id", "shard").applyInPandas(
+        _shard_kernel(stats["avgdl"], stats["n_docs"], algo), schema=_KERNEL_OUT
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.join(F.broadcast(queries.select("query_id", "k")), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

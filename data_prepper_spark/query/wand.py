@@ -1,0 +1,208 @@
+"""Block-max WAND top-k kernel over compressed posting blocks.
+
+Pure-Python/numpy implementation of the classic WAND pointer-movement
+algorithm (Broder et al. 2003) with block-max refinement (Ding & Suel
+2011, "Faster top-k document retrieval using block-max indexes") — the
+same family of skipping OpenSearch/Lucene uses to serve the reference's
+BM25 queries. Exactness contract:
+
+- skips happen only when the *exact* upper bound (sum of per-block
+  float64 max partial scores x idf) is strictly below the current
+  threshold, and never while the heap is not full -> the returned top-k
+  is identical to exhaustive scoring;
+- per-document scores accumulate contributions in sorted-term order
+  (float addition is non-associative; the oracle sums sorted) so scores
+  are bit-equal to the oracle's;
+- tie-break: score desc, doc_id asc, via a min-heap keyed (score, -doc).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from data_prepper_spark.index import codec
+
+
+@dataclass
+class TermCursor:
+    """Iterates one term's posting blocks (sorted by first_doc) lazily."""
+
+    term: str
+    idf: float
+    avgdl: float
+    # per block: first_doc, last_doc, max_partial, gaps, tfs, dls
+    firsts: np.ndarray
+    lasts: np.ndarray
+    maxps: np.ndarray
+    gaps: list[bytes]
+    tfs: list[bytes]
+    dls: list[bytes]
+    bi: int = 0            # current block index
+    pi: int = 0            # position within decoded block
+    docs: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    partials: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
+
+    def __post_init__(self):
+        self.global_ub = float(self.idf * self.maxps.max()) if len(self.maxps) else 0.0
+        self._decode_block(0)
+
+    def _decode_block(self, bi: int):
+        if bi >= len(self.firsts):
+            self.docs = np.empty(0, np.int64)
+            return
+        self.bi = bi
+        base = int(self.firsts[bi])
+        self.docs = codec.delta_decode(self.gaps[bi], base=base)
+        tf = codec.varint_decode(self.tfs[bi])
+        dl = codec.varint_decode(self.dls[bi])
+        self.partials = self.idf * codec.bm25_partial(tf, dl, self.avgdl)
+        self.pi = 0
+
+    @property
+    def exhausted(self) -> bool:
+        return self.bi >= len(self.firsts) or len(self.docs) == 0
+
+    @property
+    def doc(self) -> int:
+        return int(self.docs[self.pi]) if not self.exhausted else 1 << 62
+
+    @property
+    def score(self) -> float:
+        return float(self.partials[self.pi])
+
+    @property
+    def block_ub(self) -> float:
+        """Exact upper bound of any contribution in the current block."""
+        return float(self.idf * self.maxps[self.bi]) if not self.exhausted else 0.0
+
+    @property
+    def block_last(self) -> int:
+        return int(self.lasts[self.bi]) if not self.exhausted else 1 << 62
+
+    def next_geq(self, target: int):
+        """Advance to the first posting with doc >= target (block skip)."""
+        if self.exhausted:
+            return
+        if target > int(self.lasts[self.bi]):
+            nb = int(np.searchsorted(self.lasts, target, side="left"))
+            if nb >= len(self.firsts):
+                self.bi = len(self.firsts)
+                self.docs = np.empty(0, np.int64)
+                return
+            self._decode_block(nb)
+        self.pi = int(np.searchsorted(self.docs, target, side="left"))
+        if self.pi >= len(self.docs):  # target fell in a gap past block end
+            self._decode_block(self.bi + 1)
+
+    def advance(self):
+        self.pi += 1
+        if self.pi >= len(self.docs):
+            self._decode_block(self.bi + 1)
+
+
+def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+    """Exact top-k [(doc_id, score)] by (score desc, doc asc)."""
+    cursors = [c for c in cursors if not c.exhausted]
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of current top-k
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -1.0
+
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.doc)
+        # pivot: smallest prefix whose term-level UBs could beat theta
+        acc, pivot = 0.0, -1
+        th = theta()
+        for i, c in enumerate(live):
+            acc += c.global_ub
+            if acc >= th:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = live[pivot].doc
+        if pivot_doc >= (1 << 62):
+            break
+        if live[0].doc == pivot_doc:
+            # block-max check: exact per-block UB for cursors at pivot_doc
+            bub = sum(c.block_ub for c in live if c.doc == pivot_doc)
+            if len(heap) >= k and bub < theta():
+                # No doc whose only contributions come from the pivot
+                # cursors' current blocks can qualify. Jump past the
+                # tightest block boundary — but never past the next
+                # cursor's doc: docs at/after it gain contributions from
+                # cursors beyond the pivot, so their upper bound is NOT
+                # `bub` and they must still be evaluated.
+                nxt = min(c.block_last for c in live if c.doc == pivot_doc) + 1
+                beyond = [c.doc for c in live if c.doc > pivot_doc]
+                if beyond:
+                    nxt = min(nxt, min(beyond))
+                for c in live:
+                    if c.doc == pivot_doc:
+                        c.next_geq(nxt)
+                continue
+            # full evaluation, summing in SORTED TERM ORDER
+            parts = sorted(
+                (c.term, c.score) for c in live if c.doc == pivot_doc
+            )
+            s = 0.0
+            for _, p in parts:
+                s += p
+            cand = (s, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, cand)
+            elif cand > heap[0]:
+                heapq.heapreplace(heap, cand)
+            for c in live:
+                if c.doc == pivot_doc:
+                    c.advance()
+        else:
+            # advance the cursor with the largest "gap potential":
+            # any cursor before pivot moves to pivot_doc
+            live[0].next_geq(pivot_doc)
+
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out
+
+
+def exhaustive_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+    """Vectorized exact scoring of every posting (the fast path in this
+    Python sandbox; WAND wins when posting lists dwarf the candidate set
+    and the kernel is native). Sorted-term accumulation order."""
+    cursors = sorted(cursors, key=lambda c: c.term)
+    doc_arrs, con_arrs = [], []
+    for c in cursors:
+        if len(c.firsts) == 0:
+            continue
+        docs = np.concatenate(
+            [codec.delta_decode(g, base=int(f)) for g, f in zip(c.gaps, c.firsts)]
+        )
+        tf = np.concatenate([codec.varint_decode(x) for x in c.tfs])
+        dl = np.concatenate([codec.varint_decode(x) for x in c.dls])
+        doc_arrs.append(docs)
+        con_arrs.append(c.idf * codec.bm25_partial(tf, dl, c.avgdl))
+    if not doc_arrs:
+        return []
+    docs_all = np.concatenate(doc_arrs)
+    contribs = np.concatenate(con_arrs)
+    uniq, inv = np.unique(docs_all, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, contribs)  # in-order accumulation (term-sorted)
+    if len(uniq) <= k:
+        order = np.lexsort((uniq, -scores))[:k]
+    else:
+        # exact boundary handling: keep EVERY doc scoring >= the kth
+        # score (ties at the boundary are broken by doc_id, so none may
+        # be dropped before the sort)
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        cand = np.flatnonzero(scores >= kth)
+        cand = cand[np.lexsort((uniq[cand], -scores[cand]))]
+        order = cand[:k]
+    return [(int(uniq[i]), float(scores[i])) for i in order]

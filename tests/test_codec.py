@@ -1,0 +1,52 @@
+"""Unit tests for the posting codec (SURVEY §5 rebuild plan: per-kernel units)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_prepper_spark.index import codec
+
+
+def test_varint_roundtrip_small():
+    v = np.array([0, 1, 127, 128, 300, 2**21, 2**35, 2**63 - 1], dtype=np.uint64)
+    assert (codec.varint_decode(codec.varint_encode(v)) == v).all()
+
+
+def test_varint_empty():
+    assert codec.varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert codec.varint_decode(b"").size == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+def test_varint_roundtrip_property(xs):
+    v = np.array(xs, dtype=np.uint64)
+    assert (codec.varint_decode(codec.varint_encode(v)) == v).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_delta_roundtrip_property(xs, base_off):
+    ids = np.unique(np.array(xs, dtype=np.int64))
+    base = int(ids[0]) - base_off  # base <= first id
+    assert (codec.delta_decode(codec.delta_encode(ids, base), base) == ids).all()
+
+
+def test_varint_compression_ratio():
+    # small gaps (the common case after delta) must be ~1 byte each
+    gaps = np.ones(1000, dtype=np.uint64)
+    assert len(codec.varint_encode(gaps)) == 1000
+
+
+def test_bm25_partial_matches_oracle_formula():
+    import math
+
+    tf, dl, avgdl = np.array([3]), np.array([25]), 30.0
+    got = codec.bm25_partial(tf, dl, avgdl)[0]
+    want = 3 * 2.2 / (3 + 1.2 * (1 - 0.75 + 0.75 * 25 / 30.0))
+    assert math.isclose(got, want, rel_tol=0, abs_tol=0)

@@ -1,0 +1,148 @@
+"""E2e over the REAL index: SPIMI build -> compressed shards -> WAND /
+exhaustive query -> rank identity vs oracle; resume byte-identity."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import engine
+
+N_CONVS = 250
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return generate_pandas(0, N_CONVS)
+
+
+@pytest.fixture(scope="module")
+def queries_pdf():
+    return generate_queries(30)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus_pdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    df = spark.createDataFrame(corpus_pdf)
+    ib.build_index(spark, df, d, n_shards=N_SHARDS, block_size=16)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_results(corpus_pdf, queries_pdf):
+    doc_ids = corpus_pdf.conv_id.str.slice(5).astype(int) * 16 + corpus_pdf.turn_idx
+    idx = oracle.build_index(list(zip(doc_ids, corpus_pdf.text)))
+    return (
+        pd.DataFrame(
+            oracle.score_queries(
+                idx, list(queries_pdf.itertuples(index=False, name=None))
+            )
+        )
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def _assert_identical(o, s):
+    assert len(o) == len(s), f"rows: oracle={len(o)} got={len(s)}"
+    assert (o.query_id.values == s.query_id.values).all()
+    bad = o.doc_id.values != s.doc_id.values
+    assert not bad.any(), (
+        f"{bad.sum()} doc mismatches; first: "
+        f"{o[bad].head(3).to_dict('records')} vs {s[bad].head(3).to_dict('records')}"
+    )
+    assert (abs(o.score.values - s.score.values) <= 1e-6).all()
+
+
+@pytest.mark.parametrize("algo", ["exhaustive", "wand"])
+def test_rank_identity_over_compressed_index(
+    spark, index_dir, queries_pdf, oracle_results, algo
+):
+    res = (
+        engine.score_topk(spark, index_dir, spark.createDataFrame(queries_pdf), algo)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    _assert_identical(oracle_results, res)
+
+
+def test_manifest_has_lineage_and_metrics(spark, index_dir):
+    m = spark.read.parquet(os.path.join(index_dir, "manifest")).toPandas()
+    assert len(m) == N_SHARDS
+    assert (m.status == "done").all()
+    assert (m.rows > 0).all() and (m.n_postings > 0).all()
+    assert m.input_desc.str.contains("conv_id in").all()
+    assert set(m.columns) >= {
+        "shard", "status", "rows", "n_postings", "wall_ms", "input_desc",
+        "snapshot_id",
+    }
+
+
+def test_resume_produces_identical_index(spark, corpus_pdf, tmp_path_factory, index_dir):
+    """Crash between shard batches -> resume -> identical postings."""
+    d2 = str(tmp_path_factory.mktemp("idx_resume"))
+    df = spark.createDataFrame(corpus_pdf)
+    # "crash" after building half the shards
+    ib.build_index(spark, df, d2, n_shards=N_SHARDS, block_size=16,
+                   shards_subset=list(range(N_SHARDS // 2)))
+    m = spark.read.parquet(os.path.join(d2, "manifest")).toPandas()
+    assert len(m) == N_SHARDS // 2
+    # resume: builds only the missing shards
+    ib.build_index(spark, df, d2, n_shards=N_SHARDS, block_size=16, resume=True)
+
+    cols = ["shard", "term", "block_ord", "first_doc", "last_doc", "n",
+            "gaps", "tfs", "dls", "max_partial"]
+    a = (
+        spark.read.parquet(os.path.join(index_dir, "blocks"))
+        .filter("block_ord >= 0")  # exclude per-run metrics sentinel rows
+        .toPandas()[cols]
+        .sort_values(["shard", "term", "block_ord"])
+        .reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(os.path.join(d2, "blocks"))
+        .filter("block_ord >= 0")
+        .toPandas()[cols]
+        .sort_values(["shard", "term", "block_ord"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    for c in ["term", "block_ord", "first_doc", "last_doc", "n", "max_partial"]:
+        assert (a[c].values == b[c].values).all(), f"column {c} differs"
+    for c in ["gaps", "tfs", "dls"]:
+        assert all(bytes(x) == bytes(y) for x, y in zip(a[c], b[c])), f"{c} differs"
+
+
+def test_resume_skips_done_shards(spark, corpus_pdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_skip"))
+    df = spark.createDataFrame(corpus_pdf)
+    ib.build_index(spark, df, d, n_shards=4, block_size=16)
+    wall0 = spark.read.parquet(os.path.join(d, "manifest")).toPandas()
+    # resume over a complete index is a no-op (no new manifest rows)
+    ib.build_index(spark, df, d, n_shards=4, block_size=16, resume=True)
+    wall1 = spark.read.parquet(os.path.join(d, "manifest")).toPandas()
+    assert len(wall0) == len(wall1) == 4
+
+
+def test_compression_is_effective(spark, index_dir, corpus_pdf):
+    stats = json.load(open(os.path.join(index_dir, "stats.json")))
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    bdf = blocks.filter("block_ord >= 0").toPandas()
+    n_postings = int(bdf.n.sum())
+    payload = sum(len(bytes(g)) for g in bdf.gaps) + sum(
+        len(bytes(t)) for t in bdf.tfs
+    ) + sum(len(bytes(d)) for d in bdf.dls)
+    # uncompressed: 8B doc + 8B tf + 8B dl = 24B/posting
+    assert payload < n_postings * 24 * 0.3, (
+        f"poor compression: {payload / n_postings:.1f} B/posting"
+    )
+    assert stats["n_docs"] == len(corpus_pdf)
