@@ -1,0 +1,38 @@
+"""Network expression functions — pure Column bit math, no UDF.
+
+cidrContains (reference:
+data-prepper-expression/.../CidrExpressionFunction.java:24) checks an
+IPv4 address against one or more CIDR blocks. The reference uses a
+Java IP library per event; here the dotted quad becomes a 32-bit int
+with split/cast (whole-stage codegen) and the mask compare is constant-
+folded per block.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ipv4_to_long(col: Column) -> Column:
+    p = F.split(col, r"\.")
+    return (
+        p.getItem(0).cast("long") * 16777216
+        + p.getItem(1).cast("long") * 65536
+        + p.getItem(2).cast("long") * 256
+        + p.getItem(3).cast("long")
+    )
+
+
+def cidr_contains(ip_col: Column, *cidrs: str) -> Column:
+    """True if ip_col (dotted-quad string) is inside ANY of the cidrs."""
+    ip = ipv4_to_long(ip_col)
+    cond = F.lit(False)
+    for c in cidrs:
+        net = ipaddress.ip_network(c, strict=False)
+        lo = int(net.network_address)
+        hi = int(net.broadcast_address)
+        cond = cond | ((ip >= F.lit(lo)) & (ip <= F.lit(hi)))
+    return cond

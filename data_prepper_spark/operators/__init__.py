@@ -1,0 +1,52 @@
+"""Data Prepper processors re-expressed as DataFrame transforms.
+
+Import surface:
+    from data_prepper_spark import operators as ops
+    ops.add_entries(df, ...); ops.grok(df, ...); ops.aggregate_count(df, ...)
+"""
+
+from data_prepper_spark.operators.mutate import (  # noqa: F401
+    add_entries,
+    convert_type,
+    copy_values,
+    delete_entries,
+    rename_keys,
+    select_entries,
+)
+from data_prepper_spark.operators.string_ops import (  # noqa: F401
+    lowercase_string,
+    obfuscate,
+    replace_string,
+    split_string,
+    substitute_string,
+    trim_string,
+    truncate,
+    uppercase_string,
+)
+from data_prepper_spark.operators.parse import (  # noqa: F401
+    csv_parse,
+    date,
+    decompress,
+    detect_format,
+    dissect,
+    flatten,
+    grok,
+    key_value,
+    parse_json,
+    split_event,
+    translate,
+    translate_join,
+    write_json,
+)
+from data_prepper_spark.operators.events import drop_events, tag_events  # noqa: F401
+from data_prepper_spark.operators.route import route  # noqa: F401
+from data_prepper_spark.operators.aggregate import (  # noqa: F401
+    aggregate_append,
+    aggregate_count,
+    aggregate_histogram,
+    aggregate_put_all,
+    percent_sampler,
+    rate_limiter,
+    remove_duplicates,
+    tail_sampler,
+)

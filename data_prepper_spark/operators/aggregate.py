@@ -1,0 +1,203 @@
+"""The `aggregate` processor's actions as DataFrame aggregations
+(reference: aggregate-processor/.../AggregateProcessor.java:36,100-155 +
+actions/*.java; SURVEY.md §2.7).
+
+The reference groups events by identification_keys in an in-memory
+table co-located via consistent-hash peer forwarding
+(core/peerforwarder/HashRing.java:30-73) and concludes groups on a
+processing-time timer. In Spark the shuffle IS the peer forwarder and
+the window column IS the group duration: every action below takes
+`identification_keys` plus an optional event-time window
+(F.window(ts, duration)), giving event-time semantics the reference
+lacks (SURVEY.md §2.8). All actions are single-shuffle groupBy
+aggregations with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _group_cols(identification_keys: list[str], ts_col: str | None, duration: str | None):
+    cols = [F.col(k) for k in identification_keys]
+    if ts_col and duration:
+        cols.append(F.window(F.col(ts_col), duration).alias("window"))
+    return cols
+
+
+def aggregate_count(
+    df: DataFrame,
+    identification_keys: list[str],
+    count_key: str = "aggr._count",
+    unique_keys: list[str] | None = None,
+    ts_col: str | None = None,
+    group_duration: str | None = None,
+    exact_unique: bool = True,
+) -> DataFrame:
+    """CountAggregateAction.java:47-96 — events per group; with
+    unique_keys, distinct count (exact or HLL approx for the 100 TB
+    path — the reference is always exact-in-memory, which cannot scale)."""
+    aggs = [F.count(F.lit(1)).alias(count_key)]
+    if unique_keys:
+        uniq = F.struct(*[F.col(k) for k in unique_keys])
+        aggs.append(
+            (F.countDistinct(uniq) if exact_unique else F.approx_count_distinct(uniq)).alias(
+                "unique_count"
+            )
+        )
+    return df.groupBy(*_group_cols(identification_keys, ts_col, group_duration)).agg(*aggs)
+
+
+def aggregate_histogram(
+    df: DataFrame,
+    identification_keys: list[str],
+    key: str,
+    buckets: list[float],
+    ts_col: str | None = None,
+    group_duration: str | None = None,
+) -> DataFrame:
+    """HistogramAggregateAction.java:48-86 — bucketed counts plus
+    sum/min/max/count of `key` per group. Bucket boundaries are the
+    reference's explicit `buckets` list; width_bucket is codegen'd."""
+    b = sorted(buckets)
+    bucket_col = F.width_bucket(
+        F.col(key), F.lit(float(b[0])), F.lit(float(b[-1])), F.lit(len(b) - 1)
+    )
+    return (
+        df.groupBy(*_group_cols(identification_keys, ts_col, group_duration))
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum(key).alias("sum"),
+            F.min(key).alias("min"),
+            F.max(key).alias("max"),
+            F.sort_array(F.collect_list(bucket_col)).alias("_bl"),
+        )
+        .withColumn(
+            "bucket_counts",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(len(b) - 1)),
+                lambda i: F.size(F.filter(F.col("_bl"), lambda x: x == i)),
+            ),
+        )
+        .drop("_bl")
+    )
+
+
+def aggregate_append(
+    df: DataFrame,
+    identification_keys: list[str],
+    append_keys: list[str],
+    ts_col: str | None = None,
+    group_duration: str | None = None,
+    sort_deterministic: bool = True,
+) -> DataFrame:
+    """AppendAggregateAction.java:38 — append each key's values into an
+    array per group. Arrays are sorted for deterministic output (the
+    reference's order is arrival order — meaningless after a shuffle)."""
+    aggs = []
+    for k in append_keys:
+        c = F.collect_list(k)
+        if sort_deterministic:
+            c = F.sort_array(c)
+        aggs.append(c.alias(k))
+    return df.groupBy(*_group_cols(identification_keys, ts_col, group_duration)).agg(*aggs)
+
+
+def aggregate_put_all(
+    df: DataFrame,
+    identification_keys: list[str],
+    value_keys: list[str],
+    order_col: str,
+    ts_col: str | None = None,
+    group_duration: str | None = None,
+) -> DataFrame:
+    """PutAllAggregateAction.java:32 — merge events into one combined
+    event, last-write-wins. 'Last' is defined by order_col (event time),
+    which a distributed shuffle requires (the reference relies on
+    single-thread arrival order)."""
+    aggs = [F.max_by(k, order_col).alias(k) for k in value_keys]
+    return df.groupBy(*_group_cols(identification_keys, ts_col, group_duration)).agg(*aggs)
+
+
+def remove_duplicates(
+    df: DataFrame,
+    identification_keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """RemoveDuplicatesAggregateAction.java:28 — keep the FIRST event per
+    group. With order_col: deterministic first (min by order). Without:
+    Spark's dropDuplicates (any one row — what the reference's arrival
+    order degenerates to under concurrency)."""
+    if order_col is None:
+        return df.dropDuplicates(identification_keys)
+    w = Window.partitionBy(*identification_keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def percent_sampler(
+    df: DataFrame,
+    identification_keys: list[str],
+    percent: float,
+    hash_col: str | None = None,
+) -> DataFrame:
+    """PercentSamplerAggregateAction.java:26 — keep ~percent% of events
+    per group. Deterministic variant hashes a stable column (reference
+    keeps a running allowed-count; sampling on a hash is the
+    shuffle-free, cluster-stable equivalent)."""
+    if hash_col is not None:
+        return df.filter(
+            (F.pmod(F.xxhash64(F.col(hash_col)), F.lit(10000)) / 100.0) < percent
+        )
+    return df.sample(fraction=percent / 100.0, seed=42)
+
+
+def rate_limiter(
+    df: DataFrame,
+    identification_keys: list[str],
+    events_per_second: int,
+    ts_col: str,
+    when_exceeds: str = "drop",
+) -> DataFrame:
+    """RateLimiterAggregateAction.java:27 — allow at most N events/sec
+    per group (drop mode): rank within each (group, second) and keep the
+    first N by event time."""
+    assert when_exceeds == "drop", "block mode is a streaming-only concept"
+    sec = F.date_trunc("second", F.col(ts_col))
+    w = Window.partitionBy(*identification_keys, sec).orderBy(F.col(ts_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= events_per_second)
+        .drop("__rn")
+    )
+
+
+def tail_sampler(
+    df: DataFrame,
+    identification_keys: list[str],
+    error_condition: str,
+    percent: float = 100.0,
+    hash_col: str | None = None,
+) -> DataFrame:
+    """TailSamplerAggregateAction.java:36 — emit ALL events of a group if
+    any event in it satisfies error_condition; otherwise sample the
+    group at `percent`. Batch semantics: groups with errors are found
+    with one aggregation and kept via a broadcast-friendly semi-join."""
+    from data_prepper_spark.plans.expressions import compile_expression
+
+    err = compile_expression(error_condition)
+    flagged = (
+        df.groupBy(*identification_keys)
+        .agg(F.max(F.when(err, 1).otherwise(0)).alias("__has_err"))
+    )
+    joined = df.join(flagged, identification_keys, "left")
+    keep = F.col("__has_err") == 1
+    if percent < 100.0:
+        key = F.concat_ws("|", *[F.col(k).cast("string") for k in identification_keys])
+        sampled = (F.pmod(F.xxhash64(key if hash_col is None else F.col(hash_col)), F.lit(10000)) / 100.0) < percent
+        keep = keep | sampled
+    return joined.filter(keep).drop("__has_err")

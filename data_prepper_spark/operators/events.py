@@ -1,0 +1,29 @@
+"""Event-level processors: drop_events, tagging (SURVEY.md §2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_prepper_spark.plans.expressions import compile_expression
+
+
+def drop_events(df: DataFrame, drop_when: str) -> DataFrame:
+    """DropEventsProcessor.java:27-53 — drop rows where the expression is
+    true. Compiled to a Catalyst filter -> pushed into the scan when the
+    predicate allows (the reference evaluates per event in the worker)."""
+    return df.filter(~compile_expression(drop_when))
+
+
+def tag_events(
+    df: DataFrame, tags: list[str], when: str | None = None, tags_col: str = "_tags"
+) -> DataFrame:
+    """Metadata tagging (EventMetadata tags — data-prepper-api/.../event/
+    EventMetadata.java:22): appends tags to the _tags array column."""
+    existing = F.col(tags_col) if tags_col in df.columns else F.array().cast("array<string>")
+    add = F.array(*[F.lit(t) for t in tags])
+    new = F.array_union(F.coalesce(existing, F.array().cast("array<string>")), add)
+    if when:
+        cond = compile_expression(when)
+        new = F.when(cond, new).otherwise(existing)
+    return df.withColumn(tags_col, new)

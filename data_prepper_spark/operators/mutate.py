@@ -1,0 +1,150 @@
+"""Mutate-event processors (reference: data-prepper-plugins/
+mutate-event-processors/...; SURVEY.md §2.4).
+
+Each mirrors one @DataPrepperPlugin processor. All are narrow
+(per-partition, no shuffle) Catalyst projections — the reference applies
+them per event in a worker thread; here they fuse into whole-stage
+codegen with everything around them.
+
+Every operator takes an optional `when` — a Data Prepper expression
+string (compiled via plans.expressions) — and leaves non-matching rows
+unchanged, mirroring the `*_when` guard on nearly every reference
+processor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_prepper_spark.plans.expressions import compile_expression
+
+
+def _guarded(df: DataFrame, key: str, new: Column, when: str | None) -> DataFrame:
+    if when is None:
+        return df.withColumn(key, new)
+    cond = compile_expression(when)
+    orig = F.col(key) if key in df.columns else F.lit(None)
+    return df.withColumn(key, F.when(cond, new).otherwise(orig))
+
+
+def add_entries(df: DataFrame, entries: list[dict], when: str | None = None) -> DataFrame:
+    """AddEntryProcessor (AddEntryProcessor.java:40): add a key from a
+    literal `value`, a `format` template ("${a}-${b}"), or a
+    `value_expression`; `overwrite_if_key_exists` guards clobbering."""
+    for e in entries:
+        key = e["key"]
+        overwrite = e.get("overwrite_if_key_exists", False)
+        if key in df.columns and not overwrite:
+            continue
+        if "value" in e:
+            col = F.lit(e["value"])
+        elif "format" in e:
+            col = format_string_col(e["format"])
+        elif "value_expression" in e:
+            col = compile_expression(e["value_expression"])
+        else:
+            raise ValueError("add_entries: need value | format | value_expression")
+        df = _guarded(df, key, col, when)
+    return df
+
+
+def format_string_col(template: str) -> Column:
+    """Event.formatString templating '${/key} text' (reference:
+    data-prepper-api/.../event/Event.java:255-278) -> concat of
+    literals and column refs."""
+    import re
+
+    parts = re.split(r"(\$\{[^}]+\})", template)
+    cols = []
+    for p in parts:
+        if p.startswith("${") and p.endswith("}"):
+            ref = p[2:-1].lstrip("/").replace("/", ".")
+            cols.append(F.col(ref).cast("string"))
+        elif p:
+            cols.append(F.lit(p))
+    return F.concat(*cols) if cols else F.lit("")
+
+
+def copy_values(df: DataFrame, entries: list[dict], when: str | None = None) -> DataFrame:
+    """CopyValueProcessor.java:30 — copy from_key -> to_key."""
+    for e in entries:
+        src, dst = e["from_key"], e["to_key"]
+        if dst in df.columns and not e.get("overwrite_if_to_key_exists", False):
+            continue
+        df = _guarded(df, dst, F.col(src), when)
+    return df
+
+
+def rename_keys(df: DataFrame, entries: list[dict], when: str | None = None) -> DataFrame:
+    """RenameKeyProcessor.java:30 — rename from_key -> to_key.
+
+    A `when` guard on a rename is inherently schema-level here (columnar
+    model), so guarded renames keep both columns with the new one
+    populated conditionally."""
+    for e in entries:
+        src, dst = e["from_key"], e["to_key"]
+        if dst in df.columns and not e.get("overwrite_if_to_key_exists", False):
+            continue
+        if when is None:
+            df = df.withColumnRenamed(src, dst)
+        else:
+            df = _guarded(df, dst, F.col(src), when)
+    return df
+
+
+def delete_entries(
+    df: DataFrame, with_keys: list[str], when: str | None = None
+) -> DataFrame:
+    """DeleteEntryProcessor.java:34 — drop keys. Guarded delete nulls the
+    value instead (columns are schema-level)."""
+    if when is None:
+        return df.drop(*with_keys)
+    cond = compile_expression(when)
+    for k in with_keys:
+        df = df.withColumn(k, F.when(cond, F.lit(None)).otherwise(F.col(k)))
+    return df
+
+
+def select_entries(df: DataFrame, include_keys: list[str]) -> DataFrame:
+    """SelectEntriesProcessor.java:27 — keep only listed keys. This is a
+    projection — Catalyst prunes the parquet scan to exactly these
+    columns (the reference streams whole events and filters in memory)."""
+    return df.select(*include_keys)
+
+
+_TYPE_MAP = {
+    "string": "string",
+    "integer": "int",
+    "long": "long",
+    "double": "double",
+    "boolean": "boolean",
+    "big_decimal": "decimal(38,18)",
+}
+
+
+def convert_type(
+    df: DataFrame,
+    key: str,
+    type: str,  # noqa: A002 (mirrors reference config name)
+    scale: int | None = None,
+    tags_on_failure: list[str] | None = None,
+    tags_col: str = "_tags",
+    when: str | None = None,
+) -> DataFrame:
+    """ConvertEntryTypeProcessor.java:41 — cast with null-on-failure and
+    failure tagging (the reference adds tags to event metadata)."""
+    t = _TYPE_MAP[type]
+    if type == "big_decimal" and scale is not None:
+        t = f"decimal(38,{scale})"
+    # try_cast: the reference nulls the entry on conversion failure
+    # (ANSI-mode cast would throw instead)
+    new = F.col(key).try_cast(t)
+    if tags_on_failure:
+        failed = F.col(key).isNotNull() & new.isNull()
+        tags = F.col(tags_col) if tags_col in df.columns else F.array()
+        df = df.withColumn(
+            tags_col,
+            F.when(failed, F.array_union(tags, F.array(*[F.lit(x) for x in tags_on_failure]))).otherwise(tags),
+        )
+    return _guarded(df, key, new, when)

@@ -1,0 +1,421 @@
+"""Parsing / extraction processors (SURVEY.md §2.6): grok, dissect,
+key_value, csv, parse_json, date, flatten, split_event, translate,
+detect_format, write_json, decompress.
+
+Hot paths are built-in Catalyst expressions (regexp_extract, from_csv,
+from_json, str_to_map, to_timestamp) — the reference runs Java regex /
+Jackson per event in a worker thread (e.g. grok-processor/.../
+GrokProcessor.java:283-320); here the same patterns evaluate inside
+whole-stage codegen. decompress is the one genuinely-Python op (zlib)
+and uses an Arrow-vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_prepper_spark.plans.expressions import compile_expression
+
+# ----------------------------------------------------------------- grok
+
+# Core grok pattern library (the reference bundles java-grok's pattern
+# files; grok-processor/.../GrokProcessor.java:64 loads them). This is
+# the subset its e2e/perf tests exercise (%{COMMONAPACHELOG} — docs/
+# latest_performance_test_results.md:52).
+GROK_PATTERNS: dict[str, str] = {
+    "INT": r"(?:[+-]?(?:[0-9]+))",
+    "NUMBER": r"(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?))",
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r"(?:\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')",
+    "QS": r"(?:\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')",
+    "IP": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "EMAILADDRESS": r"[a-zA-Z0-9_.+-=:]+@[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*",
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"(?!<[0-9])%{HOUR}:%{MINUTE}(?::%{SECOND})(?![0-9])",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "COMMONAPACHELOG": (
+        r"%{IPORHOST:clientip} %{USER:ident} %{USER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] \"(?:%{WORD:verb} %{NOTSPACE:request}"
+        r"(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" "
+        r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.-]+))?\}")
+
+
+def expand_grok(pattern: str, patterns: dict[str, str] | None = None) -> tuple[str, list[str]]:
+    """Expand %{NAME:field} refs to a Java-compatible regex; returns
+    (regex, ordered field names). Named captures become plain groups and
+    fields map to capture-group indices (regexp_extract addressing)."""
+    lib = {**GROK_PATTERNS, **(patterns or {})}
+    fields: list[str] = []
+
+    def sub(m: re.Match, depth: int = 0) -> str:
+        name, field = m.group(1), m.group(2)
+        if name not in lib:
+            raise KeyError(f"unknown grok pattern {name!r}")
+        body = lib[name]
+        # recursively expand nested refs (no field capture inside)
+        body = _GROK_REF.sub(lambda mm: sub(mm), body)
+        if field:
+            fields.append(field)
+            return f"({body})"
+        return f"(?:{body})"
+
+    rx = _GROK_REF.sub(sub, pattern)
+    return rx, fields
+
+
+def _group_indices(rx: str, n_fields: int) -> list[int]:
+    """Capture groups are exactly the field groups (all library bodies
+    are non-capturing); they appear in field order. But nested field
+    groups (e.g. COMMONAPACHELOG's own fields) interleave, so count '('
+    not followed by '?'."""
+    idxs, depth_count = [], 0
+    i = 0
+    while i < len(rx):
+        if rx[i] == "\\":
+            i += 2
+            continue
+        if rx[i] == "(" and not rx.startswith("(?", i):
+            depth_count += 1
+            idxs.append(depth_count)
+        i += 1
+    return idxs[:n_fields]
+
+
+def grok(
+    df: DataFrame,
+    match: dict[str, list[str]],
+    keep_empty_captures: bool = False,
+    target_key: str | None = None,
+    when: str | None = None,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """GrokProcessor.java:64,140-153 — named-capture extraction.
+    `match`: {source_key: [grok patterns]} (first match wins per the
+    reference's break_on_match default). Extracted fields become columns
+    (or fields of `target_key` struct)."""
+    cond = compile_expression(when) if when else None
+    for src, pats in match.items():
+        seen: dict[str, Column] = {}
+        for pat in pats:
+            rx, fields = expand_grok(pat, patterns)
+            gidx = _group_indices(rx, len(fields))
+            for fname, gi in zip(fields, gidx):
+                col = F.regexp_extract(F.col(src), rx, gi)
+                if not keep_empty_captures:
+                    col = F.when(col == "", F.lit(None)).otherwise(col)
+                # break_on_match: earlier pattern wins
+                seen[fname] = (
+                    F.coalesce(seen[fname], col) if fname in seen else col
+                )
+        if target_key:
+            df = df.withColumn(
+                target_key,
+                F.struct(*[c.alias(n) for n, c in seen.items()]),
+            )
+        else:
+            for fname, col in seen.items():
+                if cond is not None:
+                    col = F.when(cond, col)
+                df = df.withColumn(fname, col)
+    return df
+
+
+# --------------------------------------------------------------- dissect
+
+def dissect(df: DataFrame, mapping: dict[str, str], when: str | None = None) -> DataFrame:
+    """DissectProcessor.java:39-69 — delimiter-based %{field} splitting.
+    Compiled to one anchored regex with non-greedy captures."""
+    cond = compile_expression(when) if when else None
+    for src, pattern in mapping.items():
+        parts = re.split(r"(%\{[^}]*\})", pattern)
+        rx, fields = "", []
+        for p in parts:
+            if p.startswith("%{") and p.endswith("}"):
+                name = p[2:-1]
+                if name.startswith("+"):  # append modifier
+                    name = name[1:]
+                if name:
+                    fields.append(name)
+                    rx += r"(.*?)"
+                else:
+                    rx += r"(?:.*?)"
+            else:
+                rx += re.escape(p)
+        rx += "$"
+        for i, fname in enumerate(fields, 1):
+            col = F.regexp_extract(F.col(src), rx, i)
+            if cond is not None:
+                col = F.when(cond, col)
+            df = df.withColumn(fname, col)
+    return df
+
+
+# -------------------------------------------------------------- key_value
+
+def key_value(
+    df: DataFrame,
+    source: str = "message",
+    destination: str = "parsed_message",
+    field_split_characters: str = "&",
+    value_split_characters: str = "=",
+    include_keys: list[str] | None = None,
+    exclude_keys: list[str] | None = None,
+    default_values: dict | None = None,
+    when: str | None = None,
+) -> DataFrame:
+    """KeyValueProcessor.java:44 — parse k=v pairs into a map column."""
+    import re as _re
+
+    m = F.str_to_map(
+        F.col(source),
+        F.lit(_re.escape(field_split_characters)),
+        F.lit(_re.escape(value_split_characters)),
+    )
+    if include_keys:
+        m = F.map_filter(m, lambda k, v: k.isin(include_keys))
+    if exclude_keys:
+        m = F.map_filter(m, lambda k, v: ~k.isin(exclude_keys))
+    if default_values:
+        defaults = F.create_map(
+            *[x for kv in default_values.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        )
+        m = F.map_concat(F.map_filter(defaults, lambda k, v: ~F.array_contains(F.map_keys(m), k)), m)
+    cond = compile_expression(when) if when else None
+    if cond is not None:
+        m = F.when(cond, m)
+    return df.withColumn(destination, m)
+
+
+# ------------------------------------------------------------------- csv
+
+def csv_parse(
+    df: DataFrame,
+    source: str = "message",
+    column_names: list[str] | None = None,
+    delimiter: str = ",",
+    quote_character: str = '"',
+    destination: str | None = None,
+) -> DataFrame:
+    """CsvProcessor.java:45 — parse a CSV string into named fields via
+    from_csv (Catalyst, schema-checked)."""
+    names = column_names or []
+    schema = ", ".join(f"`{n}` string" for n in names)
+    parsed = F.from_csv(
+        F.col(source), schema,
+        {"sep": delimiter, "quote": quote_character},
+    )
+    if destination:
+        return df.withColumn(destination, parsed)
+    for n in names:
+        df = df.withColumn(n, parsed.getField(n))
+    return df
+
+
+# ------------------------------------------------------------ parse_json
+
+def parse_json(
+    df: DataFrame,
+    source: str = "message",
+    destination: str | None = None,
+    schema: str | T.StructType | None = None,
+    pointer: str | None = None,
+    tags_on_failure: list[str] | None = None,
+    tags_col: str = "_tags",
+) -> DataFrame:
+    """ParseJsonProcessor.java:31 / AbstractParseProcessor.java:39.
+    Columnar model needs a schema; pass one, or None -> infer from data
+    (driver samples the column — fine for config-time inference)."""
+    if schema is None:
+        sample = [r[0] for r in df.select(source).dropna().limit(100).collect()]
+        schema = F.schema_of_json(F.lit(sample[0])) if sample else "map<string,string>"
+    parsed = F.from_json(F.col(source), schema)
+    if pointer:
+        for part in [p for p in pointer.split("/") if p]:
+            parsed = parsed.getField(part)
+    dst = destination or source
+    if tags_on_failure:
+        failed = F.col(source).isNotNull() & parsed.isNull()
+        tags = F.col(tags_col) if tags_col in df.columns else F.array()
+        df = df.withColumn(
+            tags_col,
+            F.when(failed, F.array_union(tags, F.array(*[F.lit(t) for t in tags_on_failure]))).otherwise(tags),
+        )
+    return df.withColumn(dst, parsed)
+
+
+# ------------------------------------------------------------------ date
+
+def date(
+    df: DataFrame,
+    match: dict | None = None,
+    destination: str = "@timestamp",
+    output_format: str | None = None,
+    from_time_received: bool = False,
+    ingest_ts_col: str = "_ingest_ts",
+    when: str | None = None,
+) -> DataFrame:
+    """DateProcessor.java:41 — parse first-matching pattern from a key
+    into `destination`. match = {"key": source, "patterns": [java
+    DateTimeFormatter patterns, or epoch_second/epoch_milli]}."""
+    if from_time_received:
+        col = F.col(ingest_ts_col)
+    else:
+        src, pats = match["key"], match["patterns"]
+        attempts = []
+        for p in pats:
+            if p == "epoch_second":
+                attempts.append(F.to_timestamp(F.col(src).cast("long")))
+            elif p == "epoch_milli":
+                attempts.append(F.timestamp_millis(F.col(src).cast("long")))
+            else:
+                attempts.append(F.try_to_timestamp(F.col(src), F.lit(p)))
+        col = F.coalesce(*attempts)
+    if output_format:
+        col = F.date_format(col, output_format)
+    cond = compile_expression(when) if when else None
+    if cond is not None:
+        col = F.when(cond, col)
+    return df.withColumn(destination, col)
+
+
+# ----------------------------------------------------------------- misc
+
+def flatten(df: DataFrame, source: str | None = None, sep: str = ".") -> DataFrame:
+    """FlattenProcessor.java:29-55 — nested struct -> dotted top-level
+    columns, recursively."""
+
+    def flat_cols(schema: T.StructType, prefix: str) -> list[Column]:
+        cols = []
+        for f in schema.fields:
+            path = f"{prefix}.`{f.name}`" if prefix else f"`{f.name}`"
+            name = f"{prefix}{sep}{f.name}".lstrip(sep) if prefix else f.name
+            if isinstance(f.dataType, T.StructType):
+                cols += flat_cols(f.dataType, path.replace("`", ""))
+            else:
+                cols.append(F.col(path).alias(name.replace("`", "")))
+        return cols
+
+    if source:
+        sub = df.schema[source].dataType
+        assert isinstance(sub, T.StructType)
+        others = [c for c in df.columns if c != source]
+        flats = [
+            F.col(f"{source}.`{f.name}`").alias(f"{source}{sep}{f.name}")
+            for f in sub.fields
+        ]
+        return df.select(*others, *flats)
+    return df.select(*flat_cols(df.schema, ""))
+
+
+def split_event(
+    df: DataFrame, field: str, delimiter: str | None = None,
+    delimiter_regex: str | None = None,
+) -> DataFrame:
+    """SplitEventProcessor.java:30-77 — one event -> N events (explode)."""
+    pat = delimiter_regex if delimiter_regex else re.escape(delimiter or " ")
+    return df.withColumn(field, F.explode(F.split(F.col(field), pat)))
+
+
+def translate(
+    df: DataFrame,
+    source: str,
+    target: str,
+    mappings: dict[str, str],
+    default: str | None = None,
+    when: str | None = None,
+) -> DataFrame:
+    """TranslateProcessor.java:42-65 — dictionary lookup. Small maps
+    become a literal MapType lookup (constant-folded, no join); for
+    file-sized tables use a broadcast join instead (translate_join)."""
+    m = F.create_map(*[x for kv in mappings.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    col = F.element_at(m, F.col(source).cast("string"))
+    if default is not None:
+        col = F.coalesce(col, F.lit(default))
+    cond = compile_expression(when) if when else None
+    if cond is not None:
+        col = F.when(cond, col)
+    return df.withColumn(target, col)
+
+
+def translate_join(
+    df: DataFrame, lookup: DataFrame, source: str, target: str,
+    lookup_key: str, lookup_value: str, default: str | None = None,
+) -> DataFrame:
+    """translate with a table-backed dictionary — broadcast hash join,
+    the scale path for big dictionaries (geoip-style enrichment)."""
+    lk = lookup.select(
+        F.col(lookup_key).alias("__k"), F.col(lookup_value).alias(target)
+    )
+    out = df.join(F.broadcast(lk), df[source] == F.col("__k"), "left").drop("__k")
+    if default is not None:
+        out = out.withColumn(target, F.coalesce(F.col(target), F.lit(default)))
+    return out
+
+
+def detect_format(
+    df: DataFrame, source: str, target: str = "detected_format"
+) -> DataFrame:
+    """detect_format processor — sniff json/csv/kv/text via rlike cascade."""
+    c = F.trim(F.col(source))
+    col = (
+        F.when(c.rlike(r"^[\[{]"), "json")
+        .when(c.rlike(r"^[^,\n]+(,[^,\n]+){2,}$"), "csv")
+        .when(c.rlike(r"^\S+=\S+([&\s]\S+=\S+)*$"), "kv")
+        .otherwise("text")
+    )
+    return df.withColumn(target, col)
+
+
+def write_json(df: DataFrame, source: str, target: str | None = None) -> DataFrame:
+    """WriteJsonProcessor.java:28 — serialize a struct/map column to JSON."""
+    return df.withColumn(target or source, F.to_json(F.col(source)))
+
+
+def decompress(df: DataFrame, keys: list[str], type: str = "gzip") -> DataFrame:  # noqa: A002
+    """DecompressProcessor.java:33-61 — gzip-decompress string fields.
+    Arrow-vectorized pandas UDF (the one hot-path Python op here)."""
+    import gzip as _gzip
+
+    @F.pandas_udf(T.StringType())
+    def gunzip(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            try:
+                return _gzip.decompress(x if isinstance(x, bytes) else bytes(x)).decode()
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    for k in keys:
+        df = df.withColumn(k, gunzip(F.col(k)))
+    return df

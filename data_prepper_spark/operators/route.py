@@ -1,0 +1,47 @@
+"""Conditional routing (reference: model/configuration/
+ConditionalRoute.java; data-prepper-core/.../router/
+RouteEventEvaluator.java:38-76, Router.java:40-86).
+
+The reference evaluates named route conditions per event and hands each
+sink the events whose route set intersects the sink's routes; unrouted
+events go to `_default`. Here each route compiles to a Catalyst
+predicate; the router returns one DataFrame per route (same source plan
+— Spark caches/reuses the scan; for single-pass streaming fan-out use
+foreachBatch in streaming/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_prepper_spark.plans.expressions import compile_expression
+
+DEFAULT_ROUTE = "_default"
+
+
+def route(df: DataFrame, routes: dict[str, str]) -> dict[str, DataFrame]:
+    """routes: {name: expression}. Returns {name: DataFrame} plus
+    `_default` holding events matching NO route."""
+    conds = {name: compile_expression(expr) for name, expr in routes.items()}
+    out = {name: df.filter(c) for name, c in conds.items()}
+    none_match = F.lit(True)
+    for c in conds.values():
+        none_match = none_match & ~F.coalesce(c, F.lit(False))
+    out[DEFAULT_ROUTE] = df.filter(none_match)
+    return out
+
+
+def route_column(df: DataFrame, routes: dict[str, str], target: str = "_routes") -> DataFrame:
+    """Single-pass variant: adds an array<string> column with every
+    matching route name (what RouteEventEvaluator computes per event).
+    Useful before a partitioned write or a streaming fan-out."""
+    arr = F.array_compact(
+        F.array(
+            *[
+                F.when(F.coalesce(compile_expression(e), F.lit(False)), F.lit(n))
+                for n, e in routes.items()
+            ]
+        )
+    )
+    return df.withColumn(target, arr)

@@ -1,0 +1,123 @@
+"""Mutate-string processors (reference: data-prepper-plugins/
+mutate-string-processors/... and truncate/obfuscate; SURVEY.md §2.6).
+
+All pure Catalyst string expressions — the tokenizer-adjacent core of
+the index pipeline reuses lowercase/trim/split semantics 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_prepper_spark.plans.expressions import compile_expression
+
+
+def _apply(df: DataFrame, keys: list[str], fn, when: str | None = None) -> DataFrame:
+    cond = compile_expression(when) if when else None
+    for k in keys:
+        new = fn(F.col(k))
+        if cond is not None:
+            new = F.when(cond, new).otherwise(F.col(k))
+        df = df.withColumn(k, new)
+    return df
+
+
+def lowercase_string(df: DataFrame, with_keys: list[str], when: str | None = None):
+    """LowercaseStringProcessor.java:22."""
+    return _apply(df, with_keys, F.lower, when)
+
+
+def uppercase_string(df: DataFrame, with_keys: list[str], when: str | None = None):
+    """UppercaseStringProcessor.java:22."""
+    return _apply(df, with_keys, F.upper, when)
+
+
+def trim_string(df: DataFrame, with_keys: list[str], when: str | None = None):
+    """TrimStringProcessor.java:20."""
+    return _apply(df, with_keys, F.trim, when)
+
+
+def split_string(
+    df: DataFrame, entries: list[dict], when: str | None = None
+) -> DataFrame:
+    """SplitStringProcessor.java:23 — split source string into an array
+    by `delimiter` (literal) or `delimiter_regex`."""
+    for e in entries:
+        src = e["source"]
+        if "delimiter_regex" in e:
+            pat = e["delimiter_regex"]
+        else:
+            import re as _re
+
+            pat = _re.escape(e["delimiter"])
+        df = _apply(df, [src], lambda c, p=pat: F.split(c, p), when)
+    return df
+
+
+def replace_string(df: DataFrame, entries: list[dict], when: str | None = None):
+    """ReplaceStringProcessor.java:24 — literal substring replace."""
+    for e in entries:
+        df = _apply(
+            df,
+            [e["source"]],
+            lambda c, f=e["from"], t=e["to"]: F.replace(c, F.lit(f), F.lit(t)),
+            when,
+        )
+    return df
+
+
+def substitute_string(df: DataFrame, entries: list[dict], when: str | None = None):
+    """SubstituteStringProcessor.java:28 — regex substitute."""
+    for e in entries:
+        df = _apply(
+            df,
+            [e["source"]],
+            lambda c, f=e["from"], t=e["to"]: F.regexp_replace(c, f, t),
+            when,
+        )
+    return df
+
+
+def truncate(
+    df: DataFrame,
+    source_keys: list[str],
+    start_at: int = 0,
+    length: int | None = None,
+    truncate_when: str | None = None,
+) -> DataFrame:
+    """TruncateProcessor.java:33-87 — substring/slice at start_at+length."""
+
+    def fn(c):
+        if length is None:
+            return F.substring(c, start_at + 1, 2**31 - 1)
+        return F.substring(c, start_at + 1, length)
+
+    return _apply(df, source_keys, fn, truncate_when)
+
+
+def obfuscate(
+    df: DataFrame,
+    source: str,
+    pattern: str | None = None,
+    action: str = "mask",
+    mask_character: str = "*",
+    mask_character_length: int = 3,
+    target: str | None = None,
+    when: str | None = None,
+) -> DataFrame:
+    """ObfuscationProcessor.java:35-116 with MaskAction / OneWayHashAction:
+    mask replaces pattern matches with N mask chars; hash replaces the
+    whole value with sha512 (reference uses SHA-512 one-way hash)."""
+    dst = target or source
+    if action == "mask":
+        mask = mask_character * mask_character_length
+        new = F.regexp_replace(F.col(source), pattern or r".*", mask) if pattern else F.lit(mask)
+    elif action == "hash":
+        new = F.sha2(F.col(source).cast("string"), 512)
+    else:
+        raise ValueError(f"unknown obfuscate action {action!r}")
+    cond = compile_expression(when) if when else None
+    if cond is not None:
+        new = F.when(cond, new).otherwise(F.col(source))
+    return df.withColumn(dst, new)

@@ -1,0 +1,357 @@
+"""Data Prepper expression language -> Catalyst Column compiler.
+
+The reference evaluates a per-event expression language (routing,
+`*_when` guards, add_entries value_expression) by parsing an ANTLR
+grammar and walking the tree per event (reference:
+data-prepper-expression/src/main/antlr/DataPrepperExpression.g4:16-150,
+GenericExpressionEvaluator.java:22-46, ParseTreeEvaluator.java:18-38).
+The language is a strict subset of Spark SQL's expression surface
+(SURVEY.md §2.5), so here it compiles ONCE in the driver to a Catalyst
+Column and evaluates vectorized in executors — the per-event interpreter
+is replaced by whole-stage codegen.
+
+Supported syntax (mirrors docs/expression_syntax.md of the reference):
+    operands:  /json/pointer  "string"  'string'  123  4.5  true false null
+    operators: ==  !=  =~  !~  <  <=  >  >=  and  or  not  in  not in
+               + - * / %   typeof
+    sets:      {"a", "b", 3}
+    functions: length() contains() startsWith() endsWith() cidrContains()
+               join() formatDateTime() generateUuid() hasTags()
+               toJsonString() substringBefore() substringAfter()
+               substringBeforeLast() substringAfterLast() getMetadata()
+
+JSON pointers map to (possibly nested) columns: /a/b -> col("a").getField
+("b"). Pointer segments with non-identifier chars are supported via
+backtick quoting.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>-?\d+\.\d+|-?\d+)
+      | (?P<dqstr>"(?:[^"\\]|\\.)*")
+      | (?P<sqstr>'(?:[^'\\]|\\.)*')
+      | (?P<ptr>/[A-Za-z0-9_\-./]*)
+      | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<op>=~|!~|==|!=|<=|>=|<|>|\(|\)|\{|\}|,|\+|-|\*|/|%)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "not", "in", "true", "false", "null", "typeof"}
+
+
+class ExprError(ValueError):
+    pass
+
+
+def _lex(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        if s[i].isspace():
+            i += 1
+            continue
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise ExprError(f"bad token at {s[i:i+20]!r}")
+        i = m.end()
+        for kind in ("num", "dqstr", "sqstr", "ptr", "name", "op"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+def pointer_to_col(ptr: str) -> Column:
+    """/a/b -> col('a').getField('b'); '/' alone is invalid."""
+    parts = [p for p in ptr.split("/") if p]
+    if not parts:
+        raise ExprError(f"empty pointer {ptr!r}")
+    c = F.col("`" + parts[0] + "`")
+    for p in parts[1:]:
+        c = c.getField(p)
+    return c
+
+
+class _Parser:
+    """Pratt-style recursive descent; precedence (low->high):
+    or < and < not < (==,!=,=~,!~,<,<=,>,>=,in,not in,typeof) < +,- < *,/,% < unary."""
+
+    def __init__(self, tokens, tags_col: str = "_tags", metadata_col: str = "_metadata"):
+        self.toks = tokens
+        self.i = 0
+        self.tags_col = tags_col
+        self.metadata_col = metadata_col
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        k, v = self.next()
+        if v != val:
+            raise ExprError(f"expected {val!r}, got {v!r}")
+
+    def parse(self) -> Column:
+        c = self.parse_or()
+        if self.peek()[0] != "eof":
+            raise ExprError(f"trailing input at {self.peek()[1]!r}")
+        return c
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek() == ("name", "or"):
+            self.next()
+            left = left | self.parse_and()
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.peek() == ("name", "and"):
+            self.next()
+            left = left & self.parse_not()
+        return left
+
+    def parse_not(self):
+        if self.peek() == ("name", "not") and self.toks[self.i + 1] != ("name", "in"):
+            self.next()
+            return ~self.parse_not()
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        left = self.parse_add()
+        k, v = self.peek()
+        if (k, v) == ("name", "typeof"):
+            # `/x typeof "integer"` — our engine is fixed-schema, so the
+            # type is static; resolved at plan time when the column's
+            # dataType is known, else via SQL typeof().
+            self.next()
+            _, tv = self.next()
+            want = tv.strip("\"'")
+            mapping = {  # Data Prepper DataType -> Spark typeof() prefix
+                "string": "string", "integer": "int", "long": "bigint",
+                "double": "double", "boolean": "boolean", "map": "map",
+                "array": "array", "big_decimal": "decimal",
+            }
+            lc = F.lit(left) if not isinstance(left, Column) else left
+            return _sql_over(lc, "typeof({})").startswith(mapping.get(want, want))
+        if v in ("==", "!=", "<", "<=", ">", ">=", "=~", "!~"):
+            self.next()
+            right = self.parse_add()
+            return {
+                "==": lambda a, b: a.eqNullSafe(b),
+                "!=": lambda a, b: ~a.eqNullSafe(b),
+                "<": lambda a, b: a < b,
+                "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b,
+                ">=": lambda a, b: a >= b,
+                "=~": lambda a, b: a.rlike(self._lit_str(b)),
+                "!~": lambda a, b: ~a.rlike(self._lit_str(b)),
+            }[v](left, right)
+        if (k, v) == ("name", "in") or (
+            (k, v) == ("name", "not") and self.toks[self.i + 1] == ("name", "in")
+        ):
+            negate = v == "not"
+            self.next()
+            if negate:
+                self.next()
+            items = self.parse_set()
+            res = left.isin(*items)
+            return ~res if negate else res
+        return left
+
+    def _lit_str(self, col_or_str):
+        # regex right-hand side must be a literal string
+        if isinstance(col_or_str, str):
+            return col_or_str
+        raise ExprError("regex pattern must be a string literal")
+
+    def parse_set(self):
+        self.expect("{")
+        items = []
+        while True:
+            items.append(self._literal_value())
+            k, v = self.next()
+            if v == "}":
+                break
+            if v != ",":
+                raise ExprError(f"expected , or }} in set, got {v!r}")
+        return items
+
+    def _literal_value(self):
+        k, v = self.next()
+        if k == "num":
+            return float(v) if "." in v else int(v)
+        if k in ("dqstr", "sqstr"):
+            return _unquote(v)
+        if (k, v) == ("name", "true"):
+            return True
+        if (k, v) == ("name", "false"):
+            return False
+        raise ExprError(f"invalid set literal {v!r}")
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while self.peek()[1] in ("+", "-") and self.peek()[0] == "op":
+            _, op = self.next()
+            right = self.parse_mul()
+            lc = F.lit(left) if not isinstance(left, Column) else left
+            rc = F.lit(right) if not isinstance(right, Column) else right
+            left = lc + rc if op == "+" else lc - rc
+        return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while self.peek()[1] in ("*", "/", "%") and self.peek()[0] == "op":
+            _, op = self.next()
+            right = self.parse_unary()
+            lc = F.lit(left) if not isinstance(left, Column) else left
+            rc = F.lit(right) if not isinstance(right, Column) else right
+            left = {"*": lc * rc, "/": lc / rc, "%": lc % rc}[op]
+        return left
+
+    def parse_unary(self):
+        k, v = self.peek()
+        if (k, v) == ("op", "-"):
+            self.next()
+            operand = self.parse_unary()
+            return -operand if isinstance(operand, Column) else -operand
+        return self.parse_primary()
+
+    def parse_primary(self):
+        k, v = self.next()
+        if k == "num":
+            return F.lit(float(v)) if "." in v else F.lit(int(v))
+        if k in ("dqstr", "sqstr"):
+            return _unquote(v)  # kept as python str for rlike/isin; lit later
+        if k == "ptr":
+            return pointer_to_col(v)
+        if (k, v) == ("op", "("):
+            c = self.parse_or()
+            self.expect(")")
+            return c
+        if k == "name":
+            if v == "true":
+                return F.lit(True)
+            if v == "false":
+                return F.lit(False)
+            if v == "null":
+                return F.lit(None)
+            if self.peek() == ("op", "("):
+                return self.parse_call(v)
+            raise ExprError(f"unknown identifier {v!r}")
+        raise ExprError(f"unexpected token {v!r}")
+
+    def parse_call(self, fname: str):
+        self.expect("(")
+        args = []
+        if self.peek() != ("op", ")"):
+            while True:
+                args.append(self.parse_or())
+                k, v = self.next()
+                if v == ")":
+                    break
+                if v != ",":
+                    raise ExprError(f"expected , or ) in call, got {v!r}")
+        else:
+            self.next()
+        return self._apply_fn(fname, args)
+
+    def _apply_fn(self, fname: str, args):
+        """Expression functions (reference: data-prepper-expression/.../
+        *ExpressionFunction.java — see SURVEY.md §2.5 table)."""
+
+        def col(a):
+            return F.lit(a) if not isinstance(a, Column) else a
+
+        def s(a):
+            if not isinstance(a, str):
+                raise ExprError(f"{fname}: expected string literal")
+            return a
+
+        if fname == "length":
+            return F.length(col(args[0]))
+        if fname == "contains":
+            return col(args[0]).contains(col(args[1]))
+        if fname == "startsWith":
+            return col(args[0]).startswith(col(args[1]))
+        if fname == "endsWith":
+            return col(args[0]).endswith(col(args[1]))
+        if fname == "join":
+            return F.array_join(col(args[1]), s(args[0]))
+        if fname == "formatDateTime":
+            return F.date_format(col(args[0]), s(args[1]))
+        if fname == "generateUuid":
+            return F.expr("uuid()")
+        if fname == "hasTags":
+            c = F.lit(True)
+            for a in args:
+                c = c & F.array_contains(F.col(self.tags_col), s(a))
+            return c
+        if fname == "getMetadata":
+            return F.col(self.metadata_col).getField(s(args[0]).lstrip("/"))
+        if fname == "getEventType":
+            return F.lit("event")
+        if fname == "toJsonString":
+            return F.to_json(col(args[0]))
+        if fname == "substringBefore":
+            return F.substring_index(col(args[0]), s(args[1]), 1)
+        if fname == "substringAfter":
+            c, d = col(args[0]), s(args[1])
+            pos = F.locate(d, c)
+            return F.when(pos > 0, c.substr(pos + len(d), F.length(c))).otherwise(
+                F.lit(None)
+            )
+        if fname == "substringBeforeLast":
+            c, d = col(args[0]), s(args[1])
+            tail = F.substring_index(c, d, -1)
+            return F.when(
+                c.contains(d),
+                c.substr(F.lit(1), F.length(c) - F.length(tail) - len(d)),
+            ).otherwise(F.lit(None))
+        if fname == "substringAfterLast":
+            return F.substring_index(col(args[0]), s(args[1]), -1)
+        if fname == "cidrContains":
+            from data_prepper_spark.functions.net import cidr_contains
+
+            return cidr_contains(col(args[0]), *[s(a) for a in args[1:]])
+        raise ExprError(f"unknown function {fname!r}")
+
+
+def _sql_over(c: Column, template: str) -> Column:
+    """Apply a SQL template to a Column via its plan-string rendering
+    (classic-mode pyspark; used only for typeof)."""
+    return F.expr(template.format(c._jc.toString()))  # noqa: SLF001
+
+
+def _unquote(v: str) -> str:
+    body = v[1:-1]
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+def compile_expression(
+    expr: str, tags_col: str = "_tags", metadata_col: str = "_metadata"
+) -> Column:
+    """Compile a Data Prepper expression string to a Catalyst Column.
+
+    Compiled once in the driver (the reference caches the ANTLR parse
+    tree per statement — GenericExpressionEvaluator.java:41; Catalyst
+    constant-folds and codegens the rest)."""
+    c = _Parser(_lex(expr), tags_col, metadata_col).parse()
+    if isinstance(c, str):
+        return F.lit(c)
+    if not isinstance(c, Column):
+        return F.lit(c)
+    return c

@@ -1,0 +1,73 @@
+"""Expression-language compiler tests (reference grammar semantics,
+SURVEY.md §2.5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_prepper_spark.plans.expressions import compile_expression
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        {"status": 200, "verb": "GET", "msg": "ok fine", "ip": "10.0.1.5",
+         "val": 7.5, "_tags": ["a", "b"], "name": "alpha-beta"},
+        {"status": 404, "verb": "POST", "msg": "error: missing", "ip": "192.168.1.1",
+         "val": 1.0, "_tags": ["b"], "name": "gamma"},
+        {"status": 500, "verb": "PUT", "msg": "server error", "ip": "10.0.200.9",
+         "val": -3.0, "_tags": [], "name": "x-y-z"},
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _ids(df, expr):
+    return sorted(r["status"] for r in df.filter(compile_expression(expr)).collect())
+
+
+def test_comparisons(df):
+    assert _ids(df, "/status == 200") == [200]
+    assert _ids(df, "/status != 200") == [404, 500]
+    assert _ids(df, "/status >= 404") == [404, 500]
+    assert _ids(df, "/val < 2.0") == [404, 500]
+
+
+def test_boolean_ops(df):
+    assert _ids(df, '/status == 200 or /verb == "POST"') == [200, 404]
+    assert _ids(df, '/status > 300 and /verb != "PUT"') == [404]
+    assert _ids(df, "not /status == 200") == [404, 500]
+
+
+def test_regex(df):
+    assert _ids(df, '/msg =~ "err.*"') == [404, 500]
+    assert _ids(df, '/msg !~ "err.*"') == [200]
+
+
+def test_in_set(df):
+    assert _ids(df, "/status in {200, 404}") == [200, 404]
+    assert _ids(df, "/status not in {200, 404}") == [500]
+    assert _ids(df, '/verb in {"GET", "PUT"}') == [200, 500]
+
+
+def test_arithmetic(df):
+    assert _ids(df, "/status % 100 == 4") == [404]
+    assert _ids(df, "/val * 2 == 15.0") == [200]
+    assert _ids(df, "/status + 1 == 501") == [500]
+
+
+def test_functions(df):
+    assert _ids(df, "length(/verb) == 3") == [200, 500]  # GET, PUT
+    assert _ids(df, 'contains(/msg, "error")') == [404, 500]
+    assert _ids(df, 'startsWith(/msg, "ok")') == [200]
+    assert _ids(df, 'hasTags("a")') == [200]
+    assert _ids(df, 'cidrContains(/ip, "10.0.0.0/16")') == [200, 500]
+    assert _ids(df, 'cidrContains(/ip, "10.0.1.0/24")') == [200]
+    assert _ids(df, 'cidrContains(/ip, "10.0.0.0/8", "192.168.0.0/16")') == [200, 404, 500]
+    assert _ids(df, 'substringBefore(/name, "-") == "alpha"') == [200]
+    assert _ids(df, 'substringAfterLast(/name, "-") == "z"') == [500]
+
+
+def test_parse_errors():
+    for bad in ["/a ==", "1 +", '/a in {', "foo(/a)", "/a =~ /b"]:
+        with pytest.raises(Exception):
+            compile_expression(bad)

@@ -1,0 +1,302 @@
+"""Per-operator behavior tests, modeled on the reference's per-processor
+unit suites (SURVEY.md §5: every processor has exhaustive unit tests)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark import operators as ops
+
+APACHE_LOG = (
+    '127.0.0.1 - frank [11/Dec/2021:10:00:00 -0700] '
+    '"GET /apache_pb.gif HTTP/1.0" 200 2326'
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        [
+            {"id": 1, "etype": "error", "val": 10.0, "user": "u1",
+             "msg": "a=1&b=2", "ts": "2024-01-01 00:00:01"},
+            {"id": 2, "etype": "click", "val": 5.0, "user": "u1",
+             "msg": "a=3&c=4", "ts": "2024-01-01 00:00:01"},
+            {"id": 3, "etype": "error", "val": 2.5, "user": "u2",
+             "msg": "b=9", "ts": "2024-01-01 00:00:02"},
+            {"id": 4, "etype": "view", "val": 7.0, "user": "u1",
+             "msg": "a=0", "ts": "2024-01-01 00:01:00"},
+        ]
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+# ------------------------------------------------------------- mutate
+
+def test_add_entries(events):
+    out = ops.add_entries(
+        events,
+        entries=[
+            {"key": "static", "value": 42},
+            {"key": "fmt", "format": "${user}-${etype}"},
+            {"key": "doubled", "value_expression": "/val * 2"},
+        ],
+    )
+    r = out.filter("id = 1").collect()[0]
+    assert r["static"] == 42 and r["fmt"] == "u1-error" and r["doubled"] == 20.0
+
+
+def test_add_entries_when_guard(events):
+    out = ops.add_entries(
+        events, entries=[{"key": "flag", "value": "E"}], when='/etype == "error"'
+    )
+    vals = {r["id"]: r["flag"] for r in out.collect()}
+    assert vals[1] == "E" and vals[2] is None
+
+
+def test_copy_rename_delete_select(events):
+    out = ops.copy_values(events, entries=[{"from_key": "val", "to_key": "v2"}])
+    assert out.filter("id=1").collect()[0]["v2"] == 10.0
+    out = ops.rename_keys(events, entries=[{"from_key": "etype", "to_key": "event_type"}])
+    assert "event_type" in out.columns and "etype" not in out.columns
+    out = ops.delete_entries(events, with_keys=["msg", "ts"])
+    assert "msg" not in out.columns and "ts" not in out.columns
+    out = ops.select_entries(events, include_keys=["id", "val"])
+    assert out.columns == ["id", "val"]
+
+
+def test_convert_type_with_failure_tags(spark):
+    df = spark.createDataFrame([{"x": "12"}, {"x": "nope"}])
+    out = ops.convert_type(df, key="x", type="integer", tags_on_failure=["bad_int"])
+    rows = {r["x"]: r["_tags"] for r in out.collect()}
+    assert rows[12] == [] or rows[12] is None or list(rows[12]) == []
+    assert "bad_int" in list(rows[None])
+
+
+# ------------------------------------------------------------- strings
+
+def test_string_ops(spark):
+    df = spark.createDataFrame([{"s": "  Hello World  "}])
+    assert ops.lowercase_string(df, ["s"]).collect()[0]["s"] == "  hello world  "
+    assert ops.trim_string(df, ["s"]).collect()[0]["s"] == "Hello World"
+    assert ops.uppercase_string(df, ["s"]).collect()[0]["s"] == "  HELLO WORLD  "
+    df2 = spark.createDataFrame([{"s": "a,b,c"}])
+    assert ops.split_string(df2, entries=[{"source": "s", "delimiter": ","}]).collect()[0]["s"] == ["a", "b", "c"]
+    assert ops.replace_string(df2, entries=[{"source": "s", "from": ",", "to": ";"}]).collect()[0]["s"] == "a;b;c"
+    assert ops.substitute_string(df2, entries=[{"source": "s", "from": "[,]", "to": "-"}]).collect()[0]["s"] == "a-b-c"
+    assert ops.truncate(df2, ["s"], start_at=2, length=1).collect()[0]["s"] == "b"
+
+
+def test_obfuscate(spark):
+    df = spark.createDataFrame([{"s": "card 1234-5678"}])
+    masked = ops.obfuscate(df, "s", pattern=r"\d{4}-\d{4}", action="mask").collect()[0]["s"]
+    assert masked == "card ***"
+    hashed = ops.obfuscate(df, "s", action="hash").collect()[0]["s"]
+    assert len(hashed) == 128  # sha512 hex
+
+
+# ------------------------------------------------------------- parsing
+
+def test_grok_apache_common_log(spark):
+    """The reference's flagship e2e asserts these keys from
+    %{COMMONAPACHELOG} (EndToEndBasicLogTest.java:110-111)."""
+    df = spark.createDataFrame([{"log": APACHE_LOG}])
+    out = ops.grok(df, match={"log": ["%{COMMONAPACHELOG}"]})
+    r = out.collect()[0]
+    assert r["clientip"] == "127.0.0.1"
+    assert r["ident"] == "-"
+    assert r["auth"] == "frank"
+    assert r["timestamp"] == "11/Dec/2021:10:00:00 -0700"
+    assert r["verb"] == "GET"
+    assert r["request"] == "/apache_pb.gif"
+    assert r["httpversion"] == "1.0"
+    assert r["response"] == "200"
+    assert r["bytes"] == "2326"
+
+
+def test_dissect(spark):
+    df = spark.createDataFrame([{"m": "alpha - beta [x=1]"}])
+    out = ops.dissect(df, mapping={"m": "%{a} - %{b} [x=%{x}]"}).collect()[0]
+    assert out["a"] == "alpha" and out["b"] == "beta" and out["x"] == "1"
+
+
+def test_key_value(events):
+    out = ops.key_value(events, source="msg", destination="kv",
+                        field_split_characters="&", value_split_characters="=")
+    r = {x["id"]: x["kv"] for x in out.collect()}
+    assert r[1] == {"a": "1", "b": "2"}
+    out2 = ops.key_value(events, source="msg", destination="kv",
+                         include_keys=["a"], default_values={"z": "0"})
+    r2 = {x["id"]: x["kv"] for x in out2.collect()}
+    assert r2[1] == {"a": "1", "z": "0"}
+
+
+def test_csv_parse(spark):
+    df = spark.createDataFrame([{"line": 'x,"y,z",3'}])
+    out = ops.csv_parse(df, source="line", column_names=["a", "b", "c"]).collect()[0]
+    assert out["a"] == "x" and out["b"] == "y,z" and out["c"] == "3"
+
+
+def test_parse_json(spark):
+    df = spark.createDataFrame([{"j": '{"k": 69, "nested": {"x": "v"}}'}])
+    out = ops.parse_json(df, source="j", destination="p").collect()[0]
+    assert out["p"]["k"] == 69 and out["p"]["nested"]["x"] == "v"
+    out2 = ops.parse_json(df, source="j", destination="p", pointer="/nested/x").collect()[0]
+    assert out2["p"] == "v"
+
+
+def test_date(spark):
+    df = spark.createDataFrame([{"d": "2021/12/11 10:00:00"}, {"d": "11-Dec-2021"}])
+    out = ops.date(
+        df,
+        match={"key": "d", "patterns": ["yyyy/MM/dd HH:mm:ss", "dd-MMM-yyyy"]},
+    )
+    vals = [r["@timestamp"] for r in out.collect()]
+    assert all(v is not None for v in vals)
+    out2 = ops.date(df, match={"key": "d", "patterns": ["yyyy/MM/dd HH:mm:ss"]},
+                    output_format="yyyy-MM-dd").collect()
+    assert out2[0]["@timestamp"] == "2021-12-11"
+
+
+def test_flatten(spark):
+    df = spark.sql(
+        "SELECT named_struct('b', 1, 'c', named_struct('d', 'x')) AS a, 5 AS top"
+    )
+    out = ops.flatten(df)
+    assert set(out.columns) == {"a.b", "a.c.d", "top"}
+    r = out.collect()[0]
+    assert r["a.b"] == 1 and r["a.c.d"] == "x"
+
+
+def test_split_event(spark):
+    df = spark.createDataFrame([{"id": 1, "v": "a b c"}])
+    out = ops.split_event(df, field="v", delimiter=" ")
+    assert out.count() == 3
+
+
+def test_translate(events):
+    out = ops.translate(events, source="etype", target="code",
+                        mappings={"error": "E", "click": "C"}, default="?")
+    vals = {r["id"]: r["code"] for r in out.collect()}
+    assert vals == {1: "E", 2: "C", 3: "E", 4: "?"}
+
+
+def test_translate_join(spark, events):
+    lookup = spark.createDataFrame([{"k": "error", "v": "SEV1"}])
+    out = ops.translate_join(events, lookup, source="etype", target="sev",
+                             lookup_key="k", lookup_value="v", default="SEV9")
+    vals = {r["id"]: r["sev"] for r in out.collect()}
+    assert vals[1] == "SEV1" and vals[2] == "SEV9"
+
+
+def test_detect_format(spark):
+    df = spark.createDataFrame(
+        [{"s": '{"a": 1}'}, {"s": "a,b,c,d"}, {"s": "k=v&x=y"}, {"s": "plain text"}]
+    )
+    got = [r["detected_format"] for r in ops.detect_format(df, "s").collect()]
+    assert got == ["json", "csv", "kv", "text"]
+
+
+def test_write_json(spark):
+    df = spark.createDataFrame([{"m": {"a": "1"}}])
+    assert ops.write_json(df, "m", "j").collect()[0]["j"] == '{"a":"1"}'
+
+
+def test_decompress(spark):
+    import gzip
+
+    df = spark.createDataFrame([{"z": gzip.compress(b"hello")}])
+    assert ops.decompress(df, ["z"]).collect()[0]["z"] == "hello"
+
+
+# ---------------------------------------------------------- drop/route
+
+def test_drop_events(events):
+    out = ops.drop_events(events, drop_when='/etype == "error"')
+    assert sorted(r["id"] for r in out.collect()) == [2, 4]
+
+
+def test_route(events):
+    routed = ops.route(
+        events,
+        {"errors": '/etype == "error"', "big": "/val >= 7.0"},
+    )
+    assert sorted(r["id"] for r in routed["errors"].collect()) == [1, 3]
+    assert sorted(r["id"] for r in routed["big"].collect()) == [1, 4]
+    assert sorted(r["id"] for r in routed["_default"].collect()) == [2]
+
+
+def test_route_column(events):
+    out = ops.route.__module__  # noqa
+    from data_prepper_spark.operators.route import route_column
+
+    r = {x["id"]: sorted(x["_routes"]) for x in route_column(
+        events, {"errors": '/etype == "error"', "big": "/val >= 7.0"}
+    ).collect()}
+    assert r[1] == ["big", "errors"] and r[2] == [] and r[4] == ["big"]
+
+
+# ---------------------------------------------------------- aggregate
+
+def test_aggregate_count(events):
+    out = ops.aggregate_count(events, ["user"], count_key="n").collect()
+    d = {r["user"]: r["n"] for r in out}
+    assert d == {"u1": 3, "u2": 1}
+
+
+def test_aggregate_count_windowed(events):
+    out = ops.aggregate_count(
+        events, ["user"], count_key="n", ts_col="ts", group_duration="1 minute"
+    ).collect()
+    # u1 has 2 events in minute 0 and 1 in minute 1
+    d = {(r["user"], r["window"]["start"].minute): r["n"] for r in out}
+    assert d[("u1", 0)] == 2 and d[("u1", 1)] == 1
+
+
+def test_aggregate_histogram(events):
+    out = ops.aggregate_histogram(
+        events, ["user"], key="val", buckets=[0.0, 5.0, 10.0, 15.0]
+    ).collect()
+    u1 = next(r for r in out if r["user"] == "u1")
+    assert u1["count"] == 3 and u1["sum"] == 22.0 and u1["min"] == 5.0
+    assert u1["bucket_counts"] == [0, 2, 1]  # 5.0->[5,10), 7.0->[5,10), 10.0->[10,15]
+
+
+def test_aggregate_append(events):
+    out = ops.aggregate_append(events, ["user"], append_keys=["val"]).collect()
+    d = {r["user"]: r["val"] for r in out}
+    assert d["u1"] == [5.0, 7.0, 10.0]
+
+
+def test_aggregate_put_all(events):
+    out = ops.aggregate_put_all(
+        events, ["user"], value_keys=["etype", "val"], order_col="id"
+    ).collect()
+    u1 = next(r for r in out if r["user"] == "u1")
+    assert u1["etype"] == "view" and u1["val"] == 7.0  # last by id
+
+
+def test_remove_duplicates(events):
+    out = ops.remove_duplicates(events, ["user"], order_col="id").collect()
+    assert sorted(r["id"] for r in out) == [1, 3]
+
+
+def test_percent_sampler_deterministic(events):
+    out = ops.percent_sampler(events, ["user"], percent=50.0, hash_col="id")
+    n = out.count()
+    assert 0 <= n <= 4
+    assert out.count() == n  # stable across evaluations
+
+
+def test_rate_limiter(events):
+    out = ops.rate_limiter(events, ["user"], events_per_second=1, ts_col="ts")
+    # u1 has 2 events in second :01 -> one dropped
+    assert out.count() == 3
+
+
+def test_tail_sampler(events):
+    out = ops.tail_sampler(events, ["user"], error_condition='/etype == "error"',
+                           percent=0.0)
+    # u1 and u2 both contain an error event -> all their events kept
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4]
+    out2 = ops.tail_sampler(events, ["etype"], error_condition='/val > 100', percent=0.0)
+    assert out2.count() == 0
