@@ -1,0 +1,177 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame compositions (no Python in the hot
+path) designed so every hash is reproducible in ANSI SQL (md5-based) —
+each has a DuckDB oracle in __spark_entry__.oracle_sql().
+
+Scale notes (100 TB):
+- exact: one shuffle on a 128-bit digest — never on raw text;
+- minhash-LSH: shingles explode ~L rows/doc, signatures reduce back to
+  one row/doc (map-side combinable min-agg), candidate generation joins
+  on band keys (equi-join, AQE-skew-safe) instead of all-pairs;
+- ngram-jaccard: restricted to candidate pairs sharing a shingle;
+  the shingle join is the only wide op and prunes to rare shingles
+  (df cap) to avoid quadratic blowup on boilerplate;
+- simhash: one agg per doc; near-dup = equal fingerprint (or small
+  hamming radius via multi-probe on rotated keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKENIZE = "filter(split(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _tokens(c: str) -> Column:
+    return F.expr(TOKENIZE.format(c=c))
+
+
+def normalize_text(c: str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(F.col(c)), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the smallest id per normalized-text digest.
+    Shuffles 16-byte digests, not documents."""
+    return (
+        df.withColumn("_h", F.md5(normalize_text(text_col)))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_h")
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Word-level n-gram shingles, distinct per doc: (id, shingle)."""
+    toks = _tokens(text_col)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle")).filter(
+        F.col("shingle") != ""
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min(md5(i || shingle)).
+
+    String-min MinHash — same collision statistics as integer MinHash,
+    and bit-reproducible in any engine with md5 (the oracle). One
+    explode + one combinable agg; no joins."""
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ANY band (band = md5 of
+    `band_size` consecutive signature values). Returns (id_a, id_b)
+    with id_a < id_b, distinct."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"sig_{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard >= threshold, computed only
+    for candidate pairs sharing >= 1 shingle. `max_shingle_df` drops
+    boilerplate shingles (quadratic-blowup guard at scale)."""
+    sh = shingles(df, text_col, id_col, n)
+    if max_shingle_df:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh_j = sh.join(rare, "shingle")
+    else:
+        sh_j = sh
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh_j.alias("a"), sh_j.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint per doc over md5-hashed tokens (bit b of the
+    first 8 hex chars). Pure SQL bit math -> oracle-reproducible."""
+    tok = df.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
+    )
+    hv = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tok = tok.withColumn("_hv", hv)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))

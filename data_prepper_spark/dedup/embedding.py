@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k via built-in higher-order
+  functions (zip_with + aggregate -> JVM codegen, no Python).
+- lsh_bucketed_topk: the scale path — random-hyperplane LSH buckets
+  (deterministic splitmix64 planes) shrink the candidate set from N to
+  ~N/2^planes per probe; exact cosine re-rank inside buckets.
+- embedding_cosine_dups: near-duplicate pairs by cosine >= threshold.
+
+At 10^12 rows brute force is a cross join — never. The LSH variant's
+only wide op is an equi-join on bucket keys; planes are generated
+pseudo-randomly per (plane_id, dim) so executors need no broadcast
+state. An IVF variant would k-means the corpus first; LSH gives the
+same candidate-pruning shape without an iterative fit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine in float64 via zip_with/aggregate (JVM-side)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector. queries: (query_id,
+    embedding). Broadcast the (small) query set against the corpus."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(qid_col), F.col(vec_col).alias("_qv")
+    )
+    scored = vectors.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", F.round(cosine(F.col(vec_col), F.col("_qv")), 6)
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cosine")
+    )
+
+
+_U64 = np.uint64
+
+
+def _plane(plane_id: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplane via splitmix64 -> N(0,1)-ish
+    (sum of two uniforms, good enough for sign hashing)."""
+    x = (np.arange(dim, dtype=np.uint64) + _U64(plane_id * 1_000_003 + 7)) * _U64(
+        0x9E3779B97F4A7C15
+    )
+    x ^= x >> _U64(30)
+    x *= _U64(0xBF58476D1CE4E5B9)
+    x ^= x >> _U64(27)
+    u = (x >> _U64(11)).astype(np.float64) / float(1 << 53)
+    return u * 2.0 - 1.0
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 8):
+    """pandas UDF: embedding -> int bucket (sign bits over n_planes)."""
+    planes = np.stack([_plane(p, dim) for p in range(n_planes)])  # (P, D)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy())  # (B, D)
+        signs = (mat @ planes.T) > 0  # (B, P)
+        out = np.zeros(len(mat), dtype=np.int32)
+        for p in range(n_planes):
+            out |= signs[:, p].astype(np.int32) << p
+        return pd.Series(out)
+
+    return bucket
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket, exact cosine
+    re-rank inside. Recall grows with multi-probe (neighboring buckets)
+    — single-probe here; bench compares recall vs brute force."""
+    from pyspark.sql import Window
+
+    b = lsh_bucket_udf(dim, n_planes)
+    v = vectors.withColumn("_bucket", b(F.col(vec_col)))
+    q = queries.withColumn("_bucket", b(F.col(vec_col))).select(
+        qid_col, "_bucket", F.col(vec_col).alias("_qv")
+    )
+    scored = v.join(q, "_bucket").withColumn(
+        "cosine", F.round(cosine(F.col(vec_col), F.col("_qv")), 6)
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cosine")
+    )
+
+
+def embedding_cosine_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, LSH-bucketed so the
+    pair join is bucket-local (near-dups land in the same bucket with
+    high probability at tight thresholds)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    b = lsh_bucket_udf(dim, n_planes)
+    v = vectors.withColumn("_bucket", b(F.col(vec_col)))
+    a, bb = v.alias("a"), v.alias("b")
+    return (
+        a.join(bb, "_bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

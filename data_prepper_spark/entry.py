@@ -1,0 +1,891 @@
+"""Driver-contract query registry: every implemented operator exposed as
+(spark, sf_dir) -> DataFrame with a matching DuckDB oracle SQL.
+
+Column names, types (bigint/double/string) and rounding are aligned
+between the Spark plan and the SQL so the driver's order-insensitive
+value-hash matches. Tokenization is the shared SQL fragment from
+index/tokenizer.py in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_prepper_spark import operators as ops
+from data_prepper_spark.dedup import dedup as dd
+from data_prepper_spark.dedup import embedding as emb
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.query import bm25_df, engine
+from data_prepper_spark.sources import tables
+from data_prepper_spark.text import analysis as ta
+
+S_TOKS = "filter(split(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+D_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+
+# fixed BM25 query set over the `documents` table vocabulary
+BM25_QUERIES = [
+    ("q1", "spark join table"),
+    ("q2", "slow query scan"),
+    ("q3", "hash"),
+    ("q4", "customer order line zz_absent"),
+]
+BM25_K = 10
+
+
+def _docs(spark, sf_dir):
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _events(spark, sf_dir):
+    return tables.load(spark, sf_dir, "events")
+
+
+def _emb(spark, sf_dir):
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------ BM25 SQL
+
+def _bm25_oracle_sql() -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+    toks = D_TOKS.format(c="text")
+    qtoks = D_TOKS.format(c="query_text")
+    return f"""
+WITH queries(query_id, query_text) AS (VALUES {vals}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM tokd),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tokd),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT DISTINCT query_id, unnest(list_distinct({qtoks})) AS term FROM queries),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       round(score, 4) AS score_r,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {BM25_K}
+"""
+
+
+def _bm25_queries_df(spark):
+    return spark.createDataFrame(
+        [(q, t, BM25_K * 2) for q, t in BM25_QUERIES],
+        "query_id string, query_text string, k int",
+    )
+
+
+def _rounded_rank(raw: DataFrame) -> DataFrame:
+    """Re-rank by (rounded score, doc_id) and cut at K — matches the SQL
+    oracle's tie handling (fetched 2K exact to absorb rounding ties)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_r"), F.asc("doc_id")
+    )
+    return (
+        raw.withColumn("score_r", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "doc_id", "score_r", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Flagship: BM25 top-k via the pure-DataFrame engine."""
+    docs = _docs(spark, sf_dir)
+    index = bm25_df.build_df_index(docs, doc_id_col="doc_id", text_col="text")
+    raw = bm25_df.score_queries_df(index, _bm25_queries_df(spark))
+    return _rounded_rank(raw)
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _built_index(spark, sf_dir) -> str:
+    if sf_dir not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="dps_idx_")
+        ib.build_index(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            d,
+            n_shards=8,
+            block_size=128,
+            assign_ids=False,
+        )
+        _INDEX_CACHE[sf_dir] = d
+    return _INDEX_CACHE[sf_dir]
+
+
+def q_wand_topk(spark, sf_dir):
+    """BM25 top-k via the compressed SPIMI index + block-max WAND."""
+    d = _built_index(spark, sf_dir)
+    raw = engine.score_topk(spark, d, _bm25_queries_df(spark), algo="wand")
+    return _rounded_rank(raw)
+
+
+def q_index_dictionary(spark, sf_dir):
+    """Global dictionary (term -> df) of the compressed index — verifies
+    the SPIMI build + shard merge end-to-end against plain SQL."""
+    d = _built_index(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(d, "dictionary"))
+        .select("term", F.col("df").cast("long").alias("df"))
+    )
+
+
+_DICT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({D_TOKS.format(c='text')}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+"""
+
+
+# --------------------------------------------------- mutate / filter ops
+
+def q_select_entries(spark, sf_dir):
+    return ops.select_entries(_events(spark, sf_dir), ["event_id", "user_id", "event_type"])
+
+
+def q_add_entries(spark, sf_dir):
+    df = ops.add_entries(
+        _events(spark, sf_dir),
+        entries=[
+            {"key": "value_x2", "value_expression": "/value * 2"},
+            {"key": "label", "format": "u${user_id}-${event_type}"},
+            {"key": "static", "value": 7},
+        ],
+    )
+    return df.select(
+        "event_id",
+        F.round("value_x2", 6).alias("value_x2"),
+        "label",
+        F.col("static").cast("long").alias("static"),
+    )
+
+
+def q_rename_convert(spark, sf_dir):
+    df = ops.rename_keys(
+        _events(spark, sf_dir), entries=[{"from_key": "value", "to_key": "amount"}]
+    )
+    df = ops.convert_type(df, key="user_id", type="string")
+    return df.select("event_id", F.round("amount", 6).alias("amount"), "user_id")
+
+
+def q_copy_delete(spark, sf_dir):
+    df = ops.copy_values(
+        _events(spark, sf_dir), entries=[{"from_key": "event_type", "to_key": "etype_copy"}]
+    )
+    df = ops.delete_entries(df, with_keys=["props", "ts", "value"])
+    return df.select("event_id", "user_id", "event_type", "etype_copy")
+
+
+def q_drop_events(spark, sf_dir):
+    out = ops.drop_events(
+        _events(spark, sf_dir), drop_when='/event_type == "error" or /value < 5.0'
+    )
+    return out.select("event_id", "event_type", F.round("value", 6).alias("value"))
+
+
+def q_route_first(spark, sf_dir):
+    from data_prepper_spark.operators.route import route_column
+
+    df = _events(spark, sf_dir)
+    tagged = route_column(
+        df,
+        {"errors": '/event_type == "error"', "big": "/value >= 50.0"},
+    )
+    first = F.when(F.size("_routes") > 0, F.element_at("_routes", 1)).otherwise(
+        "_default"
+    )
+    return tagged.select("event_id", first.alias("route"))
+
+
+def q_expression_filter(spark, sf_dir):
+    from data_prepper_spark.plans.expressions import compile_expression
+
+    df = _events(spark, sf_dir).filter(
+        compile_expression(
+            '(/event_type in {"click", "view"} and /value > 40.0) or /event_type =~ "^err.*"'
+        )
+    )
+    return df.select("event_id", "event_type", F.round("value", 6).alias("value"))
+
+
+def q_cidr_route(spark, sf_dir):
+    from data_prepper_spark.functions.net import cidr_contains
+
+    df = _events(spark, sf_dir).withColumn(
+        "ip",
+        F.concat(
+            F.lit("10."),
+            (F.col("user_id") % 200).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 250).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+    return df.select(
+        "event_id",
+        "ip",
+        cidr_contains(F.col("ip"), "10.0.0.0/16", "10.100.0.0/14").alias("in_net"),
+    )
+
+
+# -------------------------------------------------------- string / parse
+
+def q_string_pipeline(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    df = ops.lowercase_string(df, ["text"])
+    df = ops.substitute_string(df, entries=[{"source": "text", "from": r"\s+", "to": " "}])
+    df = ops.trim_string(df, ["text"])
+    df = ops.truncate(df, ["text"], start_at=0, length=40)
+    return df.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+def q_obfuscate_hash(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = df.withColumn("user_hash", F.sha2(F.col("user_id").cast("string"), 256))
+    return out.select("event_id", "user_hash")
+
+
+def q_grok_synthetic_logs(spark, sf_dir):
+    """grok over reconstructed apache-style lines (deterministic from
+    events) — extraction parity with string-function oracle."""
+    df = _events(spark, sf_dir).withColumn(
+        "log",
+        F.concat(
+            F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".7 - u"),
+            F.col("user_id").cast("string"),
+            F.lit(' [11/Dec/2021:10:00:00 -0700] "GET /p/'),
+            F.col("event_id").cast("string"),
+            F.lit(' HTTP/1.0" '),
+            F.when(F.col("event_type") == "error", "500").otherwise("200"),
+            F.lit(" "),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ),
+    )
+    out = ops.grok(df, match={"log": ["%{COMMONAPACHELOG}"]})
+    return out.select(
+        "event_id", "clientip", "auth", "verb", "request",
+        F.col("response").cast("long").alias("response"),
+        F.col("bytes").cast("long").alias("bytes"),
+    )
+
+
+def q_key_value(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "kv",
+        F.concat(
+            F.lit("u="), F.col("user_id").cast("string"),
+            F.lit("&t="), F.col("event_type"),
+        ),
+    )
+    out = ops.key_value(df, source="kv", destination="m",
+                        field_split_characters="&", value_split_characters="=")
+    return out.select(
+        "event_id",
+        F.element_at("m", "u").alias("u_val"),
+        F.element_at("m", "t").alias("t_val"),
+    )
+
+
+def q_parse_json_props(spark, sf_dir):
+    out = ops.parse_json(
+        _events(spark, sf_dir), source="props", destination="p", schema="k long"
+    )
+    return out.select("event_id", F.col("p.k").alias("k"))
+
+
+def q_csv_parse(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "line",
+        F.concat_ws(",", F.col("event_id").cast("string"), F.col("event_type"),
+                    F.col("user_id").cast("string")),
+    )
+    out = ops.csv_parse(df, source="line", column_names=["a", "b", "c"])
+    return out.select("event_id", "a", "b", "c")
+
+
+def q_date_format(spark, sf_dir):
+    out = ops.date(
+        _events(spark, sf_dir).withColumn(
+            "ds", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        ),
+        match={"key": "ds", "patterns": ["yyyy-MM-dd HH:mm:ss"]},
+        output_format="yyyy-MM-dd HH:00:00",
+    )
+    return out.select("event_id", F.col("@timestamp").alias("hour_str"))
+
+
+def q_split_event(spark, sf_dir):
+    df = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("token"))
+    out = ops.split_event(df, field="token", delimiter=" ")
+    return out.filter(F.col("token") != "")
+
+
+def q_translate(spark, sf_dir):
+    out = ops.translate(
+        _events(spark, sf_dir), source="event_type", target="code",
+        mappings={"error": "E", "click": "C", "view": "V"}, default="X",
+    )
+    return out.select("event_id", "code")
+
+
+def q_detect_format(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "payload",
+        F.when(F.col("event_id") % 3 == 0, F.col("props"))
+        .when(F.col("event_id") % 3 == 1, F.concat_ws(",", "event_type", "event_type", "event_type", "event_type"))
+        .otherwise(F.concat(F.lit("k="), F.col("event_type"))),
+    )
+    return ops.detect_format(df, "payload").select("event_id", "detected_format")
+
+
+def q_flatten(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "nested", F.struct(F.col("user_id").alias("uid"),
+                           F.struct(F.col("event_type").alias("t")).alias("inner")),
+    ).select("event_id", "nested")
+    out = ops.flatten(df)
+    return out.select(
+        "event_id",
+        F.col("`nested.uid`").alias("uid"),
+        F.col("`nested.inner.t`").alias("t"),
+    )
+
+
+# ------------------------------------------------------------- aggregate
+
+def q_aggregate_count(spark, sf_dir):
+    out = ops.aggregate_count(
+        _events(spark, sf_dir), ["event_type"], count_key="n",
+        unique_keys=["user_id"],
+    )
+    return out.select("event_type", F.col("n").cast("long").alias("n"),
+                      F.col("unique_count").cast("long").alias("unique_count"))
+
+
+def q_aggregate_count_windowed(spark, sf_dir):
+    out = ops.aggregate_count(
+        _events(spark, sf_dir), ["event_type"], count_key="n",
+        ts_col="ts", group_duration="1 hour",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def q_aggregate_histogram(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "bucket", F.least(F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(9)).cast("long")
+    )
+    return (
+        df.groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_v"),
+             F.round(F.min("value"), 4).alias("min_v"),
+             F.round(F.max("value"), 4).alias("max_v"))
+    )
+
+
+def q_aggregate_append(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = ops.aggregate_append(df, ["user_id"], append_keys=["cents"])
+    return out.select(
+        "user_id",
+        F.array_join(F.transform("cents", lambda x: x.cast("string")), ",").alias("vals"),
+    )
+
+
+def q_aggregate_put_all(spark, sf_dir):
+    out = ops.aggregate_put_all(
+        _events(spark, sf_dir), ["user_id"],
+        value_keys=["event_type", "value"], order_col="event_id",
+    )
+    return out.select("user_id", "event_type", F.round("value", 6).alias("value"))
+
+
+def q_remove_duplicates(spark, sf_dir):
+    out = ops.remove_duplicates(
+        _events(spark, sf_dir), ["user_id", "event_type"], order_col="event_id"
+    )
+    return out.select("user_id", "event_type", "event_id")
+
+
+def q_percent_sampler(spark, sf_dir):
+    out = ops.percent_sampler(
+        _events(spark, sf_dir), ["user_id"], percent=20.0,
+        hash_col="event_id", portable_hash=True,
+    )
+    return out.select("event_id")
+
+
+def q_rate_limiter(spark, sf_dir):
+    out = ops.rate_limiter(
+        _events(spark, sf_dir), ["user_id"], events_per_second=1,
+        ts_col="ts", tiebreak_col="event_id",
+    )
+    return out.select("event_id")
+
+
+def q_tail_sampler(spark, sf_dir):
+    out = ops.tail_sampler(
+        _events(spark, sf_dir), ["user_id"],
+        error_condition='/event_type == "error"', percent=0.0,
+    )
+    return out.select("event_id", "user_id")
+
+
+# ---------------------------------------------------------- dedup / text
+
+def q_dedup_exact(spark, sf_dir):
+    out = dd.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+    return out.select("doc_id", F.col("dup_count").cast("long").alias("dup_count"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    out = dd.minhash_signatures(_docs(spark, sf_dir), "text", "doc_id", n=3, num_hashes=8)
+    return out
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dd.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, num_hashes=8, band_size=2
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.05,
+        max_shingle_df=None,
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return dd.simhash(_docs(spark, sf_dir), "text", "doc_id", bits=16)
+
+
+def q_embedding_topk(spark, sf_dir):
+    vecs = _emb(spark, sf_dir)
+    qs = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = emb.brute_force_topk(vecs, qs, k=5, qid_col="query_id")
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id", "cosine",
+    )
+
+
+def q_embedding_dups_exact(spark, sf_dir):
+    vecs = _emb(spark, sf_dir)
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    out = (
+        a.join(b, F.col("a.label") == F.col("b.label"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", F.round(emb.cosine(F.col("a.embedding"), F.col("b.embedding")), 6))
+        .filter(F.col("cosine") >= 0.9)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cosine")
+    )
+    return out
+
+
+def q_lang_id(spark, sf_dir):
+    return ta.lang_id(_docs(spark, sf_dir), "text").select("doc_id", "lang_pred")
+
+
+def q_quality_score(spark, sf_dir):
+    return ta.quality_score(_docs(spark, sf_dir), "text").select("doc_id", "quality")
+
+
+def q_token_count(spark, sf_dir):
+    return ta.token_count(_docs(spark, sf_dir), "text").select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return ta.fingerprint(_docs(spark, sf_dir), "text").select("doc_id", "fingerprint")
+
+
+# -------------------------------------------------------- relational few
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_broadcast_enrich(spark, sf_dir):
+    """translate_join pattern at relational scale: orders enriched with
+    customer nation via broadcast joins (no shuffle on the fact side)."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    out = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    return out
+
+
+# ---------------------------------------------------------- oracle SQLs
+
+def _simhash_sql(bits: int = 16) -> str:
+    toks = D_TOKS.format(c="text")
+    def nib(b):
+        return f"(strpos('0123456789abcdef', substr(h, {8 - b // 4}, 1)) - 1)"
+    def bit(b):
+        return f"(({nib(b)} // {2 ** (b % 4)}) % 2)"
+    fp = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN {bit(b)} = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+h AS (SELECT doc_id, md5(t) AS h FROM tok)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM h GROUP BY doc_id
+"""
+
+
+def _shingle_cte(n: int = 3) -> str:
+    toks = D_TOKS.format(c="text")
+    return f"""
+tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - {n}, 0) + 2),
+                                 i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))) AS shingle
+    FROM tokd)
+  WHERE shingle <> '')
+"""
+
+
+def _minhash_sig_sql(num_hashes: int = 8) -> str:
+    sigs = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(num_hashes)
+    )
+    return f"WITH {_shingle_cte(3)} SELECT doc_id, {sigs} FROM sh GROUP BY doc_id"
+
+
+def _minhash_pairs_sql(num_hashes: int = 8, band_size: int = 2) -> str:
+    n_bands = num_hashes // band_size
+    band_rows = ", ".join(
+        "({b}, md5({cols}))".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"sig_{i}" for i in range(b * band_size, (b + 1) * band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sig AS ({_minhash_sig_sql(num_hashes)}),
+bands AS (
+  SELECT doc_id, band, key FROM sig,
+  LATERAL (VALUES {band_rows}) AS t(band, key))
+SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _jaccard_sql(n: int = 3, threshold: float = 0.05) -> str:
+    return f"""
+WITH {_shingle_cte(n)},
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+"""
+
+
+ORACLE: dict[str, str | None] = {
+    "bm25_topk": _bm25_oracle_sql(),
+    "wand_topk": _bm25_oracle_sql(),
+    "index_dictionary": _DICT_SQL,
+    "select_entries": "SELECT event_id, user_id, event_type FROM events",
+    "add_entries": """
+        SELECT event_id, round(value * 2, 6) AS value_x2,
+               'u' || user_id || '-' || event_type AS label, 7::BIGINT AS static
+        FROM events""",
+    "rename_convert": """
+        SELECT event_id, round(value, 6) AS amount, user_id::VARCHAR AS user_id
+        FROM events""",
+    "copy_delete": """
+        SELECT event_id, user_id, event_type, event_type AS etype_copy FROM events""",
+    "drop_events": """
+        SELECT event_id, event_type, round(value, 6) AS value FROM events
+        WHERE NOT (event_type = 'error' OR value < 5.0)""",
+    "route_first": """
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN 'errors'
+                    WHEN value >= 50.0 THEN 'big'
+                    ELSE '_default' END AS route
+        FROM events""",
+    "expression_filter": """
+        SELECT event_id, event_type, round(value, 6) AS value FROM events
+        WHERE (event_type IN ('click', 'view') AND value > 40.0)
+           OR regexp_matches(event_type, '^err.*')""",
+    "cidr_route": """
+        SELECT event_id,
+               '10.' || (user_id % 200) || '.' || (event_id % 250) || '.7' AS ip,
+               ((user_id % 200) = 0)
+               OR ((user_id % 200) BETWEEN 100 AND 103) AS in_net
+        FROM events""",
+    "string_pipeline": f"""
+        SELECT doc_id,
+               md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40)) AS text_md5
+        FROM documents""",
+    "obfuscate_hash": """
+        SELECT event_id, sha256(user_id::VARCHAR) AS user_hash FROM events""",
+    "grok_synthetic_logs": """
+        SELECT event_id,
+               '10.0.' || (user_id % 256) || '.7' AS clientip,
+               'u' || user_id AS auth,
+               'GET' AS verb,
+               '/p/' || event_id AS request,
+               (CASE WHEN event_type = 'error' THEN 500 ELSE 200 END)::BIGINT AS response,
+               round(value * 100)::BIGINT AS bytes
+        FROM events""",
+    "key_value": """
+        SELECT event_id, user_id::VARCHAR AS u_val, event_type AS t_val FROM events""",
+    "parse_json_props": """
+        SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events""",
+    "csv_parse": """
+        SELECT event_id, event_id::VARCHAR AS a, event_type AS b,
+               user_id::VARCHAR AS c FROM events""",
+    "date_format": """
+        SELECT event_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_str
+        FROM events""",
+    "split_event": """
+        SELECT doc_id, token FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''""",
+    "translate": """
+        SELECT event_id,
+               CASE event_type WHEN 'error' THEN 'E' WHEN 'click' THEN 'C'
+                    WHEN 'view' THEN 'V' ELSE 'X' END AS code
+        FROM events""",
+    "detect_format": """
+        SELECT event_id,
+          CASE
+            WHEN event_id % 3 = 0 THEN
+              CASE WHEN regexp_matches(trim(props), '^[\\[{]') THEN 'json' ELSE 'text' END
+            WHEN event_id % 3 = 1 THEN 'csv'
+            ELSE 'kv' END AS detected_format
+        FROM events""",
+    "flatten": """
+        SELECT event_id, user_id AS uid, event_type AS t FROM events""",
+    "aggregate_count": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               count(DISTINCT user_id)::BIGINT AS unique_count
+        FROM events GROUP BY event_type""",
+    "aggregate_count_windowed": """
+        SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2""",
+    "aggregate_histogram": """
+        SELECT event_type,
+               least(greatest(floor(value / 10.0), 0), 9)::BIGINT AS bucket,
+               count(*)::BIGINT AS n, round(sum(value), 4) AS sum_v,
+               round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+        FROM events GROUP BY 1, 2""",
+    "aggregate_append": """
+        SELECT user_id,
+               array_to_string(list_sort(list(round(value * 100)::BIGINT)), ',') AS vals
+        FROM events GROUP BY user_id""",
+    "aggregate_put_all": """
+        SELECT user_id, arg_max(event_type, event_id) AS event_type,
+               round(arg_max(value, event_id), 6) AS value
+        FROM events GROUP BY user_id""",
+    "remove_duplicates": """
+        SELECT user_id, event_type, min(event_id) AS event_id
+        FROM events GROUP BY 1, 2""",
+    "percent_sampler": """
+        SELECT event_id FROM events
+        WHERE ((event_id * 2654435761) % 4294967296) / 42949672.96 < 20.0""",
+    "rate_limiter": """
+        SELECT event_id FROM (
+          SELECT event_id,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('second', ts)
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn <= 1""",
+    "tail_sampler": """
+        SELECT event_id, user_id FROM events
+        WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""",
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count
+        FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))""",
+    "minhash_signatures": _minhash_sig_sql(8),
+    "minhash_lsh_pairs": _minhash_pairs_sql(8, 2),
+    "ngram_jaccard": _jaccard_sql(3, 0.05),
+    "simhash": _simhash_sql(16),
+    "embedding_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+          FROM embeddings e CROSS JOIN q)
+        SELECT query_id::BIGINT AS query_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)::BIGINT AS rank,
+               vec_id, cosine
+        FROM scored QUALIFY rank <= 5""",
+    "embedding_dups_exact": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9""",
+    "lang_id": None,  # set below (needs stopword lists inline)
+    "quality_score": None,
+    "token_count": f"""
+        SELECT doc_id, len({D_TOKS.format(c='text')})::BIGINT AS n_tokens FROM documents""",
+    "fingerprint": f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({D_TOKS.format(c='text')})), ' ')) AS fingerprint
+        FROM documents""",
+    "tpch_pricing_summary": """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*)::BIGINT AS n
+        FROM lineitem GROUP BY 1, 2""",
+    "broadcast_enrich": """
+        SELECT n_name, count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""",
+}
+
+
+def _stoplist_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in ta.STOPWORDS[lang]) + "]"
+
+
+ORACLE["lang_id"] = f"""
+WITH t AS (SELECT doc_id, {D_TOKS.format(c='text')} AS toks FROM documents),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains({_stoplist_sql('en')}, x))) AS en,
+         len(list_filter(toks, x -> list_contains({_stoplist_sql('es')}, x))) AS es,
+         len(list_filter(toks, x -> list_contains({_stoplist_sql('fr')}, x))) AS fr
+  FROM t)
+SELECT doc_id,
+       CASE WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+            WHEN es >= fr AND es > 0 THEN 'es'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM hits
+"""
+
+ORACLE["quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {D_TOKS.format(c='text')} AS toks, length(text) AS n_chars
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE
+           / greatest(n_chars, 1) AS alpha_ratio,
+         len(list_filter(toks, x -> list_contains({_stoplist_sql('en')}, x))) AS stop_hits,
+         n_chars::DOUBLE / greatest(len(toks), 1) AS mean_wlen
+  FROM t)
+SELECT doc_id,
+       round((CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN stop_hits > 0 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN mean_wlen BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0 END), 2) AS quality
+FROM m
+"""
+
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "wand_topk": q_wand_topk,
+    "index_dictionary": q_index_dictionary,
+    "select_entries": q_select_entries,
+    "add_entries": q_add_entries,
+    "rename_convert": q_rename_convert,
+    "copy_delete": q_copy_delete,
+    "drop_events": q_drop_events,
+    "route_first": q_route_first,
+    "expression_filter": q_expression_filter,
+    "cidr_route": q_cidr_route,
+    "string_pipeline": q_string_pipeline,
+    "obfuscate_hash": q_obfuscate_hash,
+    "grok_synthetic_logs": q_grok_synthetic_logs,
+    "key_value": q_key_value,
+    "parse_json_props": q_parse_json_props,
+    "csv_parse": q_csv_parse,
+    "date_format": q_date_format,
+    "split_event": q_split_event,
+    "translate": q_translate,
+    "detect_format": q_detect_format,
+    "flatten": q_flatten,
+    "aggregate_count": q_aggregate_count,
+    "aggregate_count_windowed": q_aggregate_count_windowed,
+    "aggregate_histogram": q_aggregate_histogram,
+    "aggregate_append": q_aggregate_append,
+    "aggregate_put_all": q_aggregate_put_all,
+    "remove_duplicates": q_remove_duplicates,
+    "percent_sampler": q_percent_sampler,
+    "rate_limiter": q_rate_limiter,
+    "tail_sampler": q_tail_sampler,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_dups_exact": q_embedding_dups_exact,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "broadcast_enrich": q_broadcast_enrich,
+}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """entry() impl: sf0.001 documents -> DataFrame BM25 top-k."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")

@@ -169,20 +169,25 @@ def build_index(
     shards_subset: list[int] | None = None,
     resume: bool = False,
     snapshot_id: int = 0,
+    assign_ids: bool = True,
 ) -> dict:
     """Build (or resume) the index at index_dir. Returns stats dict.
 
     ``resume=True`` reads the manifest and skips shards already 'done' —
     the per-partition checkpoint semantics of the reference's source
     coordinator. ``shards_subset`` limits this invocation (used by tests
-    to simulate a crash between shard batches)."""
+    to simulate a crash between shard batches). ``assign_ids=False``
+    indexes any table that already has (doc_id, text) columns; a
+    conv_id lineage column is synthesized from doc_id if absent."""
+    if not assign_ids and "conv_id" not in transcripts.columns:
+        transcripts = transcripts.withColumn("conv_id", F.col("doc_id").cast("string"))
     os.makedirs(index_dir, exist_ok=True)
     stats_path = os.path.join(index_dir, "stats.json")
     if resume and os.path.exists(stats_path):
         stats = json.load(open(stats_path))
         assert stats["n_shards"] == n_shards, "resume with different n_shards"
     else:
-        docs_all = assign_doc_ids(transcripts)
+        docs_all = assign_doc_ids(transcripts) if assign_ids else transcripts
         stats = compute_stats(docs_all)
         stats.update(
             n_shards=n_shards, block_size=block_size, k1=K1, b=B,
@@ -197,7 +202,7 @@ def build_index(
         mdf = spark.read.parquet(manifest_path)
         done = {r["shard"] for r in mdf.filter(F.col("status") == "done").collect()}
 
-    docs = assign_doc_ids(transcripts).withColumn(
+    docs = (assign_doc_ids(transcripts) if assign_ids else transcripts).withColumn(
         "shard", F.pmod(F.xxhash64("conv_id"), F.lit(n_shards)).cast("int")
     )
     target = [s for s in (shards_subset or range(n_shards)) if s not in done]

@@ -144,12 +144,18 @@ def percent_sampler(
     identification_keys: list[str],
     percent: float,
     hash_col: str | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """PercentSamplerAggregateAction.java:26 — keep ~percent% of events
     per group. Deterministic variant hashes a stable column (reference
     keeps a running allowed-count; sampling on a hash is the
     shuffle-free, cluster-stable equivalent)."""
     if hash_col is not None:
+        if portable_hash:
+            # Knuth multiplicative hash — reproducible in any SQL engine
+            # (used by the DuckDB correctness oracle)
+            h = F.pmod(F.col(hash_col).cast("long") * F.lit(2654435761), F.lit(4294967296))
+            return df.filter((h / F.lit(42949672.96)) < percent)
         return df.filter(
             (F.pmod(F.xxhash64(F.col(hash_col)), F.lit(10000)) / 100.0) < percent
         )
@@ -162,13 +168,18 @@ def rate_limiter(
     events_per_second: int,
     ts_col: str,
     when_exceeds: str = "drop",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """RateLimiterAggregateAction.java:27 — allow at most N events/sec
     per group (drop mode): rank within each (group, second) and keep the
-    first N by event time."""
+    first N by event time (tiebreak_col makes the cut deterministic
+    when timestamps collide)."""
     assert when_exceeds == "drop", "block mode is a streaming-only concept"
     sec = F.date_trunc("second", F.col(ts_col))
-    w = Window.partitionBy(*identification_keys, sec).orderBy(F.col(ts_col).asc())
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*identification_keys, sec).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= events_per_second)

@@ -1,0 +1,31 @@
+"""Table readers for the test star schema + transcript corpus.
+
+Every reader is a thin `spark.read.parquet` (columnar scan, predicate/
+projection pushdown free via Catalyst). On a cluster with Iceberg
+these become `spark.read.format("iceberg")` with identical plans —
+see sources/snapshot.py for the snapshot/CDC semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TPCH_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

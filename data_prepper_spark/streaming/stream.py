@@ -1,0 +1,74 @@
+"""Structured Streaming execution of the same pipeline vocabulary.
+
+The reference is stream-native (source -> buffer -> workers -> sinks,
+processing-time windows only — SURVEY.md §2.8). Here the SAME operator
+functions (they are DataFrame->DataFrame) run under readStream:
+
+    stream = spark.readStream.schema(s).json(dir)
+    out = ops.grok(ops.drop_events(stream, ...), ...)
+    run_routed_stream(out, routes={...}, sinks={...})
+
+and we gain what the reference lacks: event-time windows + watermarks
+for late data (`withWatermark`), exactly-once file sinks via
+checkpointing (the reference needs end-to-end acks for at-least-once —
+core/acknowledgements/DefaultAcknowledgementSet.java).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_prepper_spark.operators.route import route_column
+
+
+def windowed_count(
+    stream: DataFrame,
+    identification_keys: list[str],
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """The `aggregate` processor's count action with real event-time
+    semantics: watermark bounds state, late rows join their window."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *identification_keys)
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def run_routed_stream(
+    stream: DataFrame,
+    routes: dict[str, str],
+    sinks: dict[str, Callable[[DataFrame], None]],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Routing fan-out in ONE pass per micro-batch via foreachBatch
+    (the reference's Router hands each sink its route subset —
+    router/Router.java:40-86). `sinks`: route name -> callable(batch_df);
+    '_default' receives unrouted rows."""
+    tagged = route_column(stream, routes)
+
+    def fan_out(batch: DataFrame, epoch_id: int):
+        batch = batch.persist()
+        try:
+            for name, sink in sinks.items():
+                if name == "_default":
+                    sub = batch.filter(F.size("_routes") == 0)
+                else:
+                    sub = batch.filter(F.array_contains("_routes", name))
+                sink(sub.drop("_routes"))
+        finally:
+            batch.unpersist()
+
+    writer = (
+        tagged.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,86 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is built-in Column expressions (codegen, SQL-reproducible —
+each has a DuckDB oracle in __spark_entry__). These are the operations
+a 100 TB corpus-prep job runs on every document, so no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKENIZE = "filter(split(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+
+# tiny deterministic stopword profiles (n-gram-free heuristic language ID:
+# stopword-hit-ratio argmax; a real pipeline would plug fasttext via
+# mapInPandas — the plumbing is identical)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que", "pour", "dans"],
+}
+
+
+def _tokens(c: str) -> Column:
+    return F.expr(TOKENIZE.format(c=c))
+
+
+def token_count(df: DataFrame, text_col: str, out: str = "n_tokens") -> DataFrame:
+    """Whitespace/punct token count (the BPE-ish proxy: alnum runs)."""
+    return df.withColumn(out, F.size(_tokens(text_col)))
+
+
+def lang_id(df: DataFrame, text_col: str, out: str = "lang_pred") -> DataFrame:
+    """Stopword-ratio language ID with deterministic tie-break (en < es
+    < fr on equal hits); 'und' when no stopwords hit."""
+    toks = _tokens(text_col)
+
+    def _hit_counter(ws):
+        # NB: a 2-arg lambda would be treated as (element, index) by
+        # Spark's higher-order functions — close over ws instead
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    hits = {lang: _hit_counter(ws) for lang, ws in STOPWORDS.items()}
+    best = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0),
+            "en",
+        )
+        .when((hits["es"] >= hits["fr"]) & (hits["es"] > 0), "es")
+        .when(hits["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return df.withColumn(out, best)
+
+
+def quality_score(df: DataFrame, text_col: str, out: str = "quality") -> DataFrame:
+    """Composite [0,1] quality: length band + alpha ratio + stopword
+    presence + mean word length band (the standard cheap filters a
+    pretraining pipeline applies before expensive scoring)."""
+    c = F.col(text_col)
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    alpha_ratio = F.length(F.regexp_replace(F.lower(c), "[^a-z ]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    en_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en_arr, x)))
+    mean_wlen = n_chars / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.when((n_tok >= 5) & (n_tok <= 5000), 0.25).otherwise(0.0)
+        + F.when(alpha_ratio >= 0.6, 0.25).otherwise(0.0)
+        + F.when(stop_hits > 0, 0.25).otherwise(0.0)
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), 0.25).otherwise(0.0)
+    )
+    return df.withColumn(out, F.round(score, 2))
+
+
+def fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted set of
+    tokens (classic 'fingerprint clustering' for fuzzy dedup keys)."""
+    toks = F.array_sort(F.array_distinct(_tokens(text_col)))
+    return df.withColumn(out, F.md5(F.array_join(toks, " ")))

@@ -1,0 +1,88 @@
+"""Self-check of the driver contract: run EVERY queries() entry on Spark
+AND its oracle_sql() on DuckDB over the same parquet, compare row count,
+column names, and order-insensitive values — the driver's gate, locally.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_QUERIES = entry_mod.queries()
+_ORACLE = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(name, sdf: pd.DataFrame, ddf: pd.DataFrame):
+    assert sorted(sdf.columns) == sorted(ddf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
+    )
+    assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} vs {len(ddf)}"
+    a, b = _norm(sdf), _norm(ddf)
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if pd.api.types.is_float_dtype(a[c]):
+            bad = [
+                i for i in range(len(av))
+                if not (
+                    (pd.isna(av[i]) and pd.isna(bv[i]))
+                    or (not pd.isna(av[i]) and not pd.isna(bv[i])
+                        and math.isclose(av[i], float(bv[i]), abs_tol=1e-6))
+                )
+            ]
+        else:
+            bad = [i for i in range(len(av)) if str(av[i]) != str(bv[i])]
+        assert not bad, (
+            f"{name}: column {c}: {len(bad)} mismatches, first rows "
+            f"{a.iloc[bad[:3]].to_dict('records')} vs {b.iloc[bad[:3]].to_dict('records')}"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLE.keys()))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = _QUERIES[name](spark, SF_DIR).toPandas()
+    ddf = duck.execute(_ORACLE[name]).df()
+    assert len(sdf) > 0 or len(ddf) == 0, f"{name}: spark empty but oracle has rows"
+    _compare(name, sdf, ddf)
+
+
+def test_all_queries_have_callable():
+    for name, fn in _QUERIES.items():
+        assert callable(fn), name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert set(df.columns) == {"query_id", "doc_id", "score_r", "rank"}
