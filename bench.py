@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Default: run the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line:
+    {"metric": "e2e_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "build_turns_per_sec": ..., "n_turns": ...}
+
+--scaling: run the SAME index-build + query job at two parallelism
+levels (local[8] and local[32] by default) in fresh subprocesses and
+print throughput at both plus efficiency = (X_4N / X_N) / 4 — the
+sandbox proxy for the north rule's N vs 4N executor criterion
+(BASELINE.md). Results are also appended to BENCH/BASELINE.md.
+
+Headline suite:
+  index_build   SPIMI build of the synthetic transcript corpus
+                (deterministic, FIXTURES.md §1; ~6.5 turns/conv)
+  query_wand    100 BM25 queries over the compressed index (block-max WAND)
+  query_exh     same via the vectorized exhaustive kernel
+  bm25_df       DataFrame-composed BM25 over `documents`
+  grok_pipeline grok+convert+route+aggregate over `events`
+  dedup_minhash MinHash-LSH candidate pairs over `documents`
+  ann_topk      brute-force cosine top-k over `embeddings`
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# transcript corpus size scales with the sf of SF_DIR
+_CONVS_BY_SF = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+
+
+def _n_convs(sf_dir: str) -> int:
+    return _CONVS_BY_SF.get(os.path.basename(sf_dir.rstrip("/")), 100_000)
+
+
+def run_suite(sf_dir: str, cpus: int, n_shards: int = 64) -> dict:
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark import entry as E
+    from data_prepper_spark.data.transcripts import generate_queries, generate_spark
+    from data_prepper_spark.dedup import dedup as dd
+    from data_prepper_spark.dedup import embedding as emb
+    from data_prepper_spark.index import build as ib
+    from data_prepper_spark.query import engine
+    from data_prepper_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, shuffle_partitions=max(32, cpus))
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # --- index build over synthetic transcripts (north-rule headline)
+    n_convs = _n_convs(sf_dir)
+    corpus = generate_spark(spark, n_convs).persist()
+    n_turns = corpus.count()  # materialize so build timing excludes gen
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        timed("index_build", lambda: ib.build_index(
+            spark, corpus, idx_dir, n_shards=n_shards, block_size=128))
+        extras["n_turns"] = n_turns
+        extras["build_turns_per_sec"] = round(n_turns / timings["index_build"], 1)
+
+        # --- query the compressed index (100 reference queries)
+        qdf = spark.createDataFrame(generate_queries(100))
+        timed("query_wand", lambda: engine.score_topk(
+            spark, idx_dir, qdf, algo="wand").count())
+        timed("query_exh", lambda: engine.score_topk(
+            spark, idx_dir, qdf, algo="exhaustive").count())
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus.unpersist()
+
+    # --- operator headline queries over the star-schema tables
+    timed("bm25_df", lambda: E.q_bm25_topk(spark, sf_dir).count())
+    timed("grok_pipeline", lambda: E.q_grok_synthetic_logs(spark, sf_dir).count())
+    timed("aggregate_count", lambda: E.q_aggregate_count(spark, sf_dir).count())
+    timed("dedup_minhash", lambda: dd.minhash_lsh_pairs(
+        E._docs(spark, sf_dir), "text", "doc_id", n=3, num_hashes=8, band_size=2
+    ).count())
+    timed("ann_topk", lambda: E.q_embedding_topk(spark, sf_dir).count())
+
+    spark.stop()
+    return {
+        "metric": "e2e_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        **extras,
+    }
+
+
+def _scaling_child(sf_dir: str, cpus: int) -> dict:
+    """Run ONLY the build+query core in a fresh JVM at `cpus` threads."""
+    code = (
+        "import json, bench; r = bench.run_suite("
+        f"{sf_dir!r}, {cpus}); print('@@RESULT@@' + json.dumps(r))"
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("@@RESULT@@"):
+            return json.loads(line[len("@@RESULT@@"):])
+    raise RuntimeError(f"child failed: {out.stderr[-2000:]}")
+
+
+def run_scaling(sf_dir: str, n: int = 8, four_n: int = 32) -> dict:
+    lo = _scaling_child(sf_dir, n)
+    hi = _scaling_child(sf_dir, four_n)
+    x_lo = lo["build_turns_per_sec"]
+    x_hi = hi["build_turns_per_sec"]
+    eff = round((x_hi / x_lo) / (four_n / n), 3)
+    q_lo = lo["queries"]["query_wand"] + lo["queries"]["query_exh"]
+    q_hi = hi["queries"]["query_wand"] + hi["queries"]["query_exh"]
+    q_eff = round((q_lo / q_hi) / (four_n / n), 3)
+    return {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "n_cores": n,
+        "four_n_cores": four_n,
+        "build_turns_per_sec_n": x_lo,
+        "build_turns_per_sec_4n": x_hi,
+        "query_sec_n": round(q_lo, 3),
+        "query_sec_4n": round(q_hi, 3),
+        "query_scaling_efficiency": q_eff,
+        "n_result": lo,
+        "four_n_result": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_suite(SF_DIR, CPUS)))

@@ -43,39 +43,49 @@ def load_stats(index_dir: str) -> dict:
 
 
 def _shard_kernel(avgdl: float, n_docs: int, algo: str):
+    """One call per SHARD: block rows arrive ONCE per term (each row
+    carries the list of (query_id, k) needing that term — no per-query
+    row replication through the shuffle). Per-term block data is
+    materialized once; a shared decode cache lets every query reuse
+    decoded postings."""
+
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = pdf["query_id"].iloc[0]
-        k = int(pdf["k"].iloc[0])
-        cursors = []
+        cache: dict = {}
+        term_data: dict[str, dict] = {}
+        queries: dict[str, tuple[int, list[str]]] = {}  # qid -> (k, terms)
         for term, g in pdf.groupby("term", sort=True):
             g = g.sort_values("block_ord")
             df_t = int(g["df"].iloc[0])
-            idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
-            cursors.append(
-                wand_mod.TermCursor(
-                    term=term,
-                    idf=idf,
-                    avgdl=avgdl,
-                    firsts=g["first_doc"].to_numpy(np.int64),
-                    lasts=g["last_doc"].to_numpy(np.int64),
-                    maxps=g["max_partial"].to_numpy(np.float64),
-                    gaps=list(g["gaps"]),
-                    tfs=list(g["tfs"]),
-                    dls=list(g["dls"]),
-                )
-            )
-        topk = (
-            wand_mod.wand_topk(cursors, k)
-            if algo == "wand"
-            else wand_mod.exhaustive_topk(cursors, k)
-        )
-        return pd.DataFrame(
-            {
-                "query_id": [qid] * len(topk),
-                "doc_id": [d for d, _ in topk],
-                "score": [s for _, s in topk],
+            term_data[term] = {
+                "idf": float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))),
+                "firsts": g["first_doc"].to_numpy(np.int64),
+                "lasts": g["last_doc"].to_numpy(np.int64),
+                "maxps": g["max_partial"].to_numpy(np.float64),
+                "gaps": list(g["gaps"]),
+                "tfs": list(g["tfs"]),
+                "dls": list(g["dls"]),
             }
-        )
+            for q in g["queries"].iloc[0]:
+                qid, k = q["query_id"], int(q["k"])
+                queries.setdefault(qid, (k, []))[1].append(term)
+
+        out_q, out_d, out_s = [], [], []
+        for qid, (k, terms) in queries.items():
+            cursors = [
+                wand_mod.TermCursor(term=t, avgdl=avgdl, cache=cache, **{
+                    kk: vv for kk, vv in term_data[t].items()
+                })
+                for t in terms
+            ]
+            topk = (
+                wand_mod.wand_topk(cursors, k)
+                if algo == "wand"
+                else wand_mod.exhaustive_topk(cursors, k)
+            )
+            out_q += [qid] * len(topk)
+            out_d += [d for d, _ in topk]
+            out_s += [s for _, s in topk]
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
     return run
 
@@ -93,15 +103,20 @@ def score_topk(
         "k",
         F.explode(F.array_distinct(tokens_col("query_text"))).alias("term"),
     )
+    # one row per term carrying its interested queries — block rows are
+    # NOT replicated per query through the shuffle
+    qmap = qterms.groupBy("term").agg(
+        F.collect_list(F.struct("query_id", "k")).alias("queries")
+    )
     dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
     dict_slice = dictionary.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
+        F.broadcast(qmap.select("term").distinct()), "term"
     )
     blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
-    needed = blocks.join(F.broadcast(qterms), "term").join(
+    needed = blocks.join(F.broadcast(qmap), "term").join(
         F.broadcast(dict_slice), "term"
     )
-    per_shard = needed.groupBy("query_id", "shard").applyInPandas(
+    per_shard = needed.groupBy("shard").applyInPandas(
         _shard_kernel(stats["avgdl"], stats["n_docs"], algo), schema=_KERNEL_OUT
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -44,6 +44,9 @@ class TermCursor:
     pi: int = 0            # position within decoded block
     docs: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
     partials: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
+    # optional shared decode cache {(term, bi): (docs, partials)} — lets
+    # many queries hitting the same term in one shard decode blocks once
+    cache: dict | None = None
 
     def __post_init__(self):
         self.global_ub = float(self.idf * self.maxps.max()) if len(self.maxps) else 0.0
@@ -54,11 +57,20 @@ class TermCursor:
             self.docs = np.empty(0, np.int64)
             return
         self.bi = bi
-        base = int(self.firsts[bi])
-        self.docs = codec.delta_decode(self.gaps[bi], base=base)
-        tf = codec.varint_decode(self.tfs[bi])
-        dl = codec.varint_decode(self.dls[bi])
-        self.partials = self.idf * codec.bm25_partial(tf, dl, self.avgdl)
+        key = (self.term, bi)
+        hit = self.cache.get(key) if self.cache is not None else None
+        if hit is None:
+            base = int(self.firsts[bi])
+            docs = codec.delta_decode(self.gaps[bi], base=base)
+            tf = codec.varint_decode(self.tfs[bi])
+            dl = codec.varint_decode(self.dls[bi])
+            partials = self.idf * codec.bm25_partial(tf, dl, self.avgdl)
+            if self.cache is not None:
+                self.cache[key] = (docs, partials)
+        else:
+            docs, partials = hit
+        self.docs = docs
+        self.partials = partials
         self.pi = 0
 
     @property
@@ -181,13 +193,21 @@ def exhaustive_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]
     for c in cursors:
         if len(c.firsts) == 0:
             continue
-        docs = np.concatenate(
-            [codec.delta_decode(g, base=int(f)) for g, f in zip(c.gaps, c.firsts)]
-        )
-        tf = np.concatenate([codec.varint_decode(x) for x in c.tfs])
-        dl = np.concatenate([codec.varint_decode(x) for x in c.dls])
+        key = (c.term, "full")
+        hit = c.cache.get(key) if c.cache is not None else None
+        if hit is None:
+            docs = np.concatenate(
+                [codec.delta_decode(g, base=int(f)) for g, f in zip(c.gaps, c.firsts)]
+            )
+            tf = np.concatenate([codec.varint_decode(x) for x in c.tfs])
+            dl = np.concatenate([codec.varint_decode(x) for x in c.dls])
+            contribs = c.idf * codec.bm25_partial(tf, dl, c.avgdl)
+            if c.cache is not None:
+                c.cache[key] = (docs, contribs)
+        else:
+            docs, contribs = hit
         doc_arrs.append(docs)
-        con_arrs.append(c.idf * codec.bm25_partial(tf, dl, c.avgdl))
+        con_arrs.append(contribs)
     if not doc_arrs:
         return []
     docs_all = np.concatenate(doc_arrs)
