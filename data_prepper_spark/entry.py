@@ -558,6 +558,173 @@ def q_broadcast_enrich(spark, sf_dir):
     return out
 
 
+# -------------------------------------------------- enrichment / parsing
+
+_UA_SAMPLES = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
+    "curl/8.4.0",
+]
+# golden parse results per sample (the e2e-golden-docs pattern of the
+# reference: EndToEndBasicLogTest.java:61-69)
+_UA_GOLDEN = [
+    ("Chrome", "120.0.0.0", "Windows", "10.0", "Desktop"),
+    ("Safari", "17.1", "Mac OS X", "10.15.7", "Desktop"),
+    ("Firefox", "121.0", "Linux", "", "Desktop"),
+    ("Edge", "120.0.2210.91", "Windows", "10.0", "Desktop"),
+    ("Safari", "17.1", "iOS", "17.1", "iPhone"),
+    ("Chrome", "120.0.6099.43", "Android", "14", "Mobile"),
+    ("curl", "8.4.0", "Other", "", "Desktop"),
+]
+
+
+def q_user_agent(spark, sf_dir):
+    """UA parse over a deterministic UA column (event_id % 7 picks the
+    sample); golden-expected oracle."""
+    from data_prepper_spark.operators import enrich
+
+    ua = F.element_at(
+        F.array(*[F.lit(s) for s in _UA_SAMPLES]),
+        (F.col("event_id") % 7 + 1).cast("int"),
+    )
+    df = _events(spark, sf_dir).withColumn("ua", ua)
+    out = enrich.user_agent(df, "ua", target="parsed")
+    return out.select(
+        "event_id",
+        F.col("parsed.name").alias("browser"),
+        F.col("parsed.version").alias("browser_version"),
+        F.col("parsed.os").alias("os"),
+        F.col("parsed.os_version").alias("os_version"),
+        F.col("parsed.device").alias("device"),
+    )
+
+
+def _user_agent_sql() -> str:
+    def case(i):
+        return " ".join(
+            f"WHEN {j} THEN '{_UA_GOLDEN[j][i]}'" for j in range(7)
+        )
+    return f"""
+SELECT event_id,
+       CASE (event_id % 7) {case(0)} END AS browser,
+       CASE (event_id % 7) {case(1)} END AS browser_version,
+       CASE (event_id % 7) {case(2)} END AS os,
+       CASE (event_id % 7) {case(3)} END AS os_version,
+       CASE (event_id % 7) {case(4)} END AS device
+FROM events"""
+
+
+def q_geoip_enrich(spark, sf_dir):
+    """GeoIP-style broadcast range join on a synthetic /24 range table."""
+    from data_prepper_spark.operators import enrich
+
+    df = _events(spark, sf_dir).withColumn(
+        "ip",
+        F.concat(
+            F.lit("10.0."), (F.col("user_id") % 256).cast("string"),
+            F.lit("."), (F.col("event_id") % 250).cast("string"),
+        ),
+    )
+    geo = enrich.synthetic_geo_table(spark, 256)
+    out = enrich.geoip(df, "ip", geo)
+    return out.select(
+        "event_id", "ip",
+        F.col("geo.country").alias("country"),
+        F.col("geo.city").alias("city"),
+    )
+
+
+_GEOIP_SQL = """
+SELECT event_id,
+       '10.0.' || (user_id % 256) || '.' || (event_id % 250) AS ip,
+       'C' || ((user_id % 256) % 16) AS country,
+       'city-' || (user_id % 256) AS city
+FROM events"""
+
+
+def q_dissect(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "line",
+        F.concat(
+            F.lit("u"), F.col("user_id").cast("string"), F.lit("|"),
+            F.col("event_type"), F.lit("|e"), F.col("event_id").cast("string"),
+        ),
+    )
+    out = ops.dissect(df, {"line": "%{uid}|%{etype}|%{eid}"})
+    return out.select("event_id", "uid", "etype", "eid")
+
+
+_DISSECT_SQL = """
+SELECT event_id, 'u' || user_id AS uid, event_type AS etype,
+       'e' || event_id AS eid
+FROM events"""
+
+
+def q_truncate(spark, sf_dir):
+    out = ops.truncate(_docs(spark, sf_dir), ["text"], start_at=5, length=20)
+    return out.select("doc_id", "text")
+
+
+def q_write_json(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "payload", F.struct("user_id", "event_type")
+    )
+    out = ops.write_json(df, "payload")
+    return out.select("event_id", "payload")
+
+
+def q_decompress_roundtrip(spark, sf_dir):
+    """gzip-compress text in one Arrow UDF, decompress with the operator,
+    verify round-trip equality against the raw table (oracle = identity)."""
+    import gzip as _gz
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def gz(s):
+        return s.map(lambda x: _gz.compress(x.encode(), mtime=0))
+
+    df = _docs(spark, sf_dir).select("doc_id", gz(F.col("text")).alias("text"))
+    return ops.decompress(df, ["text"]).select("doc_id", "text")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (scale path; approximate — rows-only check)."""
+    vecs = _emb(spark, sf_dir)
+    dim = len(vecs.select("embedding").first()[0])
+    qs = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = emb.lsh_bucketed_topk(vecs, qs, dim=dim, k=5, qid_col="query_id")
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id", "cosine",
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> phash + feature vector via
+    mapInPandas (decode stubbed deterministically; rows-only check)."""
+    from data_prepper_spark.text import multimodal as mm
+
+    media = mm.make_media_df(spark, n=64)
+    return mm.image_features(media)
+
+
+def q_frame_sample(spark, sf_dir):
+    from data_prepper_spark.text import multimodal as mm
+
+    media = mm.make_media_df(spark, n=64)
+    out = mm.frame_sample(media, every_ms=500)
+    return out.select("media_id", "ts_ms", F.length("frame_stub").alias("frame_bytes"))
+
+
 # ---------------------------------------------------------- oracle SQLs
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -883,7 +1050,31 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "broadcast_enrich": q_broadcast_enrich,
+    "user_agent": q_user_agent,
+    "geoip_enrich": q_geoip_enrich,
+    "dissect": q_dissect,
+    "truncate": q_truncate,
+    "write_json": q_write_json,
+    "decompress_roundtrip": q_decompress_roundtrip,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
 }
+
+ORACLE["user_agent"] = _user_agent_sql()
+ORACLE["geoip_enrich"] = _GEOIP_SQL
+ORACLE["dissect"] = _DISSECT_SQL
+ORACLE["truncate"] = "SELECT doc_id, substr(text, 6, 20) AS text FROM documents"
+ORACLE["write_json"] = (
+    "SELECT event_id, to_json(struct_pack(user_id := user_id, "
+    "event_type := event_type)) AS payload FROM events"
+)
+# round-trip: decompress(gzip(text)) must equal the raw table
+ORACLE["decompress_roundtrip"] = "SELECT doc_id, text FROM documents"
+# approximate ANN + stubbed-decode multimodal ops: rows-only checks
+ORACLE["ann_lsh_topk"] = None
+ORACLE["media_features"] = None
+ORACLE["frame_sample"] = None
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -38,6 +38,11 @@ from data_prepper_spark.operators.parse import (  # noqa: F401
     translate_join,
     write_json,
 )
+from data_prepper_spark.operators.enrich import (  # noqa: F401
+    geoip,
+    synthetic_geo_table,
+    user_agent,
+)
 from data_prepper_spark.operators.events import drop_events, tag_events  # noqa: F401
 from data_prepper_spark.operators.route import route  # noqa: F401
 from data_prepper_spark.operators.aggregate import (  # noqa: F401

@@ -1,0 +1,135 @@
+"""Enrichment operators: user-agent parsing and GeoIP-style range lookup.
+
+Reference parity:
+  - `user_agent` processor (user-agent-processor/.../UserAgentProcessor.java:31-51)
+    parses a UA string into browser/os/device fields. The reference wraps
+    the uap-java library; here the common-families subset is compiled to a
+    JVM-side `when(rlike)` cascade + `regexp_extract` — whole-stage
+    codegen, no Python in the hot path, and the same regexes are
+    expressible in the DuckDB oracle.
+  - `geoip` processor (geoip-processor/.../processor/GeoIPProcessor.java:44)
+    enriches IP fields from a MaxMind mmdb. The mmdb is a sorted range
+    table; at Spark scale the idiomatic equivalent is a BROADCAST range
+    join of ip-as-int against (lo, hi, attrs) — the broadcast plays the
+    role of the mmdb file distributed to every node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_prepper_spark.functions.net import ipv4_to_long
+
+# (family, version-capture regex) — first match wins, mirroring
+# uap-core's ordered rule list. Order matters: Edge/OPR before Chrome,
+# Chrome before Safari.
+_UA_BROWSERS: list[tuple[str, str]] = [
+    ("Edge", r"Edg(?:e|A|iOS)?/(\d+[\.\d]*)"),
+    ("Opera", r"OPR/(\d+[\.\d]*)"),
+    ("Chrome", r"Chrome/(\d+[\.\d]*)"),
+    ("Firefox", r"Firefox/(\d+[\.\d]*)"),
+    ("Safari", r"Version/(\d+[\.\d]*) .*Safari"),
+    ("IE", r"MSIE (\d+[\.\d]*)"),
+    ("curl", r"curl/(\d+[\.\d]*)"),
+]
+
+_UA_OS: list[tuple[str, str]] = [
+    ("Windows", r"Windows NT (\d+[\.\d]*)"),
+    ("iOS", r"iPhone OS (\d+[_\.\d]*)"),
+    ("Mac OS X", r"Mac OS X (\d+[_\.\d]*)"),
+    ("Android", r"Android (\d+[\.\d]*)"),
+    ("Linux", r"Linux()"),  # empty capture: family-only rule
+]
+
+_UA_DEVICE: list[tuple[str, str]] = [
+    ("iPhone", r"iPhone"),
+    ("Mobile", r"Android|Mobile"),
+    ("Spider", r"bot|Bot|crawler"),
+]
+
+
+def _cascade(src: Column, rules: list[tuple[str, str]], capture: bool) -> tuple[Column, Column]:
+    """Ordered first-match-wins over (name, regex) rules.
+
+    Returns (family, version) columns; version is '' when the rule has no
+    capture group or nothing matched (mirrors regexp_extract semantics).
+    """
+    fam = F.lit("Other")
+    ver = F.lit("")
+    for name, rx in reversed(rules):
+        hit = src.rlike(rx)
+        fam = F.when(hit, F.lit(name)).otherwise(fam)
+        if capture:
+            ver = F.when(hit, F.regexp_extract(src, rx, 1)).otherwise(ver)
+    return fam, ver
+
+
+def user_agent(
+    df: DataFrame,
+    source: str,
+    target: str = "user_agent",
+    when: str | None = None,
+) -> DataFrame:
+    """UserAgentProcessor.java:31-51 — UA string -> struct(name, version,
+    os, os_version, device). Pure Column cascade; no UDF."""
+    from data_prepper_spark.plans.expressions import compile_expression
+
+    src = F.col(source)
+    b_fam, b_ver = _cascade(src, _UA_BROWSERS, capture=True)
+    o_fam, o_ver = _cascade(src, _UA_OS, capture=True)
+    d_fam, _ = _cascade(src, _UA_DEVICE, capture=False)
+    out = F.struct(
+        b_fam.alias("name"),
+        b_ver.alias("version"),
+        o_fam.alias("os"),
+        F.replace(o_ver, F.lit("_"), F.lit(".")).alias("os_version"),
+        F.when(d_fam == "Other", "Desktop").otherwise(d_fam).alias("device"),
+    )
+    if when:
+        out = F.when(compile_expression(when), out)
+    return df.withColumn(target, out)
+
+
+def synthetic_geo_table(spark: SparkSession, n_blocks: int = 256) -> DataFrame:
+    """Deterministic stand-in for the mmdb range DB: one row per
+    10.0.x.0/24 block (x in [0, n_blocks)), country C<x%16>, city-<x>.
+    The real deployment would load MaxMind CSV ranges the same shape."""
+    base = F.lit(10 * (1 << 24))  # 10.0.0.0
+    return (
+        spark.range(n_blocks)
+        .select(
+            (base + F.col("id") * 256).alias("ip_lo"),
+            (base + F.col("id") * 256 + 255).alias("ip_hi"),
+            F.concat(F.lit("C"), (F.col("id") % 16).cast("string")).alias("country"),
+            F.concat(F.lit("city-"), F.col("id").cast("string")).alias("city"),
+        )
+    )
+
+
+def geoip(
+    df: DataFrame,
+    ip_col: str,
+    ranges: DataFrame,
+    target: str = "geo",
+) -> DataFrame:
+    """GeoIPProcessor.java:44 — enrich rows with (country, city) via a
+    BROADCAST range join on ip-as-int. At 100 TB the ranges side is the
+    small dim (mmdb ~ a few M rows) so broadcast avoids any shuffle of
+    the fact table; Catalyst turns the BETWEEN into a
+    BroadcastNestedLoopJoin — for larger range tables swap to a bucketed
+    prefix-equijoin on ip>>8 (same /24 granularity as the table)."""
+    ip = ipv4_to_long(F.col(ip_col))
+    # equi-join on the /24 prefix keeps it a hash join (O(1) probe),
+    # then the range check guards correctness for partial blocks.
+    r = ranges.withColumn("_pfx", (F.col("ip_lo") / 256).cast("long"))
+    joined = df.withColumn("_ip", ip).join(
+        F.broadcast(r),
+        ((F.col("_ip") / 256).cast("long") == F.col("_pfx"))
+        & (F.col("_ip") >= F.col("ip_lo"))
+        & (F.col("_ip") <= F.col("ip_hi")),
+        "left",
+    )
+    return joined.withColumn(
+        target, F.struct(F.col("country"), F.col("city"))
+    ).drop("_ip", "_pfx", "ip_lo", "ip_hi", "country", "city")

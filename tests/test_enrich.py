@@ -1,0 +1,59 @@
+"""Unit tests for user_agent and geoip enrichment operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_prepper_spark.operators import enrich
+
+
+def test_user_agent_families(spark):
+    uas = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36", "Chrome", "Windows"),
+        ("Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 "
+         "Firefox/121.0", "Firefox", "Linux"),
+        ("curl/8.4.0", "curl", "Other"),
+        ("weird-client/1.0", "Other", "Other"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ua) for i, (ua, _, _) in enumerate(uas)], "id int, ua string"
+    )
+    out = {
+        r["id"]: r
+        for r in enrich.user_agent(df, "ua").select("id", "user_agent.*").collect()
+    }
+    for i, (_, fam, os_) in enumerate(uas):
+        assert out[i]["name"] == fam, out[i]
+        assert out[i]["os"] == os_, out[i]
+
+
+def test_user_agent_when_guard(spark):
+    df = spark.createDataFrame([(1, "curl/8.4.0", True), (2, "curl/8.4.0", False)],
+                               "id int, ua string, keep boolean")
+    out = {r["id"]: r["user_agent"] for r in
+           enrich.user_agent(df, "ua", when="/keep == true").collect()}
+    assert out[1]["name"] == "curl"
+    assert out[2] is None
+
+
+def test_geoip_range_join(spark):
+    geo = enrich.synthetic_geo_table(spark, 16)
+    df = spark.createDataFrame(
+        [(1, "10.0.3.200"), (2, "10.0.15.0"), (3, "10.0.99.1"), (4, "192.168.1.1")],
+        "id int, ip string",
+    )
+    out = {r["id"]: r["geo"] for r in enrich.geoip(df, "ip", geo).collect()}
+    assert out[1]["country"] == "C3" and out[1]["city"] == "city-3"
+    assert out[2]["country"] == "C15"
+    assert out[3]["country"] is None  # block 99 outside the 16-block table
+    assert out[4]["country"] is None  # outside 10.0.0.0/16 entirely
+
+
+def test_geoip_plan_is_broadcast(spark):
+    geo = enrich.synthetic_geo_table(spark, 16)
+    df = spark.range(10).select(
+        F.concat(F.lit("10.0.0."), F.col("id").cast("string")).alias("ip")
+    )
+    plan = enrich.geoip(df, "ip", geo)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
