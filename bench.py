@@ -82,6 +82,8 @@ def run_suite(sf_dir: str, cpus: int, n_shards: int = 64) -> dict:
         qdf = spark.createDataFrame(generate_queries(100))
         timed("query_wand", lambda: engine.score_topk(
             spark, idx_dir, qdf, algo="wand").count())
+        timed("query_bmx", lambda: engine.score_topk(
+            spark, idx_dir, qdf, algo="bmx").count())
         timed("query_exh", lambda: engine.score_topk(
             spark, idx_dir, qdf, algo="exhaustive").count())
     finally:
@@ -134,7 +136,7 @@ def run_scaling(sf_dir: str, n: int = 8, four_n: int = 32) -> dict:
     q_lo = lo["queries"]["query_wand"] + lo["queries"]["query_exh"]
     q_hi = hi["queries"]["query_wand"] + hi["queries"]["query_exh"]
     q_eff = round((q_lo / q_hi) / (four_n / n), 3)
-    return {
+    result = {
         "metric": "scaling_efficiency",
         "value": eff,
         "unit": "ratio",
@@ -149,6 +151,43 @@ def run_scaling(sf_dir: str, n: int = 8, four_n: int = 32) -> dict:
         "n_result": lo,
         "four_n_result": hi,
     }
+    _write_scaling_md(result)
+    return result
+
+
+def _write_scaling_md(r: dict) -> None:
+    """Append the north-rule scaling evidence to BENCH/BASELINE.md."""
+    os.makedirs("BENCH", exist_ok=True)
+    path = os.path.join("BENCH", "BASELINE.md")
+    lo, hi = r["n_result"], r["four_n_result"]
+    lines = []
+    if not os.path.exists(path):
+        lines += [
+            "# BENCH baseline — scaling evidence (north rule)",
+            "",
+            "The north rule requires >=0.8 throughput scaling efficiency",
+            "between N and 4N executors. No real cluster exists in this",
+            "sandbox, so the identical index-build + query job runs at two",
+            "local parallelism levels (same input, shuffle partitions",
+            "scaled with cores); efficiency = (throughput_4N / throughput_N) / 4.",
+            "",
+        ]
+    lines += [
+        f"## Run at sf={r['sf']} ({lo.get('n_turns', '?')} turns)",
+        "",
+        f"| metric | local[{r['n_cores']}] | local[{r['four_n_cores']}] | efficiency |",
+        "|---|---|---|---|",
+        f"| index build (turns/sec) | {r['build_turns_per_sec_n']} | "
+        f"{r['build_turns_per_sec_4n']} | **{r['value']}** |",
+        f"| 100-query latency (sec, wand+exh) | {r['query_sec_n']} | "
+        f"{r['query_sec_4n']} | {r['query_scaling_efficiency']} |",
+        "",
+        f"Per-query seconds at local[{r['four_n_cores']}]: "
+        + ", ".join(f"{k}={v}" for k, v in hi["queries"].items()),
+        "",
+    ]
+    with open(path, "a") as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":

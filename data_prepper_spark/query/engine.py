@@ -77,11 +77,12 @@ def _shard_kernel(avgdl: float, n_docs: int, algo: str):
                 })
                 for t in terms
             ]
-            topk = (
-                wand_mod.wand_topk(cursors, k)
-                if algo == "wand"
-                else wand_mod.exhaustive_topk(cursors, k)
-            )
+            if algo == "wand":
+                topk = wand_mod.wand_topk(cursors, k)
+            elif algo == "bmx":
+                topk = wand_mod.blockmax_topk(cursors, k)
+            else:
+                topk = wand_mod.exhaustive_topk(cursors, k)
             out_q += [qid] * len(topk)
             out_d += [d for d, _ in topk]
             out_s += [s for _, s in topk]
@@ -94,7 +95,7 @@ def score_topk(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
-    algo: str = "exhaustive",
+    algo: str = "bmx",
 ) -> DataFrame:
     """queries(query_id, query_text, k) -> (query_id, rank, doc_id, score)."""
     stats = load_stats(index_dir)

@@ -52,25 +52,27 @@ class TermCursor:
         self.global_ub = float(self.idf * self.maxps.max()) if len(self.maxps) else 0.0
         self._decode_block(0)
 
+    def decode_cached(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode block bi -> (docs, idf-scaled partial scores), via the
+        shared per-shard cache when present."""
+        key = (self.term, bi)
+        hit = self.cache.get(key) if self.cache is not None else None
+        if hit is not None:
+            return hit
+        docs = codec.delta_decode(self.gaps[bi], base=int(self.firsts[bi]))
+        tf = codec.varint_decode(self.tfs[bi])
+        dl = codec.varint_decode(self.dls[bi])
+        partials = self.idf * codec.bm25_partial(tf, dl, self.avgdl)
+        if self.cache is not None:
+            self.cache[key] = (docs, partials)
+        return docs, partials
+
     def _decode_block(self, bi: int):
         if bi >= len(self.firsts):
             self.docs = np.empty(0, np.int64)
             return
         self.bi = bi
-        key = (self.term, bi)
-        hit = self.cache.get(key) if self.cache is not None else None
-        if hit is None:
-            base = int(self.firsts[bi])
-            docs = codec.delta_decode(self.gaps[bi], base=base)
-            tf = codec.varint_decode(self.tfs[bi])
-            dl = codec.varint_decode(self.dls[bi])
-            partials = self.idf * codec.bm25_partial(tf, dl, self.avgdl)
-            if self.cache is not None:
-                self.cache[key] = (docs, partials)
-        else:
-            docs, partials = hit
-        self.docs = docs
-        self.partials = partials
+        self.docs, self.partials = self.decode_cached(bi)
         self.pi = 0
 
     @property
@@ -182,6 +184,116 @@ def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
     out = [(-nd, s) for s, nd in heap]
     out.sort(key=lambda t: (-t[1], t[0]))
     return out
+
+
+def _segment_max(scores: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized max(scores[lo[i]:hi[i]]) per segment; 0.0 for empty."""
+    out = np.zeros(len(lo), dtype=np.float64)
+    ne = hi > lo
+    if not (scores.size and ne.any()):
+        return out
+    s2 = np.append(scores, -np.inf)  # sentinel so hi == len(scores) is valid
+    bounds = np.empty(2 * int(ne.sum()), dtype=np.int64)
+    bounds[0::2] = lo[ne]
+    bounds[1::2] = hi[ne]
+    red = np.maximum.reduceat(s2, bounds)[0::2]
+    out[ne] = red
+    return out
+
+
+def _merge_acc(
+    docs_a: np.ndarray, sc_a: np.ndarray, docs_b: np.ndarray, sc_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two (sorted-doc, score) accumulators, summing on collision."""
+    docs = np.concatenate([docs_a, docs_b])
+    sc = np.concatenate([sc_a, sc_b])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    out = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(out, inv, sc)
+    return uniq, out
+
+
+def blockmax_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+    """Exact top-k via vectorized block-max pruning, term-at-a-time.
+
+    The TAAT analog of block-max WAND (Ding & Suel 2011): DAAT pointer
+    movement is pure-Python-hostile, so instead terms are processed
+    cheapest-first and whole BLOCKS of expensive terms are dropped when
+    an exact upper bound proves no doc inside can reach the current
+    threshold. Bound for block b of term t:
+
+        ub(b) = idf_t * maxp_b                 (best contribution in b)
+              + sum(global_ub of unprocessed terms != t)
+              + max accumulated score of any doc in [first_b, last_b]
+
+    theta = k-th best accumulated score so far — a valid lower bound of
+    the true k-th score because partial sums only grow. Skipped docs have
+    full score < theta, so they can never surface in the final top-k and
+    their (partial) scores never display. Final scores are re-accumulated
+    over surviving postings in sorted-term order, so returned scores are
+    bit-identical to wand/exhaustive/oracle.
+    """
+    cursors = [c for c in cursors if len(c.firsts)]
+    if not cursors:
+        return []
+    if any(c.idf <= 0 for c in cursors):
+        # BM25's Lucene idf is always > 0; negative contributions would
+        # invalidate every upper bound here, so refuse to prune
+        return exhaustive_topk(cursors, k)
+    # cheapest first: fewest blocks ~ shortest posting list
+    order = sorted(range(len(cursors)), key=lambda i: len(cursors[i].firsts))
+    rem_ub = sum(c.global_ub for c in cursors)
+    acc_docs = np.empty(0, np.int64)
+    acc_sc = np.empty(0, np.float64)
+    survivors: list[tuple[TermCursor, np.ndarray]] = []  # (cursor, kept block idx)
+    for oi, i in enumerate(order):
+        c = cursors[i]
+        rem_ub -= c.global_ub  # UB of terms after this one
+        nb = len(c.firsts)
+        if len(acc_sc) >= k:
+            theta = float(np.partition(acc_sc, len(acc_sc) - k)[len(acc_sc) - k])
+            lo = np.searchsorted(acc_docs, c.firsts, side="left")
+            hi = np.searchsorted(acc_docs, c.lasts, side="right")
+            bound = c.idf * c.maxps + rem_ub + _segment_max(acc_sc, lo, hi)
+            # conservative float margin keeps the prune exact
+            keep = np.flatnonzero(bound * (1.0 + 1e-9) + 1e-12 >= theta)
+        else:
+            keep = np.arange(nb)
+        if len(keep) == 0:
+            continue
+        survivors.append((c, keep))
+        if oi == len(order) - 1:
+            break  # last term: acc no longer needed
+        # decode kept blocks (cache-shared with other queries) and fold in
+        decoded = [c.decode_cached(int(bi)) for bi in keep]
+        acc_docs, acc_sc = _merge_acc(
+            acc_docs, acc_sc,
+            np.concatenate([d for d, _ in decoded]),
+            np.concatenate([p for _, p in decoded]),
+        )
+    # phase 2: exact re-score of surviving postings in sorted-term order
+    survivors.sort(key=lambda t: t[0].term)
+    doc_arrs, con_arrs = [], []
+    for c, keep in survivors:
+        for bi in map(int, keep):
+            docs, partials = c.decode_cached(bi)
+            doc_arrs.append(docs)
+            con_arrs.append(partials)
+    if not doc_arrs:
+        return []
+    docs_all = np.concatenate(doc_arrs)
+    contribs = np.concatenate(con_arrs)
+    uniq, inv = np.unique(docs_all, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, contribs)
+    if len(uniq) <= k:
+        sel = np.lexsort((uniq, -scores))[:k]
+    else:
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        cand = np.flatnonzero(scores >= kth)
+        cand = cand[np.lexsort((uniq[cand], -scores[cand]))]
+        sel = cand[:k]
+    return [(int(uniq[i]), float(scores[i])) for i in sel]
 
 
 def exhaustive_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:

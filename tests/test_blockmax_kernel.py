@@ -1,0 +1,86 @@
+"""Kernel-level fuzz: blockmax_topk (pruned TAAT) must equal
+exhaustive_topk exactly — doc ids AND bit-identical scores — under
+adversarial skew (hot terms, tied scores, tiny k forcing deep pruning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_prepper_spark.index import codec
+from data_prepper_spark.query import wand as W
+
+AVGDL = 20.0
+
+
+def _make_cursor(rng, term: str, n_docs_universe: int, density: float,
+                 block_size: int = 16, idf: float | None = None) -> W.TermCursor:
+    n = max(1, int(n_docs_universe * density))
+    docs = np.sort(rng.choice(n_docs_universe, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 6, size=n).astype(np.uint64)
+    dls = rng.integers(5, 60, size=n).astype(np.uint64)
+    starts = np.arange(0, n, block_size)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    np.subtract(docs[1:], docs[:-1], out=gaps[1:], casting="unsafe")
+    gaps[starts] = 0
+    if idf is None:
+        # Lucene-style: N >= df so idf is always > 0 (the kernels rely on
+        # non-negative contributions for their upper bounds)
+        idf = float(np.log(1 + (n_docs_universe - n + 0.5) / (n + 0.5)))
+    partial = idf * codec.bm25_partial(
+        tfs.astype(np.int64), dls.astype(np.int64), AVGDL
+    )
+    ends = np.append(starts[1:], n)
+    return W.TermCursor(
+        term=term,
+        idf=idf,
+        avgdl=AVGDL,
+        firsts=docs[starts],
+        lasts=docs[ends - 1],
+        maxps=np.array([
+            (partial[s:e] / idf).max() for s, e in zip(starts, ends)
+        ]),
+        gaps=[codec.varint_encode(gaps[s:e]) for s, e in zip(starts, ends)],
+        tfs=[codec.varint_encode(tfs[s:e]) for s, e in zip(starts, ends)],
+        dls=[codec.varint_encode(dls[s:e]) for s, e in zip(starts, ends)],
+        cache={},
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+@pytest.mark.parametrize("k", [1, 3, 10])
+def test_bmx_equals_exhaustive(seed, k):
+    rng = np.random.default_rng(seed)
+    n_terms = int(rng.integers(1, 6))
+    universe = int(rng.integers(50, 2000))
+    cursors = [
+        _make_cursor(
+            rng, f"t{j:02d}", universe,
+            density=float(rng.uniform(0.01, 0.9)),
+            block_size=int(rng.integers(4, 64)),
+        )
+        for j in range(n_terms)
+    ]
+    import copy
+
+    got = W.blockmax_topk(copy.deepcopy(cursors), k)
+    exp = W.exhaustive_topk(copy.deepcopy(cursors), k)
+    assert [d for d, _ in got] == [d for d, _ in exp], (seed, k)
+    for (_, sg), (_, se) in zip(got, exp):
+        assert sg == se  # bit-identical: same sorted-term accumulation
+
+
+def test_bmx_prunes_blocks_under_tight_threshold():
+    """A rare high-idf term sets theta high; the hot low-idf term's
+    blocks must actually get pruned (sanity that the fast path engages)."""
+    import copy
+
+    rng = np.random.default_rng(7)
+    rare = _make_cursor(rng, "aa_rare", 5000, density=0.002, idf=8.0)
+    hot = _make_cursor(rng, "zz_hot", 5000, density=0.8, idf=0.05, block_size=16)
+    cursors = [rare, hot]
+    got = W.blockmax_topk(copy.deepcopy(cursors), 3)
+    exp = W.exhaustive_topk(copy.deepcopy(cursors), 3)
+    assert [d for d, _ in got] == [d for d, _ in exp]

@@ -62,7 +62,7 @@ def _assert_identical(o, s):
     assert (abs(o.score.values - s.score.values) <= 1e-6).all()
 
 
-@pytest.mark.parametrize("algo", ["exhaustive", "wand"])
+@pytest.mark.parametrize("algo", ["exhaustive", "wand", "bmx"])
 def test_rank_identity_over_compressed_index(
     spark, index_dir, queries_pdf, oracle_results, algo
 ):
