@@ -1,0 +1,146 @@
+"""spark-submit entry point: build-index / query / bench subcommands.
+
+Cluster usage (north rule: "runs via spark-submit --py-files"):
+
+    zip -r dps.zip data_prepper_spark
+    spark-submit --py-files dps.zip job.py build-index \
+        --input /data/transcripts --index /data/index --shards 4096
+    spark-submit --py-files dps.zip job.py build-index --resume ...   # skip done shards
+    spark-submit --py-files dps.zip job.py query \
+        --index /data/index --query "spark join table" --k 10
+    spark-submit --py-files dps.zip job.py bench --sf-dir /data/sf0.1
+
+Local smoke (this sandbox): python -m data_prepper_spark <subcommand>.
+
+The session comes from SparkSession.builder.getOrCreate(): under
+spark-submit the cluster master/conf win; standalone it falls back to
+data_prepper_spark.session.get_spark (local[N]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _get_spark(args):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    # under spark-submit this getOrCreate picks up --master/--conf;
+    # standalone it builds the tuned local session
+    if getattr(args, "local_cores", None):
+        from data_prepper_spark.session import get_spark
+
+        return get_spark(cores=args.local_cores)
+    return SparkSession.builder.appName("data_prepper_spark").getOrCreate()
+
+
+def cmd_build_index(args) -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_prepper_spark.index import build as ib
+
+    spark = _get_spark(args)
+    if args.input == "synthetic":
+        from data_prepper_spark.data.transcripts import generate_spark
+
+        df = generate_spark(spark, args.synthetic_convs)
+    elif args.format == "iceberg":
+        reader = spark.read.format("iceberg")
+        if args.snapshot_id:
+            reader = reader.option("snapshot-id", str(args.snapshot_id))
+        df = reader.load(args.input)
+    else:
+        df = spark.read.parquet(args.input)
+    t0 = time.monotonic()
+    stats = ib.build_index(
+        spark,
+        df,
+        args.index,
+        n_shards=args.shards,
+        block_size=args.block_size,
+        resume=args.resume,
+        snapshot_id=args.snapshot_id or 0,
+    )
+    wall = time.monotonic() - t0
+    out = dict(stats, wall_sec=round(wall, 2),
+               turns_per_sec=round(stats["n_docs"] / wall, 1))
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from data_prepper_spark.query import engine
+
+    spark = _get_spark(args)
+    rows = []
+    if args.queries_json:
+        for q in json.load(open(args.queries_json)):
+            rows.append((q["query_id"], q["query_text"], int(q.get("k", args.k))))
+    if args.query:
+        rows.append(("q0", args.query, args.k))
+    if not rows:
+        print("no queries given (--query or --queries-json)", file=sys.stderr)
+        return 2
+    qdf = spark.createDataFrame(rows, "query_id string, query_text string, k int")
+    res = engine.score_topk(spark, args.index, qdf, algo=args.algo)
+    rows_out = res.orderBy("query_id", "rank").collect()
+    if not rows_out:
+        print("0 hits (no query term matched the index dictionary)",
+              file=sys.stderr)
+    for r in rows_out:
+        print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+                          "doc_id": r["doc_id"], "score": round(r["score"], 6)}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    print(json.dumps(bench.run_suite(args.sf_dir, args.cpus)))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="data_prepper_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-index", help="SPIMI build of the inverted index")
+    b.add_argument("--input", required=True,
+                   help="transcript table path, or 'synthetic'")
+    b.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    b.add_argument("--index", required=True, help="output index directory")
+    b.add_argument("--shards", type=int, default=64)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--resume", action="store_true",
+                   help="skip shards marked done in the checkpoint manifest")
+    b.add_argument("--snapshot-id", type=int, default=0)
+    b.add_argument("--synthetic-convs", type=int, default=1000)
+    b.add_argument("--local-cores", type=int, default=None)
+    b.set_defaults(fn=cmd_build_index)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", help="single query text")
+    q.add_argument("--queries-json", help="JSON file: [{query_id, query_text, k}]")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--algo", default="bmx", choices=["bmx", "wand", "exhaustive"])
+    q.add_argument("--local-cores", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
+
+    be = sub.add_parser("bench", help="run the headline bench suite")
+    be.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    be.add_argument("--cpus", type=int, default=8)
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

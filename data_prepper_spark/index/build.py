@@ -55,8 +55,9 @@ from data_prepper_spark.index.tokenizer import SPARK_TOKENIZE_SQL
 from data_prepper_spark.query.bm25_df import assign_doc_ids, tokens_col
 
 BLOCK_SCHEMA = (
-    "shard int, term string, block_ord int, first_doc long, last_doc long, "
-    "n int, gaps binary, tfs binary, dls binary, max_partial double"
+    "shard int, seg long, term string, block_ord int, first_doc long, "
+    "last_doc long, n int, gaps binary, tfs binary, dls binary, "
+    "max_partial double"
 )
 _META_TERM = "\x00shard_meta"  # sentinel row carrying per-shard build metrics
 
@@ -65,7 +66,11 @@ B = 0.75
 _TOKEN_RE = r"[a-z0-9]+"
 
 
-def _spimi_kernel(avgdl: float, block_size: int):
+def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
+    """`seg` tags every block with the build that produced it (Lucene's
+    segment concept): incremental builds append a NEW segment per
+    (shard, term), and the query engine opens one cursor per (term, seg)
+    so posting blocks stay doc-sorted within a cursor."""
     """Per-shard SPIMI: one pandas DataFrame in (all docs of the shard),
     compressed block rows out. All vectorized numpy/pandas."""
 
@@ -167,6 +172,7 @@ def _spimi_kernel(avgdl: float, block_size: int):
         return pd.DataFrame(
             {
                 "shard": np.full(len(c_term), shard, dtype=np.int32),
+                "seg": np.full(len(c_term), seg, dtype=np.int64),
                 "term": c_term,
                 "block_ord": np.array(c_ord, dtype=np.int32),
                 "first_doc": np.array(c_first, dtype=np.int64),
@@ -201,6 +207,7 @@ def build_index(
     resume: bool = False,
     snapshot_id: int = 0,
     assign_ids: bool = True,
+    incremental: bool = False,
 ) -> dict:
     """Build (or resume) the index at index_dir. Returns stats dict.
 
@@ -217,12 +224,38 @@ def build_index(
     if resume and os.path.exists(stats_path):
         stats = json.load(open(stats_path))
         assert stats["n_shards"] == n_shards, "resume with different n_shards"
+    elif incremental:
+        # CDC append (snapshots-between semantics of the reference's
+        # iceberg source): merge corpus stats with the existing index.
+        # New blocks are encoded with the MERGED avgdl; `avgdl_min`
+        # tracks the smallest avgdl any persisted block was built with,
+        # so the query engine can scale block-max bounds by
+        # avgdl_now / avgdl_min — a provable upper bound on how much any
+        # stale block's true max partial can exceed its stored one
+        # (partial is monotone in avgdl with ratio <= avgdl2/avgdl1).
+        old = json.load(open(stats_path))
+        assert old["n_shards"] == n_shards, "incremental with different n_shards"
+        docs_all = assign_doc_ids(transcripts) if assign_ids else transcripts
+        inc = compute_stats(docs_all)
+        n_total = old["n_docs"] + inc["n_docs"]
+        avgdl = (
+            old["avgdl"] * old["n_docs"] + inc["avgdl"] * inc["n_docs"]
+        ) / max(n_total, 1)
+        stats = dict(
+            old,
+            n_docs=n_total,
+            avgdl=avgdl,
+            avgdl_min=min(old.get("avgdl_min", old["avgdl"]), avgdl),
+            snapshot_id=snapshot_id,
+        )
+        with open(stats_path, "w") as f:
+            json.dump(stats, f)
     else:
         docs_all = assign_doc_ids(transcripts) if assign_ids else transcripts
         stats = compute_stats(docs_all)
         stats.update(
             n_shards=n_shards, block_size=block_size, k1=K1, b=B,
-            snapshot_id=snapshot_id,
+            snapshot_id=snapshot_id, avgdl_min=stats["avgdl"],
         )
         with open(stats_path, "w") as f:
             json.dump(stats, f)
@@ -245,7 +278,10 @@ def build_index(
         docs.select("shard", "doc_id", "conv_id", "text")
         .repartition(min(n_shards, 64), "shard")
         .groupBy("shard")
-        .applyInPandas(_spimi_kernel(stats["avgdl"], block_size), schema=BLOCK_SCHEMA)
+        .applyInPandas(
+            _spimi_kernel(stats["avgdl"], block_size, seg=snapshot_id),
+            schema=BLOCK_SCHEMA,
+        )
     )
     # rows already arrive grouped per shard from applyInPandas — no
     # extra shuffle before the partitioned write; kernel emits rows

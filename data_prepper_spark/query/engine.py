@@ -42,7 +42,7 @@ def load_stats(index_dir: str) -> dict:
         return json.load(f)
 
 
-def _shard_kernel(avgdl: float, n_docs: int, algo: str):
+def _shard_kernel(avgdl: float, n_docs: int, algo: str, ub_scale: float = 1.0):
     """One call per SHARD: block rows arrive ONCE per term (each row
     carries the list of (query_id, k) needing that term — no per-query
     row replication through the shuffle). Per-term block data is
@@ -51,31 +51,40 @@ def _shard_kernel(avgdl: float, n_docs: int, algo: str):
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cache: dict = {}
-        term_data: dict[str, dict] = {}
+        # one cursor per (term, seg): incremental builds append a new
+        # SEGMENT of doc-sorted blocks per term (doc sets disjoint across
+        # segments), mirroring Lucene's per-segment posting lists
+        term_data: dict[tuple[str, int], dict] = {}
+        term_segs: dict[str, list[tuple[str, int]]] = {}
         queries: dict[str, tuple[int, list[str]]] = {}  # qid -> (k, terms)
-        for term, g in pdf.groupby("term", sort=True):
-            g = g.sort_values("block_ord")
-            df_t = int(g["df"].iloc[0])
-            term_data[term] = {
-                "idf": float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))),
-                "firsts": g["first_doc"].to_numpy(np.int64),
-                "lasts": g["last_doc"].to_numpy(np.int64),
-                "maxps": g["max_partial"].to_numpy(np.float64),
-                "gaps": list(g["gaps"]),
-                "tfs": list(g["tfs"]),
-                "dls": list(g["dls"]),
-            }
-            for q in g["queries"].iloc[0]:
+        for term, tg in pdf.groupby("term", sort=True):
+            df_t = int(tg["df"].iloc[0])
+            idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+            for seg, g in tg.groupby("seg", sort=True):
+                g = g.sort_values("block_ord")
+                term_data[(term, int(seg))] = {
+                    "idf": idf,
+                    "firsts": g["first_doc"].to_numpy(np.int64),
+                    "lasts": g["last_doc"].to_numpy(np.int64),
+                    # ub_scale compensates stale block-max metadata after
+                    # incremental builds changed avgdl (see build_index)
+                    "maxps": g["max_partial"].to_numpy(np.float64) * ub_scale,
+                    "gaps": list(g["gaps"]),
+                    "tfs": list(g["tfs"]),
+                    "dls": list(g["dls"]),
+                }
+                term_segs.setdefault(term, []).append((term, int(seg)))
+            for q in tg["queries"].iloc[0]:
                 qid, k = q["query_id"], int(q["k"])
                 queries.setdefault(qid, (k, []))[1].append(term)
 
         out_q, out_d, out_s = [], [], []
         for qid, (k, terms) in queries.items():
             cursors = [
-                wand_mod.TermCursor(term=t, avgdl=avgdl, cache=cache, **{
-                    kk: vv for kk, vv in term_data[t].items()
-                })
+                wand_mod.TermCursor(term=t, seg=seg, avgdl=avgdl, cache=cache,
+                                    **term_data[(t, seg)])
                 for t in terms
+                for (_, seg) in term_segs[t]
             ]
             if algo == "wand":
                 topk = wand_mod.wand_topk(cursors, k)
@@ -114,11 +123,15 @@ def score_topk(
         F.broadcast(qmap.select("term").distinct()), "term"
     )
     blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    if "seg" not in blocks.columns:  # pre-segment index layout
+        blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
     needed = blocks.join(F.broadcast(qmap), "term").join(
         F.broadcast(dict_slice), "term"
     )
+    ub_scale = max(1.0, stats["avgdl"] / stats.get("avgdl_min", stats["avgdl"]))
     per_shard = needed.groupBy("shard").applyInPandas(
-        _shard_kernel(stats["avgdl"], stats["n_docs"], algo), schema=_KERNEL_OUT
+        _shard_kernel(stats["avgdl"], stats["n_docs"], algo, ub_scale),
+        schema=_KERNEL_OUT,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

@@ -40,6 +40,7 @@ class TermCursor:
     gaps: list[bytes]
     tfs: list[bytes]
     dls: list[bytes]
+    seg: int = 0           # segment id (incremental builds); in cache keys
     bi: int = 0            # current block index
     pi: int = 0            # position within decoded block
     docs: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
@@ -55,7 +56,7 @@ class TermCursor:
     def decode_cached(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
         """Decode block bi -> (docs, idf-scaled partial scores), via the
         shared per-shard cache when present."""
-        key = (self.term, bi)
+        key = (self.term, self.seg, bi)
         hit = self.cache.get(key) if self.cache is not None else None
         if hit is not None:
             return hit
@@ -305,7 +306,7 @@ def exhaustive_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]
     for c in cursors:
         if len(c.firsts) == 0:
             continue
-        key = (c.term, "full")
+        key = (c.term, c.seg, "full")
         hit = c.cache.get(key) if c.cache is not None else None
         if hit is None:
             docs = np.concatenate(

@@ -1,0 +1,10 @@
+#!/usr/bin/env python
+"""spark-submit driver file.
+
+    spark-submit --py-files dps.zip job.py build-index --input ... --index ...
+"""
+
+from data_prepper_spark.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

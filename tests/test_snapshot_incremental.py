@@ -1,0 +1,82 @@
+"""Snapshot CDC source + incremental index updates.
+
+Covers the reference's iceberg-source contract (snapshot-pinned reads,
+snapshots-between changelog) and the engine's incremental build path:
+appending a batch with a DIFFERENT length profile shifts avgdl, and the
+query engine must stay rank-identical to a full oracle rebuild (stale
+block-max metadata is compensated by the avgdl_min UB scale).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import engine
+from data_prepper_spark.sources import snapshot as snap
+
+
+@pytest.fixture(scope="module")
+def base_pdf():
+    return generate_pandas(0, 300)
+
+
+@pytest.fixture(scope="module")
+def inc_pdf():
+    pdf = generate_pandas(300, 400)
+    # force avgdl UP (the unsafe direction for stale block-max bounds)
+    pdf = pdf.copy()
+    pdf["text"] = pdf["text"] + " " + pdf["text"] + " " + pdf["text"]
+    return pdf
+
+
+def test_snapshot_read_and_incremental(spark, base_pdf, inc_pdf):
+    d = tempfile.mkdtemp(prefix="dps_snap_")
+    s1 = snap.append_snapshot(spark.createDataFrame(base_pdf), d)
+    s2 = snap.append_snapshot(spark.createDataFrame(inc_pdf), d)
+    assert (s1, s2) == (1, 2)
+    assert snap.read_snapshot(spark, d, 1).count() == len(base_pdf)
+    assert snap.read_snapshot(spark, d).count() == len(base_pdf) + len(inc_pdf)
+    inc = snap.read_incremental(spark, d, start_snapshot_id=1)
+    assert inc.count() == len(inc_pdf)
+    with pytest.raises(ValueError):
+        snap.read_incremental(spark, d, start_snapshot_id=2)
+
+
+@pytest.mark.parametrize("algo", ["bmx", "wand"])
+def test_incremental_build_rank_identity(spark, base_pdf, inc_pdf, algo):
+    table = tempfile.mkdtemp(prefix="dps_snap_tbl_")
+    idx = tempfile.mkdtemp(prefix="dps_snap_idx_")
+    snap.append_snapshot(spark.createDataFrame(base_pdf), table)
+    snap.append_snapshot(spark.createDataFrame(inc_pdf), table)
+
+    # initial build at snapshot 1, then CDC append of snapshot 2
+    ib.build_index(spark, snap.read_snapshot(spark, table, 1), idx,
+                   n_shards=8, snapshot_id=1)
+    ib.build_index(spark, snap.read_incremental(spark, table, 1), idx,
+                   n_shards=8, snapshot_id=2, incremental=True)
+    stats = engine.load_stats(idx)
+    assert stats["n_docs"] == len(base_pdf) + len(inc_pdf)
+    assert stats["avgdl"] > stats["avgdl_min"]  # drifted up
+
+    # oracle over the FULL corpus with the same doc ids
+    full = pd.concat([base_pdf, inc_pdf], ignore_index=True)
+    doc_ids = full.conv_id.str.slice(5).astype(int) * 16 + full.turn_idx
+    oidx = oracle.build_index(list(zip(doc_ids, full.text)))
+    qpdf = pd.DataFrame(generate_queries(25))
+    orc = pd.DataFrame(
+        oracle.score_queries(oidx, list(qpdf.itertuples(index=False, name=None)))
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    got = (
+        engine.score_topk(spark, idx, spark.createDataFrame(qpdf), algo=algo)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(orc)
+    assert (got.doc_id.values == orc.doc_id.values).all()
+    assert (abs(got.score.values - orc.score.values) < 1e-9).all()

@@ -1,0 +1,89 @@
+"""Structured Streaming layer: windowed aggregate + routed fan-out.
+
+Mirrors the reference's stream semantics (aggregate group windows,
+router sink subsets) with event-time windows and availableNow triggers
+so tests are deterministic and bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.streaming.stream import run_routed_stream, windowed_count
+
+SCHEMA = "event_id long, user_id long, event_type string, value double, ts timestamp"
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="dps_stream_")
+    rows = []
+    for i in range(60):
+        rows.append({
+            "event_id": i,
+            "user_id": i % 3,
+            "event_type": "error" if i % 5 == 0 else "click",
+            "value": float(i),
+            # two 1-minute windows
+            "ts": f"2024-01-01T00:{0 if i < 30 else 1:02d}:{i % 30:02d}Z",
+        })
+    with open(os.path.join(d, "batch0.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_count(spark, stream_dir):
+    stream = spark.readStream.schema(SCHEMA).json(stream_dir)
+    agg = windowed_count(stream, ["event_type"], "ts", window="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wc_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"].minute, r["event_type"]): r["count"]
+        for r in spark.sql("select * from wc_out").collect()
+    }
+    # minute 0: ids 0..29 -> errors at 0,5,10,15,20,25 = 6; clicks 24
+    assert got[(0, "error")] == 6
+    assert got[(0, "click")] == 24
+    assert got[(1, "error")] == 6
+    assert got[(1, "click")] == 24
+
+
+def test_routed_stream_fan_out(spark, stream_dir):
+    stream = spark.readStream.schema(SCHEMA).json(stream_dir)
+    ckpt = tempfile.mkdtemp(prefix="dps_ckpt_")
+    seen: dict[str, list] = {"errors": [], "big": [], "_default": []}
+
+    def sink(name):
+        def fn(df):
+            seen[name].extend(r["event_id"] for r in df.collect())
+        return fn
+
+    q = run_routed_stream(
+        stream,
+        routes={"errors": '/event_type == "error"', "big": "/value >= 50.0"},
+        sinks={k: sink(k) for k in seen},
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert sorted(seen["errors"]) == [i for i in range(60) if i % 5 == 0]
+    assert sorted(seen["big"]) == list(range(50, 60))
+    # unrouted = neither error nor >= 50
+    assert sorted(seen["_default"]) == [
+        i for i in range(60) if i % 5 != 0 and i < 50
+    ]
+    # multi-routed rows reach BOTH sinks (55 is error and big)
+    assert 55 in seen["errors"] and 55 in seen["big"]
