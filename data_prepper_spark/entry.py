@@ -664,6 +664,55 @@ SELECT event_id, 'u' || user_id AS uid, event_type AS etype,
 FROM events"""
 
 
+def q_parse_xml(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "xml",
+        F.concat(
+            F.lit("<e><u>"), F.col("user_id").cast("string"),
+            F.lit("</u><t>"), F.col("event_type"), F.lit("</t></e>"),
+        ),
+    )
+    out = ops.parse_xml(df, source="xml", destination="p", schema="u bigint, t string")
+    return out.select("event_id", F.col("p.u").alias("u"), F.col("p.t").alias("t"))
+
+
+def q_parse_ion(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "ion",
+        F.concat(
+            F.lit("{u:"), F.col("user_id").cast("string"),
+            F.lit(",t:'"), F.col("event_type"), F.lit("'}"),
+        ),
+    )
+    out = ops.parse_ion(df, source="ion", destination="p", schema="u bigint, t string")
+    return out.select("event_id", F.col("p.u").alias("u"), F.col("p.t").alias("t"))
+
+
+def q_split_string(spark, sf_dir):
+    out = ops.split_string(
+        _events(spark, sf_dir), entries=[{"source": "event_type", "delimiter": "e"}]
+    )
+    return out.select(
+        "event_id", F.array_join("event_type", "|").alias("parts")
+    )
+
+
+def q_replace_upper(spark, sf_dir):
+    df = ops.replace_string(
+        _events(spark, sf_dir), entries=[{"source": "event_type", "from": "e", "to": "_"}]
+    )
+    df = ops.uppercase_string(df, ["event_type"])
+    return df.select("event_id", "event_type")
+
+
+def q_obfuscate_mask(spark, sf_dir):
+    out = ops.obfuscate(
+        _docs(spark, sf_dir), source="text", pattern="[aeiou]", action="mask",
+        target="masked",
+    )
+    return out.select("doc_id", F.md5("masked").alias("masked_md5"))
+
+
 def q_truncate(spark, sf_dir):
     out = ops.truncate(_docs(spark, sf_dir), ["text"], start_at=5, length=20)
     return out.select("doc_id", "text")
@@ -1052,6 +1101,11 @@ QUERIES = {
     "broadcast_enrich": q_broadcast_enrich,
     "user_agent": q_user_agent,
     "geoip_enrich": q_geoip_enrich,
+    "parse_xml": q_parse_xml,
+    "parse_ion": q_parse_ion,
+    "split_string": q_split_string,
+    "replace_upper": q_replace_upper,
+    "obfuscate_mask": q_obfuscate_mask,
     "dissect": q_dissect,
     "truncate": q_truncate,
     "write_json": q_write_json,
@@ -1061,6 +1115,18 @@ QUERIES = {
     "frame_sample": q_frame_sample,
 }
 
+ORACLE["parse_xml"] = """
+SELECT event_id, user_id::BIGINT AS u, event_type AS t FROM events"""
+ORACLE["parse_ion"] = """
+SELECT event_id, user_id::BIGINT AS u, event_type AS t FROM events"""
+ORACLE["split_string"] = """
+SELECT event_id, array_to_string(string_split(event_type, 'e'), '|') AS parts
+FROM events"""
+ORACLE["replace_upper"] = """
+SELECT event_id, upper(replace(event_type, 'e', '_')) AS event_type FROM events"""
+ORACLE["obfuscate_mask"] = """
+SELECT doc_id, md5(regexp_replace(text, '[aeiou]', '***', 'g')) AS masked_md5
+FROM documents"""
 ORACLE["user_agent"] = _user_agent_sql()
 ORACLE["geoip_enrich"] = _GEOIP_SQL
 ORACLE["dissect"] = _DISSECT_SQL

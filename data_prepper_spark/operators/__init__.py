@@ -32,7 +32,9 @@ from data_prepper_spark.operators.parse import (  # noqa: F401
     flatten,
     grok,
     key_value,
+    parse_ion,
     parse_json,
+    parse_xml,
     split_event,
     translate,
     translate_join,

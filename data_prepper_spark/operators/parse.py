@@ -271,6 +271,66 @@ def parse_json(
     return df.withColumn(dst, parsed)
 
 
+# ------------------------------------------------------- parse_xml / ion
+
+def parse_xml(
+    df: DataFrame,
+    source: str = "message",
+    destination: str | None = None,
+    schema: str | T.StructType | None = None,
+    pointer: str | None = None,
+) -> DataFrame:
+    """parse-json-processor/.../ParseXmlProcessor.java (shares
+    AbstractParseProcessor.java:39 semantics with parse_json): parse an
+    XML string column into a nested struct at `destination`. Built-in
+    `from_xml` — evaluated JVM-side, no Python in the hot path."""
+    if schema is None:
+        sample = [r[0] for r in df.select(source).dropna().limit(100).collect()]
+        if not sample:
+            raise ValueError("parse_xml: cannot infer schema from empty column")
+        schema = F.schema_of_xml(F.lit(sample[0]))
+    parsed = F.from_xml(F.col(source), schema)
+    if pointer:
+        for part in [p for p in pointer.split("/") if p]:
+            parsed = parsed.getField(part)
+    return df.withColumn(destination or source, parsed)
+
+
+_ION_FIELD_RE = re.compile(r"(?<=[{,])\s*([A-Za-z_$][A-Za-z0-9_$]*)\s*:")
+_ION_SQ_RE = re.compile(r"'((?:[^'\\]|\\.)*)'")
+
+
+def parse_ion(
+    df: DataFrame,
+    source: str = "message",
+    destination: str | None = None,
+    schema: str | T.StructType | None = None,
+    pointer: str | None = None,
+) -> DataFrame:
+    """parse-json-processor/.../ParseIonProcessor.java — the reference
+    delegates to ion-java's IonObjectMapper. Amazon Ion text is a JSON
+    superset; this handles the structural subset its tests exercise
+    (unquoted field names, single-quoted strings) by normalizing to JSON
+    in an Arrow-vectorized pandas UDF, then parsing with `from_json`."""
+
+    @F.pandas_udf(T.StringType())
+    def ion_to_json(s: pd.Series) -> pd.Series:
+        def conv(v):
+            if v is None:
+                return None
+            out = _ION_FIELD_RE.sub(r'"\1":', v)
+            return _ION_SQ_RE.sub(lambda m: '"' + m.group(1).replace('"', '\\"') + '"', out)
+
+        return s.map(conv)
+
+    norm = ion_to_json(F.col(source))
+    tmp = "_ion_json"
+    out = df.withColumn(tmp, norm)
+    out = parse_json(out, source=tmp, destination=destination or source,
+                     schema=schema, pointer=pointer)
+    return out.drop(tmp)
+
+
 # ------------------------------------------------------------------ date
 
 def date(

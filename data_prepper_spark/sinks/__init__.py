@@ -1,0 +1,4 @@
+from data_prepper_spark.sinks.sinks import (  # noqa: F401
+    routed_fanout_write,
+    write_grouped,
+)

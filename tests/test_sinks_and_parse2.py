@@ -1,0 +1,108 @@
+"""parse_xml / parse_ion and the sink layer (grouped write + routed
+fan-out), mirroring the reference's per-plugin unit suites
+(parse-json-processor ParseXmlProcessor/ParseIonProcessor tests;
+s3-sink S3SinkServiceTest threshold/group tests; router RouterTest)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark import operators as ops
+from data_prepper_spark.sinks import routed_fanout_write, write_grouped
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        [
+            {"id": 1, "etype": "error", "val": 10.0},
+            {"id": 2, "etype": "click", "val": 60.0},
+            {"id": 3, "etype": "view", "val": 1.0},
+            {"id": 4, "etype": "click", "val": 2.0},
+        ]
+    )
+
+
+def test_parse_xml_schema(spark):
+    df = spark.createDataFrame([("<r><a>7</a><b>x</b></r>",)], ["xml"])
+    out = ops.parse_xml(df, source="xml", destination="p", schema="a bigint, b string")
+    r = out.collect()[0]
+    assert r["p"]["a"] == 7 and r["p"]["b"] == "x"
+
+
+def test_parse_xml_infer_and_pointer(spark):
+    df = spark.createDataFrame([("<r><a><c>9</c></a></r>",)], ["xml"])
+    out = ops.parse_xml(df, source="xml", destination="c", pointer="/a/c")
+    assert out.collect()[0]["c"] == 9
+
+
+def test_parse_ion_unquoted_fields(spark):
+    df = spark.createDataFrame(
+        [("{u:12,t:'click',nested:{k:'v'}}",), (None,)], ["ion"]
+    )
+    out = ops.parse_ion(
+        df, source="ion", destination="p",
+        schema="u bigint, t string, nested struct<k:string>",
+    )
+    rows = out.collect()
+    assert rows[0]["p"]["u"] == 12
+    assert rows[0]["p"]["t"] == "click"
+    assert rows[0]["p"]["nested"]["k"] == "v"
+    assert rows[1]["p"] is None
+
+
+def test_write_grouped_partitions_and_threshold(events, tmp_path):
+    path = str(tmp_path / "out")
+    write_grouped(
+        events, path, fmt="parquet", group_by=["etype"], event_count=1
+    )
+    # dynamic group key -> directory layout (S3GroupManager semantics)
+    dirs = {os.path.basename(p) for p in glob.glob(path + "/etype=*")}
+    assert dirs == {"etype=error", "etype=click", "etype=view"}
+    # event_count threshold -> one row per flushed object (ThresholdCheck)
+    click_files = glob.glob(path + "/etype=click/*.parquet")
+    assert len(click_files) == 2
+    back = events.sparkSession.read.parquet(path)
+    assert back.count() == 4
+
+
+def test_write_grouped_ndjson_compression(events, tmp_path):
+    path = str(tmp_path / "nd")
+    write_grouped(events, path, fmt="ndjson", compression="gzip")
+    assert glob.glob(path + "/*.json.gz")
+    back = events.sparkSession.read.json(path)
+    assert back.count() == 4
+
+
+def test_write_grouped_rejects_unknown_codec(events, tmp_path):
+    with pytest.raises(ValueError):
+        write_grouped(events, str(tmp_path / "x"), fmt="orc2")
+
+
+def test_routed_fanout_write(events, tmp_path):
+    counts = routed_fanout_write(
+        events,
+        routes={"errors": '/etype == "error"', "big": "/val >= 50.0"},
+        sinks={
+            "errors": {"path": str(tmp_path / "errors"), "fmt": "json"},
+            "big": {"path": str(tmp_path / "big"), "fmt": "json"},
+        },
+        default_sink={"path": str(tmp_path / "rest"), "fmt": "json"},
+    )
+    assert counts == {"errors": 1, "big": 1, "_default": 2}
+    spark = events.sparkSession
+    assert {r["id"] for r in spark.read.json(str(tmp_path / "errors")).collect()} == {1}
+    assert {r["id"] for r in spark.read.json(str(tmp_path / "big")).collect()} == {2}
+    assert {r["id"] for r in spark.read.json(str(tmp_path / "rest")).collect()} == {3, 4}
+
+
+def test_obfuscate_mask_pattern(events):
+    out = ops.obfuscate(
+        events.withColumn("s", F.lit("call 555-1234 now")),
+        source="s", pattern=r"\d{3}-\d{4}", action="mask",
+    )
+    assert out.collect()[0]["s"] == "call *** now"
