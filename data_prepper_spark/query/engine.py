@@ -118,15 +118,22 @@ def score_topk(
     qmap = qterms.groupBy("term").agg(
         F.collect_list(F.struct("query_id", "k")).alias("queries")
     )
+    # The distinct query-term set is tiny and driver-known (the queries
+    # ARE a driver-side input), so materialize it and push an In-filter
+    # into BOTH parquet scans: a broadcast join alone would decompress
+    # every block row of every term before filtering, while
+    # `term IN (...)` reaches the scan (PushedFilters) and prunes row
+    # groups via the per-shard term sort order.
+    terms = [r["term"] for r in qmap.select("term").collect()]
     dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
-    dict_slice = dictionary.join(
-        F.broadcast(qmap.select("term").distinct()), "term"
-    )
+    dict_slice = dictionary.filter(F.col("term").isin(terms))
     blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
     if "seg" not in blocks.columns:  # pre-segment index layout
         blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
-    needed = blocks.join(F.broadcast(qmap), "term").join(
-        F.broadcast(dict_slice), "term"
+    needed = (
+        blocks.filter(F.col("term").isin(terms))
+        .join(F.broadcast(qmap), "term")
+        .join(F.broadcast(dict_slice), "term")
     )
     ub_scale = max(1.0, stats["avgdl"] / stats.get("avgdl_min", stats["avgdl"]))
     per_shard = needed.groupBy("shard").applyInPandas(

