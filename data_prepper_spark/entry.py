@@ -664,6 +664,23 @@ SELECT event_id, 'u' || user_id AS uid, event_type AS etype,
 FROM events"""
 
 
+def q_anomaly_zscore(spark, sf_dir):
+    out = ops.anomaly_detector(
+        _events(spark, sf_dir), keys=["value"],
+        identification_keys=["event_type"], mode="zscore", threshold=1.5,
+    )
+    return out.select("event_id", "event_type", "anomaly_grade")
+
+
+def q_anomaly_ewma(spark, sf_dir):
+    out = ops.anomaly_detector(
+        _events(spark, sf_dir), keys=["value"],
+        identification_keys=["user_id"], mode="ewma", threshold=1.5,
+        ts_col="ts", min_history=5,
+    )
+    return out.select("event_id", "user_id", "anomaly_grade")
+
+
 def q_parse_xml(spark, sf_dir):
     df = _events(spark, sf_dir).withColumn(
         "xml",
@@ -1101,6 +1118,8 @@ QUERIES = {
     "broadcast_enrich": q_broadcast_enrich,
     "user_agent": q_user_agent,
     "geoip_enrich": q_geoip_enrich,
+    "anomaly_zscore": q_anomaly_zscore,
+    "anomaly_ewma": q_anomaly_ewma,
     "parse_xml": q_parse_xml,
     "parse_ion": q_parse_ion,
     "split_string": q_split_string,
@@ -1115,6 +1134,26 @@ QUERIES = {
     "frame_sample": q_frame_sample,
 }
 
+ORACLE["anomaly_zscore"] = """
+WITH s AS (SELECT event_type AS et, avg(value) AS mu, stddev_samp(value) AS sigma
+           FROM events GROUP BY 1)
+SELECT event_id, event_type,
+       round(abs(value - mu) / sigma - 1.5, 6) AS anomaly_grade
+FROM events JOIN s ON event_type = s.et
+WHERE sigma > 0 AND abs(value - mu) / sigma > 1.5"""
+ORACLE["anomaly_ewma"] = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER pw AS mu,
+         stddev_samp(value) OVER pw AS sigma,
+         count(value) OVER pw AS n_prior
+  FROM events
+  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id,
+       round(abs(value - mu) / sigma - 1.5, 6) AS anomaly_grade
+FROM w
+WHERE n_prior >= 5 AND sigma > 0 AND abs(value - mu) / sigma > 1.5"""
 ORACLE["parse_xml"] = """
 SELECT event_id, user_id::BIGINT AS u, event_type AS t FROM events"""
 ORACLE["parse_ion"] = """

@@ -45,6 +45,7 @@ from data_prepper_spark.operators.enrich import (  # noqa: F401
     synthetic_geo_table,
     user_agent,
 )
+from data_prepper_spark.operators.anomaly import anomaly_detector  # noqa: F401
 from data_prepper_spark.operators.events import drop_events, tag_events  # noqa: F401
 from data_prepper_spark.operators.route import route  # noqa: F401
 from data_prepper_spark.operators.aggregate import (  # noqa: F401

@@ -1,0 +1,68 @@
+"""anomaly_detector modes (reference contract:
+AnomalyDetectorProcessor.java:38 — per-group model over
+identification_keys, numeric keys scored, anomalous events emitted
+with a grade)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.operators import anomaly_detector
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = []
+    for g in ("a", "b"):
+        for i in range(20):
+            rows.append({"g": g, "i": i, "v": 10.0 + (i % 3),
+                         "ts": f"2024-01-01 00:00:{i:02d}"})
+    # one wild outlier in group a
+    rows.append({"g": "a", "i": 99, "v": 500.0, "ts": "2024-01-01 00:01:00"})
+    return spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_zscore_flags_outlier(series):
+    out = anomaly_detector(
+        series, keys=["v"], identification_keys=["g"], mode="zscore", threshold=3.0
+    ).collect()
+    assert [(r["g"], r["i"]) for r in out] == [("a", 99)]
+    assert out[0]["anomaly_grade"] > 0
+
+
+def test_zscore_emit_all_grades_normals_zero(series):
+    out = anomaly_detector(
+        series, keys=["v"], identification_keys=["g"], mode="zscore",
+        threshold=3.0, emit_all=True,
+    )
+    grades = {(r["g"], r["i"]): r["anomaly_grade"] for r in out.collect()}
+    assert len(grades) == 41
+    assert grades[("b", 5)] == 0.0
+
+
+def test_ewma_score_before_insert(series):
+    out = anomaly_detector(
+        series, keys=["v"], identification_keys=["g"], mode="ewma",
+        threshold=3.0, ts_col="ts", min_history=5,
+    ).collect()
+    # outlier scored against state BEFORE it arrived -> flagged; the
+    # early rows (insufficient history) are never flagged
+    assert [(r["g"], r["i"]) for r in out] == [("a", 99)]
+
+
+def test_ewma_min_history_suppresses(spark):
+    df = spark.createDataFrame(
+        [{"g": "x", "v": float(v), "ts": f"2024-01-01 00:00:{i:02d}"}
+         for i, v in enumerate([1, 1, 1000])]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = anomaly_detector(
+        df, keys=["v"], identification_keys=["g"], mode="ewma",
+        threshold=1.0, min_history=5,
+    )
+    assert out.count() == 0
+
+
+def test_unknown_mode_raises(series):
+    with pytest.raises(ValueError):
+        anomaly_detector(series, keys=["v"], mode="rcf")
