@@ -76,3 +76,25 @@ def test_doc_id_order_matches_conv_turn_order(corpus_pdf):
     ).to_numpy()
     order = corpus_pdf.sort_values(["conv_id", "turn_idx"]).index.to_numpy()
     assert (doc_ids[order] == sorted(doc_ids)).all()
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark, corpus_pdf):
+    """The input_hint's per-row invariant: the distributed pipeline's
+    view of the corpus equals the reference (oracle) view per turn,
+    under stable (conv_id, turn_idx) ordering."""
+    from data_prepper_spark.data.transcripts import generate_spark
+
+    sdf = (
+        generate_spark(spark, N_CONVS)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .toPandas()
+    )
+    pdf = (
+        corpus_pdf.sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool"]]
+    )
+    assert len(sdf) == len(pdf)
+    for col in ("conv_id", "turn_idx", "role", "text", "tool"):
+        mism = (sdf[col].values != pdf[col].values)
+        assert not mism.any(), f"{col}: {mism.sum()} per-turn mismatches"
