@@ -664,6 +664,18 @@ SELECT event_id, 'u' || user_id AS uid, event_type AS etype,
 FROM events"""
 
 
+def q_service_map(spark, sf_dir):
+    """service-map edges over events: event_type transitions per user
+    session ordered by (ts, event_id)."""
+    df = _events(spark, sf_dir).withColumn(
+        "_ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = ops.service_map(
+        df, group_col="user_id", order_col="_ord", node_col="event_type"
+    )
+    return out.select("source", "destination", F.col("n_calls").cast("long").alias("n_calls"))
+
+
 def q_anomaly_zscore(spark, sf_dir):
     out = ops.anomaly_detector(
         _events(spark, sf_dir), keys=["value"],
@@ -1118,6 +1130,7 @@ QUERIES = {
     "broadcast_enrich": q_broadcast_enrich,
     "user_agent": q_user_agent,
     "geoip_enrich": q_geoip_enrich,
+    "service_map": q_service_map,
     "anomaly_zscore": q_anomaly_zscore,
     "anomaly_ewma": q_anomaly_ewma,
     "parse_xml": q_parse_xml,
@@ -1134,6 +1147,15 @@ QUERIES = {
     "frame_sample": q_frame_sample,
 }
 
+ORACLE["service_map"] = """
+WITH hops AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS source,
+         event_type AS destination
+  FROM events)
+SELECT source, destination, count(*)::BIGINT AS n_calls
+FROM hops WHERE source IS NOT NULL
+GROUP BY 1, 2"""
 ORACLE["anomaly_zscore"] = """
 WITH s AS (SELECT event_type AS et, avg(value) AS mu, stddev_samp(value) AS sigma
            FROM events GROUP BY 1)

@@ -48,6 +48,7 @@ from data_prepper_spark.operators.enrich import (  # noqa: F401
 from data_prepper_spark.operators.anomaly import anomaly_detector  # noqa: F401
 from data_prepper_spark.operators.events import drop_events, tag_events  # noqa: F401
 from data_prepper_spark.operators.route import route  # noqa: F401
+from data_prepper_spark.operators.trace import service_map  # noqa: F401
 from data_prepper_spark.operators.aggregate import (  # noqa: F401
     aggregate_append,
     aggregate_count,

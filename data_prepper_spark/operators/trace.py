@@ -1,0 +1,53 @@
+"""Service-map construction (reference: service-map-stateful plugin,
+`service-map-stateful/.../ServiceMapStatefulProcessor.java:65-71,142-158`
+— builds directed service relationship edges from span parent/child
+pairs held in MapDB-backed rolling windows, requiring peer forwarding
+for cluster-wide co-location).
+
+Transcript-domain analog: a conversation is the trace, turns are the
+spans, and the `tool` column is the service name; an edge is a
+transition between consecutive tool invocations within one
+conversation. The reference's two-window MapDB state + hash-ring
+forwarding collapses to ONE shuffle on the conversation key and an
+ordered window — Spark's exchange is the peer forwarder (SURVEY.md
+§2.8 shuffle row), and no out-of-core state store is needed because
+the window frame is bounded (lag 1).
+
+At 100 TB: one shuffle on conv_id (the natural partitioning of any
+transcript table — bucketed storage makes it free), then a map-side
+combinable count per (source, destination) edge. Skewed conversations
+are bounded by max turns/conv, so no salting is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def service_map(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    node_col: str = "tool",
+    with_counts: bool = True,
+) -> DataFrame:
+    """Directed edges (source, destination[, n_calls]) between
+    consecutive non-null `node_col` values within each group, ordered
+    by `order_col` — the relationship set the reference's service map
+    materializes (ServiceMapRelationship)."""
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    hops = (
+        df.filter(F.col(node_col).isNotNull() & (F.col(node_col) != ""))
+        .withColumn("_src", F.lag(node_col).over(w))
+        .filter(F.col("_src").isNotNull())
+        .select(
+            F.col("_src").alias("source"),
+            F.col(node_col).alias("destination"),
+        )
+    )
+    if not with_counts:
+        return hops.distinct()
+    return hops.groupBy("source", "destination").agg(
+        F.count(F.lit(1)).alias("n_calls")
+    )

@@ -300,3 +300,22 @@ def test_tail_sampler(events):
     assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4]
     out2 = ops.tail_sampler(events, ["etype"], error_condition='/val > 100', percent=0.0)
     assert out2.count() == 0
+
+
+def test_service_map_edges(spark):
+    from data_prepper_spark.operators import service_map
+
+    df = spark.createDataFrame(
+        [
+            {"conv": "c1", "i": 0, "tool": "search"},
+            {"conv": "c1", "i": 1, "tool": "fetch"},
+            {"conv": "c1", "i": 2, "tool": None},
+            {"conv": "c1", "i": 3, "tool": "fetch"},
+            {"conv": "c2", "i": 0, "tool": "search"},
+            {"conv": "c2", "i": 1, "tool": "fetch"},
+        ]
+    )
+    out = service_map(df, group_col="conv", order_col="i", node_col="tool")
+    edges = {(r["source"], r["destination"]): r["n_calls"] for r in out.collect()}
+    # null tools are skipped, so c1 contributes fetch->fetch across the gap
+    assert edges == {("search", "fetch"): 2, ("fetch", "fetch"): 1}
