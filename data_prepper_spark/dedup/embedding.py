@@ -99,20 +99,29 @@ def lsh_bucketed_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    multi_probe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket, exact cosine
-    re-rank inside. Recall grows with multi-probe (neighboring buckets)
-    — single-probe here; bench compares recall vs brute force."""
+    re-rank inside. With `multi_probe` each query also probes every
+    bucket at Hamming distance 1 (flip one sign bit) — the standard
+    recall fix for vectors near a hyperplane; candidate set grows to
+    ~(n_planes+1)/2^n_planes of the corpus, still a bucket-local
+    equi-join at scale."""
     from pyspark.sql import Window
 
     b = lsh_bucket_udf(dim, n_planes)
     v = vectors.withColumn("_bucket", b(F.col(vec_col)))
-    q = queries.withColumn("_bucket", b(F.col(vec_col))).select(
-        qid_col, "_bucket", F.col(vec_col).alias("_qv")
-    )
+    q = queries.withColumn("_bucket", b(F.col(vec_col)))
+    if multi_probe:
+        probes = F.array(
+            F.col("_bucket"),
+            *[F.col("_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = q.withColumn("_bucket", F.explode(probes))
+    q = q.select(qid_col, "_bucket", F.col(vec_col).alias("_qv"))
     scored = v.join(q, "_bucket").withColumn(
         "cosine", F.round(cosine(F.col(vec_col), F.col("_qv")), 6)
     )
@@ -153,4 +162,61 @@ def embedding_cosine_dups(
             F.col(f"b.{id_col}").alias("id_b"),
             "cosine",
         )
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means partitions the corpus into
+    `n_lists` cells; each query probes its `n_probe` nearest centroids
+    and exact-cosine re-ranks only those cells' vectors.
+
+    The MLlib KMeans fit is the one iterative step (distributed,
+    broadcast centroids per iteration); after that the index is a plain
+    `_list` column — at 10^12 rows the table would be written bucketed
+    by `_list` so a probe reads only its cells' files. Complements
+    lsh_bucketed_topk: IVF adapts to the data distribution (learned
+    centroids), LSH needs no fit."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    spark = vectors.sparkSession
+    fv = array_to_vector(F.col(vec_col).cast("array<double>"))
+    v = vectors.withColumn("_fv", fv)
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_fv", predictionCol="_list"
+    ).fit(v)
+    assigned = model.transform(v).drop("_fv")
+
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "_list int, _center array<double>",
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("_csim"), F.asc("_list"))
+    probes = (
+        queries.select(qid_col, F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(centers_df))
+        .withColumn("_csim", cosine(F.col("_qv").cast("array<double>"), F.col("_center")))
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select(qid_col, "_list", "_qv")
+    )
+    scored = assigned.join(F.broadcast(probes), "_list").withColumn(
+        "cosine", F.round(cosine(F.col(vec_col), F.col("_qv")), 6)
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cosine")
     )

@@ -786,6 +786,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (kmeans-cell) ANN (scale path; approximate — rows-only)."""
+    vecs = _emb(spark, sf_dir)
+    qs = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = emb.ivf_topk(vecs, qs, k=5, n_lists=8, n_probe=2, qid_col="query_id")
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id", "cosine",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> phash + feature vector via
     mapInPandas (decode stubbed deterministically; rows-only check)."""
@@ -1143,6 +1157,7 @@ QUERIES = {
     "write_json": q_write_json,
     "decompress_roundtrip": q_decompress_roundtrip,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
 }
@@ -1200,6 +1215,7 @@ ORACLE["write_json"] = (
 ORACLE["decompress_roundtrip"] = "SELECT doc_id, text FROM documents"
 # approximate ANN + stubbed-decode multimodal ops: rows-only checks
 ORACLE["ann_lsh_topk"] = None
+ORACLE["ann_ivf_topk"] = None
 ORACLE["media_features"] = None
 ORACLE["frame_sample"] = None
 

@@ -1,0 +1,78 @@
+"""ANN variants vs exact brute force: recall sanity over the
+`embeddings` fixture (labels cluster vectors, so neighbors are
+meaningful)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.dedup import embedding as emb
+from data_prepper_spark.sources import tables
+
+K = 5
+N_QUERIES = 5
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    return tables.load(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(vecs):
+    return vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def exact(vecs, queries):
+    out = emb.brute_force_topk(vecs, queries, k=K, qid_col="query_id").collect()
+    return {
+        qid: {r["vec_id"] for r in out if r["query_id"] == qid}
+        for qid in {r["query_id"] for r in out}
+    }
+
+
+def _recall(approx_rows, exact_sets):
+    hits = tot = 0
+    for qid, truth in exact_sets.items():
+        got = {r["vec_id"] for r in approx_rows if r["query_id"] == qid}
+        hits += len(got & truth)
+        tot += len(truth)
+    return hits / tot
+
+
+def test_exact_self_neighbor(exact):
+    # every query vector's own id is its top neighbor set member
+    for qid, s in exact.items():
+        assert qid in s
+
+
+def test_ivf_recall(vecs, queries, exact):
+    out = emb.ivf_topk(
+        vecs, queries, k=K, n_lists=8, n_probe=3, qid_col="query_id"
+    ).collect()
+    r = _recall(out, exact)
+    assert r >= 0.6, f"IVF recall {r}"
+    # rows are well-formed top-k per query
+    per_q = {}
+    for row in out:
+        per_q.setdefault(row["query_id"], []).append(row["rank"])
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_lsh_multiprobe_beats_single_probe(vecs, queries, exact):
+    dim = len(vecs.select("embedding").first()[0])
+    multi = emb.lsh_bucketed_topk(
+        vecs, queries, dim=dim, k=K, n_planes=4, qid_col="query_id"
+    ).collect()
+    single = emb.lsh_bucketed_topk(
+        vecs, queries, dim=dim, k=K, n_planes=4, multi_probe=False,
+        qid_col="query_id",
+    ).collect()
+    r_multi, r_single = _recall(multi, exact), _recall(single, exact)
+    assert r_multi >= 0.6, f"multi-probe recall {r_multi}"
+    assert r_multi > r_single
