@@ -66,6 +66,7 @@ def cmd_build_index(args) -> int:
         block_size=args.block_size,
         resume=args.resume,
         snapshot_id=args.snapshot_id or 0,
+        incremental=args.incremental,
     )
     wall = time.monotonic() - t0
     out = dict(stats, wall_sec=round(wall, 2),
@@ -119,6 +120,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--resume", action="store_true",
                    help="skip shards marked done in the checkpoint manifest")
+    b.add_argument("--incremental", action="store_true",
+                   help="append a new segment for rows added since the last "
+                        "snapshot (snapshots-between CDC); stats are merged")
     b.add_argument("--snapshot-id", type=int, default=0)
     b.add_argument("--synthetic-convs", type=int, default=1000)
     b.add_argument("--local-cores", type=int, default=None)
