@@ -100,6 +100,17 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_run_pipeline(args) -> int:
+    from data_prepper_spark.pipeline import load_yaml, run_pipelines
+
+    spark = _get_spark(args)
+    results = run_pipelines(spark, load_yaml(args.config))
+    for name, routed in results.items():
+        counts = {r: df.count() for r, df in routed.items()}
+        print(json.dumps({"pipeline": name, "route_counts": counts}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -136,6 +147,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--algo", default="bmx", choices=["bmx", "wand", "exhaustive"])
     q.add_argument("--local-cores", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    rp = sub.add_parser(
+        "run-pipeline",
+        help="execute a reference-style YAML pipelines file as DataFrame plans",
+    )
+    rp.add_argument("--config", required=True, help="pipelines YAML path")
+    rp.add_argument("--local-cores", type=int, default=None)
+    rp.set_defaults(fn=cmd_run_pipeline)
 
     be = sub.add_parser("bench", help="run the headline bench suite")
     be.add_argument("--sf-dir", default="/root/testdata/sf0.1")

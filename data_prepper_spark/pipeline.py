@@ -1,0 +1,206 @@
+"""YAML pipeline runner: the reference's user-facing pipeline definition
+executed as DataFrame transformations.
+
+The reference parses YAML into PipelinesDataFlowModel (source ->
+processor chain -> conditional routes -> sinks) and interprets it per
+event batch (data-prepper-pipeline-parser/.../PipelinesDataflowModelParser.java:26,
+data-prepper-core/.../parser/PipelineTransformer.java:110-141,
+router/Router.java:40-86). Here the same YAML vocabulary COMPILES to a
+lazy DataFrame plan in the driver — Catalyst then owns the execution —
+so an existing pipeline definition ports by swapping plugin names that
+this registry covers.
+
+    pipelines = load_yaml(path_or_str)
+    results = run_pipeline(spark, pipelines["my-pipeline"])
+    # results: {route_name_or_'_default': DataFrame} (sinks written)
+
+Supported source types: parquet, json, csv (path + options), synthetic
+(the transcript generator), dataframe (pre-built, for sub-pipelines /
+tests). Processors: every name in PROCESSORS below, kwargs passed
+through to the operator function. Routes: {name: expression} in the
+reference's expression language. Sinks: parquet/json/csv via
+sinks.write_grouped (dynamic grouping + thresholds), `index` (the
+from-scratch inverted-index build), stdout, noop; each sink takes
+`routes: [...]` like the reference's routed sinks.
+
+Multi-pipeline files connect via `source: {pipeline: <name>}` — the
+PipelineConnector: the upstream pipeline's `_default` output feeds the
+downstream source (PipelineConnector.java).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_prepper_spark import operators as ops
+from data_prepper_spark.operators.route import route as route_split
+from data_prepper_spark.sinks import write_grouped
+
+PROCESSORS = {
+    "add_entries": ops.add_entries,
+    "copy_values": ops.copy_values,
+    "rename_keys": ops.rename_keys,
+    "delete_entries": ops.delete_entries,
+    "select_entries": ops.select_entries,
+    "convert_type": ops.convert_type,
+    "drop_events": ops.drop_events,
+    "tag_events": ops.tag_events,
+    "grok": ops.grok,
+    "dissect": ops.dissect,
+    "key_value": ops.key_value,
+    "csv": ops.csv_parse,
+    "parse_json": ops.parse_json,
+    "parse_xml": ops.parse_xml,
+    "parse_ion": ops.parse_ion,
+    "date": ops.date,
+    "flatten": ops.flatten,
+    "split_event": ops.split_event,
+    "translate": ops.translate,
+    "detect_format": ops.detect_format,
+    "write_json": ops.write_json,
+    "decompress": ops.decompress,
+    "lowercase_string": ops.lowercase_string,
+    "uppercase_string": ops.uppercase_string,
+    "trim_string": ops.trim_string,
+    "split_string": ops.split_string,
+    "replace_string": ops.replace_string,
+    "substitute_string": ops.substitute_string,
+    "truncate": ops.truncate,
+    "obfuscate": ops.obfuscate,
+    "user_agent": ops.user_agent,
+    "anomaly_detector": ops.anomaly_detector,
+    "service_map": ops.service_map,
+    "aggregate_count": ops.aggregate_count,
+    "aggregate_histogram": ops.aggregate_histogram,
+    "aggregate_append": ops.aggregate_append,
+    "aggregate_put_all": ops.aggregate_put_all,
+    "remove_duplicates": ops.remove_duplicates,
+    "percent_sampler": ops.percent_sampler,
+    "rate_limiter": ops.rate_limiter,
+    "tail_sampler": ops.tail_sampler,
+}
+
+
+def load_yaml(path_or_text: str) -> dict:
+    """Parse a pipelines YAML file (path) or YAML string -> dict of
+    {pipeline_name: pipeline_config}."""
+    import os
+
+    import yaml
+
+    text = (
+        open(path_or_text).read() if os.path.exists(path_or_text) else path_or_text
+    )
+    return yaml.safe_load(text)
+
+
+def _load_source(
+    spark: SparkSession, cfg: dict, upstream: dict[str, DataFrame]
+) -> DataFrame:
+    (kind, opts), = cfg.items()
+    opts = opts or {}
+    if kind == "dataframe":
+        return opts["df"]
+    if kind == "pipeline":
+        return upstream[opts if isinstance(opts, str) else opts["name"]]
+    if kind == "synthetic":
+        from data_prepper_spark.data.transcripts import generate_spark
+
+        return generate_spark(spark, int(opts.get("convs", 1000)))
+    if kind in ("parquet", "json", "csv"):
+        reader = spark.read
+        for k, v in (opts.get("options") or {}).items():
+            reader = reader.option(k, v)
+        if opts.get("schema"):
+            reader = reader.schema(opts["schema"])
+        return getattr(reader, kind)(opts["path"])
+    raise ValueError(f"unknown source type {kind!r}")
+
+
+def _write_sink(kind: str, opts: dict, df: DataFrame) -> Any:
+    if kind == "stdout":
+        df.show(int(opts.get("limit", 20)), truncate=False)
+        return None
+    if kind == "noop":
+        return df.count()
+    if kind == "index":
+        from data_prepper_spark.index import build as ib
+
+        return ib.build_index(
+            df.sparkSession,
+            df,
+            opts["path"],
+            n_shards=int(opts.get("shards", 64)),
+            assign_ids=bool(opts.get("assign_ids", True)),
+        )
+    if kind in ("parquet", "json", "ndjson", "csv"):
+        write_grouped(
+            df,
+            opts["path"],
+            fmt=kind,
+            group_by=opts.get("group_by"),
+            event_count=opts.get("event_count"),
+            compression=opts.get("compression"),
+            mode=opts.get("mode", "overwrite"),
+        )
+        return None
+    raise ValueError(f"unknown sink type {kind!r}")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: dict,
+    upstream: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """Execute one pipeline config; returns {route_name: DataFrame}
+    (including '_default') after writing any configured sinks."""
+    df = _load_source(spark, cfg["source"], upstream or {})
+    for step in cfg.get("processor") or []:
+        (name, kwargs), = step.items()
+        if name not in PROCESSORS:
+            raise ValueError(f"unknown processor {name!r}")
+        df = PROCESSORS[name](df, **(kwargs or {}))
+
+    routes = {}
+    for r in cfg.get("route") or []:
+        routes.update(r if isinstance(r, dict) else {})
+    routed = route_split(df, routes) if routes else {"_default": df}
+
+    for sink in cfg.get("sink") or []:
+        (kind, opts), = sink.items()
+        opts = dict(opts or {})
+        target_routes = opts.pop("routes", None)
+        if target_routes:
+            for rname in target_routes:
+                _write_sink(kind, opts, routed[rname])
+        else:
+            _write_sink(kind, opts, routed["_default"] if routes else df)
+    return routed
+
+
+def run_pipelines(spark: SparkSession, pipelines: dict) -> dict[str, dict]:
+    """Run a multi-pipeline file in dependency order (pipeline sources
+    reference upstream outputs — PipelineConnector semantics)."""
+    done: dict[str, DataFrame] = {}
+    results: dict[str, dict] = {}
+    remaining = dict(pipelines)
+    while remaining:
+        progressed = False
+        for name, cfg in list(remaining.items()):
+            (kind, opts), = cfg["source"].items()
+            dep = (
+                (opts if isinstance(opts, str) else (opts or {}).get("name"))
+                if kind == "pipeline"
+                else None
+            )
+            if dep is None or dep in done:
+                routed = run_pipeline(spark, cfg, upstream=done)
+                done[name] = routed["_default"]
+                results[name] = routed
+                del remaining[name]
+                progressed = True
+        if not progressed:
+            raise ValueError(f"pipeline dependency cycle among {sorted(remaining)}")
+    return results

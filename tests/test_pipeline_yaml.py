@@ -1,0 +1,118 @@
+"""YAML pipeline runner: reference-style pipeline definitions compile
+to DataFrame plans (parser analog: PipelinesDataflowModelParser;
+execution analog: PipelineTransformer + Router)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_prepper_spark.pipeline import load_yaml, run_pipeline, run_pipelines
+
+LOG_PIPELINE = """
+log-pipeline:
+  source:
+    json:
+      path: "{src}"
+      schema: "log string"
+  processor:
+    - grok:
+        match:
+          log: ["%{{COMMONAPACHELOG}}"]
+    - convert_type:
+        key: response
+        type: integer
+    - add_entries:
+        entries:
+          - key: is_error
+            value_expression: "/response >= 500"
+  route:
+    - errors: "/is_error == true"
+  sink:
+    - json:
+        path: "{err_out}"
+        routes: [errors]
+    - noop: {{}}
+"""
+
+
+@pytest.fixture()
+def apache_logs(tmp_path):
+    p = tmp_path / "logs"
+    p.mkdir()
+    lines = []
+    for i in range(20):
+        status = 500 if i % 5 == 0 else 200
+        lines.append(json.dumps({
+            "log": f'10.0.0.{i} - u{i} [11/Dec/2021:10:00:00 -0700] '
+                   f'"GET /p/{i} HTTP/1.0" {status} {100 + i}'
+        }))
+    (p / "batch.json").write_text("\n".join(lines))
+    return str(p)
+
+
+def test_yaml_log_pipeline_grok_route_sink(spark, apache_logs, tmp_path):
+    err_out = str(tmp_path / "errors")
+    cfg = load_yaml(LOG_PIPELINE.format(src=apache_logs, err_out=err_out))
+    routed = run_pipeline(spark, cfg["log-pipeline"])
+    # routed outputs are DataFrames
+    assert routed["errors"].count() == 4
+    assert routed["_default"].count() == 16
+    # the routed sink wrote only errors
+    back = spark.read.json(err_out)
+    assert back.count() == 4
+    assert set(back.select("response").toPandas()["response"]) == {500}
+
+
+def test_yaml_pipeline_connector(spark, apache_logs, tmp_path):
+    yml = f"""
+first:
+  source:
+    json:
+      path: "{apache_logs}"
+      schema: "log string"
+  processor:
+    - grok:
+        match:
+          log: ["%{{COMMONAPACHELOG}}"]
+second:
+  source:
+    pipeline: first
+  processor:
+    - select_entries:
+        include_keys: [clientip, response]
+"""
+    results = run_pipelines(spark, load_yaml(yml))
+    out = results["second"]["_default"]
+    assert set(out.columns) == {"clientip", "response"}
+    assert out.count() == 20
+
+
+def test_yaml_index_sink(spark, tmp_path):
+    yml = f"""
+index-pipeline:
+  source:
+    synthetic:
+      convs: 100
+  sink:
+    - index:
+        path: "{tmp_path}/idx"
+        shards: 4
+"""
+    run_pipelines(spark, load_yaml(yml))
+    assert os.path.exists(f"{tmp_path}/idx/stats.json")
+    from data_prepper_spark.query import engine
+
+    qdf = spark.createDataFrame(
+        [("q0", "error", 3)], "query_id string, query_text string, k int"
+    )
+    assert engine.score_topk(spark, f"{tmp_path}/idx", qdf).count() == 3
+
+
+def test_unknown_processor_raises(spark):
+    cfg = {"source": {"synthetic": {"convs": 2}},
+           "processor": [{"not_a_processor": {}}]}
+    with pytest.raises(ValueError, match="unknown processor"):
+        run_pipeline(spark, cfg)
