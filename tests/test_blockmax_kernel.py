@@ -84,3 +84,28 @@ def test_bmx_prunes_blocks_under_tight_threshold():
     got = W.blockmax_topk(copy.deepcopy(cursors), 3)
     exp = W.exhaustive_topk(copy.deepcopy(cursors), 3)
     assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+@pytest.mark.parametrize("seed", range(15))
+@pytest.mark.parametrize("k", [1, 5])
+def test_wand_equals_exhaustive(seed, k):
+    """DAAT block-max WAND joins the cross-algo fuzz: identical doc ids
+    and bit-identical scores vs exhaustive under random skew."""
+    import copy
+
+    rng = np.random.default_rng(1000 + seed)
+    n_terms = int(rng.integers(1, 5))
+    universe = int(rng.integers(50, 1200))
+    cursors = [
+        _make_cursor(
+            rng, f"t{j:02d}", universe,
+            density=float(rng.uniform(0.01, 0.9)),
+            block_size=int(rng.integers(4, 64)),
+        )
+        for j in range(n_terms)
+    ]
+    got = W.wand_topk(copy.deepcopy(cursors), k)
+    exp = W.exhaustive_topk(copy.deepcopy(cursors), k)
+    assert [d for d, _ in got] == [d for d, _ in exp], (seed, k)
+    for (_, sg), (_, se) in zip(got, exp):
+        assert sg == se
