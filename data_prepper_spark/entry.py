@@ -664,6 +664,36 @@ SELECT event_id, 'u' || user_id AS uid, event_type AS etype,
 FROM events"""
 
 
+def q_list_to_map(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "kvs",
+        F.array(
+            F.struct(F.lit("uid").alias("k"), F.col("user_id").cast("string").alias("v")),
+            F.struct(F.lit("et").alias("k"), F.col("event_type").alias("v")),
+            F.struct(F.lit("et").alias("k"), F.lit("dup").alias("v")),
+        ),
+    )
+    out = ops.list_to_map(df, source="kvs", key="k", value_key="v",
+                          target="m", flatten=True, flattened_element="first")
+    return out.select(
+        "event_id",
+        F.element_at("m", "uid").alias("uid"),
+        F.element_at("m", "et").alias("et"),
+    )
+
+
+def q_map_to_list(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "m", F.create_map(F.lit("u"), F.col("user_id").cast("string"))
+    )
+    out = ops.map_to_list(df, source="m", target="lst",
+                          key_name="k", value_name="v")
+    first = F.element_at("lst", 1)
+    return out.select(
+        "event_id", first.getField("k").alias("k"), first.getField("v").alias("v")
+    )
+
+
 def q_service_map(spark, sf_dir):
     """service-map edges over events: event_type transitions per user
     session ordered by (ts, event_id)."""
@@ -1145,6 +1175,8 @@ QUERIES = {
     "user_agent": q_user_agent,
     "geoip_enrich": q_geoip_enrich,
     "service_map": q_service_map,
+    "list_to_map": q_list_to_map,
+    "map_to_list": q_map_to_list,
     "anomaly_zscore": q_anomaly_zscore,
     "anomaly_ewma": q_anomaly_ewma,
     "parse_xml": q_parse_xml,
@@ -1162,6 +1194,10 @@ QUERIES = {
     "frame_sample": q_frame_sample,
 }
 
+ORACLE["list_to_map"] = """
+SELECT event_id, user_id::VARCHAR AS uid, event_type AS et FROM events"""
+ORACLE["map_to_list"] = """
+SELECT event_id, 'u' AS k, user_id::VARCHAR AS v FROM events"""
 ORACLE["service_map"] = """
 WITH hops AS (
   SELECT user_id,

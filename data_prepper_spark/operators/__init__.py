@@ -10,6 +10,8 @@ from data_prepper_spark.operators.mutate import (  # noqa: F401
     convert_type,
     copy_values,
     delete_entries,
+    list_to_map,
+    map_to_list,
     rename_keys,
     select_entries,
 )

@@ -148,3 +148,71 @@ def convert_type(
             F.when(failed, F.array_union(tags, F.array(*[F.lit(x) for x in tags_on_failure]))).otherwise(tags),
         )
     return _guarded(df, key, new, when)
+
+
+def list_to_map(
+    df: DataFrame,
+    source: str,
+    key: str,
+    target: str | None = None,
+    value_key: str | None = None,
+    flatten: bool = False,
+    flattened_element: str = "first",
+    when: str | None = None,
+) -> DataFrame:
+    """ListToMapProcessor.java — array<struct> -> map keyed by each
+    element's `key` field. Without `flatten`, duplicate keys collect
+    their values into arrays (the reference's list-valued output); with
+    `flatten`, keep the first/last element per key. `value_key` extracts
+    one field per element (extract_value), else the whole struct is the
+    value. Pure Catalyst higher-order functions — no shuffle, no UDF."""
+    src = F.col(source)
+    kf = lambda x: x.getField(key).cast("string")  # noqa: E731
+    vf = (lambda x: x.getField(value_key)) if value_key else (lambda x: x)
+    keys = F.array_distinct(F.transform(src, kf))
+    if flatten:
+        # pick first/last element per key explicitly (Spark's default
+        # map dedup policy is EXCEPTION, so never emit duplicate keys)
+        idx = 1 if flattened_element == "first" else -1
+        new = F.map_from_arrays(
+            keys,
+            F.transform(
+                keys,
+                lambda k: vf(F.element_at(F.filter(src, lambda x: kf(x) == k), idx)),
+            ),
+        )
+    else:
+        new = F.map_from_arrays(
+            keys,
+            F.transform(
+                keys,
+                lambda k: F.transform(F.filter(src, lambda x: kf(x) == k), vf),
+            ),
+        )
+    dst = target or source
+    cond = compile_expression(when) if when else None
+    if cond is not None and dst == source:
+        new = F.when(cond, new).otherwise(F.col(source))
+    return df.withColumn(dst, new)
+
+
+def map_to_list(
+    df: DataFrame,
+    source: str,
+    target: str,
+    key_name: str = "key",
+    value_name: str = "value",
+    when: str | None = None,
+) -> DataFrame:
+    """MapToListProcessor.java — map -> array<struct{key,value}> with
+    configurable field names."""
+    new = F.transform(
+        F.map_entries(F.col(source)),
+        lambda e: F.struct(
+            e.getField("key").alias(key_name), e.getField("value").alias(value_name)
+        ),
+    )
+    cond = compile_expression(when) if when else None
+    if cond is not None:
+        new = F.when(cond, new)
+    return df.withColumn(target, new)

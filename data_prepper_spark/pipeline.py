@@ -45,6 +45,8 @@ PROCESSORS = {
     "delete_entries": ops.delete_entries,
     "select_entries": ops.select_entries,
     "convert_type": ops.convert_type,
+    "list_to_map": ops.list_to_map,
+    "map_to_list": ops.map_to_list,
     "drop_events": ops.drop_events,
     "tag_events": ops.tag_events,
     "grok": ops.grok,

@@ -319,3 +319,28 @@ def test_service_map_edges(spark):
     edges = {(r["source"], r["destination"]): r["n_calls"] for r in out.collect()}
     # null tools are skipped, so c1 contributes fetch->fetch across the gap
     assert edges == {("search", "fetch"): 2, ("fetch", "fetch"): 1}
+
+
+def test_list_to_map_modes(spark):
+    from data_prepper_spark.operators import list_to_map
+
+    df = spark.createDataFrame(
+        [(1, [{"k": "a", "v": "1"}, {"k": "b", "v": "2"}, {"k": "a", "v": "3"}])],
+        "id int, lst array<struct<k:string,v:string>>",
+    )
+    first = list_to_map(df, "lst", key="k", value_key="v", target="m",
+                        flatten=True, flattened_element="first").collect()[0]["m"]
+    assert first == {"a": "1", "b": "2"}
+    last = list_to_map(df, "lst", key="k", value_key="v", target="m",
+                       flatten=True, flattened_element="last").collect()[0]["m"]
+    assert last == {"a": "3", "b": "2"}
+    grouped = list_to_map(df, "lst", key="k", value_key="v", target="m").collect()[0]["m"]
+    assert grouped == {"a": ["1", "3"], "b": ["2"]}
+
+
+def test_map_to_list(spark):
+    from data_prepper_spark.operators import map_to_list
+
+    df = spark.createDataFrame([(1, {"x": "1", "y": "2"})], "id int, m map<string,string>")
+    out = map_to_list(df, "m", "lst", key_name="name", value_name="val").collect()[0]["lst"]
+    assert sorted((r["name"], r["val"]) for r in out) == [("x", "1"), ("y", "2")]
