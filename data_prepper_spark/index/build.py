@@ -210,7 +210,7 @@ def compute_stats(df_docs: DataFrame, text_col: str = "text") -> dict:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )
-    return {"n_docs": row["n_docs"], "avgdl": float(row["avgdl"])}
+    return {"n_docs": row["n_docs"], "avgdl": float(row["avgdl"] or 0.0)}
 
 
 def build_index(
@@ -287,6 +287,13 @@ def build_index(
     )
     target = [s for s in (shards_subset or range(n_shards)) if s not in done]
     if not target:
+        return stats
+    if stats["n_docs"] == 0 and not incremental:
+        # empty corpus: persist an empty (but schema-complete) dictionary
+        # so the query engine opens cleanly and returns zero hits
+        spark.createDataFrame([], "term string, df long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "dictionary"))
         return stats
     docs = docs.filter(F.col("shard").isin(target))
 

@@ -125,6 +125,15 @@ def score_topk(
     # `term IN (...)` reaches the scan (PushedFilters) and prunes row
     # groups via the per-shard term sort order.
     terms = [r["term"] for r in qmap.select("term").collect()]
+    blocks_path = os.path.join(index_dir, "blocks")
+    local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
+    if not terms or local_missing:
+        # no query terms, or an empty index (no blocks ever written);
+        # the existence check only applies to local paths — remote
+        # (s3://, hdfs://) indexes always attempt the read
+        return spark.createDataFrame(
+            [], "query_id string, rank long, doc_id long, score double"
+        )
     dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
     dict_slice = dictionary.filter(F.col("term").isin(terms))
     blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))

@@ -146,3 +146,23 @@ def test_compression_is_effective(spark, index_dir, corpus_pdf):
         f"poor compression: {payload / n_postings:.1f} B/posting"
     )
     assert stats["n_docs"] == len(corpus_pdf)
+
+
+def test_empty_corpus_builds_and_queries_cleanly(spark, tmp_path):
+    """Edge case: zero input rows -> valid (empty) index, zero query
+    hits, no crash anywhere in the pipeline."""
+    from data_prepper_spark.index import build as ib
+    from data_prepper_spark.query import engine
+
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, doc_id long, text string"
+    )
+    d = str(tmp_path / "empty_idx")
+    stats = ib.build_index(spark, empty, d, n_shards=4, assign_ids=False)
+    assert stats["n_docs"] == 0
+    qdf = spark.createDataFrame(
+        [("q0", "anything", 3)], "query_id string, query_text string, k int"
+    )
+    res = engine.score_topk(spark, d, qdf)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == ["query_id", "rank", "doc_id", "score"]
