@@ -664,6 +664,27 @@ SELECT event_id, 'u' || user_id AS uid, event_type AS etype,
 FROM events"""
 
 
+def q_event_json_roundtrip(spark, sf_dir):
+    """event_json codec round-trip: write events (+tags) as the
+    reference's envelope format, read back, verify payload identity
+    (oracle = identity select)."""
+    from data_prepper_spark.sources import event_json as ej
+
+    df = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 6).alias("value"),
+    ).withColumn("_tags", F.array(F.lit("t1")))
+    d = tempfile.mkdtemp(prefix="dps_ej_")
+    ej.write_event_json(df, d)
+    back = ej.read_event_json(
+        spark, d, "event_id long, user_id long, event_type string, value double"
+    )
+    return back.select(
+        "event_id", "user_id", "event_type", "value",
+        F.array_join("_tags", ",").alias("tags"),
+    )
+
+
 def q_list_to_map(spark, sf_dir):
     df = _events(spark, sf_dir).withColumn(
         "kvs",
@@ -1176,6 +1197,7 @@ QUERIES = {
     "geoip_enrich": q_geoip_enrich,
     "service_map": q_service_map,
     "list_to_map": q_list_to_map,
+    "event_json_roundtrip": q_event_json_roundtrip,
     "map_to_list": q_map_to_list,
     "anomaly_zscore": q_anomaly_zscore,
     "anomaly_ewma": q_anomaly_ewma,
@@ -1194,6 +1216,10 @@ QUERIES = {
     "frame_sample": q_frame_sample,
 }
 
+ORACLE["event_json_roundtrip"] = """
+SELECT event_id, user_id, event_type, round(value, 6) AS value,
+       't1' AS tags
+FROM events"""
 ORACLE["list_to_map"] = """
 SELECT event_id, user_id::VARCHAR AS uid, event_type AS et FROM events"""
 ORACLE["map_to_list"] = """

@@ -1,0 +1,83 @@
+"""event_json codec: the reference's own persistence envelope.
+
+Reference: `event-json-codecs/.../EventJsonInputCodec.java:40` /
+`EventJsonOutputCodec.java` — each line serializes an Event as
+`{"data": {...}, "metadata": {"attributes", "tags", "timeReceived",
+"externalOriginationTime"}}`, the only codec that round-trips event
+METADATA (tags, ingest time) rather than just the payload.
+
+Spark mapping: the envelope is a struct built/unpacked with to_json /
+from_json — one narrow projection each way, no UDF. Tags and ingest
+timestamp live in the `_tags` / `_ingest_ts` columns our operators
+already use for `*_when` guards and failure tagging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def write_event_json(
+    df: DataFrame,
+    path: str,
+    tags_col: str = "_tags",
+    ingest_ts_col: str = "_ingest_ts",
+    mode: str = "overwrite",
+) -> None:
+    """Serialize rows as event_json lines. Data = every column except
+    the metadata ones; metadata carries tags + timeReceived."""
+    meta_cols = {tags_col, ingest_ts_col}
+    data_cols = [c for c in df.columns if c not in meta_cols]
+    tags = F.col(tags_col) if tags_col in df.columns else F.array().cast("array<string>")
+    received = (
+        F.col(ingest_ts_col) if ingest_ts_col in df.columns else F.current_timestamp()
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.struct(*[F.col(c) for c in data_cols]).alias("data"),
+            F.struct(
+                tags.alias("tags"),
+                F.date_format(received, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias(
+                    "timeReceived"
+                ),
+            ).alias("metadata"),
+        )
+    )
+    df.select(envelope.alias("value")).write.mode(mode).text(path)
+
+
+def read_event_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType,
+    tags_col: str = "_tags",
+    ingest_ts_col: str = "_ingest_ts",
+) -> DataFrame:
+    """Parse event_json lines back into data columns + metadata columns.
+    `schema` describes the DATA struct (fixed-schema engine: callers
+    know their payload shape, as the reference's codec knows its Event)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    envelope = T.StructType(
+        [
+            T.StructField("data", schema),
+            T.StructField(
+                "metadata",
+                T.StructType(
+                    [
+                        T.StructField("tags", T.ArrayType(T.StringType())),
+                        T.StructField("timeReceived", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    raw = spark.read.text(path)
+    parsed = raw.select(F.from_json("value", envelope).alias("e"))
+    return parsed.select(
+        "e.data.*",
+        F.col("e.metadata.tags").alias(tags_col),
+        F.to_timestamp("e.metadata.timeReceived").alias(ingest_ts_col),
+    )
