@@ -37,20 +37,75 @@ from data_prepper_spark.query.bm25_df import tokens_col
 _KERNEL_OUT = "query_id string, doc_id long, score double"
 
 
+class _DecodeLRU:
+    """Byte-bounded LRU for decoded posting blocks, living at MODULE
+    level in the executor python worker: Spark reuses python workers
+    across tasks (spark.python.worker.reuse default), so hot terms stay
+    decoded across queries and jobs — the role of OpenSearch's query
+    cache for the reference. Keys are ((index_dir, shard), (term, seg,
+    block)); index segments are immutable once written (builds append
+    NEW segment ids), so entries never go stale."""
+
+    def __init__(self, max_bytes: int):
+        from collections import OrderedDict
+
+        self.max_bytes = max_bytes
+        self.bytes = 0
+        self.d = OrderedDict()
+
+    def get(self, k):
+        v = self.d.get(k)
+        if v is not None:
+            self.d.move_to_end(k)
+        return v
+
+    def __setitem__(self, k, v):
+        if k in self.d:
+            self.d.move_to_end(k)
+            return
+        self.d[k] = v
+        self.bytes += sum(a.nbytes for a in v)
+        while self.bytes > self.max_bytes and len(self.d) > 1:
+            _, old = self.d.popitem(last=False)
+            self.bytes -= sum(a.nbytes for a in old)
+
+
+_DECODE_CACHE = _DecodeLRU(
+    int(os.environ.get("DPS_DECODE_CACHE_MB", "256")) * 1_000_000
+)
+
+
+class _NsCache:
+    """Namespaced dict-view over the global LRU (TermCursor's cache API)."""
+
+    def __init__(self, ns):
+        self.ns = ns
+
+    def get(self, k):
+        return _DECODE_CACHE.get((self.ns, k))
+
+    def __setitem__(self, k, v):
+        _DECODE_CACHE[(self.ns, k)] = v
+
+
 def load_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "stats.json")) as f:
         return json.load(f)
 
 
-def _shard_kernel(avgdl: float, n_docs: int, algo: str, ub_scale: float = 1.0):
+def _shard_kernel(
+    avgdl: float, n_docs: int, algo: str, ub_scale: float = 1.0,
+    cache_ns: str = "",
+):
     """One call per SHARD: block rows arrive ONCE per term (each row
     carries the list of (query_id, k) needing that term — no per-query
     row replication through the shuffle). Per-term block data is
-    materialized once; a shared decode cache lets every query reuse
-    decoded postings."""
+    materialized once; the worker-persistent decode LRU lets every
+    query — in this call AND in later jobs hitting a reused python
+    worker — reuse decoded postings."""
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cache: dict = {}
+        cache = _NsCache((cache_ns, int(key[0])))
         # one cursor per (term, seg): incremental builds append a new
         # SEGMENT of doc-sorted blocks per term (doc sets disjoint across
         # segments), mirroring Lucene's per-segment posting lists
@@ -146,7 +201,14 @@ def score_topk(
     )
     ub_scale = max(1.0, stats["avgdl"] / stats.get("avgdl_min", stats["avgdl"]))
     per_shard = needed.groupBy("shard").applyInPandas(
-        _shard_kernel(stats["avgdl"], stats["n_docs"], algo, ub_scale),
+        _shard_kernel(
+            stats["avgdl"], stats["n_docs"], algo, ub_scale,
+            # the ns pins idf/avgdl inputs: cached partials embed
+            # idf(n_docs, df) and avgdl, which change on incremental
+            # builds — a new corpus state gets a fresh namespace
+            cache_ns=(os.path.abspath(index_dir), stats["n_docs"],
+                      round(stats["avgdl"], 9)),
+        ),
         schema=_KERNEL_OUT,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
