@@ -64,23 +64,19 @@ def aggregate_histogram(
     bucket_col = F.width_bucket(
         F.col(key), F.lit(float(b[0])), F.lit(float(b[-1])), F.lit(len(b) - 1)
     )
-    return (
-        df.groupBy(*_group_cols(identification_keys, ts_col, group_duration))
-        .agg(
-            F.count(F.lit(1)).alias("count"),
-            F.sum(key).alias("sum"),
-            F.min(key).alias("min"),
-            F.max(key).alias("max"),
-            F.sort_array(F.collect_list(bucket_col)).alias("_bl"),
-        )
-        .withColumn(
-            "bucket_counts",
-            F.transform(
-                F.sequence(F.lit(1), F.lit(len(b) - 1)),
-                lambda i: F.size(F.filter(F.col("_bl"), lambda x: x == i)),
-            ),
-        )
-        .drop("_bl")
+    # one conditional-sum per bucket: fixed-size aggregation state that
+    # partial-aggregates map-side (a 10^9-event hot group costs O(buckets)
+    # memory, not a 10^9-element collect_list array in one task)
+    per_bucket = [
+        F.sum(F.when(bucket_col == i, 1).otherwise(0))
+        for i in range(1, len(b))
+    ]
+    return df.groupBy(*_group_cols(identification_keys, ts_col, group_duration)).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.sum(key).alias("sum"),
+        F.min(key).alias("min"),
+        F.max(key).alias("max"),
+        F.array(*per_bucket).cast("array<int>").alias("bucket_counts"),
     )
 
 

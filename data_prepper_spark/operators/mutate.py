@@ -190,10 +190,10 @@ def list_to_map(
             ),
         )
     dst = target or source
-    cond = compile_expression(when) if when else None
-    if cond is not None and dst == source:
-        new = F.when(cond, new).otherwise(F.col(source))
-    return df.withColumn(dst, new)
+    # guarded consistently for any target: rows failing `when` keep the
+    # existing dst value (or null for a fresh column) — the reference
+    # skips the event entirely when the condition is false
+    return _guarded(df, dst, new, when)
 
 
 def map_to_list(
@@ -212,7 +212,4 @@ def map_to_list(
             e.getField("key").alias(key_name), e.getField("value").alias(value_name)
         ),
     )
-    cond = compile_expression(when) if when else None
-    if cond is not None:
-        new = F.when(cond, new)
-    return df.withColumn(target, new)
+    return _guarded(df, target, new, when)

@@ -241,6 +241,38 @@ def csv_parse(
 
 # ------------------------------------------------------------ parse_json
 
+def _sample_col(df: DataFrame, source: str, n: int = 100) -> list[str]:
+    """Config-time driver sample of a string column (bounded, distinct)."""
+    return [
+        r[0] for r in df.select(source).dropna().distinct().limit(n).collect()
+    ]
+
+
+def _merge_struct(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Union two inferred schemas: fields present in either survive;
+    conflicting atomic types widen to string (from_json/from_xml both
+    accept reading any scalar as string)."""
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        fields = {f.name: f.dataType for f in a.fields}
+        order = [f.name for f in a.fields]
+        for f in b.fields:
+            if f.name in fields:
+                fields[f.name] = _merge_struct(fields[f.name], f.dataType)
+            else:
+                fields[f.name] = f.dataType
+                order.append(f.name)
+        return T.StructType([T.StructField(n, fields[n], True) for n in order])
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_merge_struct(a.elementType, b.elementType), True)
+    if a == b:
+        return a
+    # numeric widening keeps ints readable as the wider type
+    numeric = (T.LongType(), T.DoubleType())
+    if {type(a), type(b)} <= {T.LongType, T.DoubleType, T.IntegerType}:
+        return numeric[1] if T.DoubleType in {type(a), type(b)} else numeric[0]
+    return T.StringType()
+
+
 def parse_json(
     df: DataFrame,
     source: str = "message",
@@ -252,10 +284,20 @@ def parse_json(
 ) -> DataFrame:
     """ParseJsonProcessor.java:31 / AbstractParseProcessor.java:39.
     Columnar model needs a schema; pass one, or None -> infer from data
-    (driver samples the column — fine for config-time inference)."""
+    (driver samples the column — fine for config-time inference).
+    Inference unions the WHOLE sample, so fields appearing only in later
+    rows still parse (heterogeneous event streams)."""
     if schema is None:
-        sample = [r[0] for r in df.select(source).dropna().limit(100).collect()]
-        schema = F.schema_of_json(F.lit(sample[0])) if sample else "map<string,string>"
+        sample = _sample_col(df, source)
+        if not sample:
+            schema = "map<string,string>"
+        else:
+            # spark.read.json merges schemas across all sampled rows
+            # JVM-side (same inference the json data source uses)
+            spark = df.sparkSession
+            schema = spark.read.json(
+                spark.sparkContext.parallelize(sample, 1)
+            ).schema
     parsed = F.from_json(F.col(source), schema)
     if pointer:
         for part in [p for p in pointer.split("/") if p]:
@@ -285,10 +327,20 @@ def parse_xml(
     XML string column into a nested struct at `destination`. Built-in
     `from_xml` — evaluated JVM-side, no Python in the hot path."""
     if schema is None:
-        sample = [r[0] for r in df.select(source).dropna().limit(100).collect()]
+        sample = _sample_col(df, source)
         if not sample:
             raise ValueError("parse_xml: cannot infer schema from empty column")
-        schema = F.schema_of_xml(F.lit(sample[0]))
+        # per-row schema_of_xml in ONE job (N foldable columns over one
+        # row), then a driver-side schema union — fields present only in
+        # later sample rows survive
+        row = df.sparkSession.range(1).select(
+            *[F.schema_of_xml(F.lit(s)).alias(f"s{i}") for i, s in enumerate(sample)]
+        ).collect()[0]
+        merged: T.DataType | None = None
+        for ddl in row:
+            st = T._parse_datatype_string(ddl)
+            merged = st if merged is None else _merge_struct(merged, st)
+        schema = merged
     parsed = F.from_xml(F.col(source), schema)
     if pointer:
         for part in [p for p in pointer.split("/") if p]:

@@ -169,16 +169,30 @@ def run_pipeline(
     for r in cfg.get("route") or []:
         routes.update(r if isinstance(r, dict) else {})
     routed = route_split(df, routes) if routes else {"_default": df}
+    # the full post-processor stream: a sink with NO routes key receives
+    # ALL events (Router.java:56 / DataFlowComponentRouter: empty routes
+    # -> getAllRecords), NOT just the unrouted '_default' subset; sinks
+    # that want the unrouted remainder list '_default' explicitly.
+    routed["_all"] = df
 
-    for sink in cfg.get("sink") or []:
-        (kind, opts), = sink.items()
-        opts = dict(opts or {})
-        target_routes = opts.pop("routes", None)
-        if target_routes:
-            for rname in target_routes:
-                _write_sink(kind, opts, routed[rname])
-        else:
-            _write_sink(kind, opts, routed["_default"] if routes else df)
+    sinks = cfg.get("sink") or []
+    if len(sinks) > 1:
+        # fan-out to N sinks = N actions over the same plan; cache the
+        # post-processor result so the source scans once, not N times
+        df.persist()
+    try:
+        for sink in sinks:
+            (kind, opts), = sink.items()
+            opts = dict(opts or {})
+            target_routes = opts.pop("routes", None)
+            if target_routes:
+                for rname in target_routes:
+                    _write_sink(kind, opts, routed[rname])
+            else:
+                _write_sink(kind, opts, df)
+    finally:
+        if len(sinks) > 1:
+            df.unpersist()
     return routed
 
 
@@ -199,7 +213,10 @@ def run_pipelines(spark: SparkSession, pipelines: dict) -> dict[str, dict]:
             )
             if dep is None or dep in done:
                 routed = run_pipeline(spark, cfg, upstream=done)
-                done[name] = routed["_default"]
+                # PipelineConnector carries the FULL upstream output
+                # (PipelineConnector.java buffers every record), not the
+                # unrouted subset
+                done[name] = routed["_all"]
                 results[name] = routed
                 del remaining[name]
                 progressed = True

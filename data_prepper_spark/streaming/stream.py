@@ -96,13 +96,19 @@ def stateful_aggregate(
             state.remove()
             yield pd.DataFrame([list(key) + [n, vs]], columns=out_cols)
             return
+        # arm the conclude timer ONLY when the group is first seen: the
+        # reference concludes group_duration after groupStart regardless
+        # of ongoing arrivals (AggregateGroup.shouldConcludeGroup); re-
+        # arming per batch would let a hot group postpone emission forever
+        first_batch = not state.exists
         n, vs = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             if value_col is not None:
                 vs += float(pdf[value_col].fillna(0.0).sum())
         state.update((n, vs))
-        state.setTimeoutDuration(dur_ms)
+        if first_batch:
+            state.setTimeoutDuration(dur_ms)
 
     return stream.groupBy(*identification_keys).applyInPandasWithState(
         fn,

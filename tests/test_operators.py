@@ -144,6 +144,29 @@ def test_parse_json(spark):
     assert out2["p"] == "v"
 
 
+def test_parse_json_heterogeneous_sample(spark):
+    """Schema inference unions the whole sample: a field first appearing
+    in a later row must still parse (ADVICE r1: sample[0]-only inference
+    silently dropped late fields)."""
+    rows = [{"j": '{"k": %d}' % i} for i in range(50)]
+    rows.append({"j": '{"k": 99, "late_field": "present"}'})
+    df = spark.createDataFrame(rows)
+    out = ops.parse_json(df, source="j", destination="p")
+    assert "late_field" in out.schema["p"].dataType.fieldNames()
+    got = out.filter("p.late_field IS NOT NULL").collect()
+    assert len(got) == 1 and got[0]["p"]["late_field"] == "present"
+
+
+def test_parse_xml_heterogeneous_sample(spark):
+    rows = [{"x": "<r><a>1</a></r>"}, {"x": "<r><a>2</a><b>late</b></r>"}]
+    df = spark.createDataFrame(rows)
+    out = ops.parse_xml(df, source="x", destination="p")
+    names = out.schema["p"].dataType.fieldNames()
+    assert "a" in names and "b" in names
+    got = {r["p"]["a"]: r["p"]["b"] for r in out.collect()}
+    assert got[2] == "late"
+
+
 def test_date(spark):
     df = spark.createDataFrame([{"d": "2021/12/11 10:00:00"}, {"d": "11-Dec-2021"}])
     out = ops.date(
@@ -259,6 +282,17 @@ def test_aggregate_histogram(events):
     u1 = next(r for r in out if r["user"] == "u1")
     assert u1["count"] == 3 and u1["sum"] == 22.0 and u1["min"] == 5.0
     assert u1["bucket_counts"] == [0, 2, 1]  # 5.0->[5,10), 7.0->[5,10), 10.0->[10,15]
+
+
+def test_aggregate_histogram_plan_bounded_state(events):
+    """The histogram must be a plain partial-aggregating HashAggregate —
+    NOT ObjectHashAggregate over a per-group collect_list (which would
+    materialize a hot group's every event in one task)."""
+    plan = ops.aggregate_histogram(
+        events, ["user"], key="val", buckets=[0.0, 5.0, 10.0, 15.0]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "ObjectHashAggregate" not in plan
 
 
 def test_aggregate_append(events):

@@ -66,6 +66,47 @@ def test_yaml_log_pipeline_grok_route_sink(spark, apache_logs, tmp_path):
     assert set(back.select("response").toPandas()["response"]) == {500}
 
 
+def test_routeless_sink_gets_all_events(spark, apache_logs, tmp_path):
+    """Router.java:56: a sink with no routes receives ALL events, not the
+    unrouted '_default' remainder."""
+    all_out = str(tmp_path / "all")
+    yml = LOG_PIPELINE.replace("- noop: {{}}", f"""- json:
+        path: "{all_out}"
+""")
+    err_out = str(tmp_path / "errors")
+    cfg = load_yaml(yml.format(src=apache_logs, err_out=err_out))
+    routed = run_pipeline(spark, cfg["log-pipeline"])
+    assert routed["_default"].count() == 16  # unrouted subset unchanged
+    assert routed["_all"].count() == 20
+    assert spark.read.json(all_out).count() == 20  # route-less sink: everything
+
+
+def test_connector_carries_full_stream(spark, apache_logs):
+    """PipelineConnector buffers every upstream record even when the
+    upstream defines routes."""
+    yml = f"""
+first:
+  source:
+    json:
+      path: "{apache_logs}"
+      schema: "log string"
+  processor:
+    - grok:
+        match:
+          log: ["%{{COMMONAPACHELOG}}"]
+  route:
+    - errors: "/response == \\"500\\""
+second:
+  source:
+    pipeline: first
+  processor:
+    - select_entries:
+        include_keys: [clientip, response]
+"""
+    results = run_pipelines(spark, load_yaml(yml))
+    assert results["second"]["_default"].count() == 20
+
+
 def test_yaml_pipeline_connector(spark, apache_logs, tmp_path):
     yml = f"""
 first:
