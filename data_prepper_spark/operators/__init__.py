@@ -34,6 +34,7 @@ from data_prepper_spark.operators.parse import (  # noqa: F401
     flatten,
     grok,
     key_value,
+    key_value_recursive,
     parse_ion,
     parse_json,
     parse_xml,
@@ -41,6 +42,10 @@ from data_prepper_spark.operators.parse import (  # noqa: F401
     translate,
     translate_join,
     write_json,
+)
+from data_prepper_spark.operators.dlq import (  # noqa: F401
+    dlq_objects,
+    split_failures,
 )
 from data_prepper_spark.operators.enrich import (  # noqa: F401
     geoip,

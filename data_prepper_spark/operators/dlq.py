@@ -1,0 +1,61 @@
+"""Dead-letter-queue side channel.
+
+The reference emits structured DlqObjects when a processor or sink
+fails an event (model/failures/DlqObject.java: pluginId, pluginName,
+pipelineName, failedData, timestamp; PipelineRunnerImpl.java:113-124
+routes them to the configured DLQ writer, s3-dlq/...).
+
+Spark-first shape: failure is DATA, not control flow. Operators that can
+fail per-row (parse_json, convert_type, ...) tag failing rows into a
+`_tags` array column; `dlq_objects` projects the tagged subset into
+DlqObject-shaped rows, and `split_failures` gives the (clean, failed)
+pair so a pipeline routes failures to a DLQ sink in the same pass. Both
+are pure Catalyst filters/projections over the same plan — at 100 TB the
+failed stream is written by the same job, no per-event side RPC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FAILURE_TAG_PREFIX = "_failed"
+
+
+def has_failure_tags(df: DataFrame, tags_col: str = "_tags") -> F.Column:
+    """True where the row carries at least one failure tag."""
+    if tags_col not in df.columns:
+        return F.lit(False)
+    return F.size(F.col(tags_col)) > 0
+
+
+def dlq_objects(
+    df: DataFrame,
+    pipeline_name: str,
+    plugin_name: str,
+    tags_col: str = "_tags",
+    exclude_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Project failure-tagged rows to DlqObject-shaped records
+    (DlqObject.java field-for-field; timestamp is the driver's event
+    time stand-in — deterministic, so resumable jobs emit identical DLQ
+    output). failedData serializes the ORIGINAL event as JSON."""
+    data_cols = [c for c in df.columns if c != tags_col and c not in exclude_cols]
+    return (
+        df.filter(has_failure_tags(df, tags_col))
+        .select(
+            F.lit(pipeline_name).alias("pipeline_name"),
+            F.lit(plugin_name).alias("plugin_name"),
+            F.concat_ws(",", F.col(tags_col)).alias("failure_tags"),
+            F.to_json(F.struct(*[F.col(c) for c in data_cols])).alias("failed_data"),
+        )
+    )
+
+
+def split_failures(
+    df: DataFrame, tags_col: str = "_tags"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, failed) split in one pass — the pipeline writes `clean`
+    to its sinks and `failed` through dlq_objects to the DLQ sink."""
+    cond = has_failure_tags(df, tags_col)
+    return df.filter(~cond), df.filter(cond)

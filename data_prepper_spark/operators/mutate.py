@@ -31,11 +31,15 @@ def _guarded(df: DataFrame, key: str, new: Column, when: str | None) -> DataFram
 def add_entries(df: DataFrame, entries: list[dict], when: str | None = None) -> DataFrame:
     """AddEntryProcessor (AddEntryProcessor.java:40): add a key from a
     literal `value`, a `format` template ("${a}-${b}"), or a
-    `value_expression`; `overwrite_if_key_exists` guards clobbering."""
+    `value_expression`; `overwrite_if_key_exists` guards clobbering;
+    `append_if_key_exists` turns an existing scalar into an array with
+    the new value appended (the reference's list-append semantics)."""
     for e in entries:
         key = e["key"]
         overwrite = e.get("overwrite_if_key_exists", False)
-        if key in df.columns and not overwrite:
+        append = e.get("append_if_key_exists", False)
+        exists = key in df.columns
+        if exists and not overwrite and not append:
             continue
         if "value" in e:
             col = F.lit(e["value"])
@@ -45,6 +49,15 @@ def add_entries(df: DataFrame, entries: list[dict], when: str | None = None) -> 
             col = compile_expression(e["value_expression"])
         else:
             raise ValueError("add_entries: need value | format | value_expression")
+        if exists and append:
+            old = F.col(key)
+            old_dt = df.schema[key].dataType
+            import pyspark.sql.types as _T
+
+            if isinstance(old_dt, _T.ArrayType):
+                col = F.array_append(old, col)
+            else:
+                col = F.array(old, col.cast(old_dt))
         df = _guarded(df, key, col, when)
     return df
 
@@ -81,8 +94,25 @@ def rename_keys(df: DataFrame, entries: list[dict], when: str | None = None) -> 
 
     A `when` guard on a rename is inherently schema-level here (columnar
     model), so guarded renames keep both columns with the new one
-    populated conditionally."""
+    populated conditionally.
+
+    `from_key_pattern` (RenameKeyProcessorConfig): a regex matched
+    against every column name; each match renames via the `to_key`
+    template with backreferences ($1 / \\1)."""
+    import re as _re
+
+    expanded = []
     for e in entries:
+        if "from_key_pattern" in e:
+            pat = _re.compile(e["from_key_pattern"])
+            for c in list(df.columns):
+                m = pat.fullmatch(c)
+                if m:
+                    to = pat.sub(e["to_key"].replace("$", "\\"), c)
+                    expanded.append({**e, "from_key": c, "to_key": to})
+        else:
+            expanded.append(e)
+    for e in expanded:
         src, dst = e["from_key"], e["to_key"]
         if dst in df.columns and not e.get("overwrite_if_to_key_exists", False):
             continue
@@ -128,20 +158,26 @@ def convert_type(
     key: str,
     type: str,  # noqa: A002 (mirrors reference config name)
     scale: int | None = None,
+    null_values: list[str] | None = None,
     tags_on_failure: list[str] | None = None,
     tags_col: str = "_tags",
     when: str | None = None,
 ) -> DataFrame:
     """ConvertEntryTypeProcessor.java:41 — cast with null-on-failure and
-    failure tagging (the reference adds tags to event metadata)."""
+    failure tagging (the reference adds tags to event metadata).
+    `null_values`: sentinel strings treated as null before the cast."""
     t = _TYPE_MAP[type]
     if type == "big_decimal" and scale is not None:
         t = f"decimal(38,{scale})"
+    src = F.col(key)
+    if null_values:
+        src = F.when(src.cast("string").isin(null_values), F.lit(None)).otherwise(src)
     # try_cast: the reference nulls the entry on conversion failure
     # (ANSI-mode cast would throw instead)
-    new = F.col(key).try_cast(t)
+    new = src.try_cast(t)
     if tags_on_failure:
-        failed = F.col(key).isNotNull() & new.isNull()
+        # sentinel-nulled values are intentional, not failures
+        failed = src.isNotNull() & new.isNull()
         tags = F.col(tags_col) if tags_col in df.columns else F.array()
         df = df.withColumn(
             tags_col,

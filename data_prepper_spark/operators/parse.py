@@ -23,86 +23,74 @@ from data_prepper_spark.plans.expressions import compile_expression
 
 # ----------------------------------------------------------------- grok
 
-# Core grok pattern library (the reference bundles java-grok's pattern
-# files; grok-processor/.../GrokProcessor.java:64 loads them). This is
-# the subset its e2e/perf tests exercise (%{COMMONAPACHELOG} — docs/
-# latest_performance_test_results.md:52).
-GROK_PATTERNS: dict[str, str] = {
-    "INT": r"(?:[+-]?(?:[0-9]+))",
-    "NUMBER": r"(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?))",
-    "POSINT": r"\b(?:[1-9][0-9]*)\b",
-    "WORD": r"\b\w+\b",
-    "NOTSPACE": r"\S+",
-    "SPACE": r"\s*",
-    "DATA": r".*?",
-    "GREEDYDATA": r".*",
-    "QUOTEDSTRING": r"(?:\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')",
-    "QS": r"(?:\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')",
-    "IP": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
-    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
-    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
-    "USER": r"[a-zA-Z0-9._-]+",
-    "USERNAME": r"[a-zA-Z0-9._-]+",
-    "EMAILADDRESS": r"[a-zA-Z0-9_.+-=:]+@[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*",
-    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
-    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
-    "YEAR": r"(?:\d\d){1,2}",
-    "HOUR": r"(?:2[0123]|[01]?[0-9])",
-    "MINUTE": r"(?:[0-5][0-9])",
-    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
-    "TIME": r"(?!<[0-9])%{HOUR}:%{MINUTE}(?::%{SECOND})(?![0-9])",
-    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
-    "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
-    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
-    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
-    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
-    "COMMONAPACHELOG": (
-        r"%{IPORHOST:clientip} %{USER:ident} %{USER:auth} "
-        r"\[%{HTTPDATE:timestamp}\] \"(?:%{WORD:verb} %{NOTSPACE:request}"
-        r"(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" "
-        r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
-    ),
-    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+# Full grok pattern library (the reference bundles java-grok's pattern
+# files; grok-processor/.../GrokProcessor.java:64 loads them). The
+# complete public base/syslog/httpd/java vocabulary lives in
+# grok_patterns.py; GROK_PATTERNS remains the merge point users extend.
+from data_prepper_spark.operators.grok_patterns import BASE_PATTERNS
+
+GROK_PATTERNS: dict[str, str] = dict(BASE_PATTERNS)
+
+_GROK_REF = re.compile(
+    r"%\{(\w+)(?::([\w\[\]@.-]+))?(?::(int|integer|long|float|double|string|boolean))?\}"
+)
+
+_GROK_CASTS = {
+    "int": "int", "integer": "int", "long": "long",
+    "float": "float", "double": "double",
+    "string": "string", "boolean": "boolean",
 }
 
-_GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.-]+))?\}")
 
-
-def expand_grok(pattern: str, patterns: dict[str, str] | None = None) -> tuple[str, list[str]]:
-    """Expand %{NAME:field} refs to a Java-compatible regex; returns
-    (regex, ordered field names). Named captures become plain groups and
-    fields map to capture-group indices (regexp_extract addressing)."""
+def expand_grok(
+    pattern: str, patterns: dict[str, str] | None = None
+) -> tuple[str, list[str], list[str | None]]:
+    """Expand %{NAME:field[:type]} refs to a Java-compatible regex;
+    returns (regex, ordered field names, per-field cast types). Named
+    captures become plain groups and fields map to capture-group indices
+    (regexp_extract addressing). Composite library patterns contribute
+    their own embedded field names (%{SYSLOGLINE} alone yields
+    timestamp/logsource/program/pid/message, as in the reference)."""
     lib = {**GROK_PATTERNS, **(patterns or {})}
     fields: list[str] = []
+    casts: list[str | None] = []
 
-    def sub(m: re.Match, depth: int = 0) -> str:
-        name, field = m.group(1), m.group(2)
+    def sub(m: re.Match) -> str:
+        name, field, typ = m.group(1), m.group(2), m.group(3)
         if name not in lib:
             raise KeyError(f"unknown grok pattern {name!r}")
-        body = lib[name]
-        # recursively expand nested refs (no field capture inside)
-        body = _GROK_REF.sub(lambda mm: sub(mm), body)
         if field:
             fields.append(field)
+            casts.append(_GROK_CASTS[typ] if typ else None)
+            # expand nested refs AFTER appending, so this field's group
+            # precedes any nested fields' groups (left-to-right order)
+            body = _GROK_REF.sub(sub, lib[name])
             return f"({body})"
+        body = _GROK_REF.sub(sub, lib[name])
         return f"(?:{body})"
 
     rx = _GROK_REF.sub(sub, pattern)
-    return rx, fields
+    return rx, fields, casts
 
 
 def _group_indices(rx: str, n_fields: int) -> list[int]:
-    """Capture groups are exactly the field groups (all library bodies
-    are non-capturing); they appear in field order. But nested field
-    groups (e.g. COMMONAPACHELOG's own fields) interleave, so count '('
-    not followed by '?'."""
+    """Map field order to regex capture-group indices: count '(' that
+    open capture groups, skipping escaped parens, '(?...' groups, and
+    literal parens inside character classes."""
     idxs, depth_count = [], 0
+    in_class = False
     i = 0
     while i < len(rx):
-        if rx[i] == "\\":
+        ch = rx[i]
+        if ch == "\\":
             i += 2
             continue
-        if rx[i] == "(" and not rx.startswith("(?", i):
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(" and not rx.startswith("(?", i):
             depth_count += 1
             idxs.append(depth_count)
         i += 1
@@ -116,21 +104,38 @@ def grok(
     target_key: str | None = None,
     when: str | None = None,
     patterns: dict[str, str] | None = None,
+    pattern_definitions: dict[str, str] | None = None,
+    keys_to_overwrite: list[str] | None = None,
+    timeout_millis: int | None = None,  # noqa: ARG001 (config parity)
 ) -> DataFrame:
     """GrokProcessor.java:64,140-153 — named-capture extraction.
     `match`: {source_key: [grok patterns]} (first match wins per the
     reference's break_on_match default). Extracted fields become columns
-    (or fields of `target_key` struct)."""
+    (or fields of `target_key` struct). `%{NAME:field:int}` type
+    suffixes cast the capture (GrokProcessor target type conversion).
+
+    keys_to_overwrite (GrokProcessorConfig.java): a capture whose name is
+    an EXISTING column only replaces it when listed here; otherwise the
+    existing value wins (the reference appends into a list — in the
+    columnar model the original value is kept).
+
+    timeout_millis is accepted for config parity and ignored: Catalyst
+    regex evaluation has no per-row timeout; runaway patterns are
+    prevented by pattern design, not a watchdog thread.
+    """
     cond = compile_expression(when) if when else None
+    overwrite = set(keys_to_overwrite or [])
     for src, pats in match.items():
         seen: dict[str, Column] = {}
         for pat in pats:
-            rx, fields = expand_grok(pat, patterns)
+            rx, fields, casts = expand_grok(pat, pattern_definitions or patterns)
             gidx = _group_indices(rx, len(fields))
-            for fname, gi in zip(fields, gidx):
+            for fname, gi, cast in zip(fields, gidx, casts):
                 col = F.regexp_extract(F.col(src), rx, gi)
                 if not keep_empty_captures:
                     col = F.when(col == "", F.lit(None)).otherwise(col)
+                if cast:
+                    col = col.try_cast(cast)
                 # break_on_match: earlier pattern wins
                 seen[fname] = (
                     F.coalesce(seen[fname], col) if fname in seen else col
@@ -142,6 +147,8 @@ def grok(
             )
         else:
             for fname, col in seen.items():
+                if fname in df.columns and fname != src and fname not in overwrite:
+                    continue  # existing key kept unless keys_to_overwrite
                 if cond is not None:
                     col = F.when(cond, col)
                 df = df.withColumn(fname, col)
@@ -186,19 +193,49 @@ def key_value(
     destination: str = "parsed_message",
     field_split_characters: str = "&",
     value_split_characters: str = "=",
+    field_delimiter_regex: str | None = None,
+    key_value_delimiter_regex: str | None = None,
     include_keys: list[str] | None = None,
     exclude_keys: list[str] | None = None,
     default_values: dict | None = None,
+    transform_key: str | None = None,
+    whitespace: str = "lenient",
+    remove_brackets: bool = False,
+    non_match_value: str | None = None,
     when: str | None = None,
 ) -> DataFrame:
-    """KeyValueProcessor.java:44 — parse k=v pairs into a map column."""
+    """KeyValueProcessor.java:44 + KeyValueProcessorConfig.java:49-273 —
+    parse k=v pairs into a map column. The option surface mirrors the
+    reference: literal split characters OR regex delimiters
+    (field_delimiter_regex / key_value_delimiter_regex — str_to_map's
+    delimiters ARE Java regexes, so both modes are the same Catalyst
+    expression), transform_key (lowercase/uppercase/capitalize),
+    whitespace lenient (trim around keys/values) vs strict,
+    remove_brackets, non_match_value for tokens without a kv delimiter,
+    include/exclude/defaults. All pure map expressions — no UDF."""
     import re as _re
 
-    m = F.str_to_map(
-        F.col(source),
-        F.lit(_re.escape(field_split_characters)),
-        F.lit(_re.escape(value_split_characters)),
-    )
+    pair_rx = field_delimiter_regex or _re.escape(field_split_characters)
+    kv_rx = key_value_delimiter_regex or _re.escape(value_split_characters)
+    m = F.str_to_map(F.col(source), F.lit(pair_rx), F.lit(kv_rx))
+    if whitespace == "lenient":
+        m = F.transform_keys(m, lambda k, v: F.trim(k))
+        m = F.transform_values(m, lambda k, v: F.trim(v))
+    if remove_brackets:
+        m = F.transform_values(
+            m, lambda k, v: F.regexp_replace(v, r"[\[\]\(\)<>]", "")
+        )
+    if transform_key == "lowercase":
+        m = F.transform_keys(m, lambda k, v: F.lower(k))
+    elif transform_key == "uppercase":
+        m = F.transform_keys(m, lambda k, v: F.upper(k))
+    elif transform_key == "capitalize":
+        m = F.transform_keys(m, lambda k, v: F.initcap(k))
+    if non_match_value is not None:
+        # a token with no kv delimiter parses as key -> null
+        m = F.transform_values(
+            m, lambda k, v: F.coalesce(v, F.lit(str(non_match_value)))
+        )
     if include_keys:
         m = F.map_filter(m, lambda k, v: k.isin(include_keys))
     if exclude_keys:
@@ -212,6 +249,65 @@ def key_value(
     if cond is not None:
         m = F.when(cond, m)
     return df.withColumn(destination, m)
+
+
+def key_value_recursive(
+    df: DataFrame,
+    source: str = "message",
+    destination: str = "parsed_message",
+    field_split_characters: str = "&",
+    value_split_characters: str = "=",
+    when: str | None = None,
+) -> DataFrame:
+    """KeyValueProcessorConfig.java `recursive: true` — values wrapped in
+    (), [] or {} parse as nested key-value structures. The columnar model
+    has no variant-depth map type, so the result is the nested structure
+    serialized as a canonical JSON string (parse_json with an explicit
+    schema recovers typed access). Arrow-vectorized pandas UDF — the
+    stack parser is genuinely per-string imperative work."""
+    import json as _json
+
+    fs, vs = field_split_characters, value_split_characters
+    open_close = {"(": ")", "[": "]", "{": "}"}
+
+    def parse_level(s: str) -> dict:
+        out: dict = {}
+        # split at top level only: track bracket depth
+        pairs, depth, start = [], 0, 0
+        for i, ch in enumerate(s):
+            if ch in open_close:
+                depth += 1
+            elif ch in (")", "]", "}"):
+                depth -= 1
+            elif ch == fs and depth == 0:
+                pairs.append(s[start:i])
+                start = i + 1
+        pairs.append(s[start:])
+        for p in pairs:
+            if not p:
+                continue
+            k, sep, v = p.partition(vs)
+            if not sep:
+                out[k.strip()] = None
+                continue
+            v = v.strip()
+            if v[:1] in open_close and v[-1:] == open_close.get(v[:1]):
+                out[k.strip()] = parse_level(v[1:-1])
+            else:
+                out[k.strip()] = v
+        return out
+
+    @F.pandas_udf(T.StringType())
+    def kv_rec(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else _json.dumps(parse_level(v), sort_keys=True)
+        )
+
+    new = kv_rec(F.col(source))
+    cond = compile_expression(when) if when else None
+    if cond is not None:
+        new = F.when(cond, new)
+    return df.withColumn(destination, new)
 
 
 # ------------------------------------------------------------------- csv
@@ -304,7 +400,12 @@ def parse_json(
             parsed = parsed.getField(part)
     dst = destination or source
     if tags_on_failure:
-        failed = F.col(source).isNotNull() & parsed.isNull()
+        # PERMISSIVE from_json yields an all-null STRUCT (not null) for
+        # malformed input, so validity must be checked with
+        # try_parse_json; parsed.isNull() still catches pointer misses
+        failed = F.col(source).isNotNull() & (
+            F.try_parse_json(F.col(source)).isNull() | parsed.isNull()
+        )
         tags = F.col(tags_col) if tags_col in df.columns else F.array()
         df = df.withColumn(
             tags_col,
@@ -392,11 +493,21 @@ def date(
     output_format: str | None = None,
     from_time_received: bool = False,
     ingest_ts_col: str = "_ingest_ts",
+    source_timezone: str | None = None,
+    destination_timezone: str | None = None,
+    locale: str | None = None,  # noqa: ARG001 (config parity; see note)
     when: str | None = None,
 ) -> DataFrame:
-    """DateProcessor.java:41 — parse first-matching pattern from a key
-    into `destination`. match = {"key": source, "patterns": [java
-    DateTimeFormatter patterns, or epoch_second/epoch_milli]}."""
+    """DateProcessor.java:41 + DateProcessorConfig.java:137-216 — parse
+    first-matching pattern from a key into `destination`. match =
+    {"key": source, "patterns": [java DateTimeFormatter patterns, or the
+    epoch_second / epoch_milli / epoch_nano specials]}.
+
+    source_timezone: naive input strings are interpreted in this zone
+    (to_utc_timestamp); destination_timezone: output rendered in this
+    zone (from_utc_timestamp). `locale` is accepted for config parity;
+    Spark's formatter evaluates under the session locale (set
+    spark.sql.session.timeZone / JVM locale for non-default locales)."""
     if from_time_received:
         col = F.col(ingest_ts_col)
     else:
@@ -407,9 +518,17 @@ def date(
                 attempts.append(F.to_timestamp(F.col(src).cast("long")))
             elif p == "epoch_milli":
                 attempts.append(F.timestamp_millis(F.col(src).cast("long")))
+            elif p == "epoch_nano":
+                attempts.append(
+                    F.timestamp_micros((F.col(src).cast("long") / 1000).cast("long"))
+                )
             else:
                 attempts.append(F.try_to_timestamp(F.col(src), F.lit(p)))
         col = F.coalesce(*attempts)
+        if source_timezone:
+            col = F.to_utc_timestamp(col, source_timezone)
+    if destination_timezone:
+        col = F.from_utc_timestamp(col, destination_timezone)
     if output_format:
         col = F.date_format(col, output_format)
     cond = compile_expression(when) if when else None
@@ -456,19 +575,69 @@ def split_event(
     return df.withColumn(field, F.explode(F.split(F.col(field), pat)))
 
 
+_RANGE_KEY = re.compile(r"^(-?\d+(?:\.\d+)?)-(-?\d+(?:\.\d+)?)$")
+
+
 def translate(
     df: DataFrame,
     source: str,
     target: str,
-    mappings: dict[str, str],
+    mappings: dict[str, str] | None = None,
+    regex_patterns: dict[str, str] | None = None,
+    regex_exact: bool = True,
+    file: str | None = None,
     default: str | None = None,
     when: str | None = None,
 ) -> DataFrame:
-    """TranslateProcessor.java:42-65 — dictionary lookup. Small maps
-    become a literal MapType lookup (constant-folded, no join); for
-    file-sized tables use a broadcast join instead (translate_join)."""
-    m = F.create_map(*[x for kv in mappings.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
-    col = F.element_at(m, F.col(source).cast("string"))
+    """TranslateProcessor.java:42-65 — dictionary lookup with the
+    reference's full key vocabulary (TargetsParameterConfig):
+
+    - exact keys: "a": "x"
+    - comma lists: "a,b": "x" (either key maps to x)
+    - numeric ranges: "1-10": "x" (inclusive BETWEEN — range keys require
+      a numeric source)
+    - regex_patterns: {java_regex: value}, tried after the map (exact
+      anchored match by default; regex_exact=False -> substring rlike)
+    - file: path to a YAML/JSON file holding the mappings (the
+      reference's file-backed source, FileParameterConfig)
+
+    Exact/list keys compile to ONE constant-folded map lookup; ranges and
+    regexes become a CASE cascade. For truly file-sized tables use
+    translate_join (broadcast hash join) instead."""
+    if file is not None:
+        import json as _json
+
+        text = open(file).read()
+        try:
+            loaded = _json.loads(text)
+        except ValueError:
+            import yaml as _yaml
+
+            loaded = _yaml.safe_load(text)
+        mappings = {**(loaded or {}), **(mappings or {})}
+    exact: dict[str, str] = {}
+    ranges: list[tuple[float, float, str]] = []
+    for k, v in (mappings or {}).items():
+        rm = _RANGE_KEY.match(str(k))
+        if rm and float(rm.group(1)) <= float(rm.group(2)):
+            ranges.append((float(rm.group(1)), float(rm.group(2)), v))
+        else:
+            for part in str(k).split(","):
+                exact[part.strip()] = v
+    col = None
+    if exact:
+        m = F.create_map(*[x for kv in exact.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+        col = F.element_at(m, F.col(source).cast("string"))
+    for lo, hi, v in ranges:
+        hit = F.col(source).try_cast("double").between(lo, hi)
+        branch = F.when(hit, F.lit(v))
+        col = F.coalesce(col, branch) if col is not None else branch
+    for rx, v in (regex_patterns or {}).items():
+        pat = f"^(?:{rx})$" if regex_exact else rx
+        branch = F.when(F.col(source).cast("string").rlike(pat), F.lit(v))
+        col = F.coalesce(col, branch) if col is not None else branch
+    if col is None:
+        col = F.lit(None).cast("string")
     if default is not None:
         col = F.coalesce(col, F.lit(default))
     cond = compile_expression(when) if when else None

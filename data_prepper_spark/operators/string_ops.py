@@ -96,10 +96,24 @@ def truncate(
     return _apply(df, source_keys, fn, truncate_when)
 
 
+# The reference's predefined obfuscation pattern shortcuts
+# (ObfuscationProcessor.java:35-116 ships %{EMAIL_ADDRESS} etc. so users
+# never hand-write PII regexes). Public-vocabulary regexes, Java-compatible.
+OBFUSCATE_PATTERNS = {
+    "%{EMAIL_ADDRESS}": r"[A-Za-z0-9+_.-]+@([\w-]+\.)+[\w-]{2,}",
+    "%{IP_ADDRESS_V4}": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
+    "%{CREDIT_CARD_NUMBER}": r"\b(?:\d[ -]*?){13,16}\b",
+    "%{PHONE_NUMBER}": r"(\+?1[-. ]?)?(\(?\d{3}\)?[-. ]?)?\d{3}[-. ]?\d{4}",
+    "%{US_SSN_NUMBER}": r"\b\d{3}-\d{2}-\d{4}\b",
+    "%{BASE_NUMBER}": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?)",
+}
+
+
 def obfuscate(
     df: DataFrame,
     source: str,
     pattern: str | None = None,
+    patterns: list[str] | None = None,
     action: str = "mask",
     mask_character: str = "*",
     mask_character_length: int = 3,
@@ -108,11 +122,21 @@ def obfuscate(
 ) -> DataFrame:
     """ObfuscationProcessor.java:35-116 with MaskAction / OneWayHashAction:
     mask replaces pattern matches with N mask chars; hash replaces the
-    whole value with sha512 (reference uses SHA-512 one-way hash)."""
+    whole value with sha512 (reference uses SHA-512 one-way hash).
+    `patterns` accepts the reference's predefined shortcuts
+    (%{EMAIL_ADDRESS}, %{IP_ADDRESS_V4}, ...) or raw regexes."""
     dst = target or source
+    pats = [OBFUSCATE_PATTERNS.get(p, p) for p in (patterns or [])]
+    if pattern:
+        pats.append(OBFUSCATE_PATTERNS.get(pattern, pattern))
     if action == "mask":
         mask = mask_character * mask_character_length
-        new = F.regexp_replace(F.col(source), pattern or r".*", mask) if pattern else F.lit(mask)
+        if pats:
+            new = F.col(source)
+            for p in pats:
+                new = F.regexp_replace(new, p, mask)
+        else:
+            new = F.lit(mask)
     elif action == "hash":
         new = F.sha2(F.col(source).cast("string"), 512)
     else:

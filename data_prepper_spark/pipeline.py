@@ -52,6 +52,7 @@ PROCESSORS = {
     "grok": ops.grok,
     "dissect": ops.dissect,
     "key_value": ops.key_value,
+    "key_value_recursive": ops.key_value_recursive,
     "csv": ops.csv_parse,
     "parse_json": ops.parse_json,
     "parse_xml": ops.parse_xml,
@@ -137,6 +138,22 @@ def _write_sink(kind: str, opts: dict, df: DataFrame) -> Any:
             n_shards=int(opts.get("shards", 64)),
             assign_ids=bool(opts.get("assign_ids", True)),
         )
+    if kind == "dlq":
+        # DLQ sink (reference: s3-dlq writer fed by PipelineRunnerImpl
+        # .java:113-124): failure-tagged rows land as DlqObject-shaped
+        # ndjson at `path`; clean rows are untouched (other sinks still
+        # receive the full stream — failure handling is routing, which
+        # YAML expresses with a route on the tags column when desired)
+        from data_prepper_spark.operators.dlq import dlq_objects
+
+        out = dlq_objects(
+            df,
+            pipeline_name=opts.get("pipeline_name", "pipeline"),
+            plugin_name=opts.get("plugin_name", "processor"),
+            tags_col=opts.get("tags_col", "_tags"),
+        )
+        out.write.mode(opts.get("mode", "overwrite")).json(opts["path"])
+        return None
     if kind in ("parquet", "json", "ndjson", "csv"):
         write_grouped(
             df,

@@ -1,0 +1,237 @@
+"""Round-2 operator depth: full grok library, key_value advanced modes,
+translate ranges/regex/file, date timezones, mutate extras, obfuscate
+shortcuts, DLQ side-channel. Reference parity targets cited per test."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_prepper_spark import operators as ops
+
+
+# ------------------------------------------------------------------ grok
+
+def test_grok_syslogline(spark):
+    """%{SYSLOGLINE} extracts the standard embedded fields (the reference
+    loads java-grok's linux-syslog pattern file)."""
+    df = spark.createDataFrame([{
+        "log": "Mar 12 04:22:10 web-01 sshd[2451]: Failed password for root"
+    }])
+    r = ops.grok(df, match={"log": ["%{SYSLOGLINE}"]}).collect()[0]
+    assert r["timestamp"] == "Mar 12 04:22:10"
+    assert r["logsource"] == "web-01"
+    assert r["program"] == "sshd" and r["pid"] == "2451"
+    assert r["message"] == "Failed password for root"
+
+
+def test_grok_syslog5424(spark):
+    df = spark.createDataFrame([{
+        "log": '<165>1 2024-01-11T22:14:15.003Z host1 appname 1234 ID47 - BOMmessage'
+    }])
+    r = ops.grok(df, match={"log": ["%{SYSLOG5424LINE}"]}).collect()[0]
+    assert r["syslog5424_pri"] == "165"
+    assert r["syslog5424_host"] == "host1"
+    assert r["syslog5424_app"] == "appname"
+    assert r["syslog5424_msg"] == "BOMmessage"
+
+
+def test_grok_type_cast_and_overwrite(spark):
+    df = spark.createDataFrame([{"m": "status=404", "status": "orig"}])
+    kept = ops.grok(df, match={"m": ["status=%{INT:status:int}"]}).collect()[0]
+    assert kept["status"] == "orig"  # existing key wins by default
+    over = ops.grok(
+        df, match={"m": ["status=%{INT:status:int}"]}, keys_to_overwrite=["status"]
+    ).collect()[0]
+    assert over["status"] == 404 and isinstance(over["status"], int)
+
+
+def test_grok_uri_family(spark):
+    df = spark.createDataFrame([{"u": "https://api.example.com:8443/v1/items?id=7"}])
+    r = ops.grok(df, match={"u": ["%{URIPROTO:proto}://%{URIHOST:host}%{URIPATH:path}%{URIPARAM:query}"]}).collect()[0]
+    assert r["proto"] == "https" and r["host"] == "api.example.com:8443"
+    assert r["path"] == "/v1/items" and r["query"] == "?id=7"
+
+
+def test_grok_library_all_compile(spark):
+    """Every shipped pattern must compile as a Java regex (Spark side)."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.operators.parse import GROK_PATTERNS, expand_grok
+
+    cols = []
+    for i, name in enumerate(sorted(GROK_PATTERNS)):
+        rx, _, _ = expand_grok("%{" + name + "}")
+        cols.append(F.regexp_extract(F.lit("x"), rx, 0).alias(f"p{i}"))
+    spark.range(1).select(*cols).collect()
+    assert len(GROK_PATTERNS) >= 90
+
+
+# ------------------------------------------------------------- key_value
+
+def test_key_value_regex_delimiters(spark):
+    df = spark.createDataFrame([{"m": "a=1;; b=2 ;;c=[3]"}])
+    r = ops.key_value(
+        df, source="m", destination="kv",
+        field_delimiter_regex=r"\s*;;\s*", key_value_delimiter_regex=r"\s*=\s*",
+        remove_brackets=True, transform_key="uppercase",
+    ).collect()[0]
+    assert r["kv"] == {"A": "1", "B": "2", "C": "3"}
+
+
+def test_key_value_non_match_value(spark):
+    df = spark.createDataFrame([{"m": "a=1&flag&b=2"}])
+    r = ops.key_value(df, source="m", destination="kv", non_match_value="true").collect()[0]
+    assert r["kv"]["flag"] == "true" and r["kv"]["a"] == "1"
+
+
+def test_key_value_recursive(spark):
+    df = spark.createDataFrame([{"m": "user=u1&meta=[x=1&y=[z=2]]&n=3"}])
+    r = ops.key_value_recursive(df, source="m", destination="kv").collect()[0]
+    parsed = json.loads(r["kv"])
+    assert parsed["user"] == "u1" and parsed["n"] == "3"
+    assert parsed["meta"]["x"] == "1" and parsed["meta"]["y"]["z"] == "2"
+
+
+# ------------------------------------------------------------- translate
+
+def test_translate_ranges_and_lists(spark):
+    df = spark.createDataFrame([{"v": x} for x in ["3", "15", "a", "b", "zz"]])
+    out = ops.translate(
+        df, source="v", target="t",
+        mappings={"1-10": "low", "11-20": "high", "a,b": "letter"},
+        default="other",
+    ).collect()
+    got = {r["v"]: r["t"] for r in out}
+    assert got == {"3": "low", "15": "high", "a": "letter", "b": "letter", "zz": "other"}
+
+
+def test_translate_regex(spark):
+    df = spark.createDataFrame([{"v": "ERR-42"}, {"v": "ok"}])
+    out = ops.translate(
+        df, source="v", target="t",
+        regex_patterns={r"ERR-\d+": "error"}, default="fine",
+    ).collect()
+    got = {r["v"]: r["t"] for r in out}
+    assert got == {"ERR-42": "error", "ok": "fine"}
+
+
+def test_translate_file_backed(spark, tmp_path):
+    p = tmp_path / "map.json"
+    p.write_text('{"x": "ex", "1-5": "small"}')
+    df = spark.createDataFrame([{"v": "x"}, {"v": "4"}])
+    out = ops.translate(df, source="v", target="t", file=str(p)).collect()
+    got = {r["v"]: r["t"] for r in out}
+    assert got == {"x": "ex", "4": "small"}
+
+
+# ------------------------------------------------------------------ date
+
+def test_date_source_timezone(spark):
+    df = spark.createDataFrame([{"d": "2024-06-01 12:00:00"}])
+    out = ops.date(
+        df, match={"key": "d", "patterns": ["yyyy-MM-dd HH:mm:ss"]},
+        source_timezone="America/New_York",
+        output_format="yyyy-MM-dd'T'HH:mm:ss",
+    ).collect()[0]
+    assert out["@timestamp"] == "2024-06-01T16:00:00"  # EDT=UTC-4
+
+
+def test_date_epoch_specials(spark):
+    df = spark.createDataFrame([{"s": "1700000000", "ms": "1700000000123",
+                                 "ns": "1700000000123456789"}])
+    out = ops.date(df, match={"key": "s", "patterns": ["epoch_second"]},
+                   output_format="yyyy-MM-dd HH:mm:ss")
+    out = ops.date(out, match={"key": "ms", "patterns": ["epoch_milli"]},
+                   destination="t_ms", output_format="yyyy-MM-dd HH:mm:ss.SSS")
+    out = ops.date(out, match={"key": "ns", "patterns": ["epoch_nano"]},
+                   destination="t_ns", output_format="yyyy-MM-dd HH:mm:ss.SSS")
+    r = out.collect()[0]
+    assert r["@timestamp"].startswith("2023-11-14")
+    assert r["t_ms"].endswith(".123") and r["t_ns"].endswith(".123")
+
+
+# ---------------------------------------------------------------- mutate
+
+def test_add_entries_append_if_key_exists(spark):
+    df = spark.createDataFrame([{"k": "v1"}])
+    out = ops.add_entries(df, [{"key": "k", "value": "v2", "append_if_key_exists": True}])
+    assert out.collect()[0]["k"] == ["v1", "v2"]
+
+
+def test_rename_keys_pattern(spark):
+    df = spark.createDataFrame([{"http_status": 200, "http_path": "/a", "other": 1}])
+    out = ops.rename_keys(df, [{"from_key_pattern": r"http_(\w+)", "to_key": "req_$1"}])
+    assert set(out.columns) == {"req_status", "req_path", "other"}
+
+
+def test_convert_type_null_values(spark):
+    df = spark.createDataFrame([{"v": "10"}, {"v": "-"}, {"v": "bad"}])
+    out = ops.convert_type(
+        df, key="v", type="integer", null_values=["-"],
+        tags_on_failure=["_failed_convert"],
+    ).collect()
+    vals = {(r["v"], tuple(r["_tags"])) for r in out}
+    # "-" -> sentinel null, no tag; "bad" -> failure tag
+    assert vals == {(10, ()), (None, ()), (None, ("_failed_convert",))}
+
+
+# ------------------------------------------------------------- obfuscate
+
+def test_obfuscate_predefined_patterns(spark):
+    df = spark.createDataFrame([{"m": "mail bob@x.com from 10.1.2.3 please"}])
+    out = ops.obfuscate(
+        df, source="m", patterns=["%{EMAIL_ADDRESS}", "%{IP_ADDRESS_V4}"],
+        mask_character="#", mask_character_length=3,
+    ).collect()[0]
+    assert out["m"] == "mail ### from ### please"
+
+
+# ------------------------------------------------------------------- dlq
+
+def test_dlq_objects_and_split(spark):
+    df = spark.createDataFrame(
+        [{"id": 1, "j": '{"a": 1}'}, {"id": 2, "j": "not-json{"}]
+    )
+    parsed = ops.parse_json(df, source="j", destination="p",
+                            schema="struct<a:int>", tags_on_failure=["_failed_parse"])
+    clean, failed = ops.split_failures(parsed)
+    assert clean.count() == 1 and failed.count() == 1
+    dlq = ops.dlq_objects(parsed, "p1", "parse_json", exclude_cols=("p",)).collect()
+    assert len(dlq) == 1
+    assert dlq[0]["pipeline_name"] == "p1" and dlq[0]["failure_tags"] == "_failed_parse"
+    assert json.loads(dlq[0]["failed_data"])["id"] == 2
+
+
+def test_yaml_dlq_sink(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '\n'.join([json.dumps({"j": '{"a": %d}' % i}) for i in range(5)]
+                  + [json.dumps({"j": "broken{"})])
+    )
+    from data_prepper_spark.pipeline import load_yaml, run_pipeline
+
+    yml = f"""
+p:
+  source:
+    json:
+      path: "{src}"
+      schema: "j string"
+  processor:
+    - parse_json:
+        source: j
+        destination: parsed
+        schema: "struct<a:int>"
+        tags_on_failure: [_failed_parse]
+  sink:
+    - dlq:
+        path: "{tmp_path}/dlq"
+        pipeline_name: p
+        plugin_name: parse_json
+"""
+    run_pipeline(spark, load_yaml(yml)["p"])
+    back = spark.read.json(f"{tmp_path}/dlq")
+    assert back.count() == 1
+    assert back.collect()[0]["plugin_name"] == "parse_json"
