@@ -156,8 +156,15 @@ SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
 
 # --------------------------------------------------- mutate / filter ops
 
-def q_select_entries(spark, sf_dir):
-    return ops.select_entries(_events(spark, sf_dir), ["event_id", "user_id", "event_type"])
+def q_mutate_entries(spark, sf_dir):
+    """select_entries + copy_values + delete_entries in one pipeline
+    (SelectEntries/CopyValue/DeleteEntry processors; one projection —
+    Catalyst fuses all three into the parquet scan's column pruning)."""
+    df = ops.copy_values(
+        _events(spark, sf_dir), entries=[{"from_key": "event_type", "to_key": "etype_copy"}]
+    )
+    df = ops.delete_entries(df, with_keys=["props", "ts", "value"])
+    return ops.select_entries(df, ["event_id", "user_id", "event_type", "etype_copy"])
 
 
 def q_add_entries(spark, sf_dir):
@@ -183,14 +190,6 @@ def q_rename_convert(spark, sf_dir):
     )
     df = ops.convert_type(df, key="user_id", type="string")
     return df.select("event_id", F.round("amount", 6).alias("amount"), "user_id")
-
-
-def q_copy_delete(spark, sf_dir):
-    df = ops.copy_values(
-        _events(spark, sf_dir), entries=[{"from_key": "event_type", "to_key": "etype_copy"}]
-    )
-    df = ops.delete_entries(df, with_keys=["props", "ts", "value"])
-    return df.select("event_id", "user_id", "event_type", "etype_copy")
 
 
 def q_drop_events(spark, sf_dir):
@@ -256,12 +255,6 @@ def q_string_pipeline(spark, sf_dir):
     return df.select("doc_id", F.md5("text").alias("text_md5"))
 
 
-def q_obfuscate_hash(spark, sf_dir):
-    df = _events(spark, sf_dir)
-    out = df.withColumn("user_hash", F.sha2(F.col("user_id").cast("string"), 256))
-    return out.select("event_id", "user_hash")
-
-
 def q_grok_synthetic_logs(spark, sf_dir):
     """grok over reconstructed apache-style lines (deterministic from
     events) — extraction parity with string-function oracle."""
@@ -287,20 +280,66 @@ def q_grok_synthetic_logs(spark, sf_dir):
 
 
 def q_key_value(spark, sf_dir):
+    """key_value with the advanced option surface: regex field/value
+    delimiters, transform_key, non_match_value, remove_brackets
+    (KeyValueProcessorConfig.java:49-273)."""
     df = _events(spark, sf_dir).withColumn(
         "kv",
         F.concat(
-            F.lit("u="), F.col("user_id").cast("string"),
-            F.lit("&t="), F.col("event_type"),
+            F.lit("U = "), F.col("user_id").cast("string"),
+            F.lit(" ;; T = ["), F.col("event_type"),
+            F.lit("] ;; flag"),
         ),
     )
-    out = ops.key_value(df, source="kv", destination="m",
-                        field_split_characters="&", value_split_characters="=")
+    out = ops.key_value(
+        df, source="kv", destination="m",
+        field_delimiter_regex=r"\s*;;\s*",
+        key_value_delimiter_regex=r"\s*=\s*",
+        transform_key="lowercase",
+        remove_brackets=True,
+        non_match_value="true",
+    )
     return out.select(
         "event_id",
         F.element_at("m", "u").alias("u_val"),
         F.element_at("m", "t").alias("t_val"),
+        F.element_at("m", "flag").alias("flag_val"),
     )
+
+
+def q_key_value_recursive(spark, sf_dir):
+    """recursive kv parsing (KeyValueProcessorConfig `recursive: true`):
+    bracketed values parse as nested structures, serialized canonically."""
+    df = _events(spark, sf_dir).withColumn(
+        "kv",
+        F.concat(
+            F.lit("user=u"), F.col("user_id").cast("string"),
+            F.lit("&meta=[t="), F.col("event_type"),
+            F.lit("&inner=[e="), F.col("event_id").cast("string"),
+            F.lit("]]"),
+        ),
+    )
+    out = ops.key_value_recursive(df, source="kv", destination="parsed")
+    return out.select("event_id", "parsed")
+
+
+def q_grok_syslog(spark, sf_dir):
+    """%{SYSLOGLINE} over synthesized syslog lines — exercises the full
+    grok pattern library's composite patterns (java-grok's linux-syslog
+    file; GrokProcessor.java:64)."""
+    df = _events(spark, sf_dir).withColumn(
+        "log",
+        F.concat(
+            F.lit("Mar 12 04:22:10 host-"), (F.col("user_id") % 50).cast("string"),
+            F.lit(" svc"), (F.col("user_id") % 5).cast("string"),
+            F.lit("["), (F.col("event_id") % 9000 + 1).cast("string"),
+            F.lit("]: unit "), F.col("event_type"),
+            F.lit(" code "), F.col("event_id").cast("string"),
+        ),
+    )
+    out = ops.grok(df, match={"log": ["%{SYSLOGLINE}"]})
+    return out.select("event_id", "timestamp", "logsource", "program",
+                      F.col("pid").cast("long").alias("pid"), "message")
 
 
 def q_parse_json_props(spark, sf_dir):
@@ -321,14 +360,30 @@ def q_csv_parse(spark, sf_dir):
 
 
 def q_date_format(spark, sf_dir):
+    """date processor incl. the specials: pattern parse + epoch_milli +
+    source_timezone (fixed offset so the oracle is DST-free)
+    (DateProcessorConfig.java:137-216)."""
+    df = _events(spark, sf_dir).withColumn(
+        "ds", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    ).withColumn("ms", F.unix_millis(F.col("ts").cast("timestamp")).cast("string"))
     out = ops.date(
-        _events(spark, sf_dir).withColumn(
-            "ds", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
-        ),
+        df,
         match={"key": "ds", "patterns": ["yyyy-MM-dd HH:mm:ss"]},
         output_format="yyyy-MM-dd HH:00:00",
     )
-    return out.select("event_id", F.col("@timestamp").alias("hour_str"))
+    out = ops.date(
+        out, match={"key": "ms", "patterns": ["epoch_milli"]},
+        destination="epoch_rt", output_format="yyyy-MM-dd HH:mm:ss",
+    )
+    out = ops.date(
+        out, match={"key": "ds", "patterns": ["yyyy-MM-dd HH:mm:ss"]},
+        source_timezone="+04:00",
+        destination="utc_from_plus4", output_format="yyyy-MM-dd HH:mm:ss",
+    )
+    return out.select(
+        "event_id", F.col("@timestamp").alias("hour_str"),
+        "epoch_rt", "utc_from_plus4",
+    )
 
 
 def q_split_event(spark, sf_dir):
@@ -338,11 +393,22 @@ def q_split_event(spark, sf_dir):
 
 
 def q_translate(spark, sf_dir):
-    out = ops.translate(
+    """translate with the full key vocabulary: exact + comma lists,
+    numeric ranges over a double source, and regex patterns
+    (TranslateProcessor.java:42-65 / TargetsParameterConfig)."""
+    df = ops.translate(
         _events(spark, sf_dir), source="event_type", target="code",
-        mappings={"error": "E", "click": "C", "view": "V"}, default="X",
+        mappings={"error": "E", "click,view": "CV"}, default="X",
     )
-    return out.select("event_id", "code")
+    df = ops.translate(
+        df, source="value", target="band",
+        mappings={"0-25": "low", "25.0000001-50": "mid"}, default="high",
+    )
+    df = ops.translate(
+        df, source="event_type", target="errish",
+        regex_patterns={"err.*": "yes"}, default="no",
+    )
+    return df.select("event_id", "code", "band", "errish")
 
 
 def q_detect_format(spark, sf_dir):
@@ -404,23 +470,26 @@ def q_aggregate_histogram(spark, sf_dir):
     )
 
 
-def q_aggregate_append(spark, sf_dir):
+def q_aggregate_append_putall(spark, sf_dir):
+    """append + put_all actions over the same grouping — one shuffle
+    (both are map-side-combinable aggs on user_id; the reference runs
+    them as two separate in-memory group tables)."""
     df = _events(spark, sf_dir).withColumn(
         "cents", F.round(F.col("value") * 100).cast("long")
     )
-    out = ops.aggregate_append(df, ["user_id"], append_keys=["cents"])
-    return out.select(
-        "user_id",
-        F.array_join(F.transform("cents", lambda x: x.cast("string")), ",").alias("vals"),
+    appended = ops.aggregate_append(df, ["user_id"], append_keys=["cents"])
+    put = ops.aggregate_put_all(
+        df, ["user_id"], value_keys=["event_type", "value"], order_col="event_id"
     )
-
-
-def q_aggregate_put_all(spark, sf_dir):
-    out = ops.aggregate_put_all(
-        _events(spark, sf_dir), ["user_id"],
-        value_keys=["event_type", "value"], order_col="event_id",
+    return (
+        appended.join(put, "user_id")
+        .select(
+            "user_id",
+            F.array_join(F.transform("cents", lambda x: x.cast("string")), ",").alias("vals"),
+            F.col("event_type").alias("last_etype"),
+            F.round("value", 6).alias("last_value"),
+        )
     )
-    return out.select("user_id", "event_type", F.round("value", 6).alias("value"))
 
 
 def q_remove_duplicates(spark, sf_dir):
@@ -430,28 +499,20 @@ def q_remove_duplicates(spark, sf_dir):
     return out.select("user_id", "event_type", "event_id")
 
 
-def q_percent_sampler(spark, sf_dir):
-    out = ops.percent_sampler(
-        _events(spark, sf_dir), ["user_id"], percent=20.0,
-        hash_col="event_id", portable_hash=True,
-    )
-    return out.select("event_id")
-
-
-def q_rate_limiter(spark, sf_dir):
-    out = ops.rate_limiter(
-        _events(spark, sf_dir), ["user_id"], events_per_second=1,
-        ts_col="ts", tiebreak_col="event_id",
-    )
-    return out.select("event_id")
-
-
-def q_tail_sampler(spark, sf_dir):
-    out = ops.tail_sampler(
-        _events(spark, sf_dir), ["user_id"],
-        error_condition='/event_type == "error"', percent=0.0,
-    )
-    return out.select("event_id", "user_id")
+def q_samplers(spark, sf_dir):
+    """percent_sampler + rate_limiter + tail_sampler as one union with a
+    sampler tag (each branch filters the same cached scan)."""
+    ev = _events(spark, sf_dir)
+    pct = ops.percent_sampler(
+        ev, ["user_id"], percent=20.0, hash_col="event_id", portable_hash=True
+    ).select(F.lit("percent").alias("sampler"), "event_id")
+    rate = ops.rate_limiter(
+        ev, ["user_id"], events_per_second=1, ts_col="ts", tiebreak_col="event_id"
+    ).select(F.lit("rate").alias("sampler"), "event_id")
+    tail = ops.tail_sampler(
+        ev, ["user_id"], error_condition='/event_type == "error"', percent=0.0
+    ).select(F.lit("tail").alias("sampler"), "event_id")
+    return pct.unionByName(rate).unionByName(tail)
 
 
 # ---------------------------------------------------------- dedup / text
@@ -461,9 +522,13 @@ def q_dedup_exact(spark, sf_dir):
     return out.select("doc_id", F.col("dup_count").cast("long").alias("dup_count"))
 
 
-def q_minhash_signatures(spark, sf_dir):
-    out = dd.minhash_signatures(_docs(spark, sf_dir), "text", "doc_id", n=3, num_hashes=8)
-    return out
+def q_dedup_signatures(spark, sf_dir):
+    """minhash signatures + simhash per document, joined on doc_id —
+    the two per-doc signature families in one verified surface."""
+    docs = _docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(docs, "text", "doc_id", n=3, num_hashes=8)
+    sh = dd.simhash(docs, "text", "doc_id", bits=16)
+    return sigs.join(sh, "doc_id")
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -477,10 +542,6 @@ def q_ngram_jaccard(spark, sf_dir):
         _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.05,
         max_shingle_df=None,
     )
-
-
-def q_simhash(spark, sf_dir):
-    return dd.simhash(_docs(spark, sf_dir), "text", "doc_id", bits=16)
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -510,22 +571,20 @@ def q_embedding_dups_exact(spark, sf_dir):
     return out
 
 
-def q_lang_id(spark, sf_dir):
-    return ta.lang_id(_docs(spark, sf_dir), "text").select("doc_id", "lang_pred")
-
-
-def q_quality_score(spark, sf_dir):
-    return ta.quality_score(_docs(spark, sf_dir), "text").select("doc_id", "quality")
-
-
-def q_token_count(spark, sf_dir):
-    return ta.token_count(_docs(spark, sf_dir), "text").select(
-        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+def q_text_analysis(spark, sf_dir):
+    """lang-ID + quality score + token count + fingerprint in ONE pass
+    over documents — all four are pure Column expressions, so Catalyst
+    fuses them into a single projection over one scan (the per-op split
+    in round 1 scanned documents four times)."""
+    df = _docs(spark, sf_dir)
+    df = ta.lang_id(df, "text")
+    df = ta.quality_score(df, "text")
+    df = ta.token_count(df, "text")
+    df = ta.fingerprint(df, "text")
+    return df.select(
+        "doc_id", "lang_pred", "quality",
+        F.col("n_tokens").cast("long").alias("n_tokens"), "fingerprint",
     )
-
-
-def q_fingerprint(spark, sf_dir):
-    return ta.fingerprint(_docs(spark, sf_dir), "text").select("doc_id", "fingerprint")
 
 
 # -------------------------------------------------------- relational few
@@ -685,7 +744,9 @@ def q_event_json_roundtrip(spark, sf_dir):
     )
 
 
-def q_list_to_map(spark, sf_dir):
+def q_list_map_roundtrip(spark, sf_dir):
+    """list_to_map (flatten, first-wins dup policy) + map_to_list in one
+    query — both higher-order-function projections over one scan."""
     df = _events(spark, sf_dir).withColumn(
         "kvs",
         F.array(
@@ -694,24 +755,20 @@ def q_list_to_map(spark, sf_dir):
             F.struct(F.lit("et").alias("k"), F.lit("dup").alias("v")),
         ),
     )
-    out = ops.list_to_map(df, source="kvs", key="k", value_key="v",
-                          target="m", flatten=True, flattened_element="first")
-    return out.select(
+    df = ops.list_to_map(df, source="kvs", key="k", value_key="v",
+                         target="m", flatten=True, flattened_element="first")
+    df = df.withColumn(
+        "m2", F.create_map(F.lit("u"), F.col("user_id").cast("string"))
+    )
+    df = ops.map_to_list(df, source="m2", target="lst",
+                         key_name="k", value_name="v")
+    first = F.element_at("lst", 1)
+    return df.select(
         "event_id",
         F.element_at("m", "uid").alias("uid"),
         F.element_at("m", "et").alias("et"),
-    )
-
-
-def q_map_to_list(spark, sf_dir):
-    df = _events(spark, sf_dir).withColumn(
-        "m", F.create_map(F.lit("u"), F.col("user_id").cast("string"))
-    )
-    out = ops.map_to_list(df, source="m", target="lst",
-                          key_name="k", value_name="v")
-    first = F.element_at("lst", 1)
-    return out.select(
-        "event_id", first.getField("k").alias("k"), first.getField("v").alias("v")
+        first.getField("k").alias("k"),
+        first.getField("v").alias("v"),
     )
 
 
@@ -727,145 +784,157 @@ def q_service_map(spark, sf_dir):
     return out.select("source", "destination", F.col("n_calls").cast("long").alias("n_calls"))
 
 
-def q_anomaly_zscore(spark, sf_dir):
-    out = ops.anomaly_detector(
-        _events(spark, sf_dir), keys=["value"],
-        identification_keys=["event_type"], mode="zscore", threshold=1.5,
+def q_anomaly_detect(spark, sf_dir):
+    """anomaly_detector in both deterministic modes (zscore per
+    event_type, ewma per user) unioned with a mode tag — the entity
+    column unifies the grouping key as a string."""
+    ev = _events(spark, sf_dir)
+    z = ops.anomaly_detector(
+        ev, keys=["value"], identification_keys=["event_type"],
+        mode="zscore", threshold=1.5,
+    ).select(
+        F.lit("zscore").alias("mode"), "event_id",
+        F.col("event_type").alias("entity"), "anomaly_grade",
     )
-    return out.select("event_id", "event_type", "anomaly_grade")
-
-
-def q_anomaly_ewma(spark, sf_dir):
-    out = ops.anomaly_detector(
-        _events(spark, sf_dir), keys=["value"],
-        identification_keys=["user_id"], mode="ewma", threshold=1.5,
-        ts_col="ts", min_history=5,
+    e = ops.anomaly_detector(
+        ev, keys=["value"], identification_keys=["user_id"],
+        mode="ewma", threshold=1.5, ts_col="ts", min_history=5,
+    ).select(
+        F.lit("ewma").alias("mode"), "event_id",
+        F.col("user_id").cast("string").alias("entity"), "anomaly_grade",
     )
-    return out.select("event_id", "user_id", "anomaly_grade")
+    return z.unionByName(e)
 
 
-def q_parse_xml(spark, sf_dir):
+def q_parse_xml_ion(spark, sf_dir):
+    """parse_xml + parse_ion over the same rows — the two non-JSON
+    structured-text codecs in one verified surface."""
     df = _events(spark, sf_dir).withColumn(
         "xml",
         F.concat(
             F.lit("<e><u>"), F.col("user_id").cast("string"),
             F.lit("</u><t>"), F.col("event_type"), F.lit("</t></e>"),
         ),
-    )
-    out = ops.parse_xml(df, source="xml", destination="p", schema="u bigint, t string")
-    return out.select("event_id", F.col("p.u").alias("u"), F.col("p.t").alias("t"))
-
-
-def q_parse_ion(spark, sf_dir):
-    df = _events(spark, sf_dir).withColumn(
+    ).withColumn(
         "ion",
         F.concat(
             F.lit("{u:"), F.col("user_id").cast("string"),
             F.lit(",t:'"), F.col("event_type"), F.lit("'}"),
         ),
     )
-    out = ops.parse_ion(df, source="ion", destination="p", schema="u bigint, t string")
-    return out.select("event_id", F.col("p.u").alias("u"), F.col("p.t").alias("t"))
-
-
-def q_split_string(spark, sf_dir):
-    out = ops.split_string(
-        _events(spark, sf_dir), entries=[{"source": "event_type", "delimiter": "e"}]
-    )
-    return out.select(
-        "event_id", F.array_join("event_type", "|").alias("parts")
+    df = ops.parse_xml(df, source="xml", destination="px", schema="u bigint, t string")
+    df = ops.parse_ion(df, source="ion", destination="pi", schema="u bigint, t string")
+    return df.select(
+        "event_id",
+        F.col("px.u").alias("xu"), F.col("px.t").alias("xt"),
+        F.col("pi.u").alias("iu"), F.col("pi.t").alias("it"),
     )
 
 
-def q_replace_upper(spark, sf_dir):
-    df = ops.replace_string(
-        _events(spark, sf_dir), entries=[{"source": "event_type", "from": "e", "to": "_"}]
+def q_string_ops_extra(spark, sf_dir):
+    """split_string + replace_string + uppercase + truncate + obfuscate
+    mask over one scan — the whole mutate-string family beyond
+    string_pipeline's lowercase/substitute/trim."""
+    df = _events(spark, sf_dir).withColumn("parts_src", F.col("event_type"))
+    df = ops.split_string(df, entries=[{"source": "parts_src", "delimiter": "e"}])
+    df = df.withColumn("replaced", F.col("event_type"))
+    df = ops.replace_string(df, entries=[{"source": "replaced", "from": "e", "to": "_"}])
+    df = ops.uppercase_string(df, ["replaced"])
+    df = df.withColumn("trunc_src", F.concat(F.lit("etype-"), F.col("event_type")))
+    df = ops.truncate(df, ["trunc_src"], start_at=2, length=6)
+    df = ops.obfuscate(df, source="event_type", pattern="[aeiou]",
+                       action="mask", target="masked")
+    # obfuscate hash action (OneWayHashAction) at sha256 width — the
+    # oracle engine ships sha256 but not sha512, so the query pins 256
+    df = df.withColumn("user_hash", F.sha2(F.col("user_id").cast("string"), 256))
+    return df.select(
+        "event_id",
+        F.array_join("parts_src", "|").alias("parts"),
+        "replaced",
+        F.col("trunc_src").alias("truncated"),
+        "masked",
+        "user_hash",
     )
-    df = ops.uppercase_string(df, ["event_type"])
-    return df.select("event_id", "event_type")
 
 
-def q_obfuscate_mask(spark, sf_dir):
-    out = ops.obfuscate(
-        _docs(spark, sf_dir), source="text", pattern="[aeiou]", action="mask",
-        target="masked",
-    )
-    return out.select("doc_id", F.md5("masked").alias("masked_md5"))
-
-
-def q_truncate(spark, sf_dir):
-    out = ops.truncate(_docs(spark, sf_dir), ["text"], start_at=5, length=20)
-    return out.select("doc_id", "text")
-
-
-def q_write_json(spark, sf_dir):
-    df = _events(spark, sf_dir).withColumn(
-        "payload", F.struct("user_id", "event_type")
-    )
-    out = ops.write_json(df, "payload")
-    return out.select("event_id", "payload")
-
-
-def q_decompress_roundtrip(spark, sf_dir):
-    """gzip-compress text in one Arrow UDF, decompress with the operator,
-    verify round-trip equality against the raw table (oracle = identity)."""
+def q_write_json_decompress(spark, sf_dir):
+    """write_json (struct -> JSON text) + decompress(gzip(props))
+    round-trip in one query (oracle: to_json + identity)."""
     import gzip as _gz
 
-    import pandas as pd  # noqa: F401
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.BinaryType())
     def gz(s):
         return s.map(lambda x: _gz.compress(x.encode(), mtime=0))
 
-    df = _docs(spark, sf_dir).select("doc_id", gz(F.col("text")).alias("text"))
-    return ops.decompress(df, ["text"]).select("doc_id", "text")
+    df = _events(spark, sf_dir).withColumn(
+        "payload", F.struct("user_id", "event_type")
+    )
+    df = ops.write_json(df, "payload")
+    df = df.withColumn("props_rt", gz(F.col("props")))
+    df = ops.decompress(df, ["props_rt"])
+    return df.select("event_id", "payload", "props_rt")
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (scale path; approximate — rows-only check)."""
+def q_dlq_parse_failures(spark, sf_dir):
+    """DLQ side-channel: deterministically corrupt props on event_id%7==0,
+    parse_json tags the failures, dlq_objects shapes them as DlqObject
+    rows (model/failures/DlqObject.java)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "props_bad",
+        # leading brace makes the whole string unparseable (a TRAILING
+        # brace is tolerated by JSON readers that stop at the first value)
+        F.when(F.col("event_id") % 7 == 0, F.concat(F.lit("{"), F.col("props")))
+        .otherwise(F.col("props")),
+    )
+    parsed = ops.parse_json(
+        ev, source="props_bad", destination="p", schema="k long",
+        tags_on_failure=["_failed_parse"],
+    )
+    return ops.dlq_objects(
+        parsed, pipeline_name="events-pipeline", plugin_name="parse_json",
+        exclude_cols=("props", "props_bad", "p", "ts", "user_id", "event_type", "value"),
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Both ANN scale paths (LSH-bucketed multi-probe + IVF/kmeans cells)
+    unioned with a method tag (approximate — rows-only check)."""
     vecs = _emb(spark, sf_dir)
     dim = len(vecs.select("embedding").first()[0])
     qs = vecs.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = emb.lsh_bucketed_topk(vecs, qs, dim=dim, k=5, qid_col="query_id")
-    return out.select(
+    lsh = emb.lsh_bucketed_topk(vecs, qs, dim=dim, k=5, qid_col="query_id").select(
+        F.lit("lsh").alias("method"),
         F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        "vec_id", "cosine",
+        F.col("rank").cast("long").alias("rank"), "vec_id", "cosine",
     )
-
-
-def q_ann_ivf_topk(spark, sf_dir):
-    """IVF (kmeans-cell) ANN (scale path; approximate — rows-only)."""
-    vecs = _emb(spark, sf_dir)
-    qs = vecs.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    out = emb.ivf_topk(vecs, qs, k=5, n_lists=8, n_probe=2, qid_col="query_id")
-    return out.select(
+    ivf = emb.ivf_topk(vecs, qs, k=5, n_lists=8, n_probe=2, qid_col="query_id").select(
+        F.lit("ivf").alias("method"),
         F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        "vec_id", "cosine",
+        F.col("rank").cast("long").alias("rank"), "vec_id", "cosine",
     )
+    return lsh.unionByName(ivf)
 
 
-def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> phash + feature vector via
-    mapInPandas (decode stubbed deterministically; rows-only check)."""
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> phash/features via
+    mapInPandas + frame sampling, joined per media item (decode stubbed
+    deterministically — rows-only check)."""
     from data_prepper_spark.text import multimodal as mm
 
     media = mm.make_media_df(spark, n=64)
-    return mm.image_features(media)
-
-
-def q_frame_sample(spark, sf_dir):
-    from data_prepper_spark.text import multimodal as mm
-
-    media = mm.make_media_df(spark, n=64)
-    out = mm.frame_sample(media, every_ms=500)
-    return out.select("media_id", "ts_ms", F.length("frame_stub").alias("frame_bytes"))
+    feats = mm.image_features(media)
+    frames = (
+        mm.frame_sample(media, every_ms=500)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return feats.join(frames, "media_id", "left").select(
+        "media_id", "phash", F.coalesce("n_frames", F.lit(0)).alias("n_frames")
+    )
 
 
 # ---------------------------------------------------------- oracle SQLs
@@ -951,7 +1020,8 @@ ORACLE: dict[str, str | None] = {
     "bm25_topk": _bm25_oracle_sql(),
     "wand_topk": _bm25_oracle_sql(),
     "index_dictionary": _DICT_SQL,
-    "select_entries": "SELECT event_id, user_id, event_type FROM events",
+    "mutate_entries": """
+        SELECT event_id, user_id, event_type, event_type AS etype_copy FROM events""",
     "add_entries": """
         SELECT event_id, round(value * 2, 6) AS value_x2,
                'u' || user_id || '-' || event_type AS label, 7::BIGINT AS static
@@ -959,8 +1029,6 @@ ORACLE: dict[str, str | None] = {
     "rename_convert": """
         SELECT event_id, round(value, 6) AS amount, user_id::VARCHAR AS user_id
         FROM events""",
-    "copy_delete": """
-        SELECT event_id, user_id, event_type, event_type AS etype_copy FROM events""",
     "drop_events": """
         SELECT event_id, event_type, round(value, 6) AS value FROM events
         WHERE NOT (event_type = 'error' OR value < 5.0)""",
@@ -984,8 +1052,22 @@ ORACLE: dict[str, str | None] = {
         SELECT doc_id,
                md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40)) AS text_md5
         FROM documents""",
-    "obfuscate_hash": """
-        SELECT event_id, sha256(user_id::VARCHAR) AS user_hash FROM events""",
+    "string_ops_extra": """
+        SELECT event_id,
+               array_to_string(string_split(event_type, 'e'), '|') AS parts,
+               upper(replace(event_type, 'e', '_')) AS replaced,
+               substr('etype-' || event_type, 3, 6) AS truncated,
+               regexp_replace(event_type, '[aeiou]', '***', 'g') AS masked,
+               sha256(user_id::VARCHAR) AS user_hash
+        FROM events""",
+    "grok_syslog": """
+        SELECT event_id,
+               'Mar 12 04:22:10' AS timestamp,
+               'host-' || (user_id % 50) AS logsource,
+               'svc' || (user_id % 5) AS program,
+               (event_id % 9000 + 1)::BIGINT AS pid,
+               'unit ' || event_type || ' code ' || event_id AS message
+        FROM events""",
     "grok_synthetic_logs": """
         SELECT event_id,
                '10.0.' || (user_id % 256) || '.7' AS clientip,
@@ -996,14 +1078,25 @@ ORACLE: dict[str, str | None] = {
                round(value * 100)::BIGINT AS bytes
         FROM events""",
     "key_value": """
-        SELECT event_id, user_id::VARCHAR AS u_val, event_type AS t_val FROM events""",
+        SELECT event_id, user_id::VARCHAR AS u_val, event_type AS t_val,
+               'true' AS flag_val
+        FROM events""",
+    "key_value_recursive": """
+        SELECT event_id,
+               '{"meta": {"inner": {"e": "' || event_id || '"}, "t": "'
+                 || event_type || '"}, "user": "u' || user_id || '"}' AS parsed
+        FROM events""",
     "parse_json_props": """
         SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events""",
     "csv_parse": """
         SELECT event_id, event_id::VARCHAR AS a, event_type AS b,
                user_id::VARCHAR AS c FROM events""",
     "date_format": """
-        SELECT event_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_str
+        SELECT event_id,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_str,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS epoch_rt,
+               strftime(date_trunc('second', ts) - INTERVAL 4 HOUR,
+                        '%Y-%m-%d %H:%M:%S') AS utc_from_plus4
         FROM events""",
     "split_event": """
         SELECT doc_id, token FROM (
@@ -1011,8 +1104,13 @@ ORACLE: dict[str, str | None] = {
         WHERE token <> ''""",
     "translate": """
         SELECT event_id,
-               CASE event_type WHEN 'error' THEN 'E' WHEN 'click' THEN 'C'
-                    WHEN 'view' THEN 'V' ELSE 'X' END AS code
+               CASE event_type WHEN 'error' THEN 'E' WHEN 'click' THEN 'CV'
+                    WHEN 'view' THEN 'CV' ELSE 'X' END AS code,
+               CASE WHEN value BETWEEN 0 AND 25 THEN 'low'
+                    WHEN value BETWEEN 25.0000001 AND 50 THEN 'mid'
+                    ELSE 'high' END AS band,
+               CASE WHEN regexp_full_match(event_type, 'err.*') THEN 'yes'
+                    ELSE 'no' END AS errish
         FROM events""",
     "detect_format": """
         SELECT event_id,
@@ -1038,37 +1136,36 @@ ORACLE: dict[str, str | None] = {
                count(*)::BIGINT AS n, round(sum(value), 4) AS sum_v,
                round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
         FROM events GROUP BY 1, 2""",
-    "aggregate_append": """
+    "aggregate_append_putall": """
         SELECT user_id,
-               array_to_string(list_sort(list(round(value * 100)::BIGINT)), ',') AS vals
-        FROM events GROUP BY user_id""",
-    "aggregate_put_all": """
-        SELECT user_id, arg_max(event_type, event_id) AS event_type,
-               round(arg_max(value, event_id), 6) AS value
+               array_to_string(list_sort(list(round(value * 100)::BIGINT)), ',') AS vals,
+               arg_max(event_type, event_id) AS last_etype,
+               round(arg_max(value, event_id), 6) AS last_value
         FROM events GROUP BY user_id""",
     "remove_duplicates": """
         SELECT user_id, event_type, min(event_id) AS event_id
         FROM events GROUP BY 1, 2""",
-    "percent_sampler": """
-        SELECT event_id FROM events
-        WHERE ((event_id * 2654435761) % 4294967296) / 42949672.96 < 20.0""",
-    "rate_limiter": """
-        SELECT event_id FROM (
+    "samplers": """
+        SELECT 'percent' AS sampler, event_id FROM events
+        WHERE ((event_id * 2654435761) % 4294967296) / 42949672.96 < 20.0
+        UNION ALL
+        SELECT 'rate' AS sampler, event_id FROM (
           SELECT event_id,
                  row_number() OVER (PARTITION BY user_id, date_trunc('second', ts)
                                     ORDER BY ts, event_id) AS rn
-          FROM events) WHERE rn <= 1""",
-    "tail_sampler": """
-        SELECT event_id, user_id FROM events
+          FROM events) WHERE rn <= 1
+        UNION ALL
+        SELECT 'tail' AS sampler, event_id FROM events
         WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""",
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count
         FROM documents
         GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))""",
-    "minhash_signatures": _minhash_sig_sql(8),
+    "dedup_signatures": f"""
+        WITH mh AS ({_minhash_sig_sql(8)}), sims AS ({_simhash_sql(16)})
+        SELECT mh.*, sims.simhash FROM mh JOIN sims USING (doc_id)""",
     "minhash_lsh_pairs": _minhash_pairs_sql(8, 2),
     "ngram_jaccard": _jaccard_sql(3, 0.05),
-    "simhash": _simhash_sql(16),
     "embedding_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id < 3),
@@ -1086,14 +1183,7 @@ ORACLE: dict[str, str | None] = {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9""",
-    "lang_id": None,  # set below (needs stopword lists inline)
-    "quality_score": None,
-    "token_count": f"""
-        SELECT doc_id, len({D_TOKS.format(c='text')})::BIGINT AS n_tokens FROM documents""",
-    "fingerprint": f"""
-        SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct({D_TOKS.format(c='text')})), ' ')) AS fingerprint
-        FROM documents""",
+    "text_analysis": None,  # set below (needs stopword lists inline)
     "tpch_pricing_summary": """
         SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -1111,59 +1201,64 @@ def _stoplist_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in ta.STOPWORDS[lang]) + "]"
 
 
-ORACLE["lang_id"] = f"""
-WITH t AS (SELECT doc_id, {D_TOKS.format(c='text')} AS toks FROM documents),
+ORACLE["text_analysis"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {D_TOKS.format(c='text')} AS toks, length(text) AS n_chars
+  FROM documents),
 hits AS (
   SELECT doc_id,
          len(list_filter(toks, x -> list_contains({_stoplist_sql('en')}, x))) AS en,
          len(list_filter(toks, x -> list_contains({_stoplist_sql('es')}, x))) AS es,
          len(list_filter(toks, x -> list_contains({_stoplist_sql('fr')}, x))) AS fr
-  FROM t)
-SELECT doc_id,
-       CASE WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
-            WHEN es >= fr AND es > 0 THEN 'es'
-            WHEN fr > 0 THEN 'fr'
-            ELSE 'und' END AS lang_pred
-FROM hits
-"""
-
-ORACLE["quality_score"] = f"""
-WITH t AS (
-  SELECT doc_id, text, {D_TOKS.format(c='text')} AS toks, length(text) AS n_chars
-  FROM documents),
+  FROM t),
 m AS (
   SELECT doc_id,
          len(toks) AS n_tok,
          length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE
            / greatest(n_chars, 1) AS alpha_ratio,
          len(list_filter(toks, x -> list_contains({_stoplist_sql('en')}, x))) AS stop_hits,
-         n_chars::DOUBLE / greatest(len(toks), 1) AS mean_wlen
+         n_chars::DOUBLE / greatest(len(toks), 1) AS mean_wlen,
+         len(toks)::BIGINT AS n_tokens,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
   FROM t)
-SELECT doc_id,
+SELECT m.doc_id,
+       CASE WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+            WHEN es >= fr AND es > 0 THEN 'es'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
        round((CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 0.25 ELSE 0 END)
            + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0 END)
            + (CASE WHEN stop_hits > 0 THEN 0.25 ELSE 0 END)
-           + (CASE WHEN mean_wlen BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0 END), 2) AS quality
-FROM m
+           + (CASE WHEN mean_wlen BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0 END), 2) AS quality,
+       n_tokens, fingerprint
+FROM m JOIN hits ON m.doc_id = hits.doc_id
 """
 
 
+# EXACTLY 50 queries: the driver's correctness gate runs the FIRST 50
+# entries of this dict (CORRECTNESS_r01.json held precisely the first 50
+# of round 1's 65, so 15 registered operators went unverified). Round 2
+# consolidates sibling operators into combined queries — every operator
+# from SURVEY.md §2 is still exercised, and every query now gets a
+# driver row. 48 have DuckDB oracles; ann_topk / multimodal_features are
+# approximate/stubbed and stay rows-only by nature.
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "wand_topk": q_wand_topk,
     "index_dictionary": q_index_dictionary,
-    "select_entries": q_select_entries,
+    "mutate_entries": q_mutate_entries,
     "add_entries": q_add_entries,
     "rename_convert": q_rename_convert,
-    "copy_delete": q_copy_delete,
     "drop_events": q_drop_events,
     "route_first": q_route_first,
     "expression_filter": q_expression_filter,
     "cidr_route": q_cidr_route,
     "string_pipeline": q_string_pipeline,
-    "obfuscate_hash": q_obfuscate_hash,
+    "string_ops_extra": q_string_ops_extra,
     "grok_synthetic_logs": q_grok_synthetic_logs,
+    "grok_syslog": q_grok_syslog,
     "key_value": q_key_value,
+    "key_value_recursive": q_key_value_recursive,
     "parse_json_props": q_parse_json_props,
     "csv_parse": q_csv_parse,
     "date_format": q_date_format,
@@ -1171,59 +1266,44 @@ QUERIES = {
     "translate": q_translate,
     "detect_format": q_detect_format,
     "flatten": q_flatten,
+    "dissect": q_dissect,
+    "parse_xml_ion": q_parse_xml_ion,
+    "write_json_decompress": q_write_json_decompress,
     "aggregate_count": q_aggregate_count,
     "aggregate_count_windowed": q_aggregate_count_windowed,
     "aggregate_histogram": q_aggregate_histogram,
-    "aggregate_append": q_aggregate_append,
-    "aggregate_put_all": q_aggregate_put_all,
+    "aggregate_append_putall": q_aggregate_append_putall,
     "remove_duplicates": q_remove_duplicates,
-    "percent_sampler": q_percent_sampler,
-    "rate_limiter": q_rate_limiter,
-    "tail_sampler": q_tail_sampler,
+    "samplers": q_samplers,
     "dedup_exact": q_dedup_exact,
-    "minhash_signatures": q_minhash_signatures,
+    "dedup_signatures": q_dedup_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard": q_ngram_jaccard,
-    "simhash": q_simhash,
+    "text_analysis": q_text_analysis,
     "embedding_topk": q_embedding_topk,
     "embedding_dups_exact": q_embedding_dups_exact,
-    "lang_id": q_lang_id,
-    "quality_score": q_quality_score,
-    "token_count": q_token_count,
-    "fingerprint": q_fingerprint,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "broadcast_enrich": q_broadcast_enrich,
     "user_agent": q_user_agent,
     "geoip_enrich": q_geoip_enrich,
     "service_map": q_service_map,
-    "list_to_map": q_list_to_map,
+    "list_map_roundtrip": q_list_map_roundtrip,
     "event_json_roundtrip": q_event_json_roundtrip,
-    "map_to_list": q_map_to_list,
-    "anomaly_zscore": q_anomaly_zscore,
-    "anomaly_ewma": q_anomaly_ewma,
-    "parse_xml": q_parse_xml,
-    "parse_ion": q_parse_ion,
-    "split_string": q_split_string,
-    "replace_upper": q_replace_upper,
-    "obfuscate_mask": q_obfuscate_mask,
-    "dissect": q_dissect,
-    "truncate": q_truncate,
-    "write_json": q_write_json,
-    "decompress_roundtrip": q_decompress_roundtrip,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "media_features": q_media_features,
-    "frame_sample": q_frame_sample,
+    "anomaly_detect": q_anomaly_detect,
+    "dlq_parse_failures": q_dlq_parse_failures,
+    "ann_topk": q_ann_topk,
+    "multimodal_features": q_multimodal_features,
 }
+assert len(QUERIES) == 50, f"driver gate caps at 50 queries, have {len(QUERIES)}"
 
 ORACLE["event_json_roundtrip"] = """
 SELECT event_id, user_id, event_type, round(value, 6) AS value,
        't1' AS tags
 FROM events"""
-ORACLE["list_to_map"] = """
-SELECT event_id, user_id::VARCHAR AS uid, event_type AS et FROM events"""
-ORACLE["map_to_list"] = """
-SELECT event_id, 'u' AS k, user_id::VARCHAR AS v FROM events"""
+ORACLE["list_map_roundtrip"] = """
+SELECT event_id, user_id::VARCHAR AS uid, event_type AS et,
+       'u' AS k, user_id::VARCHAR AS v
+FROM events"""
 ORACLE["service_map"] = """
 WITH hops AS (
   SELECT user_id,
@@ -1233,53 +1313,50 @@ WITH hops AS (
 SELECT source, destination, count(*)::BIGINT AS n_calls
 FROM hops WHERE source IS NOT NULL
 GROUP BY 1, 2"""
-ORACLE["anomaly_zscore"] = """
-WITH s AS (SELECT event_type AS et, avg(value) AS mu, stddev_samp(value) AS sigma
-           FROM events GROUP BY 1)
-SELECT event_id, event_type,
-       round(abs(value - mu) / sigma - 1.5, 6) AS anomaly_grade
-FROM events JOIN s ON event_type = s.et
-WHERE sigma > 0 AND abs(value - mu) / sigma > 1.5"""
-ORACLE["anomaly_ewma"] = """
-WITH w AS (
+ORACLE["anomaly_detect"] = """
+WITH zs AS (SELECT event_type AS et, avg(value) AS mu, stddev_samp(value) AS sigma
+            FROM events GROUP BY 1),
+z AS (
+  SELECT event_id, event_type,
+         round(abs(value - mu) / sigma - 1.5, 6) AS anomaly_grade
+  FROM events JOIN zs ON event_type = zs.et
+  WHERE sigma > 0 AND abs(value - mu) / sigma > 1.5),
+w AS (
   SELECT event_id, user_id, value,
          avg(value) OVER pw AS mu,
          stddev_samp(value) OVER pw AS sigma,
          count(value) OVER pw AS n_prior
   FROM events
   WINDOW pw AS (PARTITION BY user_id ORDER BY ts, value
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-SELECT event_id, user_id,
-       round(abs(value - mu) / sigma - 1.5, 6) AS anomaly_grade
-FROM w
-WHERE n_prior >= 5 AND sigma > 0 AND abs(value - mu) / sigma > 1.5"""
-ORACLE["parse_xml"] = """
-SELECT event_id, user_id::BIGINT AS u, event_type AS t FROM events"""
-ORACLE["parse_ion"] = """
-SELECT event_id, user_id::BIGINT AS u, event_type AS t FROM events"""
-ORACLE["split_string"] = """
-SELECT event_id, array_to_string(string_split(event_type, 'e'), '|') AS parts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+e AS (
+  SELECT event_id, user_id,
+         round(abs(value - mu) / sigma - 1.5, 6) AS anomaly_grade
+  FROM w
+  WHERE n_prior >= 5 AND sigma > 0 AND abs(value - mu) / sigma > 1.5)
+SELECT 'zscore' AS mode, event_id, event_type AS entity, anomaly_grade FROM z
+UNION ALL
+SELECT 'ewma' AS mode, event_id, user_id::VARCHAR AS entity, anomaly_grade FROM e"""
+ORACLE["parse_xml_ion"] = """
+SELECT event_id, user_id::BIGINT AS xu, event_type AS xt,
+       user_id::BIGINT AS iu, event_type AS it
 FROM events"""
-ORACLE["replace_upper"] = """
-SELECT event_id, upper(replace(event_type, 'e', '_')) AS event_type FROM events"""
-ORACLE["obfuscate_mask"] = """
-SELECT doc_id, md5(regexp_replace(text, '[aeiou]', '***', 'g')) AS masked_md5
-FROM documents"""
 ORACLE["user_agent"] = _user_agent_sql()
 ORACLE["geoip_enrich"] = _GEOIP_SQL
 ORACLE["dissect"] = _DISSECT_SQL
-ORACLE["truncate"] = "SELECT doc_id, substr(text, 6, 20) AS text FROM documents"
-ORACLE["write_json"] = (
+# write_json + decompress(gzip(props)) round-trip in one surface
+ORACLE["write_json_decompress"] = (
     "SELECT event_id, to_json(struct_pack(user_id := user_id, "
-    "event_type := event_type)) AS payload FROM events"
+    "event_type := event_type)) AS payload, props AS props_rt FROM events"
 )
-# round-trip: decompress(gzip(text)) must equal the raw table
-ORACLE["decompress_roundtrip"] = "SELECT doc_id, text FROM documents"
+ORACLE["dlq_parse_failures"] = """
+SELECT 'events-pipeline' AS pipeline_name, 'parse_json' AS plugin_name,
+       '_failed_parse' AS failure_tags,
+       '{"event_id":' || event_id || '}' AS failed_data
+FROM events WHERE event_id % 7 = 0"""
 # approximate ANN + stubbed-decode multimodal ops: rows-only checks
-ORACLE["ann_lsh_topk"] = None
-ORACLE["ann_ivf_topk"] = None
-ORACLE["media_features"] = None
-ORACLE["frame_sample"] = None
+ORACLE["ann_topk"] = None
+ORACLE["multimodal_features"] = None
 
 
 def flagship(spark: SparkSession) -> DataFrame:
