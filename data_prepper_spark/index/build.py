@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_prepper_spark.index import codec
-from data_prepper_spark.index.tokenizer import SPARK_TOKENIZE_SQL
+from data_prepper_spark.index.tokenizer import SPARK_TOKENIZE_SQL, token_spans
 from data_prepper_spark.query.bm25_df import assign_doc_ids, tokens_col
 
 BLOCK_SCHEMA = (
@@ -78,58 +78,56 @@ def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
         t0 = time.monotonic()
         shard = int(pdf["shard"].iloc[0])
         # doc-sort the shard ONCE so a posting's row index is its doc
-        # order; the packed sort key below then yields doc-sorted
+        # order; the per-bin lexsort below then yields doc-sorted
         # postings per term for free
         pdf = pdf.sort_values("doc_id", kind="mergesort")
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        toks = pdf["text"].str.lower().str.findall(_TOKEN_RE)
-        dls = toks.str.len().to_numpy(np.int64)
-        n_tok = int(dls.sum())
-        if n_tok == 0:
-            terms = np.empty(0, dtype=object)
-            drow = np.empty(0, dtype=np.uint64)
-        else:
-            terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
-            drow = np.repeat(np.arange(len(pdf), dtype=np.uint64), dls)
+        # bytes-level vectorized tokenizer: one buffer join + C lowercase
+        # + numpy boundary scan; no per-token Python objects ever exist
+        # (the r1 str.findall object-list path was the build's dominant
+        # memory-bus load — tokenizer.token_spans)
+        arr, tstarts, tends, tok_doc, dls = token_spans(pdf["text"])
+        n_tok = int(len(tstarts))
 
-        # (term, doc) -> tf via factorize + ONE packed-key argsort +
-        # run-length reduce. A single uint64 key (term_rank << 32 |
-        # doc_row) halves the sort's memory traffic vs a 2-array lexsort
-        # and makes group detection a 1-array compare; an object-keyed
-        # pandas groupby here is 5-10x slower still. Assumes < 2^32 docs
-        # per shard / distinct terms per shard — a shard must fit one
-        # task, so both hold by construction.
-        codes, uniq_terms = pd.factorize(terms, sort=False)
-        rank = np.empty(len(uniq_terms), dtype=np.uint64)
-        rank[np.argsort(uniq_terms)] = np.arange(len(uniq_terms), dtype=np.uint64)
-        tcode = rank[codes] if len(codes) else codes.astype(np.uint64)
-        key = (tcode << np.uint64(32)) | drow
-        key.sort(kind="stable")  # in-place: no permutation array needed
-        if len(key):
-            new_grp = np.concatenate(([True], key[1:] != key[:-1]))
-            starts = np.flatnonzero(new_grp)
-            farr = np.diff(np.append(starts, len(key)))
-            gs = key[starts]
-            tcg = (gs >> np.uint64(32)).astype(np.int64)
-            rows = (gs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        # (term, doc) -> tf per LENGTH BIN: same-length tokens view as
+        # fixed-width 'S<L>' bytes, ONE lexsort by (token, doc) per bin,
+        # then run-length reduce. A term's tokens all share one length,
+        # so term groups never span bins — no global factorize/rank/sort
+        # is needed (this replaces r1's unique + packed-uint64 re-sort;
+        # the small block-row table is re-sorted by term at the end so
+        # the parquet layout stays globally term-ordered for row-group
+        # pruning).
+        tok_lens = tends - tstarts
+        parts: list[dict] = []
+        n_postings = 0
+        for L in (np.unique(tok_lens) if n_tok else []):
+            sel = np.flatnonzero(tok_lens == L)
+            gathered = np.ascontiguousarray(
+                arr[tstarts[sel][:, None] + np.arange(L)]
+            ).view(f"S{int(L)}").ravel()
+            dd = tok_doc[sel]
+            order = np.lexsort((dd, gathered))
+            g = gathered[order]
+            dsorted = dd[order]
+            new_tf = np.concatenate(
+                ([True], (g[1:] != g[:-1]) | (dsorted[1:] != dsorted[:-1]))
+            )
+            pstart = np.flatnonzero(new_tf)
+            farr = np.diff(np.append(pstart, len(g)))
+            term_b = g[pstart]          # term bytes per posting
+            rows = dsorted[pstart]      # doc row per posting
             darr = doc_ids[rows]
             larr = dls[rows]
-        else:
-            starts = np.empty(0, np.int64)
-            farr = np.empty(0, np.int64)
-            tcg = darr = larr = np.empty(0, np.int64)
-        sorted_terms = np.sort(uniq_terms) if len(uniq_terms) else uniq_terms
-        partial = codec.bm25_partial(farr, larr, avgdl, K1, B)
+            partial = codec.bm25_partial(farr, larr, avgdl, K1, B)
+            n_postings += len(term_b)
 
-        # fully vectorized block segmentation + ONE encode pass per column
-        if len(tcg):
+            # block segmentation within the bin (identical math to r1)
             term_start = np.flatnonzero(
-                np.concatenate(([True], tcg[1:] != tcg[:-1]))
+                np.concatenate(([True], term_b[1:] != term_b[:-1]))
             )
-            tbounds = np.append(term_start, len(tcg))
+            tbounds = np.append(term_start, len(term_b))
             tlens = np.diff(tbounds)
             blocks_per_term = (tlens + block_size - 1) // block_size
-            # block start index (into posting arrays) for every block
             b_ord = np.concatenate(
                 [np.arange(c) for c in blocks_per_term]
             ) if blocks_per_term.sum() else np.empty(0, np.int64)
@@ -137,33 +135,55 @@ def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
             b_start = tbounds[:-1][b_term_idx] + b_ord * block_size
             b_end = np.minimum(b_start + block_size, tbounds[1:][b_term_idx])
 
-            # gaps: global diff, reset to 0 at each block start (base =
-            # the block's own first_doc, stored in the row)
+            # gaps: diff within the bin, reset to 0 at each block start
+            # (base = the block's own first_doc, stored in the row)
             gaps = np.empty(len(darr), dtype=np.uint64)
             if len(darr):
                 gaps[0] = 0
                 np.subtract(darr[1:], darr[:-1], out=gaps[1:], casting="unsafe")
             gaps[b_start] = 0
-            c_gaps = codec.varint_encode_segments(gaps, b_start)
-            c_tfs = codec.varint_encode_segments(farr.astype(np.uint64), b_start)
-            c_dls = codec.varint_encode_segments(larr.astype(np.uint64), b_start)
-            c_maxp = np.maximum.reduceat(partial, b_start)
-            c_term = sorted_terms[tcg[b_start]]
-            c_ord = b_ord.astype(np.int32)
-            c_first = darr[b_start]
-            c_last = darr[b_end - 1]
-            c_n = (b_end - b_start).astype(np.int32)
-            c_term, c_ord, c_first, c_last, c_n, c_maxp = (
-                list(c_term), list(c_ord), list(c_first), list(c_last),
-                list(c_n), list(c_maxp),
-            )
+            parts.append({
+                "term": term_b[b_start].astype("U"),  # tokens are ASCII
+                "ord": b_ord.astype(np.int32),
+                "first": darr[b_start],
+                "last": darr[b_end - 1],
+                "n": (b_end - b_start).astype(np.int32),
+                "gaps": codec.varint_encode_segments(gaps, b_start),
+                "tfs": codec.varint_encode_segments(farr.astype(np.uint64), b_start),
+                "dls": codec.varint_encode_segments(larr.astype(np.uint64), b_start),
+                "maxp": np.maximum.reduceat(partial, b_start)
+                if len(b_start) else np.empty(0, np.float64),
+            })
+
+        if parts:
+            term_all = np.concatenate([
+                p["term"].astype(f"U{max(int(q['term'].dtype.itemsize) // 4 for q in parts)}")
+                for p in parts
+            ])
+            # global term order across bins: stable sort of the SMALL
+            # block-row table (thousands of rows, not millions of
+            # postings) keeps the parquet term-sorted
+            final = np.argsort(term_all, kind="stable")
+            byte_cols = {"gaps": [], "tfs": [], "dls": []}
+            for k in byte_cols:
+                flat = []
+                for p in parts:
+                    flat.extend(p[k])
+                byte_cols[k] = [flat[i] for i in final]
+            c_term = list(term_all[final])
+            c_ord = list(np.concatenate([p["ord"] for p in parts])[final])
+            c_first = list(np.concatenate([p["first"] for p in parts])[final])
+            c_last = list(np.concatenate([p["last"] for p in parts])[final])
+            c_n = list(np.concatenate([p["n"] for p in parts])[final])
+            c_maxp = list(np.concatenate([p["maxp"] for p in parts])[final])
+            c_gaps, c_tfs, c_dls = byte_cols["gaps"], byte_cols["tfs"], byte_cols["dls"]
         else:
             c_term, c_ord, c_first, c_last, c_n = [], [], [], [], []
             c_gaps, c_tfs, c_dls, c_maxp = [], [], [], []
         wall_ms = int((time.monotonic() - t0) * 1000)
         meta = {
             "n_docs": int(len(pdf)),
-            "n_postings": int(len(tcg)),
+            "n_postings": int(n_postings),
             "n_tokens": n_tok,
             "wall_ms": wall_ms,
             "min_conv": str(pdf["conv_id"].min()),

@@ -119,7 +119,91 @@ class TermCursor:
 
 
 def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
-    """Exact top-k [(doc_id, score)] by (score desc, doc asc)."""
+    """Exact top-k via WINDOW-BATCHED block-max DAAT.
+
+    Classic WAND moves one posting pointer per iteration — a per-posting
+    Python loop that benched 2.5x slower than the TAAT kernel (VERDICT
+    r1). This kernel keeps WAND's document-at-a-time block-max skipping
+    but processes a whole WINDOW per iteration: the doc range up to the
+    minimum current block_last across live cursors.
+
+    Exactness argument:
+    - every posting with doc <= window_end lies in its cursor's CURRENT
+      block (window_end is the min block_last, and consumed positions
+      are < window start), so window scores are complete;
+    - windows advance monotonically (all active cursors move past
+      window_end), so each doc is scored exactly once;
+    - skip rule: if sum of ACTIVE cursors' exact block UBs < theta (the
+      k-th best score so far) with the heap full, no window doc can
+      qualify — identical bound to classic block-max WAND at block
+      granularity, strict `<` so boundary ties are always evaluated;
+    - contributions accumulate in sorted-term order (cursor list is
+      term-sorted; a doc's contributors are a subsequence), so scores
+      are bit-identical to exhaustive/oracle.
+
+    Each iteration consumes at least one block of one cursor, so the
+    Python-level iteration count is O(total blocks), with all per-doc
+    work vectorized. `wand_topk_classic` below retains the textbook
+    per-posting pivot loop as a cross-check oracle (rank-identity is
+    asserted between the two in tests)."""
+    cursors = sorted(
+        (c for c in cursors if not c.exhausted), key=lambda c: c.term
+    )
+    if not cursors:
+        return []
+    if any(c.idf <= 0 for c in cursors):
+        return exhaustive_topk(cursors, k)
+    top_docs = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.float64)
+    theta = None  # k-th best score once the candidate set is full
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live:
+            break
+        window_end = min(c.block_last for c in live)
+        active = [c for c in live if c.doc <= window_end]
+        if not active:
+            # every live cursor's next doc is past its own block_last —
+            # impossible by cursor invariants, but advance defensively
+            for c in live:
+                c.next_geq(window_end + 1)
+            continue
+        if theta is not None and sum(c.block_ub for c in active) < theta:
+            for c in active:
+                c.next_geq(window_end + 1)
+            continue
+        doc_arrs, con_arrs = [], []
+        for c in active:  # term-sorted: accumulation order is sorted
+            j = int(np.searchsorted(c.docs, window_end, side="right"))
+            doc_arrs.append(c.docs[c.pi:j])
+            con_arrs.append(c.partials[c.pi:j])
+        docs_all = np.concatenate(doc_arrs)
+        if len(docs_all):
+            uniq, inv = np.unique(docs_all, return_inverse=True)
+            scores = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(scores, inv, np.concatenate(con_arrs))
+            # merge window winners into the running top-k (vectorized)
+            m_docs = np.concatenate([top_docs, uniq])
+            m_scores = np.concatenate([top_scores, scores])
+            if len(m_docs) > k:
+                kth = np.partition(m_scores, len(m_scores) - k)[len(m_scores) - k]
+                cand = np.flatnonzero(m_scores >= kth)
+                cand = cand[np.lexsort((m_docs[cand], -m_scores[cand]))][:k]
+                top_docs, top_scores = m_docs[cand], m_scores[cand]
+            else:
+                top_docs, top_scores = m_docs, m_scores
+            if len(top_docs) >= k:
+                theta = float(top_scores.min())
+        for c in active:
+            c.next_geq(window_end + 1)
+    order = np.lexsort((top_docs, -top_scores))[:k]
+    return [(int(top_docs[i]), float(top_scores[i])) for i in order]
+
+
+def wand_topk_classic(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+    """Textbook per-posting block-max WAND (Broder 2003 + Ding & Suel
+    2011) — retained as a cross-check oracle for wand_topk; exact top-k
+    [(doc_id, score)] by (score desc, doc asc)."""
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of current top-k
 

@@ -109,3 +109,37 @@ def test_wand_equals_exhaustive(seed, k):
     assert [d for d, _ in got] == [d for d, _ in exp], (seed, k)
     for (_, sg), (_, se) in zip(got, exp):
         assert sg == se
+    # the textbook per-posting pivot loop stays as a cross-check oracle
+    classic = W.wand_topk_classic(copy.deepcopy(cursors), k)
+    assert [d for d, _ in classic] == [d for d, _ in exp], (seed, k)
+    for (_, sg), (_, se) in zip(classic, exp):
+        assert sg == se
+
+
+def test_wand_window_prunes(capsys):
+    """The batched kernel must actually skip windows under a tight
+    threshold (instrument via block decode counts: pruned windows never
+    decode their blocks)."""
+    import copy
+
+    def mk(with_cache):
+        rng = np.random.default_rng(11)
+        rare = _make_cursor(rng, "aa_rare", 5000, density=0.002, idf=8.0)
+        hot = _make_cursor(rng, "zz_hot", 5000, density=0.8, idf=0.05, block_size=16)
+        cache = {} if with_cache else None
+        if with_cache:
+            # attach AFTER construction so __post_init__'s block-0 decode
+            # is not counted
+            rare.cache = cache
+            hot.cache = cache
+        return [rare, hot], cache
+
+    cursors, cache = mk(with_cache=True)
+    n_hot_blocks = len(cursors[1].firsts)
+    got = W.wand_topk(cursors, 3)
+    exp_cursors, _ = mk(with_cache=False)
+    exp = W.exhaustive_topk(exp_cursors, 3)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    # pruning evidence: far fewer hot-term blocks decoded than exist
+    hot_blocks_decoded = sum(1 for kk in cache if kk[0] == "zz_hot")
+    assert hot_blocks_decoded < n_hot_blocks
