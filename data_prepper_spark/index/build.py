@@ -328,10 +328,13 @@ def build_index(
     )
     # rows already arrive grouped per shard from applyInPandas — no
     # extra shuffle before the partitioned write; kernel emits rows
-    # sorted by term (row-group pruning on term at query time)
+    # sorted by term (row-group pruning on term at query time).
+    # Partitioning by (shard, seg) makes a segment's files addressable
+    # by directory, so incremental maintenance below never lists or
+    # opens historical segments' files.
     (
         blocks.write.mode("append")
-        .partitionBy("shard")
+        .partitionBy("shard", "seg")
         .parquet(os.path.join(index_dir, "blocks"))
     )
 
@@ -339,7 +342,7 @@ def build_index(
     all_blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
     meta = (
         all_blocks.filter(F.col("term") == _META_TERM)
-        .filter(F.col("shard").isin(target))
+        .filter(F.col("shard").isin(target) & (F.col("seg") == snapshot_id))
         .select("shard", F.col("gaps").cast("string").alias("meta_json"))
         .toPandas()
     )
@@ -361,12 +364,43 @@ def build_index(
     mdf_new = spark.createDataFrame(pd.DataFrame(mrows))
     mdf_new.write.mode("append").parquet(manifest_path)
 
-    # global dictionary over everything built so far (cheap term-level agg)
-    (
-        all_blocks.filter(F.col("term") != _META_TERM)
-        .groupBy("term")
-        .agg(F.sum("n").alias("df"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, "dictionary"))
-    )
+    # global dictionary (term -> df). Incremental appends aggregate ONLY
+    # the new segment's partition directories (seg is a partition column,
+    # so historical segments are pruned at file-listing time — a 100 TB
+    # index's CDC append reads zero old blocks) and union-merge with the
+    # previous dictionary. Fresh/resume builds rebuild from all blocks
+    # (resume may have added shards the old dictionary never saw).
+    dict_path = os.path.join(index_dir, "dictionary")
+    if incremental and os.path.exists(dict_path):
+        import shutil
+
+        new_agg = (
+            all_blocks
+            .filter(F.col("shard").isin(target) & (F.col("seg") == snapshot_id))
+            .filter(F.col("term") != _META_TERM)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+        )
+        merged = (
+            spark.read.parquet(dict_path)
+            .unionByName(new_agg)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        # doc sets are disjoint across segments, so df adds exactly.
+        # Write-then-swap keeps the old dictionary readable until the
+        # merge is durable (on object storage: write a versioned dir and
+        # flip a pointer instead of rename).
+        tmp = dict_path + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(dict_path)
+        os.rename(tmp, dict_path)
+    else:
+        (
+            all_blocks.filter(F.col("term") != _META_TERM)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .write.mode("overwrite")
+            .parquet(dict_path)
+        )
     return stats

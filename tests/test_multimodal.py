@@ -1,0 +1,45 @@
+"""Multimodal plumbing: Arrow batch shapes, schema, determinism of the
+stub decode, batched phash math."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from data_prepper_spark.text import multimodal as mm
+
+
+def test_image_features_schema_and_determinism(spark):
+    media = mm.make_media_df(spark, n=30)
+    out = mm.image_features(media)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 10  # every 3rd item is an image
+    again = {r["media_id"]: r for r in mm.image_features(media).collect()}
+    for mid, r in rows.items():
+        assert len(r["phash"]) == 16  # 64 bits hex
+        assert len(r["features"]) == 16
+        assert again[mid]["phash"] == r["phash"]  # deterministic decode
+
+
+def test_phash_batched_matches_per_item(spark):
+    """The batched median/pack path must equal a straightforward
+    per-image computation."""
+    media = mm.make_media_df(spark, n=12)
+    got = {r["media_id"]: r["phash"] for r in mm.image_features(media).collect()}
+    for r in media.filter("kind = 'image'").collect():
+        w, h = r["meta"]["width"], r["meta"]["height"]
+        img = mm._decode(bytes(r["data"]), w, h)
+        ph = img[: (h // 8) * 8, : (w // 8) * 8].reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+        bits = (ph > np.median(ph)).flatten()
+        exp = "".join(
+            f"{int(''.join('1' if b else '0' for b in bits[i:i + 8]), 2):02x}"
+            for i in range(0, 64, 8)
+        )
+        assert got[r["media_id"]] == exp
+
+
+def test_frame_sample_and_resize(spark):
+    media = mm.make_media_df(spark, n=9)
+    frames = mm.frame_sample(media, every_ms=500).collect()
+    assert frames and all(f["ts_ms"] % 500 == 0 for f in frames)
+    resized = mm.resize_stub(media, 16, 16).collect()
+    assert all(len(bytes(r["data"])) == 256 for r in resized)

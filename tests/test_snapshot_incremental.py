@@ -80,3 +80,47 @@ def test_incremental_build_rank_identity(spark, base_pdf, inc_pdf, algo):
     assert len(got) == len(orc)
     assert (got.doc_id.values == orc.doc_id.values).all()
     assert (abs(got.score.values - orc.score.values) < 1e-9).all()
+
+
+def test_incremental_dictionary_merge_prunes_old_segments(spark, base_pdf, inc_pdf):
+    """The CDC append's dictionary maintenance must aggregate ONLY the
+    new segment's block files (seg is a partition column, so pruning is
+    file-level) and still produce the exact full dictionary."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    table = tempfile.mkdtemp(prefix="dps_dict_tbl_")
+    idx = tempfile.mkdtemp(prefix="dps_dict_idx_")
+    snap.append_snapshot(spark.createDataFrame(base_pdf), table)
+    snap.append_snapshot(spark.createDataFrame(inc_pdf), table)
+    ib.build_index(spark, snap.read_snapshot(spark, table, 1), idx,
+                   n_shards=4, snapshot_id=1)
+    ib.build_index(spark, snap.read_incremental(spark, table, 1), idx,
+                   n_shards=4, snapshot_id=2, incremental=True)
+
+    # partition pruning evidence: seg is a partition column, so the
+    # seg-filtered scan carries a PartitionFilter (file-level pruning —
+    # historical segments are never listed into tasks)
+    pruned = (
+        spark.read.parquet(os.path.join(idx, "blocks"))
+        .filter(F.col("seg") == 2)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "seg" in plan.split("PartitionFilters")[1][:120]
+
+    # merged dictionary == exact rebuild over all blocks
+    merged = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(os.path.join(idx, "dictionary")).collect()
+    }
+    rebuilt = {
+        r["term"]: r["df"]
+        for r in (
+            spark.read.parquet(os.path.join(idx, "blocks"))
+            .filter(F.col("term") != ib._META_TERM)
+            .groupBy("term").agg(F.sum("n").alias("df"))
+            .collect()
+        )
+    }
+    assert merged == rebuilt
