@@ -88,10 +88,20 @@ def run_suite(
         n_convs = _n_convs(sf_dir)
     corpus = generate_spark(spark, n_convs).persist()
     n_turns = corpus.count()  # materialize so build timing excludes gen
+    # two builds into FRESH dirs, keep the min: the input is already
+    # memory-persisted so a second run gains no cache warmth on the
+    # build's own work, but co-tenant CPU steal on this shared VM swings
+    # single shots 2-5x — min-of-2 is the least-interfered estimate
+    # (same policy as the query steps). The first run's dir is kept for
+    # the query steps.
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    idx_dir2 = tempfile.mkdtemp(prefix="bench_idx2_")
     try:
+        dirs = iter([idx_dir, idx_dir2])
         timed("index_build", lambda: ib.build_index(
-            spark, corpus, idx_dir, n_shards=n_shards, block_size=128))
+            spark, corpus, next(dirs), n_shards=n_shards, block_size=128),
+            reps=2)
+        shutil.rmtree(idx_dir2, ignore_errors=True)
         extras["n_turns"] = n_turns
         extras["build_turns_per_sec"] = round(n_turns / timings["index_build"], 1)
 
@@ -105,6 +115,7 @@ def run_suite(
             spark, idx_dir, qdf, algo="exhaustive").count(), reps=2)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(idx_dir2, ignore_errors=True)
     corpus.unpersist()
 
     if core_only:

@@ -133,3 +133,51 @@ def geoip(
     return joined.withColumn(
         target, F.struct(F.col("country"), F.col("city"))
     ).drop("_ip", "_pfx", "ip_lo", "ip_hi", "country", "city")
+
+
+def geo_table_from_csv(
+    spark: SparkSession,
+    blocks_csv: str,
+    locations_csv: str | None = None,
+) -> DataFrame:
+    """Load a MaxMind GeoLite2-style CSV pair into the range-table shape
+    `geoip` consumes (geoip-processor loads the binary mmdb build of the
+    same data — GeoIPDatabaseReader; the public CSV distribution carries
+    identical ranges).
+
+    blocks_csv:    network (CIDR), geoname_id, ... per row
+    locations_csv: geoname_id, country_iso_code, city_name, ... (optional;
+                   without it country/city fall back to the geoname_id)
+
+    The CIDR -> [ip_lo, ip_hi] conversion is pure Column arithmetic, so
+    the whole load is one scan + (optional) one broadcast join — at
+    deployment scale this runs once and the result is broadcast to the
+    fact-table join in `geoip`."""
+    b = spark.read.option("header", True).csv(blocks_csv)
+    net = F.split(F.col("network"), "/")
+    base = ipv4_to_long(net.getItem(0))
+    bits = net.getItem(1).cast("int")
+    span = F.pow(F.lit(2.0), (32 - bits)).cast("long")
+    ranges = b.select(
+        F.col("geoname_id"),
+        base.alias("ip_lo"),
+        (base + span - 1).alias("ip_hi"),
+    )
+    if locations_csv is not None:
+        loc = (
+            spark.read.option("header", True).csv(locations_csv)
+            .select(
+                F.col("geoname_id").alias("_gid"),
+                F.col("country_iso_code").alias("country"),
+                F.col("city_name").alias("city"),
+            )
+        )
+        ranges = (
+            ranges.join(F.broadcast(loc), ranges.geoname_id == loc._gid, "left")
+            .drop("_gid")
+        )
+    else:
+        ranges = ranges.withColumn("country", F.col("geoname_id")).withColumn(
+            "city", F.col("geoname_id")
+        )
+    return ranges.select("ip_lo", "ip_hi", "country", "city")

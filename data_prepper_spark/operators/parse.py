@@ -157,28 +157,70 @@ def grok(
 
 # --------------------------------------------------------------- dissect
 
-def dissect(df: DataFrame, mapping: dict[str, str], when: str | None = None) -> DataFrame:
-    """DissectProcessor.java:39-69 — delimiter-based %{field} splitting.
-    Compiled to one anchored regex with non-greedy captures."""
+def dissect(
+    df: DataFrame,
+    mapping: dict[str, str],
+    append_separator: str = "",
+    when: str | None = None,
+) -> DataFrame:
+    """DissectProcessor.java:39-69 / dissect/Dissector.java — delimiter-
+    based %{field} splitting, compiled to one anchored regex with
+    non-greedy captures. Modifier support mirrors the reference:
+
+      %{+field}      append: all captures of `field` concatenate (in
+                     appearance order) joined by `append_separator`
+      %{+field/2}    append with explicit ordering index
+      %{}, %{?name}  skip fields (matched, not emitted)
+      %{field->}     right-padding: the following literal delimiter is
+                     consumed greedily (one-or-more repeats)
+
+    The indirect modifier (%{&field}) resolves a key from DATA, which a
+    columnar plan cannot express schema-statically; it is intentionally
+    unsupported and raises."""
     cond = compile_expression(when) if when else None
     for src, pattern in mapping.items():
         parts = re.split(r"(%\{[^}]*\})", pattern)
-        rx, fields = "", []
+        rx = ""
+        # capture list: (group_index, base_field, order) — order None for
+        # plain fields, int for %{+f/n}, position for bare %{+f}
+        captures: list[tuple[int, str, float]] = []
+        gi = 0
+        pad_next_delim = False
         for p in parts:
             if p.startswith("%{") and p.endswith("}"):
                 name = p[2:-1]
-                if name.startswith("+"):  # append modifier
+                if name.endswith("->"):
+                    name = name[:-2]
+                    pad_next_delim = True
+                if name.startswith("&"):
+                    raise ValueError(
+                        "dissect: indirect modifier %{&field} is not "
+                        "supported in the columnar engine"
+                    )
+                if not name or name.startswith("?"):
+                    rx += r"(?:.*?)"  # skip field
+                    continue
+                order: float = len(captures)
+                if name.startswith("+"):
                     name = name[1:]
-                if name:
-                    fields.append(name)
-                    rx += r"(.*?)"
-                else:
-                    rx += r"(?:.*?)"
-            else:
-                rx += re.escape(p)
+                    if "/" in name:
+                        name, _, idx = name.partition("/")
+                        order = float(idx)
+                gi += 1
+                captures.append((gi, name, order))
+                rx += r"(.*?)"
+            elif p:
+                esc = re.escape(p)
+                rx += f"(?:{esc})+" if pad_next_delim else esc
+                pad_next_delim = False
         rx += "$"
-        for i, fname in enumerate(fields, 1):
-            col = F.regexp_extract(F.col(src), rx, i)
+        by_field: dict[str, list[tuple[float, int]]] = {}
+        for g, name, order in captures:
+            by_field.setdefault(name, []).append((order, g))
+        for fname, groups in by_field.items():
+            groups.sort()
+            cols = [F.regexp_extract(F.col(src), rx, g) for _, g in groups]
+            col = cols[0] if len(cols) == 1 else F.concat_ws(append_separator, *cols)
             if cond is not None:
                 col = F.when(cond, col)
             df = df.withColumn(fname, col)

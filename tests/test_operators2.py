@@ -235,3 +235,62 @@ p:
     back = spark.read.json(f"{tmp_path}/dlq")
     assert back.count() == 1
     assert back.collect()[0]["plugin_name"] == "parse_json"
+
+
+# --------------------------------------------------------------- dissect
+
+def test_dissect_append_and_skip_modifiers(spark):
+    """Dissector.java modifier semantics: +field appends (with optional
+    /n ordering), %{} and %{?x} skip, %{f->} eats repeated delimiters."""
+    df = spark.createDataFrame([{"line": "alpha beta gamma delta"}])
+    out = ops.dissect(
+        df, {"line": "%{+name} %{+name} %{?skipme} %{rest}"},
+        append_separator="-",
+    ).collect()[0]
+    assert out["name"] == "alpha-beta" and out["rest"] == "delta"
+    assert "skipme" not in out.asDict()
+
+    # explicit ordering via +f/n
+    df3 = spark.createDataFrame([{"line": "x y"}])
+    out3 = ops.dissect(
+        df3, {"line": "%{+f/2} %{+f/1}"}, append_separator=",",
+    ).collect()[0]
+    assert out3["f"] == "y,x"
+
+
+def test_dissect_padding(spark):
+    df = spark.createDataFrame([{"line": "key:::value"}])
+    out = ops.dissect(df, {"line": "%{k->}:%{v}"}).collect()[0]
+    assert out["k"] == "key" and out["v"] == "value"
+
+
+def test_dissect_indirect_unsupported(spark):
+    df = spark.createDataFrame([{"line": "a b"}])
+    with pytest.raises(ValueError, match="indirect"):
+        ops.dissect(df, {"line": "%{&key} %{v}"})
+
+
+# ----------------------------------------------------------------- geoip
+
+def test_geo_table_from_csv(spark, tmp_path):
+    blocks = tmp_path / "blocks.csv"
+    blocks.write_text(
+        "network,geoname_id\n"
+        "10.0.0.0/24,100\n"
+        "10.0.1.0/25,200\n"
+    )
+    locs = tmp_path / "locs.csv"
+    locs.write_text(
+        "geoname_id,country_iso_code,city_name\n"
+        "100,US,Seattle\n"
+        "200,DE,Berlin\n"
+    )
+    from data_prepper_spark.operators import enrich
+
+    geo = enrich.geo_table_from_csv(spark, str(blocks), str(locs))
+    df = spark.createDataFrame([{"ip": "10.0.0.7"}, {"ip": "10.0.1.100"},
+                                {"ip": "10.0.1.200"}])
+    out = {r["ip"]: r["geo"] for r in enrich.geoip(df, "ip", geo).collect()}
+    assert out["10.0.0.7"]["city"] == "Seattle"
+    assert out["10.0.1.100"]["city"] == "Berlin"
+    assert out["10.0.1.200"]["city"] is None  # outside the /25
