@@ -213,6 +213,75 @@ def run_pipeline(
     return routed
 
 
+def run_pipeline_streaming(
+    spark: SparkSession,
+    cfg: dict,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Execute one pipeline config under Structured Streaming — the
+    reference's native mode (source -> buffer -> workers -> sinks,
+    PipelineRunnerImpl). Source kinds: stream-json / stream-csv /
+    stream-parquet (path + schema, file-arrival micro-batches — the
+    Spark-idiomatic stand-in for the reference's push sources; a kafka
+    source is the same `readStream` with format('kafka')).
+
+    The SAME processor registry applies: operators are DataFrame ->
+    DataFrame, so the YAML vocabulary is mode-agnostic. Routing fans out
+    in ONE pass per micro-batch via foreachBatch (route-less sinks get
+    every event, `_default` the unrouted remainder — Router semantics),
+    and the checkpoint gives exactly-once file sinks (the reference
+    needs end-to-end acks for at-least-once). Returns the
+    StreamingQuery; with trigger_available_now the caller can
+    `.awaitTermination()` to drain current input."""
+    (kind, opts), = cfg["source"].items()
+    if not kind.startswith("stream-"):
+        raise ValueError(
+            f"streaming pipeline needs a stream-* source, got {kind!r}"
+        )
+    fmt = kind.split("-", 1)[1]
+    reader = spark.readStream
+    for k, v in (opts.get("options") or {}).items():
+        reader = reader.option(k, v)
+    stream = getattr(reader.schema(opts["schema"]), fmt)(opts["path"])
+    for step in cfg.get("processor") or []:
+        (name, kwargs), = step.items()
+        if name not in PROCESSORS:
+            raise ValueError(f"unknown processor {name!r}")
+        stream = PROCESSORS[name](stream, **(kwargs or {}))
+
+    routes = {}
+    for r in cfg.get("route") or []:
+        routes.update(r if isinstance(r, dict) else {})
+
+    def _make_writer(skind: str, sopts: dict):
+        def write(batch_df: DataFrame):
+            o = dict(sopts)
+            o.setdefault("mode", "append")
+            _write_sink(skind, o, batch_df)
+
+        return write
+
+    sink_fns: dict[str, Any] = {}
+    for sink in cfg.get("sink") or []:
+        (skind, sopts), = sink.items()
+        sopts = dict(sopts or {})
+        target_routes = sopts.pop("routes", None)
+        fn = _make_writer(skind, sopts)
+        if target_routes:
+            for rname in target_routes:
+                sink_fns[rname] = fn
+        else:
+            sink_fns["_all"] = fn
+
+    from data_prepper_spark.streaming.stream import run_routed_stream
+
+    return run_routed_stream(
+        stream, routes, sink_fns, checkpoint_dir,
+        trigger_available_now=trigger_available_now,
+    )
+
+
 def run_pipelines(spark: SparkSession, pipelines: dict) -> dict[str, dict]:
     """Run a multi-pipeline file in dependency order (pipeline sources
     reference upstream outputs — PipelineConnector semantics)."""

@@ -136,7 +136,10 @@ def run_routed_stream(
         batch = batch.persist()
         try:
             for name, sink in sinks.items():
-                if name == "_default":
+                if name == "_all":
+                    # route-less sink: ALL events (Router.java:56)
+                    sub = batch
+                elif name == "_default":
                     sub = batch.filter(F.size("_routes") == 0)
                 else:
                     sub = batch.filter(F.array_contains("_routes", name))

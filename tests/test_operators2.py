@@ -294,3 +294,48 @@ def test_geo_table_from_csv(spark, tmp_path):
     assert out["10.0.0.7"]["city"] == "Seattle"
     assert out["10.0.1.100"]["city"] == "Berlin"
     assert out["10.0.1.200"]["city"] is None  # outside the /25
+
+
+# ---------------------------------------------- grok reference-parity set
+
+def test_grok_break_on_match_first_pattern_wins(spark):
+    """GrokProcessor break_on_match default: the FIRST matching pattern
+    supplies a field's value; later patterns only fill still-empty ones."""
+    df = spark.createDataFrame([{"m": "code=7 level=info"}])
+    out = ops.grok(df, match={"m": [
+        r"code=%{INT:code}",
+        r"code=%{INT:code} level=%{WORD:level}",
+    ]}).collect()[0]
+    assert out["code"] == "7" and out["level"] == "info"
+
+
+def test_grok_target_key_struct(spark):
+    df = spark.createDataFrame([{"m": "u=alice ip=10.0.0.1"}])
+    out = ops.grok(
+        df, match={"m": [r"u=%{USER:user} ip=%{IP:ip}"]}, target_key="g"
+    ).collect()[0]
+    assert out["g"]["user"] == "alice" and out["g"]["ip"] == "10.0.0.1"
+
+
+def test_grok_keep_empty_captures(spark):
+    df = spark.createDataFrame([{"m": "a= b=2"}])
+    pat = [r"a=%{DATA:a} b=%{INT:b}"]
+    strict = ops.grok(df, match={"m": pat}).collect()[0]
+    assert strict["a"] is None  # empty capture -> null by default
+    kept = ops.grok(df, match={"m": pat}, keep_empty_captures=True).collect()[0]
+    assert kept["a"] == ""
+
+
+def test_grok_no_match_yields_nulls(spark):
+    df = spark.createDataFrame([{"m": "completely different"}])
+    out = ops.grok(df, match={"m": [r"code=%{INT:code}"]}).collect()[0]
+    assert out["code"] is None
+
+
+def test_grok_custom_pattern_definitions(spark):
+    df = spark.createDataFrame([{"m": "id=ABC-123"}])
+    out = ops.grok(
+        df, match={"m": [r"id=%{TICKET:ticket}"]},
+        pattern_definitions={"TICKET": r"[A-Z]{3}-[0-9]+"},
+    ).collect()[0]
+    assert out["ticket"] == "ABC-123"

@@ -124,3 +124,56 @@ def test_stateful_aggregate_group_conclusion(spark, stream_dir):
         assert got["click"][1] == sum(float(i) for i in range(60) if i % 5 != 0)
     finally:
         q.stop()
+
+
+def test_yaml_streaming_pipeline(spark, tmp_path):
+    """The SAME YAML vocabulary runs under Structured Streaming:
+    stream-json source -> grok -> route -> routed + route-less sinks,
+    one foreachBatch fan-out pass per micro-batch."""
+    import json as _json
+
+    from data_prepper_spark.pipeline import load_yaml, run_pipeline_streaming
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = []
+    for i in range(12):
+        status = 500 if i % 4 == 0 else 200
+        lines.append(_json.dumps({
+            "log": f'10.0.0.{i} - u{i} [11/Dec/2021:10:00:00 -0700] '
+                   f'"GET /p/{i} HTTP/1.0" {status} {100 + i}'
+        }))
+    (src / "batch.json").write_text("\n".join(lines))
+
+    yml = f"""
+stream-pipeline:
+  source:
+    stream-json:
+      path: "{src}"
+      schema: "log string"
+  processor:
+    - grok:
+        match:
+          log: ["%{{COMMONAPACHELOG}}"]
+    - convert_type:
+        key: response
+        type: integer
+  route:
+    - errors: "/response >= 500"
+  sink:
+    - json:
+        path: "{tmp_path}/errors"
+        routes: [errors]
+    - json:
+        path: "{tmp_path}/all"
+"""
+    q = run_pipeline_streaming(
+        spark, load_yaml(yml)["stream-pipeline"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    errors = spark.read.json(str(tmp_path / "errors"))
+    allrows = spark.read.json(str(tmp_path / "all"))
+    assert errors.count() == 3
+    assert set(r["response"] for r in errors.collect()) == {500}
+    assert allrows.count() == 12  # route-less sink got everything
