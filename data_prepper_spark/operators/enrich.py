@@ -22,30 +22,59 @@ from pyspark.sql import functions as F
 from data_prepper_spark.functions.net import ipv4_to_long
 
 # (family, version-capture regex) — first match wins, mirroring
-# uap-core's ordered rule list. Order matters: Edge/OPR before Chrome,
-# Chrome before Safari.
+# uap-core's ordered rule list (re-typed from the public uap-core
+# vocabulary). Order matters: specific Chromium skins (Edge/OPR/Samsung/
+# Yandex/UC/Vivaldi) and bots before Chrome, Chrome before Safari,
+# MSIE/Trident after modern families.
 _UA_BROWSERS: list[tuple[str, str]] = [
+    # bots & tools first: their UAs often embed browser tokens
+    ("Googlebot", r"Googlebot/(\d+[\.\d]*)"),
+    ("Bingbot", r"bingbot/(\d+[\.\d]*)"),
+    ("YandexBot", r"YandexBot/(\d+[\.\d]*)"),
+    ("Baiduspider", r"Baiduspider/(\d+[\.\d]*)"),
+    ("DuckDuckBot", r"DuckDuckBot[/-](\d+[\.\d]*)"),
+    ("curl", r"curl/(\d+[\.\d]*)"),
+    ("Wget", r"[Ww]get/(\d+[\.\d]*)"),
+    ("Python Requests", r"python-requests/(\d+[\.\d]*)"),
+    ("Python-urllib", r"Python-urllib/(\d+[\.\d]*)"),
+    ("Go-http-client", r"Go-http-client/(\d+[\.\d]*)"),
+    ("okhttp", r"okhttp/(\d+[\.\d]*)"),
+    # chromium skins
     ("Edge", r"Edg(?:e|A|iOS)?/(\d+[\.\d]*)"),
+    ("Opera Mini", r"Opera Mini/(\d+[\.\d]*)"),
     ("Opera", r"OPR/(\d+[\.\d]*)"),
+    ("Opera", r"Opera[/ ](\d+[\.\d]*)"),
+    ("Samsung Internet", r"SamsungBrowser/(\d+[\.\d]*)"),
+    ("Yandex Browser", r"YaBrowser/(\d+[\.\d]*)"),
+    ("UC Browser", r"UC(?:WEB|Browser)/(\d+[\.\d]*)"),
+    ("Vivaldi", r"Vivaldi/(\d+[\.\d]*)"),
+    ("Chrome Mobile iOS", r"CriOS/(\d+[\.\d]*)"),
+    ("Firefox iOS", r"FxiOS/(\d+[\.\d]*)"),
+    # majors
     ("Chrome", r"Chrome/(\d+[\.\d]*)"),
     ("Firefox", r"Firefox/(\d+[\.\d]*)"),
     ("Safari", r"Version/(\d+[\.\d]*) .*Safari"),
     ("IE", r"MSIE (\d+[\.\d]*)"),
-    ("curl", r"curl/(\d+[\.\d]*)"),
+    ("IE", r"Trident/.*rv:(\d+[\.\d]*)"),
 ]
 
 _UA_OS: list[tuple[str, str]] = [
+    ("Windows Phone", r"Windows Phone (?:OS )?(\d+[\.\d]*)"),
     ("Windows", r"Windows NT (\d+[\.\d]*)"),
     ("iOS", r"iPhone OS (\d+[_\.\d]*)"),
+    ("iOS", r"CPU OS (\d+[_\.\d]*) like Mac OS X"),  # iPad
+    ("Chrome OS", r"CrOS [\w\d_]+ (\d+[\.\d]*)"),
     ("Mac OS X", r"Mac OS X (\d+[_\.\d]*)"),
     ("Android", r"Android (\d+[\.\d]*)"),
+    ("FreeBSD", r"FreeBSD()"),
     ("Linux", r"Linux()"),  # empty capture: family-only rule
 ]
 
 _UA_DEVICE: list[tuple[str, str]] = [
+    ("Spider", r"bot|Bot|crawler|[Ss]pider"),
+    ("iPad", r"iPad"),
     ("iPhone", r"iPhone"),
     ("Mobile", r"Android|Mobile"),
-    ("Spider", r"bot|Bot|crawler"),
 ]
 
 

@@ -57,3 +57,32 @@ def test_geoip_plan_is_broadcast(spark):
     )
     plan = enrich.geoip(df, "ip", geo)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_user_agent_extended_families(spark):
+    """Round-2 rule-set breadth (re-typed public uap-core vocabulary):
+    chromium skins, bots, tools, iPad/ChromeOS/WinPhone."""
+    from data_prepper_spark.operators import enrich
+
+    cases = {
+        "Mozilla/5.0 (Linux; Android 13; SM-S901B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36":
+            ("Samsung Internet", "23.0", "Android", "Mobile"),
+        "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/119.0.6045.109 Mobile/15E148 Safari/604.1":
+            ("Chrome Mobile iOS", "119.0.6045.109", "iOS", "iPad"),
+        "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)":
+            ("Googlebot", "2.1", "Other", "Spider"),
+        "Wget/1.21.3": ("Wget", "1.21.3", "Other", "Desktop"),
+        "python-requests/2.31.0": ("Python Requests", "2.31.0", "Other", "Desktop"),
+        "Mozilla/5.0 (Windows NT 10.0; Trident/7.0; rv:11.0) like Gecko":
+            ("IE", "11.0", "Windows", "Desktop"),
+        "Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 Safari/537.36":
+            ("Chrome", "110.0.0.0", "Chrome OS", "Desktop"),
+    }
+    df = spark.createDataFrame([{"ua": ua} for ua in cases])
+    out = {r["ua"]: r["p"] for r in enrich.user_agent(df, "ua", target="p").collect()}
+    for ua, (name, ver, osname, device) in cases.items():
+        got = out[ua]
+        assert got["name"] == name, (ua, got)
+        assert got["version"] == ver, (ua, got)
+        assert got["os"] == osname, (ua, got)
+        assert got["device"] == device, (ua, got)

@@ -157,3 +157,34 @@ def test_unknown_processor_raises(spark):
            "processor": [{"not_a_processor": {}}]}
     with pytest.raises(ValueError, match="unknown processor"):
         run_pipeline(spark, cfg)
+
+
+def test_yaml_log_to_metrics_pipeline(spark, apache_logs):
+    """Reference e2e shape #2 (EndToEndLogMetricsTest): grok-parse
+    access logs, then aggregate count + histogram over the parsed
+    fields — all from one YAML definition."""
+    yml = f"""
+metrics:
+  source:
+    json:
+      path: "{apache_logs}"
+      schema: "log string"
+  processor:
+    - grok:
+        match:
+          log: ["%{{COMMONAPACHELOG}}"]
+    - convert_type:
+        key: response
+        type: integer
+    - convert_type:
+        key: bytes
+        type: double
+    - aggregate_histogram:
+        identification_keys: [response]
+        key: bytes
+        buckets: [0.0, 110.0, 120.0]
+"""
+    out = run_pipelines(spark, load_yaml(yml))["metrics"]["_default"]
+    rows = {r["response"]: r for r in out.collect()}
+    assert rows[500]["count"] == 4 and rows[200]["count"] == 16
+    assert sum(rows[200]["bucket_counts"]) <= 16  # bytes within bucket span
