@@ -106,3 +106,20 @@ def test_obfuscate_mask_pattern(events):
         source="s", pattern=r"\d{3}-\d{4}", action="mask",
     )
     assert out.collect()[0]["s"] == "call *** now"
+
+
+def test_avro_codec_gated(spark, tmp_path):
+    """Avro is a native Spark codec but ships as an external jar
+    (spark-avro); this sandbox has no jar, so the test self-gates.
+    When the jar is on the classpath the round-trip must hold."""
+    import pytest as _pytest
+
+    df = spark.range(3).selectExpr("id", "cast(id as string) as s")
+    try:
+        df.write.mode("overwrite").format("avro").save(str(tmp_path / "a"))
+    except Exception as e:
+        if "Failed to find data source: avro" in str(e):
+            _pytest.skip("spark-avro jar not on classpath in this sandbox")
+        raise
+    back = spark.read.format("avro").load(str(tmp_path / "a"))
+    assert back.count() == 3
