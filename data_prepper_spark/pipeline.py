@@ -83,6 +83,12 @@ PROCESSORS = {
     "percent_sampler": ops.percent_sampler,
     "rate_limiter": ops.rate_limiter,
     "tail_sampler": ops.tail_sampler,
+    # test-utility processors (common/.../DelayProcessor.java:27): noop
+    # passes through; delay is meaningless in a batch plan (there is no
+    # per-event thread to sleep) and is accepted as a no-op for YAML
+    # compatibility
+    "noop": lambda df: df,
+    "delay": lambda df, **_: df,
 }
 
 
