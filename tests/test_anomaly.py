@@ -65,4 +65,55 @@ def test_ewma_min_history_suppresses(spark):
 
 def test_unknown_mode_raises(series):
     with pytest.raises(ValueError):
-        anomaly_detector(series, keys=["v"], mode="rcf")
+        anomaly_detector(series, keys=["v"], mode="not_a_mode")
+
+
+# ---------------------------------------------------------------- rcf mode
+
+def test_rcf_scores_deterministic_and_spike_sensitive():
+    import numpy as np
+
+    from data_prepper_spark.operators.anomaly import rcf_scores
+
+    rng = np.random.default_rng(3)
+    base = 10.0 + rng.normal(0, 0.3, 400)
+    base[300] = 60.0  # single spike
+    s1 = rcf_scores(base, seed=42)
+    s2 = rcf_scores(base, seed=42)
+    assert (s1 == s2).all()  # deterministic
+    # shingles covering the spike score far above the normal background
+    spike_region = s1[300:304].max()
+    normal = np.delete(s1, np.s_[297:307]).max()
+    assert spike_region > normal + 0.1, (spike_region, normal)
+
+
+def test_anomaly_detector_rcf_mode(spark):
+    import numpy as np
+
+    from data_prepper_spark.operators.anomaly import anomaly_detector
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in ("a", "b"):
+        vals = 5.0 + rng.normal(0, 0.2, 200)
+        vals[150] = 80.0
+        for i, v in enumerate(vals):
+            rows.append({"grp": g, "ts": i, "value": float(v)})
+    df = spark.createDataFrame(rows)
+    out = anomaly_detector(
+        df, keys=["value"], identification_keys=["grp"], mode="rcf",
+        ts_col="ts", emit_all=True,
+    )
+    pdf = out.toPandas().sort_values(["grp", "ts"])
+    for g in ("a", "b"):
+        sub = pdf[pdf.grp == g].reset_index(drop=True)
+        flagged = sub[sub.anomaly_grade > 0]
+        assert len(flagged) >= 1
+        # every flagged row is within the spike's shingle window
+        assert flagged.ts.between(150, 153).all(), flagged.ts.tolist()
+    # deterministic across reruns (seeded per group key)
+    pdf2 = anomaly_detector(
+        df, keys=["value"], identification_keys=["grp"], mode="rcf",
+        ts_col="ts", emit_all=True,
+    ).toPandas().sort_values(["grp", "ts"]).reset_index(drop=True)
+    assert (pdf.reset_index(drop=True).anomaly_grade == pdf2.anomaly_grade).all()
