@@ -111,6 +111,18 @@ def cmd_run_pipeline(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Merge all index segments per shard (Lucene-merge analog) and
+    refresh block-max metadata against the current corpus stats."""
+    from data_prepper_spark.index.build import compact_index
+
+    spark = _get_spark(args)
+    stats = compact_index(spark, args.index)
+    print(json.dumps({"compacted": True, "n_docs": stats["n_docs"],
+                      "avgdl": stats["avgdl"]}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -155,6 +167,14 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--config", required=True, help="pipelines YAML path")
     rp.add_argument("--local-cores", type=int, default=None)
     rp.set_defaults(fn=cmd_run_pipeline)
+
+    c = sub.add_parser(
+        "compact",
+        help="merge all segments per shard; refresh block-max metadata",
+    )
+    c.add_argument("--index", required=True)
+    c.add_argument("--local-cores", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     be = sub.add_parser("bench", help="run the headline bench suite")
     be.add_argument("--sf-dir", default="/root/testdata/sf0.1")

@@ -404,3 +404,125 @@ def build_index(
             .parquet(dict_path)
         )
     return stats
+
+
+def _compact_kernel(avgdl: float, block_size: int):
+    """Per-shard segment merge (Lucene's merge policy analog): decode
+    every (term, seg) posting run, k-way merge to one doc-sorted run per
+    term, re-encode as seg=0 blocks. Block-max partials are RECOMPUTED
+    with the CURRENT corpus avgdl, so compaction also clears the
+    avgdl_min upper-bound staleness that incremental appends accumulate
+    (see build_index's incremental notes)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        meta_rows = pdf[pdf["term"] == _META_TERM]
+        pdf = pdf[pdf["term"] != _META_TERM]
+        # decode every block (one python iteration per BLOCK row; the
+        # values inside decode vectorized)
+        pdf = pdf.sort_values(["term", "seg", "block_ord"], kind="mergesort")
+        term_codes, uniq_terms = pd.factorize(pdf["term"].to_numpy(object))
+        d_docs, d_tf, d_dl, d_code = [], [], [], []
+        for i, (g, t, l, first, code) in enumerate(zip(
+            pdf["gaps"], pdf["tfs"], pdf["dls"], pdf["first_doc"], term_codes
+        )):
+            docs = codec.delta_decode(bytes(g), base=int(first))
+            d_docs.append(docs)
+            d_tf.append(codec.varint_decode(bytes(t)))
+            d_dl.append(codec.varint_decode(bytes(l)))
+            d_code.append(np.full(len(docs), code, dtype=np.int64))
+        if not d_docs:
+            return pdf.head(0)
+        docs = np.concatenate(d_docs)
+        tfs = np.concatenate(d_tf).astype(np.int64)
+        dls = np.concatenate(d_dl).astype(np.int64)
+        codes = np.concatenate(d_code)
+        # global (term, doc) order; doc sets are disjoint across segments
+        # so no tf merging is needed — this is a pure interleave
+        rank = np.empty(len(uniq_terms), dtype=np.int64)
+        rank[np.argsort(uniq_terms)] = np.arange(len(uniq_terms))
+        order = np.lexsort((docs, rank[codes]))
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        tcg = rank[codes][order]
+        sorted_terms = np.sort(uniq_terms)
+        partial = codec.bm25_partial(tfs, dls, avgdl, K1, B)
+
+        term_start = np.flatnonzero(
+            np.concatenate(([True], tcg[1:] != tcg[:-1]))
+        )
+        tbounds = np.append(term_start, len(tcg))
+        tlens = np.diff(tbounds)
+        blocks_per_term = (tlens + block_size - 1) // block_size
+        b_ord = np.concatenate([np.arange(c) for c in blocks_per_term])
+        b_term_idx = np.repeat(np.arange(len(tlens)), blocks_per_term)
+        b_start = tbounds[:-1][b_term_idx] + b_ord * block_size
+        b_end = np.minimum(b_start + block_size, tbounds[1:][b_term_idx])
+        gaps = np.empty(len(docs), dtype=np.uint64)
+        gaps[0] = 0
+        np.subtract(docs[1:], docs[:-1], out=gaps[1:], casting="unsafe")
+        gaps[b_start] = 0
+        out = pd.DataFrame(
+            {
+                "shard": np.full(len(b_start), shard, dtype=np.int32),
+                "seg": np.zeros(len(b_start), dtype=np.int64),
+                "term": sorted_terms[tcg[b_start]],
+                "block_ord": b_ord.astype(np.int32),
+                "first_doc": docs[b_start],
+                "last_doc": docs[b_end - 1],
+                "n": (b_end - b_start).astype(np.int32),
+                "gaps": codec.varint_encode_segments(gaps, b_start),
+                "tfs": codec.varint_encode_segments(tfs.astype(np.uint64), b_start),
+                "dls": codec.varint_encode_segments(dls.astype(np.uint64), b_start),
+                "max_partial": np.maximum.reduceat(partial, b_start),
+            }
+        )
+        # carry ONE meta row forward (merged lineage)
+        if len(meta_rows):
+            m = meta_rows.iloc[0:1].copy()
+            m["seg"] = 0
+            out = pd.concat([out, m[out.columns]], ignore_index=True)
+        return out
+
+    return run
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, block_size: int | None = None
+) -> dict:
+    """Merge all segments of every shard into a single seg=0 segment
+    (the reference's indexing backend does this continuously via
+    Lucene's background merges; here it is an explicit offline op a
+    maintenance job schedules after N CDC appends).
+
+    Effects: one (term) posting run per shard again (query opens ONE
+    cursor per term instead of one per segment), block-max metadata
+    refreshed against the current avgdl (stats.avgdl_min resets, so the
+    query engine stops inflating upper bounds), same dictionary (doc
+    sets are unchanged). Plan: one narrow read of each shard's blocks ->
+    applyInPandas merge kernel -> rewrite; shards are independent, so a
+    1000-executor cluster compacts 1000 shards at once."""
+    stats = load_stats_for_build(index_dir)
+    bs = block_size or int(stats.get("block_size", 128))
+    blocks_path = os.path.join(index_dir, "blocks")
+    blocks = spark.read.parquet(blocks_path)
+    compacted = (
+        blocks.repartition(int(stats["n_shards"]), "shard")
+        .groupBy("shard")
+        .applyInPandas(_compact_kernel(stats["avgdl"], bs), schema=BLOCK_SCHEMA)
+    )
+    tmp = blocks_path + "_compact"
+    compacted.write.mode("overwrite").partitionBy("shard", "seg").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(blocks_path)
+    os.rename(tmp, blocks_path)
+    stats["avgdl_min"] = stats["avgdl"]
+    stats["snapshot_id"] = int(stats.get("snapshot_id", 0))
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    return stats
+
+
+def load_stats_for_build(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)

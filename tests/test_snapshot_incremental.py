@@ -124,3 +124,57 @@ def test_incremental_dictionary_merge_prunes_old_segments(spark, base_pdf, inc_p
         )
     }
     assert merged == rebuilt
+
+
+@pytest.mark.parametrize("algo", ["bmx", "wand"])
+def test_compaction_rank_identity_and_metadata_refresh(spark, base_pdf, inc_pdf, algo):
+    """compact_index merges all segments to seg=0, refreshes block-max
+    metadata against the current avgdl (avgdl_min resets), and stays
+    rank-identical to the full-corpus oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    table = tempfile.mkdtemp(prefix="dps_cmp_tbl_")
+    idx = tempfile.mkdtemp(prefix="dps_cmp_idx_")
+    snap.append_snapshot(spark.createDataFrame(base_pdf), table)
+    snap.append_snapshot(spark.createDataFrame(inc_pdf), table)
+    ib.build_index(spark, snap.read_snapshot(spark, table, 1), idx,
+                   n_shards=4, snapshot_id=1)
+    ib.build_index(spark, snap.read_incremental(spark, table, 1), idx,
+                   n_shards=4, snapshot_id=2, incremental=True)
+    pre = engine.load_stats(idx)
+    assert pre["avgdl"] > pre["avgdl_min"]
+
+    ib.compact_index(spark, idx)
+    post = engine.load_stats(idx)
+    assert post["avgdl_min"] == post["avgdl"]  # staleness cleared
+    segs = (
+        spark.read.parquet(os.path.join(idx, "blocks"))
+        .select("seg").distinct().collect()
+    )
+    assert {r["seg"] for r in segs} == {0}
+
+    full = pd.concat([base_pdf, inc_pdf], ignore_index=True)
+    doc_ids = full.conv_id.str.slice(5).astype(int) * 16 + full.turn_idx
+    oidx = oracle.build_index(list(zip(doc_ids, full.text)))
+    qpdf = pd.DataFrame(generate_queries(25))
+    orc = pd.DataFrame(
+        oracle.score_queries(oidx, list(qpdf.itertuples(index=False, name=None)))
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = (
+        engine.score_topk(spark, idx, spark.createDataFrame(qpdf), algo=algo)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(orc)
+    assert (got.doc_id.values == orc.doc_id.values).all()
+    assert (abs(got.score.values - orc.score.values) < 1e-9).all()
+
+    # dictionary untouched: df identical to a rebuild over merged blocks
+    d1 = {r["term"]: r["df"] for r in
+          spark.read.parquet(os.path.join(idx, "dictionary")).collect()}
+    d2 = {r["term"]: r["df"] for r in (
+        spark.read.parquet(os.path.join(idx, "blocks"))
+        .filter(F.col("term") != ib._META_TERM)
+        .groupBy("term").agg(F.sum("n").alias("df")).collect())}
+    assert d1 == d2
