@@ -66,6 +66,57 @@ B = 0.75
 _TOKEN_RE = r"[a-z0-9]+"
 
 
+def _encode_posting_blocks(
+    term_keys: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    partial: np.ndarray,
+    block_size: int,
+) -> dict:
+    """Shared block encoder for the SPIMI build AND segment compaction:
+    postings arrive as aligned per-posting arrays grouped by term
+    (`term_keys` is any comparable array whose equal runs delimit terms,
+    docs ascending within a run). Emits the per-block columns of
+    BLOCK_SCHEMA with `term_key` = term_keys at each block start —
+    having ONE copy of the segmentation/gap/varint math means a layout
+    change cannot desynchronize freshly-built and compacted indexes."""
+    if not len(term_keys):
+        return {
+            "term_key": term_keys, "ord": np.empty(0, np.int32),
+            "first": np.empty(0, np.int64), "last": np.empty(0, np.int64),
+            "n": np.empty(0, np.int32), "gaps": [], "tfs": [], "dls": [],
+            "maxp": np.empty(0, np.float64),
+        }
+    term_start = np.flatnonzero(
+        np.concatenate(([True], term_keys[1:] != term_keys[:-1]))
+    )
+    tbounds = np.append(term_start, len(term_keys))
+    tlens = np.diff(tbounds)
+    blocks_per_term = (tlens + block_size - 1) // block_size
+    b_ord = np.concatenate([np.arange(c) for c in blocks_per_term])
+    b_term_idx = np.repeat(np.arange(len(tlens)), blocks_per_term)
+    b_start = tbounds[:-1][b_term_idx] + b_ord * block_size
+    b_end = np.minimum(b_start + block_size, tbounds[1:][b_term_idx])
+    # gaps: diff over the run, reset to 0 at each block start (base =
+    # the block's own first_doc, stored in the row)
+    gaps = np.empty(len(docs), dtype=np.uint64)
+    gaps[0] = 0
+    np.subtract(docs[1:], docs[:-1], out=gaps[1:], casting="unsafe")
+    gaps[b_start] = 0
+    return {
+        "term_key": term_keys[b_start],
+        "ord": b_ord.astype(np.int32),
+        "first": docs[b_start],
+        "last": docs[b_end - 1],
+        "n": (b_end - b_start).astype(np.int32),
+        "gaps": codec.varint_encode_segments(gaps, b_start),
+        "tfs": codec.varint_encode_segments(tfs.astype(np.uint64), b_start),
+        "dls": codec.varint_encode_segments(dls.astype(np.uint64), b_start),
+        "maxp": np.maximum.reduceat(partial, b_start),
+    }
+
+
 def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
     """`seg` tags every block with the build that produced it (Lucene's
     segment concept): incremental builds append a NEW segment per
@@ -121,39 +172,9 @@ def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
             partial = codec.bm25_partial(farr, larr, avgdl, K1, B)
             n_postings += len(term_b)
 
-            # block segmentation within the bin (identical math to r1)
-            term_start = np.flatnonzero(
-                np.concatenate(([True], term_b[1:] != term_b[:-1]))
-            )
-            tbounds = np.append(term_start, len(term_b))
-            tlens = np.diff(tbounds)
-            blocks_per_term = (tlens + block_size - 1) // block_size
-            b_ord = np.concatenate(
-                [np.arange(c) for c in blocks_per_term]
-            ) if blocks_per_term.sum() else np.empty(0, np.int64)
-            b_term_idx = np.repeat(np.arange(len(tlens)), blocks_per_term)
-            b_start = tbounds[:-1][b_term_idx] + b_ord * block_size
-            b_end = np.minimum(b_start + block_size, tbounds[1:][b_term_idx])
-
-            # gaps: diff within the bin, reset to 0 at each block start
-            # (base = the block's own first_doc, stored in the row)
-            gaps = np.empty(len(darr), dtype=np.uint64)
-            if len(darr):
-                gaps[0] = 0
-                np.subtract(darr[1:], darr[:-1], out=gaps[1:], casting="unsafe")
-            gaps[b_start] = 0
-            parts.append({
-                "term": term_b[b_start].astype("U"),  # tokens are ASCII
-                "ord": b_ord.astype(np.int32),
-                "first": darr[b_start],
-                "last": darr[b_end - 1],
-                "n": (b_end - b_start).astype(np.int32),
-                "gaps": codec.varint_encode_segments(gaps, b_start),
-                "tfs": codec.varint_encode_segments(farr.astype(np.uint64), b_start),
-                "dls": codec.varint_encode_segments(larr.astype(np.uint64), b_start),
-                "maxp": np.maximum.reduceat(partial, b_start)
-                if len(b_start) else np.empty(0, np.float64),
-            })
+            enc = _encode_posting_blocks(term_b, darr, farr, larr, partial, block_size)
+            enc["term"] = enc.pop("term_key").astype("U")  # tokens are ASCII
+            parts.append(enc)
 
         if parts:
             term_all = np.concatenate([
@@ -447,33 +468,20 @@ def _compact_kernel(avgdl: float, block_size: int):
         sorted_terms = np.sort(uniq_terms)
         partial = codec.bm25_partial(tfs, dls, avgdl, K1, B)
 
-        term_start = np.flatnonzero(
-            np.concatenate(([True], tcg[1:] != tcg[:-1]))
-        )
-        tbounds = np.append(term_start, len(tcg))
-        tlens = np.diff(tbounds)
-        blocks_per_term = (tlens + block_size - 1) // block_size
-        b_ord = np.concatenate([np.arange(c) for c in blocks_per_term])
-        b_term_idx = np.repeat(np.arange(len(tlens)), blocks_per_term)
-        b_start = tbounds[:-1][b_term_idx] + b_ord * block_size
-        b_end = np.minimum(b_start + block_size, tbounds[1:][b_term_idx])
-        gaps = np.empty(len(docs), dtype=np.uint64)
-        gaps[0] = 0
-        np.subtract(docs[1:], docs[:-1], out=gaps[1:], casting="unsafe")
-        gaps[b_start] = 0
+        enc = _encode_posting_blocks(tcg, docs, tfs, dls, partial, block_size)
         out = pd.DataFrame(
             {
-                "shard": np.full(len(b_start), shard, dtype=np.int32),
-                "seg": np.zeros(len(b_start), dtype=np.int64),
-                "term": sorted_terms[tcg[b_start]],
-                "block_ord": b_ord.astype(np.int32),
-                "first_doc": docs[b_start],
-                "last_doc": docs[b_end - 1],
-                "n": (b_end - b_start).astype(np.int32),
-                "gaps": codec.varint_encode_segments(gaps, b_start),
-                "tfs": codec.varint_encode_segments(tfs.astype(np.uint64), b_start),
-                "dls": codec.varint_encode_segments(dls.astype(np.uint64), b_start),
-                "max_partial": np.maximum.reduceat(partial, b_start),
+                "shard": np.full(len(enc["ord"]), shard, dtype=np.int32),
+                "seg": np.zeros(len(enc["ord"]), dtype=np.int64),
+                "term": sorted_terms[enc["term_key"]],
+                "block_ord": enc["ord"],
+                "first_doc": enc["first"],
+                "last_doc": enc["last"],
+                "n": enc["n"],
+                "gaps": enc["gaps"],
+                "tfs": enc["tfs"],
+                "dls": enc["dls"],
+                "max_partial": enc["maxp"],
             }
         )
         # carry ONE meta row forward (merged lineage)

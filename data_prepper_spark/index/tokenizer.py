@@ -43,11 +43,13 @@ def tokenize(text: str) -> list[str]:
 # per-token Python objects are ever created (only the few-thousand
 # UNIQUE terms are decoded).
 #
-# Semantics identical to `tokenize` for any text: the token class is
-# [a-z0-9] (ASCII), so multi-byte utf-8 sequences are separators under
-# both (Python-side lower() can only produce ASCII [a-z] from ASCII
-# input), and the inserted NUL separators are non-token bytes that
-# cannot merge tokens across documents.
+# Semantics identical to `tokenize` for any text: pure-ASCII buffers
+# take the byte-translate lowercase fast path; buffers containing any
+# non-ASCII byte are unicode-lowercased FIRST (some codepoints lower
+# into ASCII token chars — U+212A KELVIN SIGN -> 'k'), after which the
+# remaining multi-byte sequences are separators under both paths, and
+# the inserted NUL separators are non-token bytes that cannot merge
+# tokens across documents.
 # ---------------------------------------------------------------------------
 
 _LOWER_TABLE = bytes(
@@ -76,10 +78,19 @@ def token_spans(
     if n_docs == 0:
         return empty
     enc = texts.fillna("").str.encode("utf-8")
-    blens = enc.str.len().to_numpy(np.int64)
     buf = b"\x00".join(enc.tolist())
     if not buf:
         return empty
+    arr0 = np.frombuffer(buf, np.uint8)
+    if arr0.max() >= 0x80:
+        # non-ASCII present: Unicode lowercasing can INTRODUCE ASCII
+        # token chars (U+212A KELVIN SIGN -> 'k', U+0130 -> 'i'+dot), so
+        # match `tokenize` exactly by lowercasing in unicode FIRST, then
+        # byte-scanning the lowered text (remaining multi-byte sequences
+        # are non-token bytes under both paths)
+        enc = texts.fillna("").str.lower().str.encode("utf-8")
+        buf = b"\x00".join(enc.tolist())
+    blens = enc.str.len().to_numpy(np.int64)
     arr = np.frombuffer(buf.translate(_LOWER_TABLE), np.uint8)
     # doc k occupies [doc_ends[k-1], doc_ends[k] - 1); the -1 slot is the
     # NUL separator (the final doc has no trailing NUL — hence the +1 on

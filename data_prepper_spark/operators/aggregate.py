@@ -76,7 +76,10 @@ def aggregate_histogram(
         F.sum(key).alias("sum"),
         F.min(key).alias("min"),
         F.max(key).alias("max"),
-        F.array(*per_bucket).cast("array<int>").alias("bucket_counts"),
+        # long counts: an int cast would overflow (ANSI: throw) past
+        # 2^31 events in one bucket — exactly the hot-group scale this
+        # rewrite exists for
+        F.array(*per_bucket).alias("bucket_counts"),
     )
 
 

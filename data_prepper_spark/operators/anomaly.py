@@ -83,7 +83,7 @@ def anomaly_detector(
             F.col("_n_prior") >= min_history,
             F.abs(F.col(key) - F.col("_mu")) / F.col("_sigma"),
         ).otherwise(F.lit(0.0))
-    elif mode == "rcf":
+    elif mode in ("rcf", "random_cut_forest"):
         return _rcf_mode(
             df, key, identification_keys, ts_col=ts_col,
             grade_col=grade_col, emit_all=emit_all,

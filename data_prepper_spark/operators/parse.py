@@ -380,10 +380,14 @@ def csv_parse(
 # ------------------------------------------------------------ parse_json
 
 def _sample_col(df: DataFrame, source: str, n: int = 100) -> list[str]:
-    """Config-time driver sample of a string column (bounded, distinct)."""
-    return [
-        r[0] for r in df.select(source).dropna().distinct().limit(n).collect()
-    ]
+    """Config-time driver sample of a string column. limit() BEFORE any
+    dedup so the scan stops after ~n rows (a distinct() here would
+    shuffle the whole column before limiting); dedup driver-side."""
+    rows = df.select(source).dropna().limit(n).collect()
+    seen: dict[str, None] = {}
+    for r in rows:
+        seen.setdefault(r[0])
+    return list(seen)
 
 
 def _merge_struct(a: T.DataType, b: T.DataType) -> T.DataType:
@@ -561,8 +565,12 @@ def date(
             elif p == "epoch_milli":
                 attempts.append(F.timestamp_millis(F.col(src).cast("long")))
             elif p == "epoch_nano":
+                # integer `div`: float division loses sub-microsecond
+                # precision for realistic nanosecond epochs (>2^53)
                 attempts.append(
-                    F.timestamp_micros((F.col(src).cast("long") / 1000).cast("long"))
+                    F.timestamp_micros(
+                        F.expr(f"CAST(`{src}` AS BIGINT) div 1000")
+                    )
                 )
             else:
                 attempts.append(F.try_to_timestamp(F.col(src), F.lit(p)))

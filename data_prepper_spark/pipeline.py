@@ -268,17 +268,25 @@ def run_pipeline_streaming(
 
         return write
 
-    sink_fns: dict[str, Any] = {}
+    # multiple sinks may share a route (or both be route-less): fan out
+    # to ALL of them, not last-writer-wins
+    by_route: dict[str, list] = {}
     for sink in cfg.get("sink") or []:
         (skind, sopts), = sink.items()
         sopts = dict(sopts or {})
         target_routes = sopts.pop("routes", None)
         fn = _make_writer(skind, sopts)
-        if target_routes:
-            for rname in target_routes:
-                sink_fns[rname] = fn
-        else:
-            sink_fns["_all"] = fn
+        for rname in (target_routes or ["_all"]):
+            by_route.setdefault(rname, []).append(fn)
+
+    def _multi(fns):
+        def write(batch_df: DataFrame):
+            for f in fns:
+                f(batch_df)
+
+        return write
+
+    sink_fns: dict[str, Any] = {r: _multi(fns) for r, fns in by_route.items()}
 
     from data_prepper_spark.streaming.stream import run_routed_stream
 

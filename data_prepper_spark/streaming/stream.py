@@ -77,6 +77,8 @@ def stateful_aggregate(
     Emits rows with the key columns, `n` (count), `value_sum`, and the
     group's first/last processing-time bounds.
     """
+    import time as _time
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     dur_ms = _duration_ms(group_duration)
@@ -87,28 +89,36 @@ def stateful_aggregate(
         + [T.StructField("n", T.LongType()), T.StructField("value_sum", T.DoubleType())]
     )
     state_schema = T.StructType(
-        [T.StructField("n", T.LongType()), T.StructField("value_sum", T.DoubleType())]
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+            T.StructField("deadline_ms", T.LongType()),
+        ]
     )
 
     def fn(key, pdfs, state):
         if state.hasTimedOut:
-            n, vs = state.get
+            n, vs, _ = state.get
             state.remove()
             yield pd.DataFrame([list(key) + [n, vs]], columns=out_cols)
             return
-        # arm the conclude timer ONLY when the group is first seen: the
-        # reference concludes group_duration after groupStart regardless
-        # of ongoing arrivals (AggregateGroup.shouldConcludeGroup); re-
-        # arming per batch would let a hot group postpone emission forever
-        first_batch = not state.exists
-        n, vs = state.get if state.exists else (0, 0.0)
+        # the conclude DEADLINE is fixed at group start (the reference
+        # concludes group_duration after groupStart regardless of ongoing
+        # arrivals — AggregateGroup.shouldConcludeGroup), but Spark
+        # CLEARS a group's timeout every time this function is invoked,
+        # so the deadline lives in state and the timer re-arms with the
+        # REMAINING duration on every batch that touches the group
+        now_ms = int(_time.time() * 1000)
+        if state.exists:
+            n, vs, deadline = state.get
+        else:
+            n, vs, deadline = 0, 0.0, now_ms + dur_ms
         for pdf in pdfs:
             n += len(pdf)
             if value_col is not None:
                 vs += float(pdf[value_col].fillna(0.0).sum())
-        state.update((n, vs))
-        if first_batch:
-            state.setTimeoutDuration(dur_ms)
+        state.update((n, vs, deadline))
+        state.setTimeoutDuration(max(int(deadline - now_ms), 1))
 
     return stream.groupBy(*identification_keys).applyInPandasWithState(
         fn,

@@ -339,3 +339,65 @@ def test_grok_custom_pattern_definitions(spark):
         pattern_definitions={"TICKET": r"[A-Z]{3}-[0-9]+"},
     ).collect()[0]
     assert out["ticket"] == "ABC-123"
+
+
+# -------------------------------------------------- code-review regressions
+
+def test_tokenizer_unicode_lowercase_parity():
+    """U+212A KELVIN SIGN lowercases to ASCII 'k': the byte-level build
+    tokenizer must match the Python query-side tokenizer exactly."""
+    import pandas as pd
+
+    from data_prepper_spark.index.tokenizer import tokenize, tokenize_frame
+
+    texts = ["Temp 300K rising", "Istanbul İ test", "plain ASCII Works"]
+    codes, uniq, dls = tokenize_frame(pd.Series(texts))
+    import numpy as np
+
+    drow = np.repeat(np.arange(len(texts)), dls)
+    got = [[] for _ in texts]
+    for d, c in zip(drow, codes):
+        got[d].append(str(uniq[c]))
+    for i, t in enumerate(texts):
+        assert got[i] == tokenize(t), (t, got[i], tokenize(t))
+
+
+def test_streaming_two_routeless_sinks_both_write(spark, tmp_path):
+    """Two route-less sinks must BOTH receive every event (previously
+    last-writer-wins in the sink dict)."""
+    import json as _json
+
+    from data_prepper_spark.pipeline import load_yaml, run_pipeline_streaming
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps({"v": i}) for i in range(5))
+    )
+    yml = f"""
+p:
+  source:
+    stream-json:
+      path: "{src}"
+      schema: "v long"
+  sink:
+    - json:
+        path: "{tmp_path}/out1"
+    - json:
+        path: "{tmp_path}/out2"
+"""
+    q = run_pipeline_streaming(spark, load_yaml(yml)["p"],
+                               checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert spark.read.json(str(tmp_path / "out1")).count() == 5
+    assert spark.read.json(str(tmp_path / "out2")).count() == 5
+
+
+def test_anomaly_random_cut_forest_alias(spark):
+    from data_prepper_spark.operators.anomaly import anomaly_detector
+
+    df = spark.createDataFrame([{"g": "a", "ts": i, "value": float(i % 3)}
+                                for i in range(30)])
+    out = anomaly_detector(df, keys=["value"], identification_keys=["g"],
+                           mode="random_cut_forest", ts_col="ts", emit_all=True)
+    assert out.count() == 30
