@@ -177,3 +177,51 @@ stream-pipeline:
     assert errors.count() == 3
     assert set(r["response"] for r in errors.collect()) == {500}
     assert allrows.count() == 12  # route-less sink got everything
+
+
+def test_stateful_conclusion_under_continued_traffic(spark, tmp_path):
+    """A group that keeps receiving rows in later micro-batches must
+    STILL conclude ~group_duration after group start (the reference's
+    AggregateGroup.shouldConcludeGroup). Regression for the GroupState
+    contract: Spark clears the timeout on every invocation, so the
+    deadline must be re-armed from state each batch."""
+    import json as _json
+    import time
+
+    from data_prepper_spark.streaming.stream import stateful_aggregate
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(_json.dumps({"k": "hot", "value": float(i)}) for i in range(3))
+    )
+    stream = spark.readStream.schema("k string, value double").json(str(d))
+    out = stateful_aggregate(stream, ["k"], group_duration="4 seconds",
+                             value_col="value")
+    q = (
+        out.writeStream.format("memory").queryName("sa_hot")
+        .outputMode("append").trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # keep feeding the SAME group across several micro-batches
+        # (each arrival used to clear the armed timeout forever)
+        for j in range(4):
+            time.sleep(0.8)
+            (d / f"more{j}.json").write_text(
+                _json.dumps({"k": "hot", "value": 100.0 + j})
+            )
+        rows = []
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            rows = spark.sql("select * from sa_hot").collect()
+            if rows:
+                break
+            time.sleep(1)
+        assert rows, "group with continued traffic never concluded"
+        n, vs = rows[0]["n"], rows[0]["value_sum"]
+        # everything that arrived before the deadline is in the summary
+        assert n >= 3
+        assert vs >= 0.0 + 1.0 + 2.0
+    finally:
+        q.stop()
