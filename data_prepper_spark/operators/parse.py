@@ -293,6 +293,40 @@ def key_value(
     return df.withColumn(destination, m)
 
 
+_KV_OPEN_CLOSE = {"(": ")", "[": "]", "{": "}"}
+
+
+def kv_parse_recursive(s: str, fs: str = "&", vs: str = "=") -> dict:
+    """Stack parser for nested k=v structures (the UDF kernel of
+    key_value_recursive; module-level so property tests exercise the
+    exact production code path)."""
+    out: dict = {}
+    # split at top level only: track bracket depth
+    pairs, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in _KV_OPEN_CLOSE:
+            depth += 1
+        elif ch in (")", "]", "}"):
+            depth -= 1
+        elif ch == fs and depth == 0:
+            pairs.append(s[start:i])
+            start = i + 1
+    pairs.append(s[start:])
+    for p in pairs:
+        if not p:
+            continue
+        k, sep, v = p.partition(vs)
+        if not sep:
+            out[k.strip()] = None
+            continue
+        v = v.strip()
+        if v[:1] in _KV_OPEN_CLOSE and v[-1:] == _KV_OPEN_CLOSE.get(v[:1]):
+            out[k.strip()] = kv_parse_recursive(v[1:-1], fs, vs)
+        else:
+            out[k.strip()] = v
+    return out
+
+
 def key_value_recursive(
     df: DataFrame,
     source: str = "message",
@@ -310,39 +344,12 @@ def key_value_recursive(
     import json as _json
 
     fs, vs = field_split_characters, value_split_characters
-    open_close = {"(": ")", "[": "]", "{": "}"}
-
-    def parse_level(s: str) -> dict:
-        out: dict = {}
-        # split at top level only: track bracket depth
-        pairs, depth, start = [], 0, 0
-        for i, ch in enumerate(s):
-            if ch in open_close:
-                depth += 1
-            elif ch in (")", "]", "}"):
-                depth -= 1
-            elif ch == fs and depth == 0:
-                pairs.append(s[start:i])
-                start = i + 1
-        pairs.append(s[start:])
-        for p in pairs:
-            if not p:
-                continue
-            k, sep, v = p.partition(vs)
-            if not sep:
-                out[k.strip()] = None
-                continue
-            v = v.strip()
-            if v[:1] in open_close and v[-1:] == open_close.get(v[:1]):
-                out[k.strip()] = parse_level(v[1:-1])
-            else:
-                out[k.strip()] = v
-        return out
 
     @F.pandas_udf(T.StringType())
     def kv_rec(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda v: None if v is None else _json.dumps(parse_level(v), sort_keys=True)
+            lambda v: None if v is None
+            else _json.dumps(kv_parse_recursive(v, fs, vs), sort_keys=True)
         )
 
     new = kv_rec(F.col(source))

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): the encode/decode and tokenize
+kernels must hold for ARBITRARY inputs, not just the seeded fuzz corpus.
+These are pure-numpy/python properties — no Spark session needed."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_prepper_spark.index import codec
+from data_prepper_spark.index.tokenizer import tokenize, tokenize_frame
+
+# ------------------------------------------------------------------ codec
+
+u64s = st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300)
+
+
+@given(u64s)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert (codec.varint_decode(codec.varint_encode(arr)) == arr).all()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip_blocks(doc_deltas, block_size):
+    """delta-gap encode per block, decode with first_doc base — the
+    exact layout the index uses."""
+    docs = np.cumsum(np.array(doc_deltas, dtype=np.int64))
+    starts = np.arange(0, len(docs), block_size)
+    gaps = np.empty(len(docs), dtype=np.uint64)
+    gaps[0] = 0
+    np.subtract(docs[1:], docs[:-1], out=gaps[1:], casting="unsafe")
+    gaps[starts] = 0
+    blobs = codec.varint_encode_segments(gaps, starts)
+    out = np.concatenate([
+        codec.delta_decode(b, base=int(docs[s]))
+        for b, s in zip(blobs, starts)
+    ])
+    assert (out == docs).all()
+
+
+# -------------------------------------------------------------- tokenizer
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),  # any non-surrogate
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(texts_strategy)
+@settings(max_examples=150, deadline=None)
+def test_tokenize_frame_matches_scalar_tokenizer(texts):
+    codes, uniq, dls = tokenize_frame(pd.Series(texts, dtype=object))
+    drow = np.repeat(np.arange(len(texts)), dls)
+    got = [[] for _ in texts]
+    for d, c in zip(drow, codes):
+        got[d].append(str(uniq[c]))
+    for i, t in enumerate(texts):
+        assert got[i] == tokenize(t or ""), (t,)
+
+
+# ----------------------------------------------------- key_value recursive
+
+kv_keys = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+kv_vals = st.text(alphabet="xyz0189", min_size=0, max_size=5)
+
+
+def _render(d: dict) -> str:
+    parts = []
+    for k, v in d.items():
+        if isinstance(v, dict):
+            parts.append(f"{k}=[{_render(v)}]")
+        else:
+            parts.append(f"{k}={v}")
+    return "&".join(parts)
+
+
+nested_kv = st.recursive(
+    st.dictionaries(kv_keys, kv_vals, min_size=1, max_size=3),
+    lambda children: st.dictionaries(
+        kv_keys, st.one_of(kv_vals, children), min_size=1, max_size=3
+    ),
+    max_leaves=8,
+)
+
+
+@given(nested_kv)
+@settings(max_examples=100, deadline=None)
+def test_kv_recursive_parser_roundtrip(tree):
+    """Rendering a nested dict to k=v&k=[..] text and parsing it back
+    through the PRODUCTION parser must reproduce the dict."""
+    from data_prepper_spark.operators.parse import kv_parse_recursive
+
+    assert kv_parse_recursive(_render(tree)) == tree
