@@ -435,37 +435,55 @@ def _compact_kernel(avgdl: float, block_size: int):
     avgdl_min upper-bound staleness that incremental appends accumulate
     (see build_index's incremental notes)."""
 
+    def _merged_meta(meta_rows: pd.DataFrame) -> pd.DataFrame:
+        """Merge every segment's lineage json into one row (counts sum,
+        conv range unions, wall times sum) — the compacted shard's meta
+        must describe the WHOLE shard, not an arbitrary segment's."""
+        metas = [json.loads(bytes(g).decode()) for g in meta_rows["gaps"]]
+        merged = {
+            "n_docs": sum(m["n_docs"] for m in metas),
+            "n_postings": sum(m["n_postings"] for m in metas),
+            "n_tokens": sum(m["n_tokens"] for m in metas),
+            "wall_ms": sum(m["wall_ms"] for m in metas),
+            "min_conv": min(m["min_conv"] for m in metas),
+            "max_conv": max(m["max_conv"] for m in metas),
+            "compacted_segments": len(metas),
+        }
+        m = meta_rows.iloc[0:1].copy()
+        m["seg"] = 0
+        m["gaps"] = [json.dumps(merged).encode()]
+        return m
+
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         meta_rows = pdf[pdf["term"] == _META_TERM]
         pdf = pdf[pdf["term"] != _META_TERM]
         # decode every block (one python iteration per BLOCK row; the
-        # values inside decode vectorized)
+        # values inside decode vectorized). pdf is term-sorted, so
+        # factorize codes come out already in sorted-term order.
         pdf = pdf.sort_values(["term", "seg", "block_ord"], kind="mergesort")
         term_codes, uniq_terms = pd.factorize(pdf["term"].to_numpy(object))
         d_docs, d_tf, d_dl, d_code = [], [], [], []
-        for i, (g, t, l, first, code) in enumerate(zip(
+        for g, t, l, first, code in zip(
             pdf["gaps"], pdf["tfs"], pdf["dls"], pdf["first_doc"], term_codes
-        )):
+        ):
             docs = codec.delta_decode(bytes(g), base=int(first))
             d_docs.append(docs)
             d_tf.append(codec.varint_decode(bytes(t)))
             d_dl.append(codec.varint_decode(bytes(l)))
             d_code.append(np.full(len(docs), code, dtype=np.int64))
         if not d_docs:
-            return pdf.head(0)
+            # meta-only shard (no tokens ever): keep its lineage row
+            return _merged_meta(meta_rows) if len(meta_rows) else pdf.head(0)
         docs = np.concatenate(d_docs)
         tfs = np.concatenate(d_tf).astype(np.int64)
         dls = np.concatenate(d_dl).astype(np.int64)
         codes = np.concatenate(d_code)
-        # global (term, doc) order; doc sets are disjoint across segments
-        # so no tf merging is needed — this is a pure interleave
-        rank = np.empty(len(uniq_terms), dtype=np.int64)
-        rank[np.argsort(uniq_terms)] = np.arange(len(uniq_terms))
-        order = np.lexsort((docs, rank[codes]))
+        # (term, doc) order; doc sets are disjoint across segments so no
+        # tf merging is needed — this is a pure interleave
+        order = np.lexsort((docs, codes))
         docs, tfs, dls = docs[order], tfs[order], dls[order]
-        tcg = rank[codes][order]
-        sorted_terms = np.sort(uniq_terms)
+        tcg = codes[order]
         partial = codec.bm25_partial(tfs, dls, avgdl, K1, B)
 
         enc = _encode_posting_blocks(tcg, docs, tfs, dls, partial, block_size)
@@ -473,7 +491,7 @@ def _compact_kernel(avgdl: float, block_size: int):
             {
                 "shard": np.full(len(enc["ord"]), shard, dtype=np.int32),
                 "seg": np.zeros(len(enc["ord"]), dtype=np.int64),
-                "term": sorted_terms[enc["term_key"]],
+                "term": uniq_terms[enc["term_key"]],
                 "block_ord": enc["ord"],
                 "first_doc": enc["first"],
                 "last_doc": enc["last"],
@@ -484,11 +502,10 @@ def _compact_kernel(avgdl: float, block_size: int):
                 "max_partial": enc["maxp"],
             }
         )
-        # carry ONE meta row forward (merged lineage)
         if len(meta_rows):
-            m = meta_rows.iloc[0:1].copy()
-            m["seg"] = 0
-            out = pd.concat([out, m[out.columns]], ignore_index=True)
+            out = pd.concat(
+                [out, _merged_meta(meta_rows)[out.columns]], ignore_index=True
+            )
         return out
 
     return run
@@ -509,7 +526,9 @@ def compact_index(
     sets are unchanged). Plan: one narrow read of each shard's blocks ->
     applyInPandas merge kernel -> rewrite; shards are independent, so a
     1000-executor cluster compacts 1000 shards at once."""
-    stats = load_stats_for_build(index_dir)
+    from data_prepper_spark.query.engine import load_stats
+
+    stats = load_stats(index_dir)
     bs = block_size or int(stats.get("block_size", 128))
     blocks_path = os.path.join(index_dir, "blocks")
     blocks = spark.read.parquet(blocks_path)
@@ -520,17 +539,19 @@ def compact_index(
     )
     tmp = blocks_path + "_compact"
     compacted.write.mode("overwrite").partitionBy("shard", "seg").parquet(tmp)
+    # crash-safe swap: the old directory survives (as blocks_old) until
+    # the new one is in place — a kill between the two renames leaves
+    # EITHER blocks_old or blocks readable, never zero copies (on object
+    # storage: write a versioned dir and flip a pointer instead)
     import shutil
 
-    shutil.rmtree(blocks_path)
+    old = blocks_path + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(blocks_path, old)
     os.rename(tmp, blocks_path)
+    shutil.rmtree(old, ignore_errors=True)
     stats["avgdl_min"] = stats["avgdl"]
     stats["snapshot_id"] = int(stats.get("snapshot_id", 0))
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
     return stats
-
-
-def load_stats_for_build(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        return json.load(f)

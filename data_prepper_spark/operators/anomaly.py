@@ -84,9 +84,14 @@ def anomaly_detector(
             F.abs(F.col(key) - F.col("_mu")) / F.col("_sigma"),
         ).otherwise(F.lit(0.0))
     elif mode in ("rcf", "random_cut_forest"):
+        # threshold semantics differ per mode: zscore/ewma use sigma
+        # multiples (>1); RCF scores live in [0, 1], so a sub-1 threshold
+        # is taken as the score cutoff and sigma-style values fall back
+        # to the 0.7 default
         return _rcf_mode(
             df, key, identification_keys, ts_col=ts_col,
             grade_col=grade_col, emit_all=emit_all,
+            score_threshold=threshold if 0.0 < threshold < 1.0 else 0.7,
         )
     else:
         raise ValueError(f"unknown anomaly mode {mode!r}")
@@ -239,11 +244,19 @@ def _rcf_mode(
         seed = int.from_bytes(
             hashlib.md5(gkey.encode()).digest()[:8], "big"
         ) & (2**63 - 1)
-        s = rcf_scores(
-            pdf[key].to_numpy(np.float64), shingle=shingle,
-            n_trees=n_trees, sample_size=sample_size, seed=seed,
-        )
-        pdf[grade_col] = np.round(np.maximum(0.0, s - score_threshold), 6)
+        vals = pdf[key].to_numpy(np.float64)
+        # null/NaN values carry grade 0 and are excluded from the model
+        # (a NaN would poison the bounding-box spans and crash the
+        # forest; zscore/ewma tolerate nulls the same way)
+        valid = ~np.isnan(vals)
+        grades = np.zeros(len(vals))
+        if valid.sum() >= 2:
+            s = rcf_scores(
+                vals[valid], shingle=shingle,
+                n_trees=n_trees, sample_size=sample_size, seed=seed,
+            )
+            grades[valid] = np.maximum(0.0, s - score_threshold)
+        pdf[grade_col] = np.round(grades, 6)
         return pdf
 
     if gcols:

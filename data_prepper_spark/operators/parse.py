@@ -388,12 +388,16 @@ def csv_parse(
 
 def _sample_col(df: DataFrame, source: str, n: int = 100) -> list[str]:
     """Config-time driver sample of a string column. limit() BEFORE any
-    dedup so the scan stops after ~n rows (a distinct() here would
-    shuffle the whole column before limiting); dedup driver-side."""
-    rows = df.select(source).dropna().limit(n).collect()
+    dedup so the scan stops after a bounded number of rows (a distinct()
+    here would shuffle the whole column before limiting); a 10x
+    oversample is read so head-heavy tables with repeated rows still
+    yield up to n DISTINCT shapes, then dedup driver-side."""
+    rows = df.select(source).dropna().limit(10 * n).collect()
     seen: dict[str, None] = {}
     for r in rows:
         seen.setdefault(r[0])
+        if len(seen) >= n:
+            break
     return list(seen)
 
 
@@ -572,11 +576,13 @@ def date(
             elif p == "epoch_milli":
                 attempts.append(F.timestamp_millis(F.col(src).cast("long")))
             elif p == "epoch_nano":
-                # integer `div`: float division loses sub-microsecond
-                # precision for realistic nanosecond epochs (>2^53)
+                # decimal division is exact (double loses sub-us precision
+                # past 2^53); Column-based so nested sources (a.b) resolve
                 attempts.append(
                     F.timestamp_micros(
-                        F.expr(f"CAST(`{src}` AS BIGINT) div 1000")
+                        F.floor(
+                            F.col(src).cast("decimal(38,0)") / F.lit(1000)
+                        ).cast("long")
                     )
                 )
             else:

@@ -87,7 +87,7 @@ PROCESSORS = {
     # passes through; delay is meaningless in a batch plan (there is no
     # per-event thread to sleep) and is accepted as a no-op for YAML
     # compatibility
-    "noop": lambda df: df,
+    "noop": lambda df, **_: df,
     "delay": lambda df, **_: df,
 }
 
