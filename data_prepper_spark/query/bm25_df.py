@@ -32,15 +32,39 @@ from data_prepper_spark.index.tokenizer import SPARK_TOKENIZE_SQL
 K1 = 1.2
 B = 0.75
 
-def transcript_doc_id() -> Column:
-    """doc_id for transcripts: conv serial * 16 + turn_idx. Monotone in
-    (conv_id, turn_idx) — the stable ordering the north rule mandates —
+# Stride of the arithmetic doc_id packing: conv serial * STRIDE +
+# turn_idx. 2^20 turns per conversation covers any real agent transcript
+# (the longest public agent traces are ~10^4 turns) while leaving
+# 2^43 conv serials in an int64 — enough for a 10^12-turn corpus.
+DOC_ID_STRIDE = 1 << 20
+
+
+def transcript_doc_id(stride: int = DOC_ID_STRIDE) -> Column:
+    """doc_id for transcripts: conv serial * stride + turn_idx. Monotone
+    in (conv_id, turn_idx) — the stable ordering the north rule mandates —
     with NO global shuffle (a dense-rank assignment would need one; see
-    assign_doc_ids_dense for arbitrary conv_id schemes)."""
-    return (
-        F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("long") * 16
+    assign_doc_ids_dense for arbitrary conv_id schemes).
+
+    A runtime guard RAISES on turn_idx outside [0, stride): a packing
+    collision would silently merge two turns' postings into one phantom
+    document, so out-of-range input must fail loud (callers with
+    >stride-turn conversations use assign_doc_ids_auto's dense
+    fallback). The guard is one codegen'd comparison per row — free."""
+    packed = (
+        F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("long") * stride
         + F.col("turn_idx").cast("long")
     )
+    bad = (F.col("turn_idx") >= stride) | (F.col("turn_idx") < 0)
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(f"transcript_doc_id: turn_idx outside [0, {stride}) "
+                      "would collide doc_ids (use assign_doc_ids_dense): "),
+                F.col("turn_idx").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(packed)
 
 
 def tokens_col(text_col: str = "text") -> Column:
@@ -49,7 +73,20 @@ def tokens_col(text_col: str = "text") -> Column:
 
 
 def assign_doc_ids(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Transcript fast path: arithmetic doc_id, no shuffle."""
+    """Transcript fast path: arithmetic doc_id, no shuffle. Raises (in
+    the executor, at scan time) if any turn_idx falls outside the
+    packing range — see transcript_doc_id."""
+    return df.withColumn("doc_id", transcript_doc_id())
+
+
+def assign_doc_ids_auto(df: DataFrame) -> DataFrame:
+    """Guarded assignment: one cheap agg over the turn_idx column (narrow
+    int scan — negligible next to tokenization) decides between the
+    shuffle-free arithmetic packing and the dense two-phase fallback for
+    corpora with >= DOC_ID_STRIDE-turn conversations."""
+    mx = df.agg(F.max("turn_idx")).first()[0]
+    if mx is not None and int(mx) >= DOC_ID_STRIDE:
+        return assign_doc_ids_dense(df, ["conv_id", "turn_idx"])
     return df.withColumn("doc_id", transcript_doc_id())
 
 
@@ -67,15 +104,26 @@ def assign_doc_ids_dense(df: DataFrame, order_cols: list[str]) -> DataFrame:
 
 
 def build_df_index(
-    df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text",
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """Returns {'postings', 'doclens', 'stats'} DataFrames.
 
     postings: term, doc_id, tf          (one shuffle, partial agg map-side)
     doclens:  doc_id, dl                (narrow — no shuffle)
     stats:    n_docs, avgdl             (single-row agg)
+
+    The tokenized subtree feeds all three outputs AND both consumers of
+    postings in score_queries_df (term_df and matched), so without
+    persistence a query plan re-tokenizes the corpus up to 4x — invisible
+    at bench scale, ruinous at 100 TB. persist=True (default) caches it
+    MEMORY_AND_DISK; callers doing a single linear pass can opt out.
     """
     toks = df.select(F.col(doc_id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
+    if persist:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     postings = (
         toks.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("term", "doc_id")
@@ -118,7 +166,14 @@ def score_queries_df(
     qt = qterms.select("term").distinct()
     # ONE filtered pass over postings (broadcast semi-join on query terms);
     # df is computed on that filtered slice, never a global term agg.
-    needed = index["postings"].join(F.broadcast(qt), "term")
+    # Persisted: `needed` feeds BOTH term_df and matched below — without
+    # the cache the postings shuffle (and, absent build_df_index's
+    # persist, the whole tokenize subtree) executes twice.
+    from pyspark import StorageLevel
+
+    needed = index["postings"].join(F.broadcast(qt), "term").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     term_df = needed.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     matched = needed.join(F.broadcast(qterms), "term")
     # Sum per-term contributions in SORTED TERM ORDER (float64): the

@@ -14,6 +14,7 @@ import pytest
 from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
 from data_prepper_spark.oracle import bm25 as oracle
 from data_prepper_spark.query import bm25_df
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE as STRIDE
 
 N_CONVS = 300
 
@@ -30,7 +31,7 @@ def queries_pdf():
 
 @pytest.fixture(scope="module")
 def oracle_results(corpus_pdf, queries_pdf):
-    doc_ids = corpus_pdf.conv_id.str.slice(5).astype(int) * 16 + corpus_pdf.turn_idx
+    doc_ids = corpus_pdf.conv_id.str.slice(5).astype(int) * STRIDE + corpus_pdf.turn_idx
     idx = oracle.build_index(list(zip(doc_ids, corpus_pdf.text)))
     rows = oracle.score_queries(
         idx, list(queries_pdf.itertuples(index=False, name=None))
@@ -72,7 +73,7 @@ def test_absent_term_queries_return_rows_only_for_present_terms(
 
 def test_doc_id_order_matches_conv_turn_order(corpus_pdf):
     doc_ids = (
-        corpus_pdf.conv_id.str.slice(5).astype(int) * 16 + corpus_pdf.turn_idx
+        corpus_pdf.conv_id.str.slice(5).astype(int) * STRIDE + corpus_pdf.turn_idx
     ).to_numpy()
     order = corpus_pdf.sort_values(["conv_id", "turn_idx"]).index.to_numpy()
     assert (doc_ids[order] == sorted(doc_ids)).all()

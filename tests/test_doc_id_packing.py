@@ -1,0 +1,115 @@
+"""doc_id packing at real-transcript scale: conversations LONGER than the
+synthetic generator's 12-turn cap (the reference's doc-id contract never
+collides — OpenSearchSink.java:132-141 routes by document _id — so the
+arithmetic packing must either hold or fail loud, never silently merge
+two turns into one phantom document)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import bm25_df, engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE as STRIDE
+
+N_CONVS = 5
+N_TURNS = 40  # > the old 16-posting stride that silently collided
+
+
+@pytest.fixture(scope="module")
+def long_pdf():
+    """5 conversations x 40 turns, text borrowed from the deterministic
+    generator so vocabulary/skew match the normal fixtures."""
+    src = generate_pandas(0, 80)
+    texts = src["text"].to_numpy()[: N_CONVS * N_TURNS]
+    conv = np.repeat(np.arange(N_CONVS), N_TURNS)
+    return pd.DataFrame(
+        {
+            "conv_id": np.char.add("conv-", np.char.zfill(conv.astype(str), 8)),
+            "turn_idx": np.tile(np.arange(N_TURNS), N_CONVS).astype(np.int32),
+            "text": texts,
+        }
+    )
+
+
+def test_40_turn_conversation_rank_identity(spark, long_pdf):
+    """Build + query a corpus whose conversations exceed 16 turns; top-k
+    must be rank-identical to the oracle over (conv*STRIDE + turn) ids —
+    under the pre-fix *16 packing, turns 16..39 collided into earlier
+    docs and this corpus produced phantom postings."""
+    df = spark.createDataFrame(long_pdf)
+    d = tempfile.mkdtemp(prefix="dps_longconv_")
+    ib.build_index(spark, df, d, n_shards=4, block_size=8)
+
+    doc_ids = (
+        long_pdf.conv_id.str.slice(5).astype(int) * STRIDE + long_pdf.turn_idx
+    )
+    idx = oracle.build_index(list(zip(doc_ids, long_pdf.text)))
+    queries = pd.DataFrame(
+        {
+            "query_id": ["p0", "p1"],
+            "query_text": ["error timeout retry", "deploy search index"],
+            "k": [10, 10],
+        }
+    )
+    got = (
+        engine.score_topk(spark, d, spark.createDataFrame(queries), algo="wand")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    exp = pd.DataFrame(
+        oracle.score_queries(
+            idx, list(queries.itertuples(index=False, name=None))
+        )
+    )
+    assert len(got) == len(exp)
+    for (_, g), (_, e) in zip(got.iterrows(), exp.iterrows()):
+        assert g["doc_id"] == e["doc_id"], (g.to_dict(), e.to_dict())
+        assert abs(g["score"] - e["score"]) < 1e-9
+    # every distinct turn is a distinct doc in the index
+    n_docs = ib.compute_stats(df)["n_docs"]
+    assert n_docs == N_CONVS * N_TURNS
+
+
+def test_out_of_range_turn_idx_raises(spark):
+    """turn_idx >= STRIDE must fail the job (silent collision is the
+    one unacceptable outcome)."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"conv_id": ["conv-00000001"], "turn_idx": [STRIDE], "text": ["x"]}
+        )
+    )
+    with pytest.raises(Exception, match="collide|raise_error|turn_idx"):
+        bm25_df.assign_doc_ids(df).collect()
+
+
+def test_auto_fallback_dense(spark):
+    """assign_doc_ids_auto detects >=STRIDE turn indexes and falls back
+    to the dense two-phase assignment: unique ids, monotone in
+    (conv_id, turn_idx)."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["conv-1", "conv-1", "conv-2", "conv-2"],
+            "turn_idx": [0, STRIDE + 3, 1, 2],
+            "text": ["a", "b", "c", "d"],
+        }
+    )
+    out = (
+        bm25_df.assign_doc_ids_auto(spark.createDataFrame(pdf))
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    assert out["doc_id"].is_unique
+    assert out["doc_id"].is_monotonic_increasing
+
+    # under-STRIDE input keeps the shuffle-free arithmetic path
+    ok = bm25_df.assign_doc_ids_auto(
+        spark.createDataFrame(pdf.assign(turn_idx=[0, 1, 2, 3]))
+    ).toPandas()
+    assert set(ok["doc_id"]) == {STRIDE, STRIDE + 1, 2 * STRIDE + 2, 2 * STRIDE + 3}

@@ -13,6 +13,7 @@ from data_prepper_spark.data.transcripts import generate_pandas, generate_querie
 from data_prepper_spark.index import build as ib
 from data_prepper_spark.oracle import bm25 as oracle
 from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE as STRIDE
 
 N_CONVS = 250
 N_SHARDS = 8
@@ -38,7 +39,7 @@ def index_dir(spark, corpus_pdf, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def oracle_results(corpus_pdf, queries_pdf):
-    doc_ids = corpus_pdf.conv_id.str.slice(5).astype(int) * 16 + corpus_pdf.turn_idx
+    doc_ids = corpus_pdf.conv_id.str.slice(5).astype(int) * STRIDE + corpus_pdf.turn_idx
     idx = oracle.build_index(list(zip(doc_ids, corpus_pdf.text)))
     return (
         pd.DataFrame(

@@ -19,6 +19,7 @@ from data_prepper_spark.index import build as ib
 from data_prepper_spark.oracle import bm25 as oracle
 from data_prepper_spark.query import engine
 from data_prepper_spark.sources import snapshot as snap
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE as STRIDE
 
 
 @pytest.fixture(scope="module")
@@ -66,7 +67,7 @@ def test_incremental_build_rank_identity(spark, base_pdf, inc_pdf, algo):
 
     # oracle over the FULL corpus with the same doc ids
     full = pd.concat([base_pdf, inc_pdf], ignore_index=True)
-    doc_ids = full.conv_id.str.slice(5).astype(int) * 16 + full.turn_idx
+    doc_ids = full.conv_id.str.slice(5).astype(int) * STRIDE + full.turn_idx
     oidx = oracle.build_index(list(zip(doc_ids, full.text)))
     qpdf = pd.DataFrame(generate_queries(25))
     orc = pd.DataFrame(
@@ -156,7 +157,7 @@ def test_compaction_rank_identity_and_metadata_refresh(spark, base_pdf, inc_pdf,
     assert {r["seg"] for r in segs} == {0}
 
     full = pd.concat([base_pdf, inc_pdf], ignore_index=True)
-    doc_ids = full.conv_id.str.slice(5).astype(int) * 16 + full.turn_idx
+    doc_ids = full.conv_id.str.slice(5).astype(int) * STRIDE + full.turn_idx
     oidx = oracle.build_index(list(zip(doc_ids, full.text)))
     qpdf = pd.DataFrame(generate_queries(25))
     orc = pd.DataFrame(
