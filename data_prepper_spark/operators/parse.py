@@ -97,6 +97,40 @@ def _group_indices(rx: str, n_fields: int) -> list[int]:
     return idxs[:n_fields]
 
 
+def _grok_struct_udf(rx: str, fields: list[str], gidx: list[int], keep_empty: bool):
+    """ONE regex evaluation per (row, pattern): an Arrow-batched pandas
+    UDF whose `Series.str.extract` pulls ALL capture groups in a single
+    vectorized pass and returns them as a struct.
+
+    Why not per-field `F.regexp_extract`: Catalyst does not CSE distinct
+    RegExpExtract group indices, so a 10-capture composite like
+    %{COMMONAPACHELOG} ran the full regex ~10x per row (the r2
+    grok_pipeline 4.6x bench regression; the reference runs ONE
+    Matcher.match per pattern — GrokProcessor.java:283-320 — and this
+    restores that contract).
+
+    re.ASCII pins \\w/\\s/\\d/\\b to their Java-`Pattern`-default ASCII
+    classes so extraction parity with the old JVM path holds."""
+    import re as _re
+
+    crx = _re.compile(rx, _re.ASCII)
+    schema = T.StructType([T.StructField(f, T.StringType()) for f in fields])
+    cols = [g - 1 for g in gidx]  # extract() column i <- capture group i+1
+
+    @F.pandas_udf(schema)
+    def extract(s: pd.Series) -> pd.DataFrame:
+        allg = s.astype("string").str.extract(crx, expand=True)
+        out = allg.iloc[:, cols].copy()
+        out.columns = fields
+        if keep_empty:
+            return out.fillna("")
+        # empty participating captures -> null (matches the old
+        # regexp_extract ''-to-null normalization)
+        return out.where(out != "", other=None)
+
+    return extract
+
+
 def grok(
     df: DataFrame,
     match: dict[str, list[str]],
@@ -116,24 +150,48 @@ def grok(
 
     keys_to_overwrite (GrokProcessorConfig.java): a capture whose name is
     an EXISTING column only replaces it when listed here; otherwise the
-    existing value wins (the reference appends into a list — in the
-    columnar model the original value is kept).
+    existing value wins. Divergence from the reference, documented: the
+    reference's mergeCaptures APPENDS the colliding capture into a list
+    next to the existing value; a columnar schema cannot hold
+    string-or-list, so the capture is dropped instead. One deliberate
+    carve-out: when the capture name IS the source column (`fname ==
+    src` is excluded from the keep rule), the capture replaces the
+    source even unlisted — grok'ing a field onto itself is the
+    reference's overwrite-in-place idiom and keeping the raw line would
+    make the extraction a no-op.
 
-    timeout_millis is accepted for config parity and ignored: Catalyst
-    regex evaluation has no per-row timeout; runaway patterns are
-    prevented by pattern design, not a watchdog thread.
+    timeout_millis is accepted for config parity and ignored: regex
+    evaluation has no per-row timeout; runaway patterns are prevented by
+    pattern design, not a watchdog thread.
+
+    Execution: one Arrow-batched extraction pass per (source, pattern)
+    — see _grok_struct_udf.
     """
     cond = compile_expression(when) if when else None
     overwrite = set(keys_to_overwrite or [])
     for src, pats in match.items():
         seen: dict[str, Column] = {}
-        for pat in pats:
+        tmp_cols: list[str] = []
+        for pi, pat in enumerate(pats):
             rx, fields, casts = expand_grok(pat, pattern_definitions or patterns)
+            if not fields:
+                continue
             gidx = _group_indices(rx, len(fields))
+            # dedup repeated field names within one pattern (struct fields
+            # must be unique); first occurrence wins, like break_on_match
+            uniq: dict[str, tuple[int, str | None]] = {}
             for fname, gi, cast in zip(fields, gidx, casts):
-                col = F.regexp_extract(F.col(src), rx, gi)
-                if not keep_empty_captures:
-                    col = F.when(col == "", F.lit(None)).otherwise(col)
+                uniq.setdefault(fname, (gi, cast))
+            ufields = list(uniq)
+            udf = _grok_struct_udf(
+                rx, ufields, [uniq[f][0] for f in ufields], keep_empty_captures
+            )
+            sname = f"__grok_{pi}_{abs(hash((src, pat))) % 10**8}"
+            df = df.withColumn(sname, udf(F.col(src).cast("string")))
+            tmp_cols.append(sname)
+            for fname in ufields:
+                col = F.col(sname).getField(fname)
+                cast = uniq[fname][1]
                 if cast:
                     col = col.try_cast(cast)
                 # break_on_match: earlier pattern wins
@@ -144,14 +202,16 @@ def grok(
             df = df.withColumn(
                 target_key,
                 F.struct(*[c.alias(n) for n, c in seen.items()]),
-            )
+            ).drop(*tmp_cols)
         else:
+            out_cols: dict[str, Column] = {}
             for fname, col in seen.items():
                 if fname in df.columns and fname != src and fname not in overwrite:
                     continue  # existing key kept unless keys_to_overwrite
                 if cond is not None:
                     col = F.when(cond, col)
-                df = df.withColumn(fname, col)
+                out_cols[fname] = col
+            df = df.withColumns(out_cols).drop(*tmp_cols)
     return df
 
 
