@@ -409,13 +409,18 @@ def build_index(
             .agg(F.sum("df").cast("long").alias("df"))
         )
         # doc sets are disjoint across segments, so df adds exactly.
-        # Write-then-swap keeps the old dictionary readable until the
-        # merge is durable (on object storage: write a versioned dir and
+        # Crash-safe swap (same two-rename protocol as compact_index):
+        # the old dictionary survives as _old until the new one is in
+        # place, so a kill between any two steps leaves at least one
+        # readable copy (on object storage: write a versioned dir and
         # flip a pointer instead of rename).
         tmp = dict_path + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(dict_path)
+        old = dict_path + "_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(dict_path, old)
         os.rename(tmp, dict_path)
+        shutil.rmtree(old, ignore_errors=True)
     else:
         (
             all_blocks.filter(F.col("term") != _META_TERM)

@@ -367,7 +367,10 @@ def kv_parse_recursive(s: str, fs: str = "&", vs: str = "=") -> dict:
         if ch in _KV_OPEN_CLOSE:
             depth += 1
         elif ch in (")", "]", "}"):
-            depth -= 1
+            # clamp at 0: a stray closer in malformed input must not
+            # drive depth negative and swallow every later top-level
+            # split ('a=]&b=2' must still yield b=2)
+            depth = max(0, depth - 1)
         elif ch == fs and depth == 0:
             pairs.append(s[start:i])
             start = i + 1

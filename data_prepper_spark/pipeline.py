@@ -236,8 +236,11 @@ def run_pipeline_streaming(
     DataFrame, so the YAML vocabulary is mode-agnostic. Routing fans out
     in ONE pass per micro-batch via foreachBatch (route-less sinks get
     every event, `_default` the unrouted remainder — Router semantics),
-    and the checkpoint gives exactly-once file sinks (the reference
-    needs end-to-end acks for at-least-once). Returns the
+    and the checkpoint gives AT-LEAST-ONCE delivery to the file sinks:
+    foreachBatch appends may re-execute on batch replay after a
+    failure, duplicating that batch's files (exactly-once would need
+    idempotent per-batchId output paths; the reference's own contract
+    is at-least-once via end-to-end acks). Returns the
     StreamingQuery; with trigger_available_now the caller can
     `.awaitTermination()` to drain current input."""
     (kind, opts), = cfg["source"].items()

@@ -105,3 +105,15 @@ def test_kv_recursive_parser_roundtrip(tree):
     from data_prepper_spark.operators.parse import kv_parse_recursive
 
     assert kv_parse_recursive(_render(tree)) == tree
+
+
+def test_kv_recursive_stray_closer_does_not_swallow_rest():
+    """A stray closing bracket in malformed input must not drive the
+    bracket depth negative and suppress all later top-level splits
+    (ADVICE r2): 'a=]&b=2' still yields b."""
+    from data_prepper_spark.operators.parse import kv_parse_recursive
+
+    assert kv_parse_recursive("a=]&b=2") == {"a": "]", "b": "2"}
+    assert kv_parse_recursive("x=))&y=1&z=[q=2]") == {
+        "x": "))", "y": "1", "z": {"q": "2"},
+    }
