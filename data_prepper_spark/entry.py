@@ -137,6 +137,66 @@ def q_wand_topk(spark, sf_dir):
     return _rounded_rank(raw)
 
 
+# fixed phrase query set over the `documents` vocabulary (each phrase is
+# already tokenizer-canonical: lowercase, single spaces)
+PHRASE_QUERIES = [
+    ("p1", "slow query"),
+    ("p2", "table scan"),
+    ("p3", "slow query scan"),
+    ("p4", "zz absent phrase"),
+]
+
+
+def q_phrase_topk(spark, sf_dir):
+    """match_phrase over the compressed index's position stream: exact
+    consecutive-token filter + BM25 ranking (the reference serves this
+    via OpenSearch match_phrase; positions live in our own blocks)."""
+    d = _built_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(q, t, BM25_K * 2) for q, t in PHRASE_QUERIES],
+        "query_id string, query_text string, k int",
+    )
+    return _rounded_rank(engine.phrase_topk(spark, d, qdf))
+
+
+def _phrase_oracle_sql() -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in PHRASE_QUERIES)
+    toks = D_TOKS.format(c="text")
+    qtoks = D_TOKS.format(c="query_text")
+    return f"""
+WITH queries(query_id, query_text) AS (VALUES {vals}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM tokd),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tokd),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+matched AS (
+  SELECT q.query_id, d.doc_id
+  FROM queries q JOIN tokd d
+    ON ' ' || array_to_string(d.toks, ' ') || ' ' LIKE '% ' || q.query_text || ' %'),
+qt AS (SELECT DISTINCT query_id, unnest(list_distinct({qtoks})) AS term FROM queries),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN matched ON matched.query_id = qt.query_id AND matched.doc_id = tf.doc_id
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       round(score, 4) AS score_r,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {BM25_K}
+"""
+
+
 def q_index_dictionary(spark, sf_dir):
     """Global dictionary (term -> df) of the compressed index — verifies
     the SPIMI build + shard merge end-to-end against plain SQL."""
@@ -340,6 +400,17 @@ def q_grok_syslog(spark, sf_dir):
     out = ops.grok(df, match={"log": ["%{SYSLOGLINE}"]})
     return out.select("event_id", "timestamp", "logsource", "program",
                       F.col("pid").cast("long").alias("pid"), "message")
+
+
+def q_grok_extract(spark, sf_dir):
+    """Both grok surfaces in ONE driver slot (joined on event_id):
+    %{COMMONAPACHELOG} over apache-style lines and %{SYSLOGLINE} over
+    syslog lines — exercises the full composite pattern library through
+    the single-pass Arrow extraction (frees a registry slot for
+    phrase_topk; the 50-query gate is exact)."""
+    apache = q_grok_synthetic_logs(spark, sf_dir)
+    syslog = q_grok_syslog(spark, sf_dir)
+    return apache.join(syslog, "event_id")
 
 
 def q_parse_json_props(spark, sf_dir):
@@ -1060,23 +1131,21 @@ ORACLE: dict[str, str | None] = {
                regexp_replace(event_type, '[aeiou]', '***', 'g') AS masked,
                sha256(user_id::VARCHAR) AS user_hash
         FROM events""",
-    "grok_syslog": """
-        SELECT event_id,
-               'Mar 12 04:22:10' AS timestamp,
-               'host-' || (user_id % 50) AS logsource,
-               'svc' || (user_id % 5) AS program,
-               (event_id % 9000 + 1)::BIGINT AS pid,
-               'unit ' || event_type || ' code ' || event_id AS message
-        FROM events""",
-    "grok_synthetic_logs": """
+    "grok_extract": """
         SELECT event_id,
                '10.0.' || (user_id % 256) || '.7' AS clientip,
                'u' || user_id AS auth,
                'GET' AS verb,
                '/p/' || event_id AS request,
                (CASE WHEN event_type = 'error' THEN 500 ELSE 200 END)::BIGINT AS response,
-               round(value * 100)::BIGINT AS bytes
+               round(value * 100)::BIGINT AS bytes,
+               'Mar 12 04:22:10' AS timestamp,
+               'host-' || (user_id % 50) AS logsource,
+               'svc' || (user_id % 5) AS program,
+               (event_id % 9000 + 1)::BIGINT AS pid,
+               'unit ' || event_type || ' code ' || event_id AS message
         FROM events""",
+    "phrase_topk": _phrase_oracle_sql(),
     "key_value": """
         SELECT event_id, user_id::VARCHAR AS u_val, event_type AS t_val,
                'true' AS flag_val
@@ -1253,10 +1322,10 @@ QUERIES = {
     "route_first": q_route_first,
     "expression_filter": q_expression_filter,
     "cidr_route": q_cidr_route,
+    "phrase_topk": q_phrase_topk,
     "string_pipeline": q_string_pipeline,
     "string_ops_extra": q_string_ops_extra,
-    "grok_synthetic_logs": q_grok_synthetic_logs,
-    "grok_syslog": q_grok_syslog,
+    "grok_extract": q_grok_extract,
     "key_value": q_key_value,
     "key_value_recursive": q_key_value_recursive,
     "parse_json_props": q_parse_json_props,

@@ -57,7 +57,7 @@ from data_prepper_spark.query.bm25_df import assign_doc_ids, tokens_col
 BLOCK_SCHEMA = (
     "shard int, seg long, term string, block_ord int, first_doc long, "
     "last_doc long, n int, gaps binary, tfs binary, dls binary, "
-    "max_partial double"
+    "poss binary, max_partial double"
 )
 _META_TERM = "\x00shard_meta"  # sentinel row carrying per-shard build metrics
 
@@ -73,6 +73,7 @@ def _encode_posting_blocks(
     dls: np.ndarray,
     partial: np.ndarray,
     block_size: int,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """Shared block encoder for the SPIMI build AND segment compaction:
     postings arrive as aligned per-posting arrays grouped by term
@@ -80,13 +81,18 @@ def _encode_posting_blocks(
     docs ascending within a run). Emits the per-block columns of
     BLOCK_SCHEMA with `term_key` = term_keys at each block start —
     having ONE copy of the segmentation/gap/varint math means a layout
-    change cannot desynchronize freshly-built and compacted indexes."""
+    change cannot desynchronize freshly-built and compacted indexes.
+
+    `positions` (optional): flat per-OCCURRENCE within-doc token
+    positions in posting order (run lengths = tfs), ascending within
+    each posting — encoded as a parallel delta+varint stream per block
+    (match_phrase support). None -> empty `poss` byte strings."""
     if not len(term_keys):
         return {
             "term_key": term_keys, "ord": np.empty(0, np.int32),
             "first": np.empty(0, np.int64), "last": np.empty(0, np.int64),
             "n": np.empty(0, np.int32), "gaps": [], "tfs": [], "dls": [],
-            "maxp": np.empty(0, np.float64),
+            "poss": [], "maxp": np.empty(0, np.float64),
         }
     term_start = np.flatnonzero(
         np.concatenate(([True], term_keys[1:] != term_keys[:-1]))
@@ -104,6 +110,12 @@ def _encode_posting_blocks(
     gaps[0] = 0
     np.subtract(docs[1:], docs[:-1], out=gaps[1:], casting="unsafe")
     gaps[b_start] = 0
+    if positions is not None:
+        occ = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+        pos_deltas = codec.pos_delta_flat(positions, occ[:-1])
+        poss = codec.varint_encode_segments(pos_deltas, occ[b_start])
+    else:
+        poss = [b""] * len(b_start)
     return {
         "term_key": term_keys[b_start],
         "ord": b_ord.astype(np.int32),
@@ -113,11 +125,14 @@ def _encode_posting_blocks(
         "gaps": codec.varint_encode_segments(gaps, b_start),
         "tfs": codec.varint_encode_segments(tfs.astype(np.uint64), b_start),
         "dls": codec.varint_encode_segments(dls.astype(np.uint64), b_start),
+        "poss": poss,
         "maxp": np.maximum.reduceat(partial, b_start),
     }
 
 
-def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
+def _spimi_kernel(
+    avgdl: float, block_size: int, seg: int = 0, store_positions: bool = True
+):
     """`seg` tags every block with the build that produced it (Lucene's
     segment concept): incremental builds append a NEW segment per
     (shard, term), and the query engine opens one cursor per (term, seg)
@@ -139,6 +154,16 @@ def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
         # memory-bus load — tokenizer.token_spans)
         arr, tstarts, tends, tok_doc, dls = token_spans(pdf["text"])
         n_tok = int(len(tstarts))
+        # within-doc token position per token (token_spans emits tokens
+        # doc-major position-minor): global index minus the doc's first
+        # token offset
+        if store_positions and n_tok:
+            doc_tok_start = np.concatenate(([0], np.cumsum(dls)))[:-1]
+            tok_pos = np.arange(n_tok, dtype=np.int64) - np.repeat(
+                doc_tok_start, dls
+            )
+        else:
+            tok_pos = None
 
         # (term, doc) -> tf per LENGTH BIN: same-length tokens view as
         # fixed-width 'S<L>' bytes, ONE lexsort by (token, doc) per bin,
@@ -172,7 +197,13 @@ def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
             partial = codec.bm25_partial(farr, larr, avgdl, K1, B)
             n_postings += len(term_b)
 
-            enc = _encode_posting_blocks(term_b, darr, farr, larr, partial, block_size)
+            # occurrence positions in sorted-posting order: the lexsort
+            # is stable, so within a (term, doc) run original (ascending
+            # position) order is preserved
+            pp = tok_pos[sel][order] if tok_pos is not None else None
+            enc = _encode_posting_blocks(
+                term_b, darr, farr, larr, partial, block_size, positions=pp
+            )
             enc["term"] = enc.pop("term_key").astype("U")  # tokens are ASCII
             parts.append(enc)
 
@@ -185,7 +216,7 @@ def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
             # block-row table (thousands of rows, not millions of
             # postings) keeps the parquet term-sorted
             final = np.argsort(term_all, kind="stable")
-            byte_cols = {"gaps": [], "tfs": [], "dls": []}
+            byte_cols = {"gaps": [], "tfs": [], "dls": [], "poss": []}
             for k in byte_cols:
                 flat = []
                 for p in parts:
@@ -197,10 +228,13 @@ def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
             c_last = list(np.concatenate([p["last"] for p in parts])[final])
             c_n = list(np.concatenate([p["n"] for p in parts])[final])
             c_maxp = list(np.concatenate([p["maxp"] for p in parts])[final])
-            c_gaps, c_tfs, c_dls = byte_cols["gaps"], byte_cols["tfs"], byte_cols["dls"]
+            c_gaps, c_tfs, c_dls, c_poss = (
+                byte_cols["gaps"], byte_cols["tfs"], byte_cols["dls"],
+                byte_cols["poss"],
+            )
         else:
             c_term, c_ord, c_first, c_last, c_n = [], [], [], [], []
-            c_gaps, c_tfs, c_dls, c_maxp = [], [], [], []
+            c_gaps, c_tfs, c_dls, c_poss, c_maxp = [], [], [], [], []
         wall_ms = int((time.monotonic() - t0) * 1000)
         meta = {
             "n_docs": int(len(pdf)),
@@ -218,6 +252,7 @@ def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
         c_gaps.append(json.dumps(meta).encode())
         c_tfs.append(b"")
         c_dls.append(b"")
+        c_poss.append(b"")
         c_maxp.append(0.0)
         return pd.DataFrame(
             {
@@ -231,6 +266,7 @@ def _spimi_kernel(avgdl: float, block_size: int, seg: int = 0):
                 "gaps": c_gaps,
                 "tfs": c_tfs,
                 "dls": c_dls,
+                "poss": c_poss,
                 "max_partial": np.array(c_maxp, dtype=np.float64),
             }
         )
@@ -265,6 +301,7 @@ def build_index(
     snapshot_id: int = 0,
     assign_ids: bool = True,
     incremental: bool = False,
+    store_positions: bool = True,
 ) -> dict:
     """Build (or resume) the index at index_dir. Returns stats dict.
 
@@ -304,6 +341,8 @@ def build_index(
             avgdl=avgdl,
             avgdl_min=min(old.get("avgdl_min", old["avgdl"]), avgdl),
             snapshot_id=snapshot_id,
+            # phrase queries need positions in EVERY segment
+            positions=bool(old.get("positions", False)) and store_positions,
         )
         with open(stats_path, "w") as f:
             json.dump(stats, f)
@@ -313,6 +352,7 @@ def build_index(
         stats.update(
             n_shards=n_shards, block_size=block_size, k1=K1, b=B,
             snapshot_id=snapshot_id, avgdl_min=stats["avgdl"],
+            positions=store_positions,
         )
         with open(stats_path, "w") as f:
             json.dump(stats, f)
@@ -343,7 +383,10 @@ def build_index(
         .repartition(min(n_shards, 64), "shard")
         .groupBy("shard")
         .applyInPandas(
-            _spimi_kernel(stats["avgdl"], block_size, seg=snapshot_id),
+            _spimi_kernel(
+                stats["avgdl"], block_size, seg=snapshot_id,
+                store_positions=store_positions,
+            ),
             schema=BLOCK_SCHEMA,
         )
     )
@@ -457,6 +500,8 @@ def _compact_kernel(avgdl: float, block_size: int):
         m = meta_rows.iloc[0:1].copy()
         m["seg"] = 0
         m["gaps"] = [json.dumps(merged).encode()]
+        if "poss" not in m.columns:  # pre-positions index layout
+            m["poss"] = [b""]
         return m
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -468,15 +513,23 @@ def _compact_kernel(avgdl: float, block_size: int):
         # factorize codes come out already in sorted-term order.
         pdf = pdf.sort_values(["term", "seg", "block_ord"], kind="mergesort")
         term_codes, uniq_terms = pd.factorize(pdf["term"].to_numpy(object))
-        d_docs, d_tf, d_dl, d_code = [], [], [], []
-        for g, t, l, first, code in zip(
-            pdf["gaps"], pdf["tfs"], pdf["dls"], pdf["first_doc"], term_codes
+        has_pos = "poss" in pdf.columns and any(
+            p is not None and len(p) for p in pdf["poss"]
+        )
+        d_docs, d_tf, d_dl, d_code, d_pos = [], [], [], [], []
+        pos_iter = pdf["poss"] if "poss" in pdf.columns else [b""] * len(pdf)
+        for g, t, l, first, code, po in zip(
+            pdf["gaps"], pdf["tfs"], pdf["dls"], pdf["first_doc"], term_codes,
+            pos_iter,
         ):
             docs = codec.delta_decode(bytes(g), base=int(first))
+            tf = codec.varint_decode(bytes(t))
             d_docs.append(docs)
-            d_tf.append(codec.varint_decode(bytes(t)))
+            d_tf.append(tf)
             d_dl.append(codec.varint_decode(bytes(l)))
             d_code.append(np.full(len(docs), code, dtype=np.int64))
+            if has_pos:
+                d_pos.append(codec.pos_delta_decode(bytes(po or b""), tf))
         if not d_docs:
             # meta-only shard (no tokens ever): keep its lineage row
             return _merged_meta(meta_rows) if len(meta_rows) else pdf.head(0)
@@ -487,11 +540,21 @@ def _compact_kernel(avgdl: float, block_size: int):
         # (term, doc) order; doc sets are disjoint across segments so no
         # tf merging is needed — this is a pure interleave
         order = np.lexsort((docs, codes))
+        positions = None
+        if has_pos:
+            # reorder the flat occurrence stream to the merged posting
+            # order (within-posting position order is unchanged)
+            occ_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+            positions = codec.gather_runs(
+                np.concatenate(d_pos), occ_starts, tfs, order
+            )
         docs, tfs, dls = docs[order], tfs[order], dls[order]
         tcg = codes[order]
         partial = codec.bm25_partial(tfs, dls, avgdl, K1, B)
 
-        enc = _encode_posting_blocks(tcg, docs, tfs, dls, partial, block_size)
+        enc = _encode_posting_blocks(
+            tcg, docs, tfs, dls, partial, block_size, positions=positions
+        )
         out = pd.DataFrame(
             {
                 "shard": np.full(len(enc["ord"]), shard, dtype=np.int32),
@@ -504,6 +567,7 @@ def _compact_kernel(avgdl: float, block_size: int):
                 "gaps": enc["gaps"],
                 "tfs": enc["tfs"],
                 "dls": enc["dls"],
+                "poss": enc["poss"],
                 "max_partial": enc["maxp"],
             }
         )

@@ -107,6 +107,59 @@ def delta_decode(buf: bytes, base: int = 0) -> np.ndarray:
     return out + base
 
 
+# ------------------------------------------------------------- positions
+#
+# Optional per-occurrence position stream (match_phrase support — the
+# capability OpenSearch gives the reference via Lucene's position
+# postings). Layout per block: ONE varint stream of position deltas for
+# every occurrence of every posting in block order; the delta at each
+# posting's first occurrence is the ABSOLUTE within-doc token position,
+# later deltas are gaps (positions ascend within a posting). tf values
+# (already stored per posting) delimit the runs, so the stream needs no
+# extra length table.
+
+
+def pos_delta_flat(positions: np.ndarray, occ_starts: np.ndarray) -> np.ndarray:
+    """Flat per-occurrence absolute positions -> delta stream (uint64).
+    occ_starts marks each posting's first occurrence (absolute there)."""
+    p = np.ascontiguousarray(positions, dtype=np.int64)
+    deltas = np.empty(p.shape, dtype=np.uint64)
+    if p.size:
+        deltas[0] = p[0]
+        np.subtract(p[1:], p[:-1], out=deltas[1:], casting="unsafe")
+        deltas[occ_starts] = p[occ_starts]
+    return deltas
+
+
+def pos_delta_decode(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode one block's position stream -> flat absolute positions
+    (int64, aligned with the block's occurrence order). tfs = the
+    block's per-posting tf values (run lengths)."""
+    deltas = varint_decode(buf).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    c = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(np.asarray(tfs, dtype=np.int64))))[:-1]
+    base = np.where(starts > 0, c[starts - 1], 0)
+    return c - np.repeat(base, np.asarray(tfs, dtype=np.int64))
+
+
+def gather_runs(
+    flat: np.ndarray, starts: np.ndarray, lens: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Reorder a flat run-structured array (runs given by starts/lens)
+    into run order `order` — vectorized variable-length gather used when
+    postings are re-sorted (compaction merge, candidate filtering)."""
+    sel_starts = starts[order]
+    sel_lens = lens[order]
+    total = int(sel_lens.sum())
+    if not total:
+        return flat[:0]
+    new_starts = np.concatenate(([0], np.cumsum(sel_lens)))[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(new_starts, sel_lens)
+    return flat[np.repeat(sel_starts, sel_lens) + within]
+
+
 def bm25_partial(
     tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float = 1.2, b: float = 0.75
 ) -> np.ndarray:

@@ -194,8 +194,15 @@ def score_topk(
     blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
     if "seg" not in blocks.columns:  # pre-segment index layout
         blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
+    # explicit projection: BM25 scoring never touches the position
+    # stream, so the (largest) `poss` column must not reach the scan
+    # (ReadSchema pruning — positions roughly double block bytes)
     needed = (
-        blocks.filter(F.col("term").isin(terms))
+        blocks.select(
+            "shard", "seg", "term", "block_ord", "first_doc", "last_doc",
+            "gaps", "tfs", "dls", "max_partial",
+        )
+        .filter(F.col("term").isin(terms))
         .join(F.broadcast(qmap), "term")
         .join(F.broadcast(dict_slice), "term")
     )
@@ -210,6 +217,215 @@ def score_topk(
                       round(stats["avgdl"], 9)),
         ),
         schema=_KERNEL_OUT,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.join(F.broadcast(queries.select("query_id", "k")), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------- match_phrase
+
+def _decode_term_runs(tg: pd.DataFrame) -> dict:
+    """Decode every (seg, block) row of ONE term into doc-sorted posting
+    arrays + the flat per-occurrence position stream. Segments hold
+    disjoint doc sets, so the multi-segment merge is a stable interleave
+    (argsort by doc, position runs gathered along)."""
+    from data_prepper_spark.index import codec
+
+    d_docs, d_tf, d_dl, d_pos = [], [], [], []
+    for g, t, l, first, po in zip(
+        tg["gaps"], tg["tfs"], tg["dls"], tg["first_doc"], tg["poss"]
+    ):
+        docs = codec.delta_decode(bytes(g), base=int(first))
+        tf = codec.varint_decode(bytes(t))
+        d_docs.append(docs)
+        d_tf.append(tf)
+        d_dl.append(codec.varint_decode(bytes(l)))
+        d_pos.append(codec.pos_delta_decode(bytes(po or b""), tf))
+    docs = np.concatenate(d_docs)
+    tfs = np.concatenate(d_tf).astype(np.int64)
+    dls = np.concatenate(d_dl).astype(np.int64)
+    pos = np.concatenate(d_pos)
+    if len(pos) != int(tfs.sum()):
+        raise ValueError(
+            "index has no position stream (built with "
+            "store_positions=False) — match_phrase needs positions"
+        )
+    order = np.argsort(docs, kind="stable")
+    occ_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+    from data_prepper_spark.index.codec import gather_runs
+
+    pos = gather_runs(pos, occ_starts, tfs, order)
+    docs, tfs, dls = docs[order], tfs[order], dls[order]
+    return {
+        "docs": docs, "tfs": tfs, "dls": dls, "pos": pos,
+        "occ": np.concatenate(([0], np.cumsum(tfs))),
+    }
+
+
+_POS_STRIDE = np.int64(1) << np.int64(32)  # doc-local key = idx*2^32 + pos
+
+
+def _phrase_kernel(avgdl: float, n_docs: int):
+    """Per-shard exact phrase matching + BM25 scoring.
+
+    For a phrase t_0..t_m, a match at start position p in doc d means
+    every (t_i, i) constraint holds: d contains t_i at position p+i.
+    Each constraint's occurrence set maps to keys
+    local_doc_idx * 2^32 + (pos - i); the phrase's matches are the
+    intersection of all constraint key sets (sorted-array intersect1d —
+    no per-doc Python loop). Matching docs are then scored with the
+    standard BM25 sum over the phrase's DISTINCT terms (OpenSearch's
+    match_phrase = position filter + BM25-weighted phrase clause; we
+    score the matched docs with the same per-term sum as `match` so
+    scores stay oracle-reproducible) in sorted-term order."""
+    from data_prepper_spark.index import codec
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded: dict[str, dict] = {}
+        idfs: dict[str, float] = {}
+        queries: dict[str, dict] = {}
+        for term, tg in pdf.groupby("term", sort=True):
+            df_t = int(tg["df"].iloc[0])
+            idfs[term] = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+            decoded[term] = _decode_term_runs(
+                tg.sort_values(["seg", "block_ord"])
+            )
+            for q in tg["queries"].iloc[0]:
+                ent = queries.setdefault(
+                    q["query_id"],
+                    {"k": int(q["k"]), "n_terms": int(q["n_terms"]),
+                     "constraints": []},
+                )
+                for off in q["offsets"]:
+                    ent["constraints"].append((term, int(off)))
+
+        out_q, out_d, out_s = [], [], []
+        for qid, ent in queries.items():
+            terms_here = {t for t, _ in ent["constraints"]}
+            if len(terms_here) < ent["n_terms"]:
+                continue  # some phrase term absent from this shard
+            # candidate docs: every distinct term present
+            cand = None
+            for t in sorted(terms_here):
+                cand = decoded[t]["docs"] if cand is None else np.intersect1d(
+                    cand, decoded[t]["docs"], assume_unique=True
+                )
+                if not len(cand):
+                    break
+            if cand is None or not len(cand):
+                continue
+            # positional intersection over all (term, offset) constraints
+            keys = None
+            for t, off in sorted(ent["constraints"], key=lambda c: c[1]):
+                d = decoded[t]
+                pidx = np.searchsorted(d["docs"], cand)
+                ck = []
+                # occurrences of t in candidate docs only (runs gather)
+                occ_sel = codec.gather_runs(
+                    d["pos"], d["occ"][:-1], d["tfs"], pidx
+                )
+                local = np.repeat(
+                    np.arange(len(cand), dtype=np.int64), d["tfs"][pidx]
+                )
+                adj = occ_sel - off
+                ok = adj >= 0
+                ck = local[ok] * _POS_STRIDE + adj[ok]
+                keys = ck if keys is None else np.intersect1d(
+                    keys, ck, assume_unique=True
+                )
+                if not len(keys):
+                    break
+            if keys is None or not len(keys):
+                continue
+            matched = cand[np.unique(keys // _POS_STRIDE)]
+            # BM25 over distinct terms, sorted-term accumulation order
+            scores = np.zeros(len(matched), dtype=np.float64)
+            for t in sorted(terms_here):
+                d = decoded[t]
+                mi = np.searchsorted(d["docs"], matched)
+                scores += idfs[t] * codec.bm25_partial(
+                    d["tfs"][mi], d["dls"][mi], avgdl
+                )
+            k = ent["k"]
+            if len(matched) > k:
+                kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                keep = np.flatnonzero(scores >= kth)
+                keep = keep[np.lexsort((matched[keep], -scores[keep]))][:k]
+            else:
+                keep = np.lexsort((matched, -scores))
+            out_q += [qid] * len(keep)
+            out_d += list(matched[keep])
+            out_s += list(scores[keep])
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return run
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+) -> DataFrame:
+    """match_phrase top-k: queries(query_id, query_text, k) ->
+    (query_id, rank, doc_id, score); only documents containing the
+    query's tokens CONSECUTIVELY in order qualify (the reference serves
+    this through OpenSearch's match_phrase — OpenSearchSink.java:132-141
+    ships the docs, Lucene's position postings answer the query; here
+    the `poss` stream in our own blocks does).
+
+    Same scatter-gather plan as score_topk: term In-filter pushed into
+    the block scan (this path DOES read the poss column), one kernel
+    exchange, global top-k over per-shard winners."""
+    stats = load_stats(index_dir)
+    if not stats.get("positions", False):
+        raise ValueError(
+            f"index at {index_dir} was built without positions "
+            "(store_positions=False) — cannot serve match_phrase"
+        )
+    qterms = queries.select(
+        "query_id",
+        "k",
+        F.posexplode(tokens_col("query_text")).alias("ord", "term"),
+    )
+    qcnt = qterms.groupBy("query_id").agg(
+        F.countDistinct("term").alias("n_terms")
+    )
+    per_tq = (
+        qterms.join(qcnt, "query_id")
+        .groupBy("term", "query_id", "k", "n_terms")
+        .agg(F.sort_array(F.collect_list("ord")).alias("offsets"))
+    )
+    qmap = per_tq.groupBy("term").agg(
+        F.collect_list(
+            F.struct("query_id", "k", "n_terms", "offsets")
+        ).alias("queries")
+    )
+    terms = [r["term"] for r in qmap.select("term").collect()]
+    blocks_path = os.path.join(index_dir, "blocks")
+    local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
+    if not terms or local_missing:
+        return spark.createDataFrame(
+            [], "query_id string, rank long, doc_id long, score double"
+        )
+    dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    dict_slice = dictionary.filter(F.col("term").isin(terms))
+    blocks = spark.read.parquet(blocks_path)
+    needed = (
+        blocks.select(
+            "shard", "seg", "term", "block_ord", "first_doc",
+            "gaps", "tfs", "dls", "poss",
+        )
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qmap), "term")
+        .join(F.broadcast(dict_slice), "term")
+    )
+    per_shard = needed.groupBy("shard").applyInPandas(
+        _phrase_kernel(stats["avgdl"], stats["n_docs"]), schema=_KERNEL_OUT
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

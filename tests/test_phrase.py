@@ -1,0 +1,155 @@
+"""match_phrase over the positions stream: exact consecutive-token
+matching + BM25 scoring, verified against a naive Python oracle
+(tokenize every doc, sublist containment, restricted BM25 sum —
+the role OpenSearch's match_phrase plays for the reference)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE as STRIDE
+
+N_CONVS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return generate_pandas(0, N_CONVS)
+
+
+@pytest.fixture(scope="module")
+def doc_map(corpus_pdf):
+    ids = corpus_pdf.conv_id.str.slice(5).astype(int) * STRIDE + corpus_pdf.turn_idx
+    return dict(zip(ids, corpus_pdf.text))
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus_pdf):
+    d = tempfile.mkdtemp(prefix="dps_phrase_")
+    ib.build_index(spark, spark.createDataFrame(corpus_pdf), d, n_shards=4,
+                   block_size=16)
+    return d
+
+
+def phrase_oracle(doc_map: dict[int, str], phrase: str, k: int):
+    """Naive exact oracle: docs containing the token sequence, scored by
+    BM25 over the phrase's distinct terms, (score desc, doc asc) top-k."""
+    terms = tokenize(phrase)
+    idx = oracle.build_index(list(doc_map.items()))
+    hits = []
+    for doc_id, text in doc_map.items():
+        toks = tokenize(text)
+        m = len(terms)
+        if any(
+            toks[i:i + m] == terms for i in range(len(toks) - m + 1)
+        ):
+            s = 0.0
+            for t in sorted(set(terms)):
+                tf = toks.count(t)
+                dl = len(toks)
+                denom = tf + oracle.K1 * (
+                    1.0 - oracle.B + oracle.B * dl / idx.avgdl
+                )
+                s += idx.idf(t) * tf * (oracle.K1 + 1.0) / denom
+            hits.append((doc_id, s))
+    hits.sort(key=lambda t: (-t[1], t[0]))
+    return hits[:k]
+
+
+def _phrases(doc_map) -> list[str]:
+    """Pick real 2- and 3-token sequences from corpus docs plus one
+    absent phrase."""
+    texts = list(doc_map.values())
+    t0 = tokenize(texts[3])
+    t1 = tokenize(texts[17])
+    return [
+        " ".join(t0[2:4]),
+        " ".join(t1[1:4]),
+        "error",  # single-term phrase == plain match
+        "zz absent phrase",
+    ]
+
+
+def test_phrase_rank_identity(spark, built, doc_map):
+    phrases = _phrases(doc_map)
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [f"p{i}" for i in range(len(phrases))],
+                "query_text": phrases,
+                "k": [10] * len(phrases),
+            }
+        )
+    )
+    got = engine.phrase_topk(spark, built, qdf).toPandas()
+    for i, ph in enumerate(phrases):
+        exp = phrase_oracle(doc_map, ph, 10)
+        g = got[got.query_id == f"p{i}"].sort_values("rank")
+        assert len(g) == len(exp), (ph, len(g), len(exp))
+        for (_, row), (doc_id, score) in zip(g.iterrows(), exp):
+            assert row["doc_id"] == doc_id, (ph, row.to_dict(), doc_id)
+            assert abs(row["score"] - score) < 1e-9
+    # sanity: at least one phrase had hits, the absent one had none
+    assert len(got[got.query_id == "p0"]) > 0
+    assert len(got[got.query_id == "p3"]) == 0
+
+
+def test_phrase_after_compaction_and_incremental(spark, built, doc_map, corpus_pdf):
+    """Positions survive segment append + compaction byte-exactly in
+    behavior: phrase results before == after compaction; an appended
+    segment's docs are phrase-searchable too."""
+    import shutil
+
+    d2 = tempfile.mkdtemp(prefix="dps_phrase2_")
+    shutil.rmtree(d2)
+    shutil.copytree(built, d2)
+    extra = generate_pandas(N_CONVS, N_CONVS + 50)
+    ib.build_index(spark, spark.createDataFrame(extra), d2, n_shards=4,
+                   block_size=16, incremental=True, snapshot_id=1)
+    full_map = dict(doc_map)
+    ids = extra.conv_id.str.slice(5).astype(int) * STRIDE + extra.turn_idx
+    full_map.update(dict(zip(ids, extra.text)))
+
+    phrases = _phrases(full_map)[:2] + [" ".join(tokenize(extra.text.iloc[5])[:2])]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [f"q{i}" for i in range(len(phrases))],
+                "query_text": phrases,
+                "k": [10] * len(phrases),
+            }
+        )
+    )
+    before = engine.phrase_topk(spark, d2, qdf).toPandas()
+    for i, ph in enumerate(phrases):
+        exp = phrase_oracle(full_map, ph, 10)
+        g = before[before.query_id == f"q{i}"].sort_values("rank")
+        assert list(g["doc_id"]) == [d for d, _ in exp], ph
+
+    ib.compact_index(spark, d2)
+    after = engine.phrase_topk(spark, d2, qdf).toPandas()
+    key = ["query_id", "rank"]
+    b = before.sort_values(key).reset_index(drop=True)
+    a = after.sort_values(key).reset_index(drop=True)
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(), atol=1e-9)
+
+
+def test_positions_off_raises(spark, corpus_pdf):
+    d = tempfile.mkdtemp(prefix="dps_nopos_")
+    ib.build_index(spark, spark.createDataFrame(corpus_pdf.head(50)), d,
+                   n_shards=2, block_size=16, store_positions=False)
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["x"], "query_text": ["error retry"], "k": [5]})
+    )
+    with pytest.raises(ValueError, match="positions"):
+        engine.phrase_topk(spark, d, qdf)
