@@ -475,15 +475,62 @@ def build_index(
     return stats
 
 
-def _compact_kernel(avgdl: float, block_size: int):
+def upsert_conversations(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    snapshot_id: int,
+) -> dict:
+    """The reference bulk path's `update`/`upsert` action
+    (OpenSearchSink.java:347-431) for whole conversations: tombstone the
+    conversations present in `transcripts` (ranges applying only to
+    segments that exist NOW), then incremental-append the replacement
+    rows as a NEW segment. The arithmetic doc_id packing is a pure
+    function of (conv_id, turn_idx), so replacement turns reuse their
+    doc_ids — the tombstone hides the old generation, queries see the
+    new one immediately, and compaction physically reconciles."""
+    from data_prepper_spark.index import tombstones as tomb_mod
+
+    stats = json.load(open(os.path.join(index_dir, "stats.json")))
+    cur = int(stats.get("snapshot_id", 0))
+    assert snapshot_id > cur, (
+        f"upsert snapshot_id {snapshot_id} must be newer than current {cur}"
+    )
+    serials = [
+        int(r[0])
+        for r in transcripts.select(
+            F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("long")
+        )
+        .distinct()
+        .collect()
+    ]
+    tomb_mod.delete_conversations(spark, index_dir, serials, upto_seg=cur)
+    return build_index(
+        spark,
+        transcripts,
+        index_dir,
+        n_shards=int(stats["n_shards"]),
+        incremental=True,
+        snapshot_id=snapshot_id,
+        store_positions=bool(stats.get("positions", True)),
+    )
+
+
+def _compact_kernel(avgdl: float, block_size: int, tomb=None):
     """Per-shard segment merge (Lucene's merge policy analog): decode
     every (term, seg) posting run, k-way merge to one doc-sorted run per
     term, re-encode as seg=0 blocks. Block-max partials are RECOMPUTED
     with the CURRENT corpus avgdl, so compaction also clears the
     avgdl_min upper-bound staleness that incremental appends accumulate
-    (see build_index's incremental notes)."""
+    (see build_index's incremental notes).
 
-    def _merged_meta(meta_rows: pd.DataFrame) -> pd.DataFrame:
+    ``tomb`` (Tombstones): postings whose doc is tombstoned in its own
+    segment are PHYSICALLY dropped during the merge (Lucene dropping
+    deleted docs at merge time); the per-shard count of deleted (seg,
+    doc) instances and their summed dl ride back in the meta row so the
+    driver can correct (n_docs, avgdl) by the EXACT deltas."""
+
+    def _merged_meta(meta_rows: pd.DataFrame, extra: dict | None = None) -> pd.DataFrame:
         """Merge every segment's lineage json into one row (counts sum,
         conv range unions, wall times sum) — the compacted shard's meta
         must describe the WHOLE shard, not an arbitrary segment's."""
@@ -497,6 +544,8 @@ def _compact_kernel(avgdl: float, block_size: int):
             "max_conv": max(m["max_conv"] for m in metas),
             "compacted_segments": len(metas),
         }
+        merged.update(extra or {})
+        merged["n_docs"] -= merged.get("deleted_docs", 0)
         m = meta_rows.iloc[0:1].copy()
         m["seg"] = 0
         m["gaps"] = [json.dumps(merged).encode()]
@@ -516,11 +565,11 @@ def _compact_kernel(avgdl: float, block_size: int):
         has_pos = "poss" in pdf.columns and any(
             p is not None and len(p) for p in pdf["poss"]
         )
-        d_docs, d_tf, d_dl, d_code, d_pos = [], [], [], [], []
+        d_docs, d_tf, d_dl, d_code, d_pos, d_seg = [], [], [], [], [], []
         pos_iter = pdf["poss"] if "poss" in pdf.columns else [b""] * len(pdf)
-        for g, t, l, first, code, po in zip(
+        for g, t, l, first, code, po, seg in zip(
             pdf["gaps"], pdf["tfs"], pdf["dls"], pdf["first_doc"], term_codes,
-            pos_iter,
+            pos_iter, pdf["seg"],
         ):
             docs = codec.delta_decode(bytes(g), base=int(first))
             tf = codec.varint_decode(bytes(t))
@@ -528,6 +577,7 @@ def _compact_kernel(avgdl: float, block_size: int):
             d_tf.append(tf)
             d_dl.append(codec.varint_decode(bytes(l)))
             d_code.append(np.full(len(docs), code, dtype=np.int64))
+            d_seg.append(np.full(len(docs), int(seg), dtype=np.int64))
             if has_pos:
                 d_pos.append(codec.pos_delta_decode(bytes(po or b""), tf))
         if not d_docs:
@@ -537,19 +587,53 @@ def _compact_kernel(avgdl: float, block_size: int):
         tfs = np.concatenate(d_tf).astype(np.int64)
         dls = np.concatenate(d_dl).astype(np.int64)
         codes = np.concatenate(d_code)
-        # (term, doc) order; doc sets are disjoint across segments so no
-        # tf merging is needed — this is a pure interleave
-        order = np.lexsort((docs, codes))
+        # tombstone drop BEFORE the merge: it also restores the
+        # across-segment doc-disjointness invariant the interleave
+        # relies on (an upserted doc exists in two segments until here)
+        extra_meta: dict = {}
+        keep_idx = None
+        if tomb is not None:
+            from data_prepper_spark.index.tombstones import deleted_mask_per_seg
+
+            segs = np.concatenate(d_seg)
+            del_mask = deleted_mask_per_seg(docs, segs, tomb)
+            if del_mask.any():
+                # unique deleted (seg, doc) instances: each upsert
+                # generation of a doc was counted into n_docs once, so
+                # each tombstoned generation subtracts once
+                dd, ds, ddl = docs[del_mask], segs[del_mask], dls[del_mask]
+                o = np.lexsort((dd, ds))
+                dd, ds, ddl = dd[o], ds[o], ddl[o]
+                first_i = np.concatenate(
+                    ([True], (dd[1:] != dd[:-1]) | (ds[1:] != ds[:-1]))
+                )
+                extra_meta = {
+                    "deleted_docs": int(first_i.sum()),
+                    "deleted_dl_sum": int(ddl[first_i].sum()),
+                }
+                keep_idx = np.flatnonzero(~del_mask)
+        if keep_idx is not None and not len(keep_idx):
+            return _merged_meta(meta_rows, extra_meta) if len(meta_rows) else pdf.head(0)
+        docs_f = docs[keep_idx] if keep_idx is not None else docs
+        tfs_f = tfs[keep_idx] if keep_idx is not None else tfs
+        dls_f = dls[keep_idx] if keep_idx is not None else dls
+        codes_f = codes[keep_idx] if keep_idx is not None else codes
+        # (term, doc) order; doc sets are disjoint across segments (after
+        # the tombstone drop) so no tf merging is needed — pure interleave
+        order = np.lexsort((docs_f, codes_f))
         positions = None
         if has_pos:
             # reorder the flat occurrence stream to the merged posting
-            # order (within-posting position order is unchanged)
+            # order (within-posting position order is unchanged); run
+            # starts/lengths are in ORIGINAL posting space, so compose
+            # the tombstone filter with the merge order in one gather
             occ_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+            gidx = keep_idx[order] if keep_idx is not None else order
             positions = codec.gather_runs(
-                np.concatenate(d_pos), occ_starts, tfs, order
+                np.concatenate(d_pos), occ_starts, tfs, gidx
             )
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
-        tcg = codes[order]
+        docs, tfs, dls = docs_f[order], tfs_f[order], dls_f[order]
+        tcg = codes_f[order]
         partial = codec.bm25_partial(tfs, dls, avgdl, K1, B)
 
         enc = _encode_posting_blocks(
@@ -572,8 +656,10 @@ def _compact_kernel(avgdl: float, block_size: int):
             }
         )
         if len(meta_rows):
+            extra_meta["n_postings"] = int(len(docs))
             out = pd.concat(
-                [out, _merged_meta(meta_rows)[out.columns]], ignore_index=True
+                [out, _merged_meta(meta_rows, extra_meta)[out.columns]],
+                ignore_index=True,
             )
         return out
 
@@ -591,20 +677,37 @@ def compact_index(
     Effects: one (term) posting run per shard again (query opens ONE
     cursor per term instead of one per segment), block-max metadata
     refreshed against the current avgdl (stats.avgdl_min resets, so the
-    query engine stops inflating upper bounds), same dictionary (doc
-    sets are unchanged). Plan: one narrow read of each shard's blocks ->
-    applyInPandas merge kernel -> rewrite; shards are independent, so a
-    1000-executor cluster compacts 1000 shards at once."""
+    query engine stops inflating upper bounds). Plan: one narrow read of
+    each shard's blocks -> applyInPandas merge kernel -> rewrite; shards
+    are independent, so a 1000-executor cluster compacts 1000 shards at
+    once.
+
+    Tombstones (delete/upsert, Lucene merge semantics): tombstoned
+    postings are physically removed, (n_docs, avgdl) are corrected by
+    the EXACT deleted (doc, dl) deltas observed during the merge, the
+    dictionary is rebuilt from the compacted blocks (df shrinks; terms
+    whose postings all died disappear), and the tombstone set is cleared
+    — a post-compaction query is rank-identical to a fresh build over
+    the reduced corpus. One caveat: a tombstoned doc that had ZERO
+    tokens never appears in any posting, so its n_docs slot cannot be
+    observed or reclaimed here (Lucene has the same blind spot only for
+    fully-empty docs; compute_stats on a rebuild would count them)."""
+    import shutil
+
+    from data_prepper_spark.index import tombstones as tomb_mod
     from data_prepper_spark.query.engine import load_stats
 
     stats = load_stats(index_dir)
     bs = block_size or int(stats.get("block_size", 128))
+    tomb = tomb_mod.load_tombstones(spark, index_dir)
     blocks_path = os.path.join(index_dir, "blocks")
     blocks = spark.read.parquet(blocks_path)
     compacted = (
         blocks.repartition(int(stats["n_shards"]), "shard")
         .groupBy("shard")
-        .applyInPandas(_compact_kernel(stats["avgdl"], bs), schema=BLOCK_SCHEMA)
+        .applyInPandas(
+            _compact_kernel(stats["avgdl"], bs, tomb=tomb), schema=BLOCK_SCHEMA
+        )
     )
     tmp = blocks_path + "_compact"
     compacted.write.mode("overwrite").partitionBy("shard", "seg").parquet(tmp)
@@ -612,15 +715,56 @@ def compact_index(
     # the new one is in place — a kill between the two renames leaves
     # EITHER blocks_old or blocks readable, never zero copies (on object
     # storage: write a versioned dir and flip a pointer instead)
-    import shutil
-
     old = blocks_path + "_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(blocks_path, old)
     os.rename(tmp, blocks_path)
     shutil.rmtree(old, ignore_errors=True)
-    stats["avgdl_min"] = stats["avgdl"]
+    new_blocks = spark.read.parquet(blocks_path)
+    if tomb is not None:
+        # exact stats correction from the per-shard deltas in meta rows
+        deleted_docs = deleted_dl = 0
+        meta = (
+            new_blocks.filter(F.col("term") == _META_TERM)
+            .select(F.col("gaps").cast("string").alias("meta_json"))
+            .collect()
+        )
+        for r in meta:
+            m = json.loads(r["meta_json"])
+            deleted_docs += m.get("deleted_docs", 0)
+            deleted_dl += m.get("deleted_dl_sum", 0)
+        n_new = max(stats["n_docs"] - deleted_docs, 0)
+        avgdl_new = (
+            (stats["avgdl"] * stats["n_docs"] - deleted_dl) / n_new
+            if n_new
+            else 0.0
+        )
+        # block-max partials were encoded with the PRE-deletion avgdl;
+        # avgdl_min keeps the upper bound provable either way the
+        # correction moved avgdl (partial is monotone in avgdl)
+        stats["avgdl_min"] = min(stats["avgdl"], avgdl_new)
+        stats["n_docs"], stats["avgdl"] = n_new, avgdl_new
+        # df changed -> rebuild the dictionary from the compacted blocks
+        # (same crash-safe two-rename swap as the incremental merge)
+        dict_path = os.path.join(index_dir, "dictionary")
+        dtmp = dict_path + "_tmp"
+        (
+            new_blocks.filter(F.col("term") != _META_TERM)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .write.mode("overwrite")
+            .parquet(dtmp)
+        )
+        dold = dict_path + "_old"
+        shutil.rmtree(dold, ignore_errors=True)
+        os.rename(dict_path, dold)
+        os.rename(dtmp, dict_path)
+        shutil.rmtree(dold, ignore_errors=True)
+    else:
+        stats["avgdl_min"] = stats["avgdl"]
     stats["snapshot_id"] = int(stats.get("snapshot_id", 0))
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
+    if tomb is not None:
+        tomb_mod.clear_tombstones(index_dir)
     return stats

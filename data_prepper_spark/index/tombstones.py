@@ -1,0 +1,191 @@
+"""Document delete/upsert for the compressed index — tombstone ranges.
+
+The reference's bulk path supports index/create/update/upsert/DELETE
+(reference: data-prepper-plugins/opensearch/.../OpenSearchSink.java:347-431);
+its backend implements delete the Lucene way: a liveDocs bitmap hides
+documents immediately, segments drop them physically at merge time, and
+relevance stats (df, avgdl, n_docs) stay stale until that merge. This
+module reproduces exactly that contract:
+
+- delete_docs / delete_conversations append [start, end) doc_id RANGES
+  to ``<index>/tombstones`` (a conversation is one contiguous range
+  under the arithmetic doc_id packing — no per-doc id materialization);
+- a tombstone carries ``upto_seg`` = the newest segment id at delete
+  time, and applies ONLY to segments <= upto_seg (Lucene's per-segment
+  liveDocs): an upsert tombstones the old conversation and appends the
+  replacement as a NEW segment with the same doc_ids, which the
+  tombstone must not touch;
+- every query kernel drops tombstoned docs at block-decode time
+  (results never contain them), while idf/avgdl keep full-corpus values
+  until compaction — Lucene-identical semantics;
+- compact_index consumes the tombstones: postings are physically
+  removed, the dictionary is rebuilt, and (n_docs, avgdl) are corrected
+  by the EXACT deleted (doc, dl) deltas observed during the merge, so a
+  post-compaction query is rank-identical to a fresh build over the
+  reduced corpus (tests assert this).
+
+Ranges are tiny (one row per deleted conversation/doc interval), so the
+query driver loads them once and ships three sorted arrays in the
+kernel closure — no join, no broadcast variable bookkeeping.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def _current_seg(index_dir: str) -> int:
+    import json
+
+    try:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            return int(json.load(f).get("snapshot_id", 0))
+    except FileNotFoundError:
+        return 0
+
+
+def write_tombstones(
+    spark, index_dir: str, ranges: list[tuple[int, int]],
+    upto_seg: int | None = None,
+) -> None:
+    """Append [start, end) doc_id ranges applying to segments
+    <= upto_seg (default: the index's current newest segment)."""
+    if not ranges:
+        return
+    if upto_seg is None:
+        upto_seg = _current_seg(index_dir)
+    pdf = pd.DataFrame(
+        {
+            "start": np.array([r[0] for r in ranges], dtype=np.int64),
+            "end": np.array([r[1] for r in ranges], dtype=np.int64),
+            "upto_seg": np.full(len(ranges), upto_seg, dtype=np.int64),
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("append").parquet(
+        os.path.join(index_dir, "tombstones")
+    )
+
+
+def delete_docs(
+    spark, index_dir: str, doc_ids: list[int], upto_seg: int | None = None
+) -> None:
+    """Point deletes: each doc_id becomes a [d, d+1) range."""
+    write_tombstones(
+        spark, index_dir, [(int(d), int(d) + 1) for d in doc_ids], upto_seg
+    )
+
+
+def delete_conversations(
+    spark, index_dir: str, conv_serials: list[int],
+    stride: int | None = None, upto_seg: int | None = None,
+) -> None:
+    """Delete whole conversations (the reference's purge-by-routing-id
+    case): one range per conversation under the arithmetic packing."""
+    from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+    s = stride or DOC_ID_STRIDE
+    write_tombstones(
+        spark, index_dir,
+        [(int(c) * s, (int(c) + 1) * s) for c in conv_serials], upto_seg,
+    )
+
+
+class Tombstones:
+    """Immutable tombstone set; per-segment resolved (and merged) range
+    views are memoized — kernels call for_seg once per (term, seg)
+    cursor family."""
+
+    def __init__(self, starts: np.ndarray, ends: np.ndarray, uptos: np.ndarray):
+        order = np.argsort(starts, kind="stable")
+        self.starts, self.ends, self.uptos = (
+            starts[order], ends[order], uptos[order]
+        )
+        self._per_seg: dict[int, tuple | None] = {}
+
+    def for_seg(self, seg: int):
+        """-> (starts, ends) merged ranges applying to segment `seg`,
+        or None when no tombstone touches it."""
+        got = self._per_seg.get(seg, "?")
+        if got != "?":
+            return got
+        sel = self.uptos >= seg
+        if not sel.any():
+            self._per_seg[seg] = None
+            return None
+        s, e = self.starts[sel], self.ends[sel]
+        ks, ke = [s[0]], [e[0]]
+        for a, b in zip(s[1:], e[1:]):
+            if a <= ke[-1]:
+                ke[-1] = max(ke[-1], b)
+            else:
+                ks.append(a)
+                ke.append(b)
+        out = (np.array(ks, dtype=np.int64), np.array(ke, dtype=np.int64))
+        self._per_seg[seg] = out
+        return out
+
+    def fingerprint(self) -> tuple:
+        return (
+            int(len(self.starts)),
+            int(self.starts.sum() * 31 + self.ends.sum() * 7 + self.uptos.sum()),
+        )
+
+
+def load_tombstones(spark, index_dir: str) -> Tombstones | None:
+    """-> Tombstones or None. The set is driver-small by construction
+    (one row per delete-call interval)."""
+    path = os.path.join(index_dir, "tombstones")
+    if "://" not in index_dir and not os.path.exists(path):
+        return None
+    pdf = spark.read.parquet(path).toPandas()
+    if not len(pdf):
+        return None
+    return Tombstones(
+        pdf["start"].to_numpy(np.int64),
+        pdf["end"].to_numpy(np.int64),
+        pdf["upto_seg"].to_numpy(np.int64),
+    )
+
+
+def deleted_mask(docs: np.ndarray, ranges) -> np.ndarray:
+    """Boolean mask: True where docs fall inside a (merged, sorted)
+    (starts, ends) range pair. Vectorized: one searchsorted."""
+    starts, ends = ranges
+    idx = np.searchsorted(starts, docs, side="right") - 1
+    valid = idx >= 0
+    out = np.zeros(len(docs), dtype=bool)
+    out[valid] = docs[valid] < ends[idx[valid]]
+    return out
+
+
+def deleted_mask_per_seg(
+    docs: np.ndarray, segs: np.ndarray, tomb: "Tombstones"
+) -> np.ndarray:
+    """liveDocs mask over postings drawn from MULTIPLE segments: True
+    where the posting's doc is tombstoned in ITS OWN segment (an
+    upserted doc is dead in the old segment, live in the new one)."""
+    out = np.zeros(len(docs), dtype=bool)
+    for s in np.unique(segs):
+        rng = tomb.for_seg(int(s))
+        if rng is None:
+            continue
+        sel = segs == s
+        out[sel] = deleted_mask(docs[sel], rng)
+    return out
+
+
+def fingerprint(tomb: Tombstones | None) -> tuple:
+    """Cache-namespace component: tombstone state pins decoded-block
+    cache entries (a new delete must invalidate filtered decodes)."""
+    return (0, 0) if tomb is None else tomb.fingerprint()
+
+
+def clear_tombstones(index_dir: str) -> None:
+    """Called by compact_index after tombstoned postings are physically
+    removed."""
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)

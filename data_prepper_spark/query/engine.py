@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_prepper_spark.index import tombstones
 from data_prepper_spark.query import wand as wand_mod
 from data_prepper_spark.query.bm25_df import tokens_col
 
@@ -95,7 +96,7 @@ def load_stats(index_dir: str) -> dict:
 
 def _shard_kernel(
     avgdl: float, n_docs: int, algo: str, ub_scale: float = 1.0,
-    cache_ns: str = "",
+    cache_ns: str = "", tomb=None,
 ):
     """One call per SHARD: block rows arrive ONCE per term (each row
     carries the list of (query_id, k) needing that term — no per-query
@@ -136,8 +137,13 @@ def _shard_kernel(
         out_q, out_d, out_s = [], [], []
         for qid, (k, terms) in queries.items():
             cursors = [
-                wand_mod.TermCursor(term=t, seg=seg, avgdl=avgdl, cache=cache,
-                                    **term_data[(t, seg)])
+                wand_mod.TermCursor(
+                    term=t, seg=seg, avgdl=avgdl, cache=cache,
+                    # per-segment liveDocs: a tombstone applies only to
+                    # segments that existed when the delete happened
+                    tomb=(tomb.for_seg(seg) if tomb is not None else None),
+                    **term_data[(t, seg)],
+                )
                 for t in terms
                 for (_, seg) in term_segs[t]
             ]
@@ -207,14 +213,16 @@ def score_topk(
         .join(F.broadcast(dict_slice), "term")
     )
     ub_scale = max(1.0, stats["avgdl"] / stats.get("avgdl_min", stats["avgdl"]))
+    tomb = tombstones.load_tombstones(spark, index_dir)
     per_shard = needed.groupBy("shard").applyInPandas(
         _shard_kernel(
             stats["avgdl"], stats["n_docs"], algo, ub_scale,
-            # the ns pins idf/avgdl inputs: cached partials embed
-            # idf(n_docs, df) and avgdl, which change on incremental
-            # builds — a new corpus state gets a fresh namespace
+            # the ns pins idf/avgdl/liveDocs inputs: cached partials
+            # embed idf(n_docs, df) and avgdl and exclude tombstoned
+            # docs — a new corpus/tombstone state gets a fresh namespace
             cache_ns=(os.path.abspath(index_dir), stats["n_docs"],
-                      round(stats["avgdl"], 9)),
+                      round(stats["avgdl"], 9), tombstones.fingerprint(tomb)),
+            tomb=tomb,
         ),
         schema=_KERNEL_OUT,
     )
@@ -229,16 +237,18 @@ def score_topk(
 
 # ---------------------------------------------------------- match_phrase
 
-def _decode_term_runs(tg: pd.DataFrame) -> dict:
+def _decode_term_runs(tg: pd.DataFrame, tomb=None) -> dict:
     """Decode every (seg, block) row of ONE term into doc-sorted posting
     arrays + the flat per-occurrence position stream. Segments hold
     disjoint doc sets, so the multi-segment merge is a stable interleave
-    (argsort by doc, position runs gathered along)."""
+    (argsort by doc, position runs gathered along). Tombstoned docs'
+    postings (and their position runs) are dropped."""
     from data_prepper_spark.index import codec
 
-    d_docs, d_tf, d_dl, d_pos = [], [], [], []
-    for g, t, l, first, po in zip(
-        tg["gaps"], tg["tfs"], tg["dls"], tg["first_doc"], tg["poss"]
+    d_docs, d_tf, d_dl, d_pos, d_seg = [], [], [], [], []
+    for g, t, l, first, po, seg in zip(
+        tg["gaps"], tg["tfs"], tg["dls"], tg["first_doc"], tg["poss"],
+        tg["seg"],
     ):
         docs = codec.delta_decode(bytes(g), base=int(first))
         tf = codec.varint_decode(bytes(t))
@@ -246,6 +256,7 @@ def _decode_term_runs(tg: pd.DataFrame) -> dict:
         d_tf.append(tf)
         d_dl.append(codec.varint_decode(bytes(l)))
         d_pos.append(codec.pos_delta_decode(bytes(po or b""), tf))
+        d_seg.append(np.full(len(docs), int(seg), dtype=np.int64))
     docs = np.concatenate(d_docs)
     tfs = np.concatenate(d_tf).astype(np.int64)
     dls = np.concatenate(d_dl).astype(np.int64)
@@ -255,11 +266,13 @@ def _decode_term_runs(tg: pd.DataFrame) -> dict:
             "index has no position stream (built with "
             "store_positions=False) — match_phrase needs positions"
         )
-    order = np.argsort(docs, kind="stable")
     occ_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
-    from data_prepper_spark.index.codec import gather_runs
-
-    pos = gather_runs(pos, occ_starts, tfs, order)
+    order = np.argsort(docs, kind="stable")
+    if tomb is not None:
+        segs = np.concatenate(d_seg)
+        del_mask = tombstones.deleted_mask_per_seg(docs, segs, tomb)
+        order = order[~del_mask[order]]
+    pos = codec.gather_runs(pos, occ_starts, tfs, order)
     docs, tfs, dls = docs[order], tfs[order], dls[order]
     return {
         "docs": docs, "tfs": tfs, "dls": dls, "pos": pos,
@@ -270,7 +283,7 @@ def _decode_term_runs(tg: pd.DataFrame) -> dict:
 _POS_STRIDE = np.int64(1) << np.int64(32)  # doc-local key = idx*2^32 + pos
 
 
-def _phrase_kernel(avgdl: float, n_docs: int):
+def _phrase_kernel(avgdl: float, n_docs: int, tomb=None):
     """Per-shard exact phrase matching + BM25 scoring.
 
     For a phrase t_0..t_m, a match at start position p in doc d means
@@ -293,7 +306,7 @@ def _phrase_kernel(avgdl: float, n_docs: int):
             df_t = int(tg["df"].iloc[0])
             idfs[term] = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
             decoded[term] = _decode_term_runs(
-                tg.sort_values(["seg", "block_ord"])
+                tg.sort_values(["seg", "block_ord"]), tomb=tomb
             )
             for q in tg["queries"].iloc[0]:
                 ent = queries.setdefault(
@@ -425,7 +438,11 @@ def phrase_topk(
         .join(F.broadcast(dict_slice), "term")
     )
     per_shard = needed.groupBy("shard").applyInPandas(
-        _phrase_kernel(stats["avgdl"], stats["n_docs"]), schema=_KERNEL_OUT
+        _phrase_kernel(
+            stats["avgdl"], stats["n_docs"],
+            tomb=tombstones.load_tombstones(spark, index_dir),
+        ),
+        schema=_KERNEL_OUT,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

@@ -48,6 +48,12 @@ class TermCursor:
     # optional shared decode cache {(term, bi): (docs, partials)} — lets
     # many queries hitting the same term in one shard decode blocks once
     cache: dict | None = None
+    # optional tombstone ranges (starts, ends): deleted docs are dropped
+    # at decode time (Lucene liveDocs semantics — results exclude them
+    # immediately; df/avgdl stay full-corpus until compaction). Block
+    # bounds (firsts/lasts/maxps) stay conservative upper bounds, so
+    # every skip rule remains exact.
+    tomb: tuple | None = None
 
     def __post_init__(self):
         self.global_ub = float(self.idf * self.maxps.max()) if len(self.maxps) else 0.0
@@ -55,7 +61,9 @@ class TermCursor:
 
     def decode_cached(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
         """Decode block bi -> (docs, idf-scaled partial scores), via the
-        shared per-shard cache when present."""
+        shared per-shard cache when present. Tombstoned docs are removed
+        BEFORE caching (the cache namespace includes the tombstone
+        fingerprint, so stale filtered decodes cannot be reused)."""
         key = (self.term, self.seg, bi)
         hit = self.cache.get(key) if self.cache is not None else None
         if hit is not None:
@@ -63,18 +71,29 @@ class TermCursor:
         docs = codec.delta_decode(self.gaps[bi], base=int(self.firsts[bi]))
         tf = codec.varint_decode(self.tfs[bi])
         dl = codec.varint_decode(self.dls[bi])
+        if self.tomb is not None:
+            from data_prepper_spark.index.tombstones import deleted_mask
+
+            keep = ~deleted_mask(docs, self.tomb)
+            docs, tf, dl = docs[keep], tf[keep], dl[keep]
         partials = self.idf * codec.bm25_partial(tf, dl, self.avgdl)
         if self.cache is not None:
             self.cache[key] = (docs, partials)
         return docs, partials
 
     def _decode_block(self, bi: int):
-        if bi >= len(self.firsts):
-            self.docs = np.empty(0, np.int64)
-            return
-        self.bi = bi
-        self.docs, self.partials = self.decode_cached(bi)
-        self.pi = 0
+        # a block may decode EMPTY when every posting in it is
+        # tombstoned — advance until a live block or the end (otherwise
+        # `exhausted` would fire mid-stream)
+        while bi < len(self.firsts):
+            self.bi = bi
+            self.docs, self.partials = self.decode_cached(bi)
+            self.pi = 0
+            if len(self.docs):
+                return
+            bi += 1
+        self.bi = len(self.firsts)
+        self.docs = np.empty(0, np.int64)
 
     @property
     def exhausted(self) -> bool:
@@ -398,6 +417,11 @@ def exhaustive_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]
             )
             tf = np.concatenate([codec.varint_decode(x) for x in c.tfs])
             dl = np.concatenate([codec.varint_decode(x) for x in c.dls])
+            if c.tomb is not None:
+                from data_prepper_spark.index.tombstones import deleted_mask
+
+                keep = ~deleted_mask(docs, c.tomb)
+                docs, tf, dl = docs[keep], tf[keep], dl[keep]
             contribs = c.idf * codec.bm25_partial(tf, dl, c.avgdl)
             if c.cache is not None:
                 c.cache[key] = (docs, contribs)
