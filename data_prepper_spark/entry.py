@@ -35,6 +35,9 @@ BM25_QUERIES = [
 ]
 BM25_K = 10
 
+# LSH ANN hyperparams shared by q_ann_topk and its generated oracle SQL
+ANN_PLANES = 8
+
 
 def _docs(spark, sf_dir):
     return tables.load(spark, sf_dir, "documents")
@@ -970,24 +973,23 @@ def q_dlq_parse_failures(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    """Both ANN scale paths (LSH-bucketed multi-probe + IVF/kmeans cells)
-    unioned with a method tag (approximate — rows-only check)."""
+    """The LSH-bucketed multi-probe ANN scale path. Fully deterministic
+    (splitmix64 planes), so it is ORACLE-CHECKED: the DuckDB oracle
+    inlines the identical plane constants and reproduces bucket
+    assignment, Hamming-1 multi-probe, and the cosine re-rank exactly.
+    The IVF/kmeans variant (iterative MLlib fit — not SQL-expressible)
+    is covered by tests/test_ann.py recall-vs-brute-force instead."""
     vecs = _emb(spark, sf_dir)
-    dim = len(vecs.select("embedding").first()[0])
     qs = vecs.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    lsh = emb.lsh_bucketed_topk(vecs, qs, dim=dim, k=5, qid_col="query_id").select(
-        F.lit("lsh").alias("method"),
+    out = emb.lsh_bucketed_topk(
+        vecs, qs, dim=64, k=5, n_planes=ANN_PLANES, qid_col="query_id"
+    )
+    return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"), "vec_id", "cosine",
     )
-    ivf = emb.ivf_topk(vecs, qs, k=5, n_lists=8, n_probe=2, qid_col="query_id").select(
-        F.lit("ivf").alias("method"),
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"), "vec_id", "cosine",
-    )
-    return lsh.unionByName(ivf)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1423,8 +1425,49 @@ SELECT 'events-pipeline' AS pipeline_name, 'parse_json' AS plugin_name,
        '_failed_parse' AS failure_tags,
        '{"event_id":' || event_id || '}' AS failed_data
 FROM events WHERE event_id % 7 = 0"""
-# approximate ANN + stubbed-decode multimodal ops: rows-only checks
-ORACLE["ann_topk"] = None
+def _ann_lsh_sql(dim: int = 64, n_planes: int = None, k: int = 5) -> str:
+    """Exact SQL replica of lsh_bucketed_topk: the splitmix64 planes are
+    pure functions of (plane_id, dim), so their float64 values are
+    inlined as literals — bucket bits, Hamming-1 multi-probe, and the
+    rounded cosine re-rank all reproduce the Spark plan bit-for-bit."""
+    from data_prepper_spark.dedup.embedding import _plane
+
+    n_planes = n_planes or ANN_PLANES
+    planes = [
+        "[" + ", ".join(repr(float(x)) for x in _plane(p, dim)) + "]"
+        for p in range(n_planes)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {planes[p]}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)]
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, ({bucket})::INT AS bucket FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+  FROM v WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qv, unnest([{probe_list}])::INT AS bucket FROM q),
+cand AS (
+  SELECT p.query_id, v.vec_id,
+         round(list_cosine_similarity(v.embedding::DOUBLE[], p.qv), 6) AS cosine
+  FROM v JOIN probes p USING (bucket))
+SELECT query_id::BIGINT AS query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id)::BIGINT AS rank,
+       vec_id, cosine
+FROM cand QUALIFY rank <= {k}
+"""
+
+
+# LSH ANN is deterministic -> full oracle; stubbed-decode multimodal
+# stays the one rows-only check (the sandbox has no image codec)
+ORACLE["ann_topk"] = _ann_lsh_sql()
 ORACLE["multimodal_features"] = None
 
 
