@@ -574,19 +574,27 @@ def q_remove_duplicates(spark, sf_dir):
 
 
 def q_samplers(spark, sf_dir):
-    """percent_sampler + rate_limiter + tail_sampler as one union with a
-    sampler tag (each branch filters the same cached scan)."""
+    """percent_sampler + rate_limiter (drop AND block modes) +
+    tail_sampler as one union with a sampler tag. The block branch
+    carries delay_s = emit_sec - arrival_sec, so the oracle verifies the
+    full token-bucket schedule per event (RateLimiterAggregateAction
+    when_exceeds: block), not just membership."""
     ev = _events(spark, sf_dir)
+    zero = F.lit(0).cast("long").alias("delay_s")
     pct = ops.percent_sampler(
         ev, ["user_id"], percent=20.0, hash_col="event_id", portable_hash=True
-    ).select(F.lit("percent").alias("sampler"), "event_id")
+    ).select(F.lit("percent").alias("sampler"), "event_id", zero)
     rate = ops.rate_limiter(
         ev, ["user_id"], events_per_second=1, ts_col="ts", tiebreak_col="event_id"
-    ).select(F.lit("rate").alias("sampler"), "event_id")
+    ).select(F.lit("rate").alias("sampler"), "event_id", zero)
+    blocked = ops.rate_limiter(
+        ev, ["user_id"], events_per_second=1, ts_col="ts",
+        when_exceeds="block", tiebreak_col="event_id",
+    ).select(F.lit("rate_block").alias("sampler"), "event_id", "delay_s")
     tail = ops.tail_sampler(
         ev, ["user_id"], error_condition='/event_type == "error"', percent=0.0
-    ).select(F.lit("tail").alias("sampler"), "event_id")
-    return pct.unionByName(rate).unionByName(tail)
+    ).select(F.lit("tail").alias("sampler"), "event_id", zero)
+    return pct.unionByName(rate).unionByName(blocked).unionByName(tail)
 
 
 # ---------------------------------------------------------- dedup / text
@@ -1217,16 +1225,36 @@ ORACLE: dict[str, str | None] = {
         SELECT user_id, event_type, min(event_id) AS event_id
         FROM events GROUP BY 1, 2""",
     "samplers": """
-        SELECT 'percent' AS sampler, event_id FROM events
+        SELECT 'percent' AS sampler, event_id, 0::BIGINT AS delay_s FROM events
         WHERE ((event_id * 2654435761) % 4294967296) / 42949672.96 < 20.0
         UNION ALL
-        SELECT 'rate' AS sampler, event_id FROM (
+        SELECT 'rate' AS sampler, event_id, 0::BIGINT AS delay_s FROM (
           SELECT event_id,
                  row_number() OVER (PARTITION BY user_id, date_trunc('second', ts)
                                     ORDER BY ts, event_id) AS rn
           FROM events) WHERE rn <= 1
         UNION ALL
-        SELECT 'tail' AS sampler, event_id FROM events
+        -- block mode: minimal schedule serving <= N=1 per (user, second)
+        -- in arrival order; closed form of emit[j]=max(a[j], emit[j-N]+1):
+        -- emit_j = max over arrival-seconds s <= a_j of s + (r_j-1-c_s)//N
+        -- with r = arrival rank and c_s = #events arriving before s
+        SELECT 'rate_block' AS sampler, event_id, (emit_sec - sec) AS delay_s
+        FROM (
+          WITH ev AS (
+            SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS r
+            FROM events),
+          firsts AS (
+            SELECT user_id, sec AS s, min(r) - 1 AS c FROM ev
+            GROUP BY user_id, sec)
+          SELECT ev.event_id, ev.sec,
+                 max(f.s + (ev.r - 1 - f.c) // 1) AS emit_sec
+          FROM ev JOIN firsts f
+            ON ev.user_id = f.user_id AND f.s <= ev.sec
+          GROUP BY ev.event_id, ev.sec)
+        UNION ALL
+        SELECT 'tail' AS sampler, event_id, 0::BIGINT AS delay_s FROM events
         WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""",
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count

@@ -15,8 +15,10 @@ aggregations with map-side partial aggregation.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _group_cols(identification_keys: list[str], ts_col: str | None, duration: str | None):
@@ -169,11 +171,28 @@ def rate_limiter(
     when_exceeds: str = "drop",
     tiebreak_col: str | None = None,
 ) -> DataFrame:
-    """RateLimiterAggregateAction.java:27 — allow at most N events/sec
-    per group (drop mode): rank within each (group, second) and keep the
-    first N by event time (tiebreak_col makes the cut deterministic
-    when timestamps collide)."""
-    assert when_exceeds == "drop", "block mode is a streaming-only concept"
+    """RateLimiterAggregateAction.java:27-40 — allow at most N events/sec
+    per group.
+
+    drop mode: rank within each (group, second) and keep the first N by
+    event time (tiebreak_col makes the cut deterministic when
+    timestamps collide).
+
+    block mode (the reference's `when_exceeds: block`, which parks the
+    worker thread until RateLimiter.acquire() grants a permit): no event
+    is lost — excess events CARRY into later seconds. Batch semantics:
+    every event is kept and annotated with `emit_sec`, the epoch second
+    the limiter would have released it, i.e. the minimal non-decreasing
+    schedule serving at most N per (group, second) in arrival order:
+        emit[j] = max(arrival_sec[j], emit[j-N] + 1)
+    One shuffle on identification_keys; the per-group kernel is an O(n)
+    lag-N scan (the group's events must fit one task — the same
+    constraint every stateful per-key operator here has)."""
+    if when_exceeds == "block":
+        return _rate_limiter_block(
+            df, identification_keys, events_per_second, ts_col, tiebreak_col
+        )
+    assert when_exceeds == "drop", f"unknown when_exceeds: {when_exceeds}"
     sec = F.date_trunc("second", F.col(ts_col))
     order = [F.col(ts_col).asc()]
     if tiebreak_col:
@@ -184,6 +203,35 @@ def rate_limiter(
         .filter(F.col("__rn") <= events_per_second)
         .drop("__rn")
     )
+
+
+def _rate_limiter_block(
+    df: DataFrame,
+    identification_keys: list[str],
+    n: int,
+    ts_col: str,
+    tiebreak_col: str | None,
+) -> DataFrame:
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+        a = pdf[ts_col].to_numpy().astype("datetime64[s]").astype("int64")
+        e = a.copy()
+        for j in range(n, len(e)):
+            v = e[j - n] + 1
+            if v > e[j]:
+                e[j] = v
+        pdf["emit_sec"] = e
+        pdf["delay_s"] = e - a
+        return pdf
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("emit_sec", T.LongType()),
+           T.StructField("delay_s", T.LongType())]
+    )
+    return df.groupBy(*identification_keys).applyInPandas(kernel, out_schema)
 
 
 def tail_sampler(

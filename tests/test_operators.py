@@ -327,6 +327,44 @@ def test_rate_limiter(events):
     assert out.count() == 3
 
 
+def test_rate_limiter_block_mode(events):
+    """when_exceeds: block (RateLimiterAggregateAction.java:29-40) —
+    nothing dropped; excess events carry into later seconds."""
+    out = ops.rate_limiter(
+        events, ["user"], events_per_second=1, ts_col="ts",
+        when_exceeds="block", tiebreak_col="id",
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 4  # no event lost
+    # u1: ids 1,2 both at :01 -> 1 emits at :01, 2 carries to :02; 4 at :60
+    assert rows[1]["delay_s"] == 0
+    assert rows[2]["delay_s"] == 1 and rows[2]["emit_sec"] == rows[1]["emit_sec"] + 1
+    assert rows[3]["delay_s"] == 0  # u2's only event
+    assert rows[4]["delay_s"] == 0  # far-future arrival, queue drained
+
+
+def test_rate_limiter_block_long_burst(spark):
+    """A 10-event same-second burst at N=3/sec spreads over 4 seconds in
+    arrival order; a later arrival lands AFTER the drained queue."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [{"id": i, "user": "u", "ts": base} for i in range(10)]
+    rows.append({"id": 10, "user": "u", "ts": base + dt.timedelta(seconds=2)})
+    df = spark.createDataFrame(rows)
+    out = ops.rate_limiter(
+        df, ["user"], events_per_second=3, ts_col="ts",
+        when_exceeds="block", tiebreak_col="id",
+    )
+    got = {r["id"]: r["delay_s"] for r in out.collect()}
+    # burst: ceil-spread 3/3/3/1 -> delays 0,0,0,1,1,1,2,2,2,3
+    assert [got[i] for i in range(10)] == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3]
+    # id 10 arrives at sec 2, which the burst already fills; sec 3 holds
+    # only the burst's last event -> emits at sec 3 (delay 1):
+    # emit[10] = max(a_10=2, emit[7]+1=3) = 3
+    assert got[10] == 1
+
+
 def test_tail_sampler(events):
     out = ops.tail_sampler(events, ["user"], error_condition='/etype == "error"',
                            percent=0.0)
