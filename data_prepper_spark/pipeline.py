@@ -161,15 +161,33 @@ def _write_sink(kind: str, opts: dict, df: DataFrame) -> Any:
         out.write.mode(opts.get("mode", "overwrite")).json(opts["path"])
         return None
     if kind in ("parquet", "json", "ndjson", "csv"):
-        write_grouped(
-            df,
-            opts["path"],
-            fmt=kind,
-            group_by=opts.get("group_by"),
-            event_count=opts.get("event_count"),
-            compression=opts.get("compression"),
-            mode=opts.get("mode", "overwrite"),
-        )
+        def _do_write(d: DataFrame, _attempt: int) -> None:
+            write_grouped(
+                d,
+                opts["path"],
+                fmt=kind,
+                group_by=opts.get("group_by"),
+                event_count=opts.get("event_count"),
+                compression=opts.get("compression"),
+                mode=opts.get("mode", "overwrite"),
+            )
+
+        retry = opts.get("retry")
+        if retry:
+            # BulkRetryStrategy-style wrapper: transient failures backed
+            # off and retried, terminal rows to the DLQ (sinks/retry.py)
+            from data_prepper_spark.sinks.retry import write_with_retry
+
+            return write_with_retry(
+                df, _do_write,
+                max_retries=int(retry.get("max_retries", 6)),
+                backoff_base_s=float(retry.get("backoff_base_s", 0.05)),
+                backoff_cap_s=float(retry.get("backoff_cap_s", 2.0)),
+                dlq_dir=retry.get("dlq"),
+                pipeline_name=retry.get("pipeline_name", "pipeline"),
+                plugin_name=kind,
+            )
+        _do_write(df, 0)
         return None
     raise ValueError(f"unknown sink type {kind!r}")
 

@@ -1,3 +1,8 @@
+from data_prepper_spark.sinks.retry import (  # noqa: F401
+    RetryableSinkError,
+    TerminalSinkError,
+    write_with_retry,
+)
 from data_prepper_spark.sinks.sinks import (  # noqa: F401
     routed_fanout_write,
     write_grouped,

@@ -1,0 +1,138 @@
+"""Sink retry strategy + DLQ hand-off.
+
+Replays the reference's BulkRetryStrategy
+(data-prepper-plugins/opensearch/.../BulkRetryStrategy.java): failures
+are CLASSIFIED retryable (429/503/timeouts there; transient exception
+types here) vs terminal (mapper exceptions there; TerminalSinkError
+here), retryable failures get bounded exponential backoff, terminal
+failures hand the failing documents to the DLQ channel
+(operators/dlq.py -> DlqObject-shaped rows), and a PARTIAL failure
+retries only the surviving documents — the reference re-sends the
+failed subset of a bulk; we keep the complement after routing the
+failed subset to the DLQ.
+
+Spark already retries *tasks*; this wrapper adds what the reference's
+sink layer adds on top: driver-level retry of the whole write action
+with backoff (for sink-endpoint outages that would exhaust task
+retries), failure classification, and the DLQ hand-off on terminal
+errors instead of failing the job.
+
+Retries re-execute `write_fn`, so delivery during retry is
+at-least-once unless the write itself is idempotent (mode=overwrite, or
+a per-attempt subdirectory); that mirrors the reference, whose bulk
+retry also re-sends documents (OpenSearch dedups on _id — partitioned
+overwrite plays that role here).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class RetryableSinkError(Exception):
+    """Transient sink failure (the 429/503/timeout class): the write
+    will be retried with exponential backoff."""
+
+
+class TerminalSinkError(Exception):
+    """Non-retryable failure (the mapper/400 class). `failed_filter`
+    (optional Column) marks WHICH rows are bad: they go to the DLQ and
+    the complement is retried immediately (partial-bulk semantics).
+    Without a filter the whole batch is terminal -> all rows to DLQ."""
+
+    def __init__(self, msg: str, failed_filter: Column | None = None):
+        super().__init__(msg)
+        self.failed_filter = failed_filter
+
+
+#: exception classes treated as transient, like the retryable status
+#: set in BulkRetryStrategy.java (RETRYABLE_STATUS 429/502/503/504)
+RETRYABLE_EXCEPTIONS: tuple[type, ...] = (
+    RetryableSinkError,
+    ConnectionError,
+    TimeoutError,
+)
+
+
+def _to_dlq(
+    df: DataFrame, dlq_dir: str, pipeline_name: str, plugin_name: str,
+    reason: str,
+) -> int:
+    rows = df.count()
+    if rows == 0:
+        return 0
+    (
+        df.select(
+            F.lit(pipeline_name).alias("pipeline_name"),
+            F.lit(plugin_name).alias("plugin_name"),
+            F.lit(reason).alias("failure_tags"),
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias(
+                "failed_data"
+            ),
+        )
+        .write.mode("append")
+        .parquet(dlq_dir)
+    )
+    return rows
+
+
+def write_with_retry(
+    df: DataFrame,
+    write_fn: Callable[[DataFrame, int], None],
+    *,
+    max_retries: int = 6,
+    backoff_base_s: float = 0.05,
+    backoff_cap_s: float = 2.0,
+    dlq_dir: str | None = None,
+    pipeline_name: str = "pipeline",
+    plugin_name: str = "sink",
+    sleep: Callable[[float], None] = time.sleep,
+) -> dict:
+    """Run `write_fn(df, attempt)` under BulkRetryStrategy semantics.
+
+    Returns {"attempts", "dlq_rows", "completed"}; `completed` is False
+    only when rows were abandoned to the DLQ (terminal error or retry
+    exhaustion). Raises the original exception if rows must be dropped
+    but no dlq_dir is configured — data is never silently lost."""
+    remaining = df
+    attempt = 0
+    dlq_rows = 0
+
+    def dlq(batch: DataFrame, reason: str, exc: Exception) -> int:
+        if dlq_dir is None:
+            raise exc
+        return _to_dlq(batch, dlq_dir, pipeline_name, plugin_name, reason)
+
+    while True:
+        try:
+            write_fn(remaining, attempt)
+            return {
+                "attempts": attempt + 1,
+                "dlq_rows": dlq_rows,
+                "completed": dlq_rows == 0,
+            }
+        except TerminalSinkError as e:
+            if e.failed_filter is not None:
+                # partial bulk failure: DLQ the failed subset, retry the
+                # complement immediately (no backoff — the reference
+                # re-sends surviving documents right away)
+                dlq_rows += dlq(
+                    remaining.filter(e.failed_filter), f"terminal: {e}", e
+                )
+                remaining = remaining.filter(~e.failed_filter)
+                attempt += 1
+                continue
+            dlq_rows += dlq(remaining, f"terminal: {e}", e)
+            return {"attempts": attempt + 1, "dlq_rows": dlq_rows,
+                    "completed": False}
+        except RETRYABLE_EXCEPTIONS as e:
+            attempt += 1
+            if attempt > max_retries:
+                dlq_rows += dlq(remaining, f"retries_exhausted: {e}", e)
+                return {"attempts": attempt, "dlq_rows": dlq_rows,
+                        "completed": False}
+            sleep(min(backoff_cap_s, backoff_base_s * (2 ** (attempt - 1))))

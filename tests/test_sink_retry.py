@@ -1,0 +1,118 @@
+"""Sink retry strategy (BulkRetryStrategy.java semantics): transient
+failures retried with exponential backoff, partial terminal failures
+DLQ'd with the complement retried, exhaustion abandons to DLQ, and no
+data is ever silently dropped without a DLQ configured."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.sinks.retry import (
+    RetryableSinkError,
+    TerminalSinkError,
+    write_with_retry,
+)
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.createDataFrame(
+        [{"event_id": i, "payload": f"p{i}"} for i in range(20)]
+    )
+
+
+def test_transient_failures_retried_with_backoff(spark, events, tmp_path):
+    calls, sleeps = [], []
+
+    def flaky(df, attempt):
+        calls.append(attempt)
+        if len(calls) <= 2:
+            raise RetryableSinkError("503 from sink")
+        df.write.mode("overwrite").parquet(str(tmp_path / "out"))
+
+    res = write_with_retry(
+        events, flaky, dlq_dir=str(tmp_path / "dlq"), sleep=sleeps.append
+    )
+    assert res == {"attempts": 3, "dlq_rows": 0, "completed": True}
+    assert calls == [0, 1, 2]
+    assert sleeps == [0.05, 0.1]  # exponential: base * 2^(attempt-1)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 20
+    import os
+
+    assert not os.path.exists(str(tmp_path / "dlq"))  # nothing failed
+
+
+def test_partial_terminal_failure_goes_to_dlq(spark, events, tmp_path):
+    """Rows event_id%7==0 are 'mapper exceptions': they land in the DLQ
+    as DlqObject rows; the complement is written on the next attempt."""
+    calls = []
+
+    def partial(df, attempt):
+        calls.append(attempt)
+        if attempt == 0:
+            raise TerminalSinkError(
+                "mapper_parsing_exception", failed_filter=F.col("event_id") % 7 == 0
+            )
+        df.write.mode("overwrite").parquet(str(tmp_path / "out"))
+
+    res = write_with_retry(
+        events, partial, dlq_dir=str(tmp_path / "dlq"),
+        pipeline_name="p1", plugin_name="opensearch",
+    )
+    assert res["completed"] is False and res["dlq_rows"] == 3  # 0,7,14
+    written = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(written) == 17
+    assert not (written.event_id % 7 == 0).any()
+    dlq = spark.read.parquet(str(tmp_path / "dlq")).toPandas()
+    assert len(dlq) == 3
+    assert set(dlq.columns) == {
+        "pipeline_name", "plugin_name", "failure_tags", "failed_data"
+    }
+    assert (dlq.pipeline_name == "p1").all()
+    assert dlq.failure_tags.str.startswith("terminal:").all()
+    import json
+
+    ids = sorted(pd.json_normalize(dlq.failed_data.map(json.loads)).event_id)
+    assert ids == [0, 7, 14]
+
+
+def test_retry_exhaustion_abandons_to_dlq(spark, events, tmp_path):
+    def always_down(df, attempt):
+        raise RetryableSinkError("connection refused")
+
+    res = write_with_retry(
+        events, always_down, max_retries=3, dlq_dir=str(tmp_path / "dlq"),
+        sleep=lambda s: None,
+    )
+    assert res == {"attempts": 4, "dlq_rows": 20, "completed": False}
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert dlq.count() == 20
+    assert dlq.filter(
+        F.col("failure_tags").startswith("retries_exhausted")
+    ).count() == 20
+
+
+def test_no_dlq_configured_raises(spark, events):
+    def always_down(df, attempt):
+        raise RetryableSinkError("down")
+
+    with pytest.raises(RetryableSinkError):
+        write_with_retry(events, always_down, max_retries=1,
+                         sleep=lambda s: None)
+
+
+def test_yaml_sink_retry_wiring(spark, events, tmp_path):
+    """The parquet sink's `retry:` option routes through write_with_retry
+    (first attempt is real — this just pins the plumbing end-to-end)."""
+    from data_prepper_spark.pipeline import _write_sink
+
+    res = _write_sink(
+        "parquet",
+        {"path": str(tmp_path / "out"),
+         "retry": {"max_retries": 2, "dlq": str(tmp_path / "dlq")}},
+        events,
+    )
+    assert res == {"attempts": 1, "dlq_rows": 0, "completed": True}
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 20
