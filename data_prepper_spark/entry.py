@@ -203,9 +203,11 @@ QUALIFY rank <= {BM25_K}
 def q_index_dictionary(spark, sf_dir):
     """Global dictionary (term -> df) of the compressed index — verifies
     the SPIMI build + shard merge end-to-end against plain SQL."""
+    from data_prepper_spark.index import layout
+
     d = _built_index(spark, sf_dir)
     return (
-        spark.read.parquet(os.path.join(d, "dictionary"))
+        spark.read.parquet(layout.resolve(d, "dictionary"))
         .select("term", F.col("df").cast("long").alias("df"))
     )
 

@@ -50,7 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_prepper_spark.index import codec
+from data_prepper_spark.index import codec, layout
 from data_prepper_spark.index.tokenizer import SPARK_TOKENIZE_SQL, token_spans
 from data_prepper_spark.query.bm25_df import assign_doc_ids, tokens_col
 
@@ -329,6 +329,10 @@ def build_index(
         # (partial is monotone in avgdl with ratio <= avgdl2/avgdl1).
         old = json.load(open(stats_path))
         assert old["n_shards"] == n_shards, "incremental with different n_shards"
+        assert snapshot_id > int(old.get("snapshot_id", -1)), (
+            f"incremental snapshot_id {snapshot_id} must exceed the index's "
+            f"current {old.get('snapshot_id')} (compaction consumes an id too)"
+        )
         docs_all = assign_doc_ids(transcripts) if assign_ids else transcripts
         inc = compute_stats(docs_all)
         n_total = old["n_docs"] + inc["n_docs"]
@@ -344,8 +348,7 @@ def build_index(
             # phrase queries need positions in EVERY segment
             positions=bool(old.get("positions", False)) and store_positions,
         )
-        with open(stats_path, "w") as f:
-            json.dump(stats, f)
+        layout.publish_file(stats_path, json.dumps(stats))
     else:
         docs_all = assign_doc_ids(transcripts) if assign_ids else transcripts
         stats = compute_stats(docs_all)
@@ -354,8 +357,7 @@ def build_index(
             snapshot_id=snapshot_id, avgdl_min=stats["avgdl"],
             positions=store_positions,
         )
-        with open(stats_path, "w") as f:
-            json.dump(stats, f)
+        layout.publish_file(stats_path, json.dumps(stats))
 
     done: set[int] = set()
     manifest_path = os.path.join(index_dir, "manifest")
@@ -372,9 +374,11 @@ def build_index(
     if stats["n_docs"] == 0 and not incremental:
         # empty corpus: persist an empty (but schema-complete) dictionary
         # so the query engine opens cleanly and returns zero hits
-        spark.createDataFrame([], "term string, df long").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, "dictionary"))
+        empty = spark.createDataFrame([], "term string, df long")
+        layout.publish_dir(
+            index_dir, "dictionary",
+            lambda p: empty.write.mode("overwrite").parquet(p),
+        )
         return stats
     docs = docs.filter(F.col("shard").isin(target))
 
@@ -399,11 +403,11 @@ def build_index(
     (
         blocks.write.mode("append")
         .partitionBy("shard", "seg")
-        .parquet(os.path.join(index_dir, "blocks"))
+        .parquet(layout.resolve(index_dir, "blocks"))
     )
 
     # checkpoint manifest: lineage + metrics per shard (FIXTURES.md §4)
-    all_blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    all_blocks = spark.read.parquet(layout.resolve(index_dir, "blocks"))
     meta = (
         all_blocks.filter(F.col("term") == _META_TERM)
         .filter(F.col("shard").isin(target) & (F.col("seg") == snapshot_id))
@@ -434,10 +438,8 @@ def build_index(
     # index's CDC append reads zero old blocks) and union-merge with the
     # previous dictionary. Fresh/resume builds rebuild from all blocks
     # (resume may have added shards the old dictionary never saw).
-    dict_path = os.path.join(index_dir, "dictionary")
+    dict_path = layout.resolve(index_dir, "dictionary")
     if incremental and os.path.exists(dict_path):
-        import shutil
-
         new_agg = (
             all_blocks
             .filter(F.col("shard").isin(target) & (F.col("seg") == snapshot_id))
@@ -452,25 +454,21 @@ def build_index(
             .agg(F.sum("df").cast("long").alias("df"))
         )
         # doc sets are disjoint across segments, so df adds exactly.
-        # Crash-safe swap (same two-rename protocol as compact_index):
-        # the old dictionary survives as _old until the new one is in
-        # place, so a kill between any two steps leaves at least one
-        # readable copy (on object storage: write a versioned dir and
-        # flip a pointer instead of rename).
-        tmp = dict_path + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = dict_path + "_old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(dict_path, old)
-        os.rename(tmp, dict_path)
-        shutil.rmtree(old, ignore_errors=True)
+        # The pointer-flip publish (index/layout.py) keeps a readable
+        # dictionary at every instant — on object stores too.
+        layout.publish_dir(
+            index_dir, "dictionary",
+            lambda p: merged.write.mode("overwrite").parquet(p),
+        )
     else:
-        (
+        dic = (
             all_blocks.filter(F.col("term") != _META_TERM)
             .groupBy("term")
             .agg(F.sum("n").alias("df"))
-            .write.mode("overwrite")
-            .parquet(dict_path)
+        )
+        layout.publish_dir(
+            index_dir, "dictionary",
+            lambda p: dic.write.mode("overwrite").parquet(p),
         )
     return stats
 
@@ -516,10 +514,13 @@ def upsert_conversations(
     )
 
 
-def _compact_kernel(avgdl: float, block_size: int, tomb=None):
+def _compact_kernel(avgdl: float, block_size: int, tomb=None, merged_seg: int = 0):
     """Per-shard segment merge (Lucene's merge policy analog): decode
     every (term, seg) posting run, k-way merge to one doc-sorted run per
-    term, re-encode as seg=0 blocks. Block-max partials are RECOMPUTED
+    term, re-encode as `merged_seg` blocks (a NEW segment id greater
+    than any tombstone's upto_seg, like Lucene naming a merged segment
+    fresh — so a crash before clear_tombstones cannot make stale
+    tombstones hide the merged docs). Block-max partials are RECOMPUTED
     with the CURRENT corpus avgdl, so compaction also clears the
     avgdl_min upper-bound staleness that incremental appends accumulate
     (see build_index's incremental notes).
@@ -547,7 +548,7 @@ def _compact_kernel(avgdl: float, block_size: int, tomb=None):
         merged.update(extra or {})
         merged["n_docs"] -= merged.get("deleted_docs", 0)
         m = meta_rows.iloc[0:1].copy()
-        m["seg"] = 0
+        m["seg"] = merged_seg
         m["gaps"] = [json.dumps(merged).encode()]
         if "poss" not in m.columns:  # pre-positions index layout
             m["poss"] = [b""]
@@ -642,7 +643,7 @@ def _compact_kernel(avgdl: float, block_size: int, tomb=None):
         out = pd.DataFrame(
             {
                 "shard": np.full(len(enc["ord"]), shard, dtype=np.int32),
-                "seg": np.zeros(len(enc["ord"]), dtype=np.int64),
+                "seg": np.full(len(enc["ord"]), merged_seg, dtype=np.int64),
                 "term": uniq_terms[enc["term_key"]],
                 "block_ord": enc["ord"],
                 "first_doc": enc["first"],
@@ -669,10 +670,12 @@ def _compact_kernel(avgdl: float, block_size: int, tomb=None):
 def compact_index(
     spark: SparkSession, index_dir: str, block_size: int | None = None
 ) -> dict:
-    """Merge all segments of every shard into a single seg=0 segment
-    (the reference's indexing backend does this continuously via
-    Lucene's background merges; here it is an explicit offline op a
-    maintenance job schedules after N CDC appends).
+    """Merge all segments of every shard into ONE fresh segment (id =
+    snapshot_id + 1 — a new name, never 0, so stale tombstones scoped
+    `upto_seg <= snapshot_id` can't apply to it). The reference's
+    indexing backend does this continuously via Lucene's background
+    merges; here it is an explicit offline op a maintenance job
+    schedules after N CDC appends.
 
     Effects: one (term) posting run per shard again (query opens ONE
     cursor per term instead of one per segment), block-max metadata
@@ -691,36 +694,40 @@ def compact_index(
     the reduced corpus. One caveat: a tombstoned doc that had ZERO
     tokens never appears in any posting, so its n_docs slot cannot be
     observed or reclaimed here (Lucene has the same blind spot only for
-    fully-empty docs; compute_stats on a rebuild would count them)."""
-    import shutil
+    fully-empty docs; compute_stats on a rebuild would count them).
 
+    Commit protocol (index/layout.py): the compacted blocks and rebuilt
+    dictionary are published as versioned dirs behind pointer files —
+    a crash at ANY step leaves the index readable, on a path-style
+    object store as well as a local FS. Crash windows: after the blocks
+    flip but before the stats write, queries run with slightly stale
+    (n_docs, avgdl) — the same staleness class incremental appends
+    already have; after stats but before clear_tombstones, the stale
+    tombstones are inert (their upto_seg predates the merged segment
+    id)."""
+    from data_prepper_spark.index import layout
     from data_prepper_spark.index import tombstones as tomb_mod
     from data_prepper_spark.query.engine import load_stats
 
     stats = load_stats(index_dir)
     bs = block_size or int(stats.get("block_size", 128))
     tomb = tomb_mod.load_tombstones(spark, index_dir)
-    blocks_path = os.path.join(index_dir, "blocks")
-    blocks = spark.read.parquet(blocks_path)
+    merged_seg = int(stats.get("snapshot_id", 0)) + 1
+    blocks = spark.read.parquet(layout.resolve(index_dir, "blocks"))
     compacted = (
         blocks.repartition(int(stats["n_shards"]), "shard")
         .groupBy("shard")
         .applyInPandas(
-            _compact_kernel(stats["avgdl"], bs, tomb=tomb), schema=BLOCK_SCHEMA
+            _compact_kernel(stats["avgdl"], bs, tomb=tomb, merged_seg=merged_seg),
+            schema=BLOCK_SCHEMA,
         )
     )
-    tmp = blocks_path + "_compact"
-    compacted.write.mode("overwrite").partitionBy("shard", "seg").parquet(tmp)
-    # crash-safe swap: the old directory survives (as blocks_old) until
-    # the new one is in place — a kill between the two renames leaves
-    # EITHER blocks_old or blocks readable, never zero copies (on object
-    # storage: write a versioned dir and flip a pointer instead)
-    old = blocks_path + "_old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(blocks_path, old)
-    os.rename(tmp, blocks_path)
-    shutil.rmtree(old, ignore_errors=True)
-    new_blocks = spark.read.parquet(blocks_path)
+    layout.publish_dir(
+        index_dir, "blocks",
+        lambda p: compacted.write.mode("overwrite")
+        .partitionBy("shard", "seg").parquet(p),
+    )
+    new_blocks = spark.read.parquet(layout.resolve(index_dir, "blocks"))
     if tomb is not None:
         # exact stats correction from the per-shard deltas in meta rows
         deleted_docs = deleted_dl = 0
@@ -745,26 +752,22 @@ def compact_index(
         stats["avgdl_min"] = min(stats["avgdl"], avgdl_new)
         stats["n_docs"], stats["avgdl"] = n_new, avgdl_new
         # df changed -> rebuild the dictionary from the compacted blocks
-        # (same crash-safe two-rename swap as the incremental merge)
-        dict_path = os.path.join(index_dir, "dictionary")
-        dtmp = dict_path + "_tmp"
-        (
+        # (published through the same pointer-flip protocol)
+        dic = (
             new_blocks.filter(F.col("term") != _META_TERM)
             .groupBy("term")
             .agg(F.sum("n").alias("df"))
-            .write.mode("overwrite")
-            .parquet(dtmp)
         )
-        dold = dict_path + "_old"
-        shutil.rmtree(dold, ignore_errors=True)
-        os.rename(dict_path, dold)
-        os.rename(dtmp, dict_path)
-        shutil.rmtree(dold, ignore_errors=True)
+        layout.publish_dir(
+            index_dir, "dictionary",
+            lambda p: dic.write.mode("overwrite").parquet(p),
+        )
     else:
         stats["avgdl_min"] = stats["avgdl"]
-    stats["snapshot_id"] = int(stats.get("snapshot_id", 0))
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
+    stats["snapshot_id"] = merged_seg
+    layout.publish_file(
+        os.path.join(index_dir, "stats.json"), json.dumps(stats)
+    )
     if tomb is not None:
         tomb_mod.clear_tombstones(index_dir)
     return stats

@@ -1,0 +1,90 @@
+"""Object-store-safe commit protocol for index artifacts.
+
+The index's mutable artifacts (``dictionary``, ``blocks`` after a
+compaction) were previously replaced with a two-step ``os.rename``
+swap. Renames are atomic on POSIX but do not exist on path-style object
+stores (S3 "rename" is copy+delete, non-atomic and O(bytes)). This
+module uses the protocol that IS safe there — versioned directories
+plus a tiny pointer file:
+
+  1. write the new artifact COMPLETELY into ``<name>__v<N+1>/``;
+  2. flip the pointer ``<name>.ptr`` to ``v<N+1>`` (locally an atomic
+     rename of a temp file; on an object store a single small PUT,
+     which is atomic per S3's consistency model);
+  3. garbage-collect older versions.
+
+A crash at any instant leaves the pointer naming a fully-written
+version: before step 2 readers still resolve the old version, after it
+the new one. Readers never see a partially-written directory. (A real
+object-store deployment would delay step 3 by a grace period for
+in-flight readers that already resolved the old version; a Spark job
+re-resolves per action, so immediate GC is safe here.)
+
+``resolve`` falls back to the legacy un-versioned ``<index>/<name>``
+path when no pointer exists, so pre-existing indexes keep working and
+append-only artifacts (segment appends, manifest, tombstones) never
+need a version bump.
+
+Reference parity: the role of Lucene's ``segments_N`` + ``commit
+point`` files behind the reference's opensearch sink — the pointer file
+is the commit point.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Callable
+
+
+def _ptr_path(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, f"{name}.ptr")
+
+
+def current_version(index_dir: str, name: str) -> int:
+    """0 = legacy (no pointer); N = pointer names ``<name>__vN``."""
+    try:
+        with open(_ptr_path(index_dir, name)) as f:
+            return int(f.read().strip().lstrip("v") or 0)
+    except FileNotFoundError:
+        return 0
+
+
+def resolve(index_dir: str, name: str) -> str:
+    """Current readable path for artifact `name`."""
+    v = current_version(index_dir, name)
+    if v:
+        return os.path.join(index_dir, f"{name}__v{v}")
+    return os.path.join(index_dir, name)
+
+
+def publish_file(path: str, content: str) -> None:
+    """Atomic small-file replace: temp + rename locally (a single PUT on
+    an object store). Used for stats.json and the pointer itself."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.rename(tmp, path)
+
+
+def publish_dir(
+    index_dir: str, name: str, write_fn: Callable[[str], None]
+) -> str:
+    """Commit a new version of directory-artifact `name`.
+
+    write_fn(new_path) must create `new_path` fully; only then is the
+    pointer flipped and old versions removed. Returns the new path."""
+    v = current_version(index_dir, name) + 1
+    new = os.path.join(index_dir, f"{name}__v{v}")
+    # a crashed previous attempt at this same version never got its
+    # pointer flip, so its partial output is dead weight — reclaim it
+    shutil.rmtree(new, ignore_errors=True)
+    write_fn(new)
+    publish_file(_ptr_path(index_dir, name), f"v{v}\n")
+    for stale in glob.glob(os.path.join(index_dir, f"{name}__v*")):
+        if os.path.abspath(stale) != os.path.abspath(new):
+            shutil.rmtree(stale, ignore_errors=True)
+    legacy = os.path.join(index_dir, name)
+    shutil.rmtree(legacy, ignore_errors=True)
+    return new

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_prepper_spark.index import tombstones
+from data_prepper_spark.index import layout, tombstones
 from data_prepper_spark.query import wand as wand_mod
 from data_prepper_spark.query.bm25_df import tokens_col
 
@@ -186,7 +186,7 @@ def score_topk(
     # `term IN (...)` reaches the scan (PushedFilters) and prunes row
     # groups via the per-shard term sort order.
     terms = [r["term"] for r in qmap.select("term").collect()]
-    blocks_path = os.path.join(index_dir, "blocks")
+    blocks_path = layout.resolve(index_dir, "blocks")
     local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
     if not terms or local_missing:
         # no query terms, or an empty index (no blocks ever written);
@@ -195,9 +195,9 @@ def score_topk(
         return spark.createDataFrame(
             [], "query_id string, rank long, doc_id long, score double"
         )
-    dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
     dict_slice = dictionary.filter(F.col("term").isin(terms))
-    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    blocks = spark.read.parquet(blocks_path)
     if "seg" not in blocks.columns:  # pre-segment index layout
         blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
     # explicit projection: BM25 scoring never touches the position
@@ -419,13 +419,13 @@ def phrase_topk(
         ).alias("queries")
     )
     terms = [r["term"] for r in qmap.select("term").collect()]
-    blocks_path = os.path.join(index_dir, "blocks")
+    blocks_path = layout.resolve(index_dir, "blocks")
     local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
     if not terms or local_missing:
         return spark.createDataFrame(
             [], "query_id string, rank long, doc_id long, score double"
         )
-    dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
     dict_slice = dictionary.filter(F.col("term").isin(terms))
     blocks = spark.read.parquet(blocks_path)
     needed = (

@@ -1,0 +1,113 @@
+"""Object-store-safe commit protocol (index/layout.py): versioned dirs
++ pointer flip. Crash injection at every step must leave the index
+readable at SOME complete version — never a partial directory — on a
+path-style layout (no directory renames anywhere in the protocol)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index import layout
+from data_prepper_spark.query import engine
+
+
+def test_resolve_legacy_then_versioned(tmp_path):
+    d = str(tmp_path)
+    # no pointer -> legacy plain path
+    assert layout.resolve(d, "dictionary") == os.path.join(d, "dictionary")
+    assert layout.current_version(d, "dictionary") == 0
+
+    def write_v(p, tag):
+        os.makedirs(p)
+        open(os.path.join(p, "data"), "w").write(tag)
+
+    p1 = layout.publish_dir(d, "dictionary", lambda p: write_v(p, "one"))
+    assert layout.resolve(d, "dictionary") == p1
+    assert open(os.path.join(p1, "data")).read() == "one"
+
+    p2 = layout.publish_dir(d, "dictionary", lambda p: write_v(p, "two"))
+    assert layout.resolve(d, "dictionary") == p2
+    assert not os.path.exists(p1)  # old version GC'd after the flip
+
+
+def test_crash_mid_write_keeps_current_version(tmp_path):
+    d = str(tmp_path)
+
+    def write_v(p, tag):
+        os.makedirs(p)
+        open(os.path.join(p, "data"), "w").write(tag)
+
+    p1 = layout.publish_dir(d, "dictionary", lambda p: write_v(p, "one"))
+
+    def crashing(p):
+        os.makedirs(p)
+        open(os.path.join(p, "data"), "w").write("PART")
+        raise RuntimeError("executor lost")
+
+    with pytest.raises(RuntimeError):
+        layout.publish_dir(d, "dictionary", crashing)
+    # pointer never flipped: readers still resolve the complete v1
+    assert layout.resolve(d, "dictionary") == p1
+    assert open(os.path.join(p1, "data")).read() == "one"
+    # the next publish reclaims the dead partial and succeeds
+    p2 = layout.publish_dir(d, "dictionary", lambda p: write_v(p, "two"))
+    assert open(os.path.join(p2, "data")).read() == "two"
+
+
+def test_unreferenced_complete_dir_is_inert(tmp_path):
+    """Crash AFTER the new dir is fully written but BEFORE the pointer
+    flip: the new dir is dead weight, the old version stays current."""
+    d = str(tmp_path)
+
+    def write_v(p, tag):
+        os.makedirs(p)
+        open(os.path.join(p, "data"), "w").write(tag)
+
+    p1 = layout.publish_dir(d, "dictionary", lambda p: write_v(p, "one"))
+    write_v(os.path.join(d, "dictionary__v2"), "orphan")  # no flip
+    assert layout.resolve(d, "dictionary") == p1
+
+
+def test_compaction_crash_before_pointer_flip_is_recoverable(
+    spark, tmp_path, monkeypatch
+):
+    """Kill compact_index between writing the compacted blocks and the
+    pointer flip: the index answers queries identically from the OLD
+    blocks; re-running compaction completes and stays rank-identical."""
+    corpus = generate_pandas(0, 80)
+    idx = str(tmp_path / "idx")
+    ib.build_index(spark, spark.createDataFrame(corpus), idx, n_shards=4,
+                   block_size=16)
+    qpdf = generate_queries(10)
+
+    def run():
+        return (
+            engine.score_topk(spark, idx, spark.createDataFrame(qpdf), "wand")
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+
+    before = run()
+    real_publish_file = layout.publish_file
+
+    def faulty(path, content):
+        if path.endswith("blocks.ptr"):
+            raise RuntimeError("crash before pointer flip")
+        real_publish_file(path, content)
+
+    monkeypatch.setattr(layout, "publish_file", faulty)
+    with pytest.raises(RuntimeError):
+        ib.compact_index(spark, idx)
+    monkeypatch.undo()
+
+    mid = run()  # old blocks still current, stats untouched
+    pd.testing.assert_frame_equal(before, mid)
+
+    ib.compact_index(spark, idx)  # retry completes
+    after = run()
+    pd.testing.assert_frame_equal(before, after)
+    assert layout.current_version(idx, "blocks") >= 1

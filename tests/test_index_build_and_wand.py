@@ -11,6 +11,7 @@ import pytest
 
 from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
 from data_prepper_spark.index import build as ib
+from data_prepper_spark.index import layout
 from data_prepper_spark.oracle import bm25 as oracle
 from data_prepper_spark.query import engine
 from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE as STRIDE
@@ -103,14 +104,14 @@ def test_resume_produces_identical_index(spark, corpus_pdf, tmp_path_factory, in
     cols = ["shard", "term", "block_ord", "first_doc", "last_doc", "n",
             "gaps", "tfs", "dls", "max_partial"]
     a = (
-        spark.read.parquet(os.path.join(index_dir, "blocks"))
+        spark.read.parquet(layout.resolve(index_dir, "blocks"))
         .filter("block_ord >= 0")  # exclude per-run metrics sentinel rows
         .toPandas()[cols]
         .sort_values(["shard", "term", "block_ord"])
         .reset_index(drop=True)
     )
     b = (
-        spark.read.parquet(os.path.join(d2, "blocks"))
+        spark.read.parquet(layout.resolve(d2, "blocks"))
         .filter("block_ord >= 0")
         .toPandas()[cols]
         .sort_values(["shard", "term", "block_ord"])
@@ -136,7 +137,7 @@ def test_resume_skips_done_shards(spark, corpus_pdf, tmp_path_factory):
 
 def test_compression_is_effective(spark, index_dir, corpus_pdf):
     stats = json.load(open(os.path.join(index_dir, "stats.json")))
-    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    blocks = spark.read.parquet(layout.resolve(index_dir, "blocks"))
     bdf = blocks.filter("block_ord >= 0").toPandas()
     n_postings = int(bdf.n.sum())
     payload = sum(len(bytes(g)) for g in bdf.gaps) + sum(

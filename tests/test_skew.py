@@ -22,6 +22,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_prepper_spark.index import build as ib
+from data_prepper_spark.index import layout
 from data_prepper_spark.query import engine
 
 N_DOCS = 4000
@@ -47,7 +48,7 @@ def skewed_index(spark, tmp_path_factory):
 
 
 def test_hot_term_postings_spread_across_all_shards(spark, skewed_index):
-    blocks = spark.read.parquet(os.path.join(skewed_index, "blocks"))
+    blocks = spark.read.parquet(layout.resolve(skewed_index, "blocks"))
     per_shard = {
         r["shard"]: r["n"]
         for r in blocks.filter(F.col("term") == HOT)

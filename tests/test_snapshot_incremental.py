@@ -16,6 +16,7 @@ import pytest
 
 from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
 from data_prepper_spark.index import build as ib
+from data_prepper_spark.index import layout
 from data_prepper_spark.oracle import bm25 as oracle
 from data_prepper_spark.query import engine
 from data_prepper_spark.sources import snapshot as snap
@@ -104,7 +105,7 @@ def test_incremental_dictionary_merge_prunes_old_segments(spark, base_pdf, inc_p
     # seg-filtered scan carries a PartitionFilter (file-level pruning —
     # historical segments are never listed into tasks)
     pruned = (
-        spark.read.parquet(os.path.join(idx, "blocks"))
+        spark.read.parquet(layout.resolve(idx, "blocks"))
         .filter(F.col("seg") == 2)
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
@@ -113,12 +114,12 @@ def test_incremental_dictionary_merge_prunes_old_segments(spark, base_pdf, inc_p
     # merged dictionary == exact rebuild over all blocks
     merged = {
         r["term"]: r["df"]
-        for r in spark.read.parquet(os.path.join(idx, "dictionary")).collect()
+        for r in spark.read.parquet(layout.resolve(idx, "dictionary")).collect()
     }
     rebuilt = {
         r["term"]: r["df"]
         for r in (
-            spark.read.parquet(os.path.join(idx, "blocks"))
+            spark.read.parquet(layout.resolve(idx, "blocks"))
             .filter(F.col("term") != ib._META_TERM)
             .groupBy("term").agg(F.sum("n").alias("df"))
             .collect()
@@ -151,10 +152,13 @@ def test_compaction_rank_identity_and_metadata_refresh(spark, base_pdf, inc_pdf,
     post = engine.load_stats(idx)
     assert post["avgdl_min"] == post["avgdl"]  # staleness cleared
     segs = (
-        spark.read.parquet(os.path.join(idx, "blocks"))
+        spark.read.parquet(layout.resolve(idx, "blocks"))
         .select("seg").distinct().collect()
     )
-    assert {r["seg"] for r in segs} == {0}
+    # ONE merged segment, under a FRESH id (> every pre-merge snapshot,
+    # so stale tombstones can never apply to it)
+    assert {r["seg"] for r in segs} == {post["snapshot_id"]}
+    assert post["snapshot_id"] > pre["snapshot_id"]
 
     full = pd.concat([base_pdf, inc_pdf], ignore_index=True)
     doc_ids = full.conv_id.str.slice(5).astype(int) * STRIDE + full.turn_idx
@@ -173,9 +177,9 @@ def test_compaction_rank_identity_and_metadata_refresh(spark, base_pdf, inc_pdf,
 
     # dictionary untouched: df identical to a rebuild over merged blocks
     d1 = {r["term"]: r["df"] for r in
-          spark.read.parquet(os.path.join(idx, "dictionary")).collect()}
+          spark.read.parquet(layout.resolve(idx, "dictionary")).collect()}
     d2 = {r["term"]: r["df"] for r in (
-        spark.read.parquet(os.path.join(idx, "blocks"))
+        spark.read.parquet(layout.resolve(idx, "blocks"))
         .filter(F.col("term") != ib._META_TERM)
         .groupBy("term").agg(F.sum("n").alias("df")).collect())}
     assert d1 == d2

@@ -27,6 +27,7 @@ import pytest
 
 from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
 from data_prepper_spark.index import build as ib
+from data_prepper_spark.index import layout
 from data_prepper_spark.index import tombstones as tomb
 from data_prepper_spark.oracle import bm25 as oracle
 from data_prepper_spark.query import engine
@@ -130,9 +131,9 @@ def test_compaction_physically_removes_and_corrects_stats(
     assert abs(s_c["avgdl"] - s_f["avgdl"]) < 1e-9
 
     # dictionary df matches a fresh reduced build exactly
-    d_c = (spark.read.parquet(os.path.join(deleted_index, "dictionary"))
+    d_c = (spark.read.parquet(layout.resolve(deleted_index, "dictionary"))
            .toPandas().sort_values("term").reset_index(drop=True))
-    d_f = (spark.read.parquet(os.path.join(fresh, "dictionary"))
+    d_f = (spark.read.parquet(layout.resolve(fresh, "dictionary"))
            .toPandas().sort_values("term").reset_index(drop=True))
     assert (d_c.term.values == d_f.term.values).all()
     assert (d_c.df.values == d_f.df.values).all()
@@ -141,7 +142,7 @@ def test_compaction_physically_removes_and_corrects_stats(
     from data_prepper_spark.index import codec
     from data_prepper_spark.index.build import _META_TERM
 
-    bdf = (spark.read.parquet(os.path.join(deleted_index, "blocks"))
+    bdf = (spark.read.parquet(layout.resolve(deleted_index, "blocks"))
            .filter(f"term != '{_META_TERM}'").toPandas())
     for g, first in zip(bdf.gaps, bdf.first_doc):
         docs = codec.delta_decode(bytes(g), base=int(first))
