@@ -719,8 +719,9 @@ _UA_GOLDEN = [
     ("Safari", "17.1", "Mac OS X", "10.15.7", "Desktop"),
     ("Firefox", "121.0", "Linux", "", "Desktop"),
     ("Edge", "120.0.2210.91", "Windows", "10.0", "Desktop"),
-    ("Safari", "17.1", "iOS", "17.1", "iPhone"),
-    ("Chrome", "120.0.6099.43", "Android", "14", "Mobile"),
+    # mobile skins are distinct families, as in uap-core's vocabulary
+    ("Mobile Safari", "17.1", "iOS", "17.1", "iPhone"),
+    ("Chrome Mobile", "120.0.6099.43", "Android", "14", "Mobile"),
     ("curl", "8.4.0", "Other", "", "Desktop"),
 ]
 

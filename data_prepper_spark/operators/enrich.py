@@ -29,31 +29,77 @@ from data_prepper_spark.functions.net import ipv4_to_long
 _UA_BROWSERS: list[tuple[str, str]] = [
     # bots & tools first: their UAs often embed browser tokens
     ("Googlebot", r"Googlebot/(\d+[\.\d]*)"),
+    ("Googlebot-Image", r"Googlebot-Image/(\d+[\.\d]*)"),
     ("Bingbot", r"bingbot/(\d+[\.\d]*)"),
     ("YandexBot", r"YandexBot/(\d+[\.\d]*)"),
     ("Baiduspider", r"Baiduspider/(\d+[\.\d]*)"),
     ("DuckDuckBot", r"DuckDuckBot[/-](\d+[\.\d]*)"),
+    ("Applebot", r"Applebot/(\d+[\.\d]*)"),
+    ("Twitterbot", r"Twitterbot/(\d+[\.\d]*)"),
+    ("Slackbot", r"Slackbot[ /-]*(?:LinkExpanding )?(\d+[\.\d]*)"),
+    ("FacebookBot", r"facebookexternalhit/(\d+[\.\d]*)"),
+    ("AhrefsBot", r"AhrefsBot/(\d+[\.\d]*)"),
+    ("SemrushBot", r"SemrushBot/(\d+[\.\d]*)"),
+    ("MJ12bot", r"MJ12bot/v?(\d+[\.\d]*)"),
+    ("PetalBot", r"PetalBot()"),
+    ("GPTBot", r"GPTBot/(\d+[\.\d]*)"),
     ("curl", r"curl/(\d+[\.\d]*)"),
     ("Wget", r"[Ww]get/(\d+[\.\d]*)"),
     ("Python Requests", r"python-requests/(\d+[\.\d]*)"),
     ("Python-urllib", r"Python-urllib/(\d+[\.\d]*)"),
+    ("aiohttp", r"Python/[\d\.]+ aiohttp/(\d+[\.\d]*)"),
     ("Go-http-client", r"Go-http-client/(\d+[\.\d]*)"),
     ("okhttp", r"okhttp/(\d+[\.\d]*)"),
+    ("axios", r"axios/(\d+[\.\d]*)"),
+    ("node-fetch", r"node-fetch/?(\d*[\.\d]*)"),
+    ("PostmanRuntime", r"PostmanRuntime/(\d+[\.\d]*)"),
+    ("Apache-HttpClient", r"Apache-HttpClient/(\d+[\.\d]*)"),
+    ("Java", r"^Java/(\d+[\.\d_]*)"),
+    ("Dalvik", r"^Dalvik/(\d+[\.\d]*)"),
+    # in-app webviews (tokens ride ALONGSIDE Chrome/Safari tokens)
+    ("Facebook", r"FBAV/(\d+[\.\d]*)"),
+    ("Instagram", r"Instagram (\d+[\.\d]*)"),
+    ("WeChat", r"MicroMessenger/(\d+[\.\d]*)"),
+    ("WhatsApp", r"WhatsApp/(\d+[\.\d]*)"),
+    ("Snapchat", r"Snapchat/(\d+[\.\d]*)"),
+    ("Line", r"\bLine/(\d+[\.\d]*)"),
+    ("Electron", r"Electron/(\d+[\.\d]*)"),
+    ("Headless Chrome", r"HeadlessChrome/(\d+[\.\d]*)"),
     # chromium skins
     ("Edge", r"Edg(?:e|A|iOS)?/(\d+[\.\d]*)"),
     ("Opera Mini", r"Opera Mini/(\d+[\.\d]*)"),
+    ("Opera Mobile", r"Android.*OPR/(\d+[\.\d]*)"),
     ("Opera", r"OPR/(\d+[\.\d]*)"),
     ("Opera", r"Opera[/ ](\d+[\.\d]*)"),
     ("Samsung Internet", r"SamsungBrowser/(\d+[\.\d]*)"),
     ("Yandex Browser", r"YaBrowser/(\d+[\.\d]*)"),
     ("UC Browser", r"UC(?:WEB|Browser)/(\d+[\.\d]*)"),
     ("Vivaldi", r"Vivaldi/(\d+[\.\d]*)"),
+    ("Brave", r"Brave(?: Chrome)?/(\d+[\.\d]*)"),
+    ("QQ Browser", r"MQQBrowser/(\d+[\.\d]*)"),
+    ("QQ Browser", r"QQBrowser/(\d+[\.\d]*)"),
+    ("Huawei Browser", r"HuaweiBrowser/(\d+[\.\d]*)"),
+    ("Miui Browser", r"MiuiBrowser/(\d+[\.\d]*)"),
+    ("Whale", r"Whale/(\d+[\.\d]*)"),
+    ("DuckDuckGo Mobile", r"DuckDuckGo/(\d+[\.\d]*)"),
+    ("Amazon Silk", r"Silk/(\d+[\.\d]*)"),
     ("Chrome Mobile iOS", r"CriOS/(\d+[\.\d]*)"),
     ("Firefox iOS", r"FxiOS/(\d+[\.\d]*)"),
-    # majors
+    ("Chrome Mobile WebView", r"; wv\).*Chrome/(\d+[\.\d]*)"),
+    ("Chrome Mobile", r"Chrome/(\d+[\.\d]*).*Mobile"),
+    # majors (Chromium before Chrome: distro builds carry BOTH tokens;
+    # SeaMonkey before Firefox and BlackBerry before Mobile Safari for
+    # the same carries-the-other-token reason)
+    ("Chromium", r"Chromium/(\d+[\.\d]*)"),
     ("Chrome", r"Chrome/(\d+[\.\d]*)"),
+    ("SeaMonkey", r"SeaMonkey/(\d+[\.\d]*)"),
+    ("Firefox Mobile", r"Android.*Firefox/(\d+[\.\d]*)"),
     ("Firefox", r"Firefox/(\d+[\.\d]*)"),
+    ("BlackBerry WebKit", r"(?:BlackBerry|BB10).*Version/(\d+[\.\d]*)"),
+    ("Mobile Safari", r"Version/(\d+[\.\d]*) .*Mobile.*Safari"),
     ("Safari", r"Version/(\d+[\.\d]*) .*Safari"),
+    ("Konqueror", r"Konqueror/(\d+[\.\d]*)"),
+    ("IE Mobile", r"IEMobile/(\d+[\.\d]*)"),
     ("IE", r"MSIE (\d+[\.\d]*)"),
     ("IE", r"Trident/.*rv:(\d+[\.\d]*)"),
 ]
@@ -61,20 +107,35 @@ _UA_BROWSERS: list[tuple[str, str]] = [
 _UA_OS: list[tuple[str, str]] = [
     ("Windows Phone", r"Windows Phone (?:OS )?(\d+[\.\d]*)"),
     ("Windows", r"Windows NT (\d+[\.\d]*)"),
+    ("Windows", r"Windows (?:98|95|XP)()"),
     ("iOS", r"iPhone OS (\d+[_\.\d]*)"),
     ("iOS", r"CPU OS (\d+[_\.\d]*) like Mac OS X"),  # iPad
+    ("iOS", r"iPad; CPU OS()"),
     ("Chrome OS", r"CrOS [\w\d_]+ (\d+[\.\d]*)"),
     ("Mac OS X", r"Mac OS X (\d+[_\.\d]*)"),
+    ("KaiOS", r"KAIOS/(\d+[\.\d]*)"),
+    ("HarmonyOS", r"HarmonyOS()"),
+    ("Tizen", r"Tizen (\d+[\.\d]*)"),
+    ("BlackBerry OS", r"(?:BlackBerry|BB10).*Version/(\d+[\.\d]*)"),
     ("Android", r"Android (\d+[\.\d]*)"),
+    ("Android", r"Android()"),
+    ("Ubuntu", r"Ubuntu()"),
+    ("Fedora", r"Fedora()"),
     ("FreeBSD", r"FreeBSD()"),
+    ("OpenBSD", r"OpenBSD()"),
+    ("PlayStation", r"PlayStation (?:\d+)/(\d+[\.\d]*)"),
+    ("Xbox", r"Xbox()"),
     ("Linux", r"Linux()"),  # empty capture: family-only rule
 ]
 
 _UA_DEVICE: list[tuple[str, str]] = [
-    ("Spider", r"bot|Bot|crawler|[Ss]pider"),
+    ("Spider", r"bot|Bot|crawler|[Ss]pider|facebookexternalhit|Slurp"),
     ("iPad", r"iPad"),
     ("iPhone", r"iPhone"),
-    ("Mobile", r"Android|Mobile"),
+    ("Kindle Fire", r"Silk/|KFAPWI|Kindle Fire"),
+    ("Smart TV", r"SMART-TV|SmartTV|AppleTV|GoogleTV|BRAVIA|Roku"),
+    ("Console", r"PlayStation|Xbox|Nintendo"),
+    ("Mobile", r"Android|Mobile|BlackBerry|KAIOS|Windows Phone|Opera Mini|J2ME|MIDP|Symb"),
 ]
 
 

@@ -1,0 +1,188 @@
+"""Extended user_agent golden set: 55+ real-world UA strings incl. the
+long tail (in-app webviews, bots, SDK clients, TVs, consoles, legacy).
+Expectations follow uap-core's family vocabulary (the library the
+reference's user-agent-processor wraps, UserAgentProcessor.java:31-51),
+re-typed by hand from public documentation of each UA format."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_prepper_spark.operators import enrich
+
+# (ua, browser_family, browser_version, os_family, device)
+GOLDEN = [
+    # --- desktop majors
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+     "Chrome", "120.0.0.0", "Windows", "Desktop"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+     "Safari", "17.1", "Mac OS X", "Desktop"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+     "Firefox", "121.0", "Linux", "Desktop"),
+    ("Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+     "Firefox", "115.0", "Ubuntu", "Desktop"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+     "Edge", "120.0.2210.91", "Windows", "Desktop"),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Ubuntu Chromium/66.0.3359.181 Chrome/66.0.3359.181 Safari/537.36",
+     "Chromium", "66.0.3359.181", "Ubuntu", "Desktop"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 OPR/106.0.0.0",
+     "Opera", "106.0.0.0", "Windows", "Desktop"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 Vivaldi/6.4.3160.47",
+     "Vivaldi", "6.4.3160.47", "Windows", "Desktop"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 YaBrowser/23.11.1.716 Yowser/2.5 Safari/537.36",
+     "Yandex Browser", "23.11.1.716", "Windows", "Desktop"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Whale/3.23.214.17 Safari/537.36",
+     "Whale", "3.23.214.17", "Windows", "Desktop"),
+    ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 Safari/537.36",
+     "Chrome", "110.0.0.0", "Chrome OS", "Desktop"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:52.0) Gecko/20100101 Firefox/115.0 SeaMonkey/2.53.18",
+     "SeaMonkey", "2.53.18", "Linux", "Desktop"),
+    # --- mobile
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+     "Mobile Safari", "17.1", "iOS", "iPhone"),
+    ("Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1",
+     "Mobile Safari", "16.6", "iOS", "iPad"),
+    ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
+     "Chrome Mobile", "120.0.6099.43", "Android", "Mobile"),
+    ("Mozilla/5.0 (Linux; Android 13; SM-A515F Build/TP1A; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/119.0.6045.66 Mobile Safari/537.36",
+     "Chrome Mobile WebView", "119.0.6045.66", "Android", "Mobile"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/119.0.6045.109 Mobile/15E148 Safari/604.1",
+     "Chrome Mobile iOS", "119.0.6045.109", "iOS", "iPhone"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/119.0 Mobile/15E148 Safari/605.1.15",
+     "Firefox iOS", "119.0", "iOS", "iPhone"),
+    ("Mozilla/5.0 (Android 13; Mobile; rv:121.0) Gecko/121.0 Firefox/121.0",
+     "Firefox Mobile", "121.0", "Android", "Mobile"),
+    ("Mozilla/5.0 (Linux; Android 13; SM-S901B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+     "Samsung Internet", "23.0", "Android", "Mobile"),
+    ("Mozilla/5.0 (Linux; Android 13; CPH2449) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/117.0.0.0 Mobile Safari/537.36 OPR/76.2.4027.0",
+     "Opera Mobile", "76.2.4027.0", "Android", "Mobile"),
+    ("Opera/9.80 (J2ME/MIDP; Opera Mini/9.80 (S60; SymbOS); U; en) Presto/2.12.423 Version/12.16",
+     "Opera Mini", "9.80", "Other", "Mobile"),
+    ("Mozilla/5.0 (Linux; U; Android 13; en-US; V2134 Build/TP1A) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/100.0.4896.58 UCBrowser/13.4.0.1306 Mobile Safari/537.36",
+     "UC Browser", "13.4.0.1306", "Android", "Mobile"),
+    ("Mozilla/5.0 (Linux; U; Android 12; zh-cn; M2012K11AC Build/SKQ1.211006.001) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/89.0.4389.116 MQQBrowser/6.2 Mobile Safari/537.36",
+     "QQ Browser", "6.2", "Android", "Mobile"),
+    ("Mozilla/5.0 (Linux; Android 12; HarmonyOS; NOH-AN00; HMSCore 6.12.0.302) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/114.0.5735.196 HuaweiBrowser/14.0.2.311 Mobile Safari/537.36",
+     "Huawei Browser", "14.0.2.311", "HarmonyOS", "Mobile"),
+    ("Mozilla/5.0 (Linux; U; Android 13; 2211133C Build/TKQ1.220905.001) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/112.0.5615.136 Mobile Safari/537.36 XiaoMi/MiuiBrowser/17.4.80126",
+     "Miui Browser", "17.4.80126", "Android", "Mobile"),
+    ("Mozilla/5.0 (Linux; Android 13) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.66 Mobile DuckDuckGo/5 Safari/537.36",
+     "DuckDuckGo Mobile", "5", "Android", "Mobile"),
+    ("Mozilla/5.0 (Linux; Android 9; KFTRWI) AppleWebKit/537.36 (KHTML, like Gecko) Silk/119.2.5 like Chrome/119.0.6045.163 Safari/537.36",
+     "Amazon Silk", "119.2.5", "Android", "Kindle Fire"),
+    ("Mozilla/5.0 (BlackBerry; U; BlackBerry 9900; en) AppleWebKit/534.11+ (KHTML, like Gecko) Version/7.1.0.346 Mobile Safari/534.11+",
+     "BlackBerry WebKit", "7.1.0.346", "BlackBerry OS", "Mobile"),
+    ("Mozilla/5.0 (Mobile; Nokia_8110_4G; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5",
+     "Firefox", "48.0", "KaiOS", "Mobile"),
+    ("Mozilla/5.0 (compatible; MSIE 10.0; Windows Phone 8.0; Trident/6.0; IEMobile/10.0; ARM; Touch; NOKIA; Lumia 920)",
+     "IE Mobile", "10.0", "Windows Phone", "Mobile"),
+    # --- in-app webviews / embedded
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/20G81 [FBAN/FBIOS;FBAV/438.0.0.34.115;FBBV/535754152]",
+     "Facebook", "438.0.0.34.115", "iOS", "iPhone"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/21A329 Instagram 309.1.1.28.108 (iPhone14,5; iOS 17_0)",
+     "Instagram", "309.1.1.28.108", "iOS", "iPhone"),
+    ("Mozilla/5.0 (Linux; Android 13; 22081212C Build/TKQ1.220829.002; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/116.0.0.0 Mobile Safari/537.36 XWEB/1160065 MMWEBSDK/20231202 MicroMessenger/8.0.47.2560",
+     "WeChat", "8.0.47.2560", "Android", "Mobile"),
+    ("WhatsApp/2.23.24.81 A", "WhatsApp", "2.23.24.81", "Other", "Desktop"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 Snapchat/12.33.0.44 (like Safari/8617.1.17.0.4)",
+     "Snapchat", "12.33.0.44", "iOS", "iPhone"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_7 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1 Line/13.19.1/IAB",
+     "Line", "13.19.1", "iOS", "iPhone"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) SlackDesktop/4.35.131 Chrome/114.0.5735.289 Electron/25.8.4 Safari/537.36",
+     "Electron", "25.8.4", "Windows", "Desktop"),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/119.0.6045.105 Safari/537.36",
+     "Headless Chrome", "119.0.6045.105", "Linux", "Desktop"),
+    # --- bots / crawlers
+    ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+     "Googlebot", "2.1", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
+     "Bingbot", "2.0", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; YandexBot/3.0; +http://yandex.com/bots)",
+     "YandexBot", "3.0", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; Baiduspider/2.0; +http://www.baidu.com/search/spider.html)",
+     "Baiduspider", "2.0", "Other", "Spider"),
+    ("DuckDuckBot/1.1; (+http://duckduckgo.com/duckduckbot.html)",
+     "DuckDuckBot", "1.1", "Other", "Spider"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko; compatible; Applebot/0.1; +http://www.apple.com/go/applebot)",
+     "Applebot", "0.1", "Mac OS X", "Spider"),
+    ("Twitterbot/1.0", "Twitterbot", "1.0", "Other", "Spider"),
+    ("Slackbot-LinkExpanding 1.0 (+https://api.slack.com/robots)",
+     "Slackbot", "1.0", "Other", "Spider"),
+    ("facebookexternalhit/1.1 (+http://www.facebook.com/externalhit_uatext.php)",
+     "FacebookBot", "1.1", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; AhrefsBot/7.0; +http://ahrefs.com/robot/)",
+     "AhrefsBot", "7.0", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; SemrushBot/7~bl; +http://www.semrush.com/bot.html)",
+     "SemrushBot", "7", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; MJ12bot/v1.4.8; http://mj12bot.com/)",
+     "MJ12bot", "1.4.8", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; GPTBot/1.0; +https://openai.com/gptbot)",
+     "GPTBot", "1.0", "Other", "Spider"),
+    # --- SDK / CLI clients
+    ("curl/8.4.0", "curl", "8.4.0", "Other", "Desktop"),
+    ("Wget/1.21.3", "Wget", "1.21.3", "Other", "Desktop"),
+    ("python-requests/2.31.0", "Python Requests", "2.31.0", "Other", "Desktop"),
+    ("Python-urllib/3.11", "Python-urllib", "3.11", "Other", "Desktop"),
+    ("Python/3.11 aiohttp/3.9.1", "aiohttp", "3.9.1", "Other", "Desktop"),
+    ("Go-http-client/2.0", "Go-http-client", "2.0", "Other", "Desktop"),
+    ("okhttp/4.12.0", "okhttp", "4.12.0", "Other", "Desktop"),
+    ("axios/1.6.2", "axios", "1.6.2", "Other", "Desktop"),
+    ("node-fetch/1.0 (+https://github.com/bitinn/node-fetch)",
+     "node-fetch", "1.0", "Other", "Desktop"),
+    ("PostmanRuntime/7.36.0", "PostmanRuntime", "7.36.0", "Other", "Desktop"),
+    ("Apache-HttpClient/4.5.14 (Java/11.0.21)",
+     "Apache-HttpClient", "4.5.14", "Other", "Desktop"),
+    ("Java/17.0.9", "Java", "17.0.9", "Other", "Desktop"),
+    ("Dalvik/2.1.0 (Linux; U; Android 13; Pixel 7 Build/TQ3A.230901.001)",
+     "Dalvik", "2.1.0", "Android", "Mobile"),
+    # --- TVs / consoles / legacy
+    ("Mozilla/5.0 (PlayStation; PlayStation 5/5.10) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/15.4 Safari/605.1.15",
+     "Safari", "15.4", "PlayStation", "Console"),
+    ("Mozilla/5.0 (SMART-TV; LINUX; Tizen 6.0) AppleWebKit/537.36 (KHTML, like Gecko) 76.0.3809.146/6.0 TV Safari/537.36",
+     "Other", "", "Tizen", "Smart TV"),
+    ("Mozilla/4.0 (compatible; MSIE 6.0; Windows NT 5.1; SV1)",
+     "IE", "6.0", "Windows", "Desktop"),
+    ("Mozilla/5.0 (Windows NT 10.0; Trident/7.0; rv:11.0) like Gecko",
+     "IE", "11.0", "Windows", "Desktop"),
+    ("Mozilla/5.0 (compatible; Konqueror/4.5; FreeBSD) KHTML/4.5.4 (like Gecko)",
+     "Konqueror", "4.5", "FreeBSD", "Desktop"),
+]
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    df = spark.createDataFrame(
+        [{"i": i, "ua": ua} for i, (ua, *_rest) in enumerate(GOLDEN)]
+    )
+    out = enrich.user_agent(df, "ua", target="p")
+    return {r["i"]: r["p"] for r in out.collect()}
+
+
+def test_golden_set_size():
+    assert len(GOLDEN) >= 55
+    assert len({g[0] for g in GOLDEN}) == len(GOLDEN)  # no dup UAs
+
+
+def test_browser_families_and_versions(parsed):
+    bad = []
+    for i, (ua, fam, ver, _os, _dev) in enumerate(GOLDEN):
+        got = parsed[i]
+        if got["name"] != fam or got["version"] != ver:
+            bad.append((ua[:60], (fam, ver), (got["name"], got["version"])))
+    assert not bad, f"{len(bad)} browser mismatches: {bad[:6]}"
+
+
+def test_os_families(parsed):
+    bad = []
+    for i, (ua, _f, _v, osfam, _dev) in enumerate(GOLDEN):
+        if parsed[i]["os"] != osfam:
+            bad.append((ua[:60], osfam, parsed[i]["os"]))
+    assert not bad, f"{len(bad)} OS mismatches: {bad[:6]}"
+
+
+def test_devices(parsed):
+    bad = []
+    for i, (ua, _f, _v, _o, dev) in enumerate(GOLDEN):
+        if parsed[i]["device"] != dev:
+            bad.append((ua[:60], dev, parsed[i]["device"]))
+    assert not bad, f"{len(bad)} device mismatches: {bad[:6]}"
