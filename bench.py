@@ -64,6 +64,17 @@ def run_suite(
     from data_prepper_spark.query import engine
     from data_prepper_spark.session import get_spark
 
+    # Machine-condition probe BEFORE Spark starts: this VM has co-tenant
+    # CPU steal and a shared memory bus whose available bandwidth swings
+    # >2.5x between runs (observed: 64MB-stream probe 510/5s quiet vs
+    # 186/5s loaded — and the SPIMI build is bus-bound, see
+    # BENCH/BASELINE.md). Recording the probe IN the artifact makes a
+    # slow headline number self-explaining instead of a silent
+    # regression (round-2 verdict item: "a regression >2x should ship
+    # with a written diagnosis").
+    machine = _quick_probe()
+    steal0 = _steal_jiffies()
+
     spark = get_spark(cores=cpus, shuffle_partitions=max(32, cpus))
     timings: dict[str, float] = {}
     extras: dict = {}
@@ -139,6 +150,8 @@ def run_suite(
     timed("ann_topk", lambda: E.q_embedding_topk(spark, sf_dir).count(), reps=2)
 
     spark.stop()
+    machine["steal_jiffies_during_suite"] = _steal_jiffies() - steal0
+    extras["machine"] = machine
     return {
         "metric": "e2e_sec",
         "value": round(sum(timings.values()), 3),
@@ -256,6 +269,37 @@ def _scaling_child(sf_dir: str, cpus: int) -> dict:
         if line.startswith("@@RESULT@@"):
             return json.loads(line[len("@@RESULT@@"):])
     raise RuntimeError(f"child failed: {out.stderr[-2000:]}")
+
+
+def _quick_probe(secs: float = 2.0) -> dict:
+    """1-thread compute + memory-bus probes (~4 s total). Reference
+    quiet-box values derived from round-2 scaling runs (2-proc probe
+    totals / 2: BENCH/BASELINE.md "hardware compute probe" 2189/5s and
+    "memory-bus probe" 1019/5s): matmul ~220/s, 64MB-stream ~100/s.
+    A membw reading far below the quiet value means the shared bus is
+    contended and bus-bound steps (index_build) will read slow through
+    no fault of the plan."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(400, 400)
+    t0 = time.monotonic()
+    cnt = 0
+    while time.monotonic() - t0 < secs:
+        (a @ a).sum()
+        cnt += 1
+    x = np.random.RandomState(0).rand(8_000_000)
+    y = np.empty_like(x)
+    t1 = time.monotonic()
+    mcnt = 0
+    while time.monotonic() - t1 < secs:
+        np.add(x, 1.0, out=y)
+        x, y = y, x
+        mcnt += 1
+    return {
+        "probe_matmul_per_sec": round(cnt / secs, 1),
+        "probe_membw_streams_per_sec": round(mcnt / secs, 1),
+        "probe_quiet_reference": {"matmul": 220.0, "membw": 100.0},
+    }
 
 
 def _steal_jiffies() -> int:
