@@ -1,0 +1,136 @@
+"""Per-plugin metrics: the reference's PluginMetrics counters
+re-expressed Spark-first.
+
+Every reference processor/sink gets counters and timers through
+PluginMetrics (reference: data-prepper-api/src/main/java/org/opensearch/
+dataprepper/metrics/PluginMetrics.java, MetricNames.java —
+recordsIn / recordsOut / timeElapsed per plugin, plus plugin-specific
+counters like grok's grokProcessingMatchFailures).
+
+A naive port would call .count() after every processor — N extra
+actions, N re-executions of the source scan. The Spark-idiomatic
+equivalent is the `observe` API: each instrumented step attaches
+aggregate expressions to the EXISTING plan (a CollectMetrics node), the
+counters ride along with whatever action the sink triggers, and values
+are read back afterwards — zero additional scans, fully inside
+whole-stage codegen, and identical at any scale.
+
+Semantics:
+- records_out   rows leaving the step (source steps: rows read)
+- records_in    rows entering = previous step's records_out
+- tagged_out    rows carrying a non-empty `_tags` array after the step
+                (the operators' tags_on_failure convention) — the
+                analog of the reference's per-plugin failure counters
+- time_elapsed  is deliberately NOT per-operator: Catalyst fuses
+                adjacent operators into one codegen stage, so per-step
+                wall time does not exist at runtime (that fusion is the
+                point of the engine). The collector records wall time
+                for the whole pipeline run; stage-level timing lives in
+                the Spark UI / event log.
+
+Batch: `Observation` objects (values available after the first action).
+Streaming: named observations — per-micro-batch values surface in
+StreamingQueryProgress.observedMetrics (see collect_streaming).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def _metric_cols(df: DataFrame) -> list:
+    cols = [F.count(F.lit(1)).alias("records_out")]
+    if "_tags" in df.columns:
+        cols.append(
+            F.sum(F.when(F.size("_tags") > 0, 1).otherwise(0)).alias("tagged_out")
+        )
+    return cols
+
+
+class PluginMetricsCollector:
+    """Accumulates one observation per instrumented step.
+
+    Usage:
+        pm = PluginMetricsCollector()
+        df = pm.wrap(df, "source:parquet")
+        df = pm.wrap(grok(df, ...), "grok")
+        df.write...                       # any action fills the values
+        pm.collect()  # {'grok': {'records_in': ..., 'records_out': ...,
+                      #           'tagged_out': ...}, ...}
+    """
+
+    def __init__(self) -> None:
+        self._steps: list[tuple[str, Observation | str]] = []
+        self._t0 = time.monotonic()
+
+    def wrap(self, df: DataFrame, plugin: str) -> DataFrame:
+        """Attach counters for one step; returns the observed DataFrame."""
+        cols = _metric_cols(df)
+        if df.isStreaming:
+            # streaming plans cannot host Observation objects; a string
+            # name routes values into StreamingQueryProgress instead
+            name = f"{len(self._steps)}:{plugin}"
+            self._steps.append((plugin, name))
+            return df.observe(name, *cols)
+        obs = Observation()
+        self._steps.append((plugin, obs))
+        return df.observe(obs, *cols)
+
+    def collect(self) -> dict[str, dict[str, Any]]:
+        """Read counters back (batch steps only). Call AFTER at least one
+        action has executed the observed plan — Observation.get blocks
+        until then. Step keys are '<ordinal>:<plugin>' so a plugin
+        appearing twice in a pipeline keeps two rows."""
+        out: dict[str, dict[str, Any]] = {}
+        prev: int | None = None
+        for i, (plugin, obs) in enumerate(self._steps):
+            if isinstance(obs, str):  # streaming step: see collect_streaming
+                continue
+            vals = dict(obs.get)
+            rec = {
+                "records_out": int(vals.get("records_out") or 0),
+                "tagged_out": int(vals.get("tagged_out") or 0),
+            }
+            rec["records_in"] = rec["records_out"] if prev is None else prev
+            prev = rec["records_out"]
+            out[f"{i}:{plugin}"] = rec
+        out["_pipeline"] = {
+            "wall_time_s": round(time.monotonic() - self._t0, 3),
+            "steps": len(self._steps),
+        }
+        return out
+
+
+def collect_streaming(progress: Any) -> dict[str, dict[str, Any]]:
+    """Extract per-plugin counters from a StreamingQueryProgress
+    (query.lastProgress / recentProgress entry — a dict in older
+    PySpark, a StreamingQueryProgress object with Row values in 4.x).
+    Values are PER MICRO-BATCH — the streaming analog of the
+    reference's metric snapshots; callers aggregate across progress
+    events for totals."""
+    if not progress:
+        return {}
+    if isinstance(progress, dict):
+        observed = progress.get("observedMetrics") or {}
+    else:
+        observed = getattr(progress, "observedMetrics", None) or {}
+    observed = {
+        k: (v.asDict() if hasattr(v, "asDict") else v)
+        for k, v in observed.items()
+    }
+    out: dict[str, dict[str, Any]] = {}
+    prev: int | None = None
+    for name in sorted(observed, key=lambda n: int(n.split(":", 1)[0])):
+        vals = observed[name]
+        rec = {
+            "records_out": int(vals.get("records_out") or 0),
+            "tagged_out": int(vals.get("tagged_out") or 0),
+        }
+        rec["records_in"] = rec["records_out"] if prev is None else prev
+        prev = rec["records_out"]
+        out[name] = rec
+    return out

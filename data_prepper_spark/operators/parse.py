@@ -503,6 +503,12 @@ def parse_json(
     (driver samples the column — fine for config-time inference).
     Inference unions the WHOLE sample, so fields appearing only in later
     rows still parse (heterogeneous event streams)."""
+    if schema is None and df.isStreaming:
+        raise ValueError(
+            "parse_json on a streaming DataFrame needs an explicit "
+            "`schema` — config-time inference samples the data, which a "
+            "stream cannot do (same constraint as spark.readStream)"
+        )
     if schema is None:
         sample = _sample_col(df, source)
         if not sample:

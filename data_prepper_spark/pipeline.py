@@ -196,15 +196,27 @@ def run_pipeline(
     spark: SparkSession,
     cfg: dict,
     upstream: dict[str, DataFrame] | None = None,
+    metrics: Any | None = None,
 ) -> dict[str, DataFrame]:
     """Execute one pipeline config; returns {route_name: DataFrame}
-    (including '_default') after writing any configured sinks."""
+    (including '_default') after writing any configured sinks.
+
+    `metrics`: an optional metrics.PluginMetricsCollector. When given,
+    every source/processor step is wrapped in a CollectMetrics
+    observation (PluginMetrics analog — per-plugin records_in/out and
+    tagged_out counters with ZERO extra actions); read them back with
+    metrics.collect() after this returns. Requires at least one sink
+    that runs an action (all built-ins do)."""
     df = _load_source(spark, cfg["source"], upstream or {})
+    if metrics is not None:
+        df = metrics.wrap(df, f"source:{next(iter(cfg['source']))}")
     for step in cfg.get("processor") or []:
         (name, kwargs), = step.items()
         if name not in PROCESSORS:
             raise ValueError(f"unknown processor {name!r}")
         df = PROCESSORS[name](df, **(kwargs or {}))
+        if metrics is not None:
+            df = metrics.wrap(df, name)
 
     routes = {}
     for r in cfg.get("route") or []:
@@ -242,6 +254,7 @@ def run_pipeline_streaming(
     cfg: dict,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    metrics: Any | None = None,
 ):
     """Execute one pipeline config under Structured Streaming — the
     reference's native mode (source -> buffer -> workers -> sinks,
@@ -271,11 +284,17 @@ def run_pipeline_streaming(
     for k, v in (opts.get("options") or {}).items():
         reader = reader.option(k, v)
     stream = getattr(reader.schema(opts["schema"]), fmt)(opts["path"])
+    if metrics is not None:
+        stream = metrics.wrap(stream, f"source:{kind}")
     for step in cfg.get("processor") or []:
         (name, kwargs), = step.items()
         if name not in PROCESSORS:
             raise ValueError(f"unknown processor {name!r}")
         stream = PROCESSORS[name](stream, **(kwargs or {}))
+        if metrics is not None:
+            # per-micro-batch counters in StreamingQueryProgress
+            # .observedMetrics; read with metrics.collect_streaming
+            stream = metrics.wrap(stream, name)
 
     routes = {}
     for r in cfg.get("route") or []:

@@ -1,0 +1,115 @@
+"""Per-plugin metrics (PluginMetrics analog): counters attach to the
+existing plan via observe — no extra actions — and report
+records_in/records_out/tagged_out per step in both batch and streaming.
+
+Reference: data-prepper-api/src/main/java/org/opensearch/dataprepper/
+metrics/PluginMetrics.java (recordsIn/recordsOut per plugin),
+MetricNames.java.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_prepper_spark.metrics import PluginMetricsCollector, collect_streaming
+from data_prepper_spark.pipeline import load_yaml, run_pipeline, run_pipeline_streaming
+
+PIPELINE = """
+m-pipeline:
+  source:
+    json:
+      path: "{src}"
+      schema: "event_id long, payload string"
+  processor:
+    - parse_json:
+        source: payload
+        tags_on_failure: [_failed]
+    - drop_events:
+        drop_when: "/event_id < 5"
+  sink:
+    - noop: {{}}
+"""
+
+
+@pytest.fixture()
+def src_dir(tmp_path):
+    p = tmp_path / "in"
+    p.mkdir()
+    rows = []
+    for i in range(20):
+        payload = json.dumps({"a": i}) if i % 4 else "{not json"
+        rows.append(json.dumps({"event_id": i, "payload": payload}))
+    (p / "part.json").write_text("\n".join(rows))
+    return str(p)
+
+
+def test_batch_plugin_metrics(spark, src_dir, tmp_path):
+    cfg = load_yaml(PIPELINE.format(src=src_dir))["m-pipeline"]
+    pm = PluginMetricsCollector()
+    run_pipeline(spark, cfg, metrics=pm)
+    m = pm.collect()
+    assert m["0:source:json"]["records_out"] == 20
+    assert m["1:parse_json"]["records_in"] == 20
+    assert m["1:parse_json"]["records_out"] == 20
+    # 20 ids, every 4th payload malformed (i % 4 == 0): 5 tagged
+    assert m["1:parse_json"]["tagged_out"] == 5
+    assert m["2:drop_events"]["records_in"] == 20
+    assert m["2:drop_events"]["records_out"] == 15  # ids 5..19 survive
+    assert m["_pipeline"]["steps"] == 3
+    assert m["_pipeline"]["wall_time_s"] >= 0
+
+
+def test_metrics_add_no_actions(spark, src_dir):
+    """The counters must ride the sink's action, not add their own:
+    wrapping every step should leave the plan lazily-evaluated (no jobs
+    until the sink runs)."""
+    cfg = load_yaml(PIPELINE.format(src=src_dir))["m-pipeline"]
+    cfg = dict(cfg, sink=[])  # no sinks -> run_pipeline triggers nothing
+    pm = PluginMetricsCollector()
+    routed = run_pipeline(spark, cfg, metrics=pm)
+    # no action has run; the observed plan is still lazy. Run one action
+    # ourselves and the counters fill in.
+    assert routed["_all"].count() == 15
+    m = pm.collect()
+    assert m["2:drop_events"]["records_out"] == 15
+
+
+STREAM_PIPELINE = """
+s-pipeline:
+  source:
+    stream-json:
+      path: "{src}"
+      schema: "event_id long, payload string"
+  processor:
+    - parse_json:
+        source: payload
+        schema: "a bigint"
+        tags_on_failure: [_failed]
+    - drop_events:
+        drop_when: "/event_id < 5"
+  sink:
+    - json:
+        path: "{out}"
+"""
+
+
+def test_streaming_plugin_metrics(spark, src_dir, tmp_path):
+    cfg = load_yaml(
+        STREAM_PIPELINE.format(src=src_dir, out=str(tmp_path / "out"))
+    )["s-pipeline"]
+    pm = PluginMetricsCollector()
+    q = run_pipeline_streaming(
+        spark, cfg, str(tmp_path / "ckpt"), trigger_available_now=True,
+        metrics=pm,
+    )
+    q.awaitTermination(120)
+    progs = [p for p in q.recentProgress if collect_streaming(p)]
+    assert progs, "no observedMetrics in any progress event"
+    total_out = {}
+    for p in progs:
+        for name, rec in collect_streaming(p).items():
+            total_out[name] = total_out.get(name, 0) + rec["records_out"]
+    assert total_out["0:source:stream-json"] == 20
+    assert total_out["2:drop_events"] == 15
