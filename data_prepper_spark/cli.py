@@ -123,6 +123,16 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_convert_logstash(args) -> int:
+    """Logstash .conf -> runnable pipeline YAML (the reference's
+    data-prepper-logstash-configuration converter)."""
+    from data_prepper_spark.logstash import convert_file
+
+    out = convert_file(args.conf, args.out, strict=not args.lenient)
+    print(json.dumps({"converted": args.conf, "yaml": out}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -175,6 +185,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--local-cores", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    cl = sub.add_parser(
+        "convert-logstash",
+        help="convert a Logstash .conf to a runnable pipeline YAML",
+    )
+    cl.add_argument("conf")
+    cl.add_argument("--out", default=None)
+    cl.add_argument(
+        "--lenient", action="store_true",
+        help="record unconvertible plugins under _unsupported instead of failing",
+    )
+    cl.set_defaults(fn=cmd_convert_logstash)
 
     be = sub.add_parser("bench", help="run the headline bench suite")
     be.add_argument("--sf-dir", default="/root/testdata/sf0.1")

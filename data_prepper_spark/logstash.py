@@ -1,0 +1,418 @@
+"""Logstash config conversion — the migration on-ramp the reference
+ships as data-prepper-logstash-configuration (LogstashConfigConverter
+.java, parser/ModelConvertingLogstashVisitor.java, the per-plugin
+mapping/*.mapping.yaml resources, mapping/NestedSyntaxConverter.java,
+mapping/mutate/MutateMapper.java).
+
+From-scratch implementation, two halves:
+
+1. A recursive-descent parser for the public Logstash config grammar:
+   `input|filter|output { plugin { attr => value ... } ... }` with
+   values = quoted string | bareword | number | boolean | [array] |
+   {hash}. (The reference uses an ANTLR grammar; the language is small
+   enough that a hand parser is clearer and dependency-free.)
+
+2. A data-driven attribute mapper producing a pipeline dict that THIS
+   repo's `pipeline.run_pipeline` executes directly (the reference
+   emits its own plugin vocabulary; ours is the PROCESSORS registry).
+   Attribute renames mirror the reference's *.mapping.yaml tables;
+   `mutate` expands into one processor per sub-action in declaration
+   order (MutateMapper semantics); Logstash `[a][b]` field references
+   become `/a/b` event-pointer syntax (NestedSyntaxConverter).
+
+Sources/sinks: `file` input maps to a json/csv source on `path`;
+elasticsearch / opensearch / amazon_es outputs map to the from-scratch
+`index` sink (this engine's analog of the reference's OpenSearch sink);
+`file`/`stdout` outputs map to json/stdout sinks. Network plugins with
+no Spark analog in this sandbox (http, beats, kafka, stdin) raise in
+strict mode and are recorded under `_unsupported` otherwise.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+PIPELINE_NAME = "logstash-converted-pipeline"
+
+
+# ----------------------------------------------------------- the parser
+
+class LogstashParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s+ | \#[^\n]*            # whitespace / comment (skipped)
+    | (?P<dq>"(?:\\.|[^"\\])*")
+    | (?P<sq>'(?:\\.|[^'\\])*')
+    | (?P<arrow>=>)
+    | (?P<punct>[{}\[\],])
+    | (?P<bare>[^\s{}\[\],"'#]+)
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise LogstashParseError(f"bad character at offset {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        for g in ("dq", "sq", "arrow", "punct", "bare"):
+            if m.group(g):
+                toks.append(m.group(g))
+                break
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks, self.i = toks, 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise LogstashParseError("unexpected end of config")
+        self.i += 1
+        return self.toks[self.i - 1]
+
+    def expect(self, tok: str) -> None:
+        got = self.next()
+        if got != tok:
+            raise LogstashParseError(f"expected {tok!r}, got {got!r}")
+
+    def config(self) -> dict[str, list[tuple[str, dict]]]:
+        out: dict[str, list[tuple[str, dict]]] = {}
+        while self.peek() is not None:
+            section = self.next()
+            if section not in ("input", "filter", "output"):
+                raise LogstashParseError(f"unknown section {section!r}")
+            self.expect("{")
+            plugins = []
+            while self.peek() != "}":
+                plugins.append(self.plugin())
+            self.expect("}")
+            out.setdefault(section, []).extend(plugins)
+        return out
+
+    def plugin(self) -> tuple[str, dict]:
+        name = self.next()
+        self.expect("{")
+        attrs: dict[str, Any] = {}
+        while self.peek() != "}":
+            key = _unquote(self.next())
+            self.expect("=>")
+            attrs[key] = self.value()
+        self.expect("}")
+        return name, attrs
+
+    def value(self) -> Any:
+        tok = self.next()
+        if tok == "[":
+            arr = []
+            while self.peek() != "]":
+                arr.append(self.value())
+                if self.peek() == ",":
+                    self.next()
+            self.expect("]")
+            return arr
+        if tok == "{":
+            h: dict[str, Any] = {}
+            while self.peek() != "}":
+                k = _unquote(self.next())
+                self.expect("=>")
+                h[k] = self.value()
+            self.expect("}")
+            return h
+        return _scalar(tok)
+
+
+def _unquote(tok: str) -> str:
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "\"'":
+        body = tok[1:-1]
+        # logstash strings honor \\ and \<quote>; unknown escapes like
+        # \d keep their backslash (regex patterns survive verbatim)
+        return re.sub(r"\\([\\" + tok[0] + "])", r"\1", body)
+    return tok
+
+
+def _scalar(tok: str) -> Any:
+    if tok and tok[0] in "\"'":
+        return _unquote(tok)
+    if tok in ("true", "false"):
+        return tok == "true"
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    return tok  # bareword stays a string (e.g. user => admin)
+
+
+def parse_logstash(text: str) -> dict[str, list[tuple[str, dict]]]:
+    """Parse a Logstash .conf string -> {'input'|'filter'|'output':
+    [(plugin_name, attrs_dict), ...]} preserving declaration order."""
+    return _Parser(_tokenize(text)).config()
+
+
+# ------------------------------------------------- field-ref conversion
+
+def nested_to_pointer(ref: Any) -> Any:
+    """NestedSyntaxConverter.java: Logstash `[a][b]` field references
+    become `/a/b` event pointers; plain names pass through."""
+    if isinstance(ref, str) and ref.startswith("[") and ref.endswith("]"):
+        parts = re.findall(r"\[([^\[\]]+)\]", ref)
+        if parts:
+            return "/" + "/".join(parts)
+    return ref
+
+
+# ------------------------------------------------------ filter mappings
+# attribute-rename tables: restatements of the reference's public
+# *.mapping.yaml resources (grok.mapping.yaml, date.mapping.yaml,
+# csv.mapping.yaml, kv.mapping.yaml, drop.mapping.yaml)
+
+_GROK_ATTRS = {
+    "match": "match",
+    "keep_empty_captures": "keep_empty_captures",
+    "pattern_definitions": "pattern_definitions",
+    "overwrite": "keys_to_overwrite",
+    "timeout_millis": "timeout_millis",
+}
+
+_CSV_ATTRS = {
+    "columns": "column_names",
+    "quote_char": "quote_character",
+    "separator": "delimiter",
+    "source": "source",
+}
+
+_KV_ATTRS = {
+    "source": "source",
+    "target": "destination",
+    "field_split": "field_split_characters",
+    "value_split": "value_split_characters",
+}
+
+
+def _map_grok(attrs: dict) -> list[dict]:
+    out: dict[str, Any] = {}
+    for k, v in attrs.items():
+        if k not in _GROK_ATTRS:
+            continue
+        if k == "match":
+            # logstash allows a single pattern string per field; the
+            # data-prepper model is always a list per field
+            v = {
+                nested_to_pointer(f).lstrip("/"): (p if isinstance(p, list) else [p])
+                for f, p in v.items()
+            }
+        out[_GROK_ATTRS[k]] = v
+    return [{"grok": out}]
+
+
+def _map_date(attrs: dict) -> list[dict]:
+    # DateLogstashPluginAttributesMapper: logstash match is a flat list
+    # ["field", "fmt1", "fmt2", ...]; data-prepper's is {field: [fmts]}
+    out: dict[str, Any] = {"from_time_received": False}
+    m = attrs.get("match")
+    if isinstance(m, list) and m:
+        out["match"] = {m[0]: list(m[1:])}
+    elif isinstance(m, dict):
+        out["match"] = {k: (v if isinstance(v, list) else [v]) for k, v in m.items()}
+    if "target" in attrs:
+        out["destination"] = nested_to_pointer(attrs["target"]).lstrip("/")
+    if "timezone" in attrs:
+        out["source_timezone"] = attrs["timezone"]
+    if "locale" in attrs:
+        out["locale"] = attrs["locale"]
+    out.setdefault("destination_timezone", "UTC")
+    return [{"date": out}]
+
+
+def _map_table(name: str, table: dict[str, str]):
+    def mapper(attrs: dict) -> list[dict]:
+        out = {table[k]: v for k, v in attrs.items() if k in table}
+        return [{name: out}]
+
+    return mapper
+
+
+def _map_drop(attrs: dict) -> list[dict]:
+    # logstash `drop {}` inside a conditional drops matching events; the
+    # standalone form drops everything. Conditionals aren't part of the
+    # plugin block grammar, so a bare drop converts to drop_when true
+    # and the caller edits the expression (same caveat as the reference,
+    # which does not convert logstash conditionals either).
+    return [{"drop_events": {"drop_when": attrs.get("drop_when", "true")}}]
+
+
+def _map_mutate(attrs: dict) -> list[dict]:
+    """MutateMapper.java: each mutate sub-action becomes its own
+    data-prepper processor, in declaration order."""
+    steps: list[dict] = []
+    for action, v in attrs.items():
+        if action == "rename":
+            steps.append({"rename_keys": {"entries": [
+                {"from_key": nested_to_pointer(s).lstrip("/"),
+                 "to_key": nested_to_pointer(d).lstrip("/"),
+                 "overwrite_if_to_key_exists": True}
+                for s, d in v.items()]}})
+        elif action == "copy":
+            steps.append({"copy_values": {"entries": [
+                {"from_key": nested_to_pointer(s).lstrip("/"),
+                 "to_key": nested_to_pointer(d).lstrip("/"),
+                 "overwrite_if_to_key_exists": True}
+                for s, d in v.items()]}})
+        elif action == "convert":
+            for field, typ in v.items():
+                typ = {"integer": "integer", "float": "double",
+                       "string": "string", "boolean": "boolean"}.get(typ, typ)
+                steps.append({"convert_type": {
+                    "key": nested_to_pointer(field).lstrip("/"), "type": typ}})
+        elif action == "add_field":
+            steps.append({"add_entries": {"entries": [
+                {"key": nested_to_pointer(k).lstrip("/"), "value": val,
+                 "overwrite_if_key_exists": True}
+                for k, val in v.items()]}})
+        elif action == "remove_field":
+            fields = v if isinstance(v, list) else [v]
+            steps.append({"delete_entries": {"with_keys": [
+                nested_to_pointer(f).lstrip("/") for f in fields]}})
+        elif action == "uppercase":
+            steps.append({"uppercase_string": {"with_keys": list(v)}})
+        elif action == "lowercase":
+            steps.append({"lowercase_string": {"with_keys": list(v)}})
+        elif action in ("strip", "trim"):  # TrimStringConversion.java
+            steps.append({"trim_string": {"with_keys": list(v)}})
+        elif action == "gsub":
+            # flat triples [field, pattern, replacement, ...]
+            entries = [
+                {"source": v[i], "from": v[i + 1], "to": v[i + 2]}
+                for i in range(0, len(v), 3)
+            ]
+            steps.append({"substitute_string": {"entries": entries}})
+        elif action == "split":
+            steps.append({"split_string": {"entries": [
+                {"source": f, "delimiter": d} for f, d in v.items()]}})
+        else:
+            raise LogstashParseError(f"unsupported mutate action {action!r}")
+    return steps
+
+
+_FILTER_MAPPERS = {
+    "grok": _map_grok,
+    "date": _map_date,
+    "csv": _map_table("csv", _CSV_ATTRS),
+    "kv": _map_table("key_value", _KV_ATTRS),
+    "drop": _map_drop,
+    "mutate": _map_mutate,
+}
+
+
+# ------------------------------------------------- source/sink mappings
+
+def _map_source(name: str, attrs: dict) -> dict | None:
+    if name == "file":
+        path = attrs.get("path")
+        fmt = "json" if (attrs.get("codec") == "json"
+                         or str(path).endswith((".json", ".ndjson"))) else "csv"
+        src: dict[str, Any] = {"path": path}
+        if attrs.get("schema"):
+            src["schema"] = attrs["schema"]
+        return {fmt: src}
+    return None
+
+
+def _map_sink(name: str, attrs: dict) -> dict | None:
+    if name in ("elasticsearch", "opensearch", "amazon_es"):
+        # the from-scratch index engine IS this repo's opensearch-sink
+        # analog; `index` (the ES index name) becomes the local index
+        # path unless an explicit path is given
+        path = attrs.get("path") or attrs.get("index", "converted-index")
+        sink = {"path": path}
+        if "shards" in attrs:
+            sink["shards"] = attrs["shards"]
+        return {"index": sink}
+    if name == "file":
+        return {"json": {"path": attrs.get("path")}}
+    if name == "stdout":
+        return {"stdout": {}}
+    return None
+
+
+# ---------------------------------------------------------- the convert
+
+def convert(text: str, strict: bool = True) -> dict:
+    """Logstash .conf text -> {PIPELINE_NAME: {source, processor, sink}}
+    runnable by pipeline.run_pipeline. Unconvertible plugins raise
+    (strict=True) or are listed under the pipeline's `_unsupported` key.
+    Like the reference converter, Logstash conditionals are out of
+    scope — plugin blocks only."""
+    parsed = parse_logstash(text)
+    unsupported: list[str] = []
+    pipeline: dict[str, Any] = {}
+
+    sources = []
+    for name, attrs in parsed.get("input", []):
+        mapped = _map_source(name, attrs)
+        if mapped is None:
+            unsupported.append(f"input:{name}")
+        else:
+            sources.append(mapped)
+    if len(sources) > 1:
+        raise LogstashParseError("multiple convertible inputs; pick one")
+    if sources:
+        pipeline["source"] = sources[0]
+
+    processors: list[dict] = []
+    for name, attrs in parsed.get("filter", []):
+        mapper = _FILTER_MAPPERS.get(name)
+        if mapper is None:
+            unsupported.append(f"filter:{name}")
+        else:
+            processors.extend(mapper(attrs))
+    if processors:
+        pipeline["processor"] = processors
+
+    sinks = []
+    for name, attrs in parsed.get("output", []):
+        mapped = _map_sink(name, attrs)
+        if mapped is None:
+            unsupported.append(f"output:{name}")
+        else:
+            sinks.append(mapped)
+    if sinks:
+        pipeline["sink"] = sinks
+
+    if unsupported:
+        if strict:
+            raise LogstashParseError(
+                f"no Spark analog for: {', '.join(unsupported)} "
+                "(strict=False records them under _unsupported instead)"
+            )
+        pipeline["_unsupported"] = unsupported
+    return {PIPELINE_NAME: pipeline}
+
+
+def convert_file(conf_path: str, out_path: str | None = None,
+                 strict: bool = True) -> str:
+    """Convert a .conf file; write YAML next to it (or at out_path).
+    Returns the YAML path — the LogstashConfigConverter.java contract."""
+    import yaml
+
+    with open(conf_path) as f:
+        model = convert(f.read(), strict=strict)
+    out = out_path or re.sub(r"\.conf$", "", conf_path) + ".yaml"
+    with open(out, "w") as f:
+        yaml.safe_dump(model, f, sort_keys=False, default_flow_style=False)
+    return out

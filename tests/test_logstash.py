@@ -1,0 +1,168 @@
+"""Logstash config conversion (reference:
+data-prepper-logstash-configuration/.../LogstashConfigConverter.java,
+mapping/*.mapping.yaml, mapping/mutate/MutateMapper.java,
+mapping/NestedSyntaxConverter.java): parser, attribute mapping, mutate
+expansion, and an end-to-end converted-pipeline run."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_prepper_spark.logstash import (
+    LogstashParseError,
+    convert,
+    convert_file,
+    nested_to_pointer,
+    parse_logstash,
+)
+
+SAMPLE = """
+# reference IT shape: log-ingest-multiple-preppers-sinks.conf
+input {
+    file {
+        path => "/tmp/in.json"
+        codec => json
+    }
+}
+filter {
+    grok {
+        match => {"log" => "%{COMBINEDAPACHELOG}"}
+    }
+    grok {
+        pattern_definitions => {
+            "CUSTOMYEAR" => "(?>\\\\d\\\\d){1,2}"
+        }
+        match => {"otherlog" => "%{DATA:message} %{CUSTOMYEAR:year}"}
+        overwrite => ["message"]
+    }
+    mutate {
+        rename => {"verb" => "method"}
+        convert => {"response" => "integer"}
+        remove_field => ["auth"]
+        gsub => ["request", "\\\\?.*$", ""]
+    }
+    date {
+        match => ["timestamp", "dd/MMM/yyyy:HH:mm:ss Z"]
+        target => "@timestamp"
+        timezone => "America/Los_Angeles"
+    }
+}
+output {
+    elasticsearch {
+        hosts => ["https://localhost:9200"]
+        user => admin
+        index => "logingest"
+    }
+    stdout {
+    }
+}
+"""
+
+
+def test_parse_sections_and_values():
+    parsed = parse_logstash(SAMPLE)
+    assert [n for n, _ in parsed["input"]] == ["file"]
+    assert [n for n, _ in parsed["filter"]] == ["grok", "grok", "mutate", "date"]
+    g2 = parsed["filter"][1][1]
+    # conf-level \\\\d collapses to \\d (logstash \\ escape); \\d itself
+    # would stay \\d (unknown escapes keep their backslash)
+    assert g2["pattern_definitions"] == {"CUSTOMYEAR": "(?>\\d\\d){1,2}"}
+    assert g2["overwrite"] == ["message"]
+    es = parsed["output"][0][1]
+    assert es["hosts"] == ["https://localhost:9200"]
+    assert es["user"] == "admin"  # bareword
+
+
+def test_convert_shapes():
+    model = convert(SAMPLE, strict=True)
+    p = model["logstash-converted-pipeline"]
+    assert p["source"] == {"json": {"path": "/tmp/in.json"}}
+    procs = p["processor"]
+    # grok: single pattern string becomes a list; overwrite renamed
+    assert procs[0] == {"grok": {"match": {"log": ["%{COMBINEDAPACHELOG}"]}}}
+    assert procs[1]["grok"]["keys_to_overwrite"] == ["message"]
+    # mutate expands in declaration order
+    assert procs[2] == {"rename_keys": {"entries": [
+        {"from_key": "verb", "to_key": "method",
+         "overwrite_if_to_key_exists": True}]}}
+    assert procs[3] == {"convert_type": {"key": "response", "type": "integer"}}
+    assert procs[4] == {"delete_entries": {"with_keys": ["auth"]}}
+    assert procs[5]["substitute_string"]["entries"] == [
+        {"source": "request", "from": "\\?.*$", "to": ""}]
+    # date: flat match list -> {field: [fmts]}; timezone -> source_timezone
+    d = procs[6]["date"]
+    assert d["match"] == {"timestamp": ["dd/MMM/yyyy:HH:mm:ss Z"]}
+    assert d["destination"] == "@timestamp"
+    assert d["source_timezone"] == "America/Los_Angeles"
+    assert d["destination_timezone"] == "UTC"
+    # elasticsearch output -> the from-scratch index sink
+    assert p["sink"][0] == {"index": {"path": "logingest"}}
+    assert p["sink"][1] == {"stdout": {}}
+
+
+def test_nested_syntax():
+    assert nested_to_pointer("[log][response]") == "/log/response"
+    assert nested_to_pointer("plain") == "plain"
+    model = convert(
+        'filter { mutate { rename => {"[a][b]" => "[c]"} } }', strict=True
+    )
+    e = model["logstash-converted-pipeline"]["processor"][0]["rename_keys"]["entries"][0]
+    assert e == {"from_key": "a/b", "to_key": "c",
+                 "overwrite_if_to_key_exists": True}
+
+
+def test_strict_vs_lenient_unsupported():
+    conf = "input { http { } } output { kafka { topic_id => t } }"
+    with pytest.raises(LogstashParseError, match="input:http"):
+        convert(conf, strict=True)
+    model = convert(conf, strict=False)
+    assert model["logstash-converted-pipeline"]["_unsupported"] == [
+        "input:http", "output:kafka"]
+
+
+def test_parse_errors():
+    with pytest.raises(LogstashParseError):
+        parse_logstash("weird { }")
+    with pytest.raises(LogstashParseError):
+        parse_logstash("filter { grok { match => ")
+
+
+def test_converted_pipeline_runs_e2e(spark, tmp_path):
+    """The converter's whole point: a Logstash user's config executes on
+    this engine. file-json input -> mutate+grok -> file output."""
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"log": f'10.0.0.{i} - u{i} [11/Dec/2021:10:00:00 -0700] '
+                f'"GET /page/{i} HTTP/1.0" {200 + i} {1000 + i}'}
+        for i in range(10)
+    ]
+    (src / "part.json").write_text("\n".join(json.dumps(r) for r in rows))
+    out = tmp_path / "out"
+    conf = f"""
+input {{ file {{ path => "{src}" codec => json }} }}
+filter {{
+    grok {{ match => {{"log" => "%{{COMMONAPACHELOG}}"}} }}
+    mutate {{
+        convert => {{"response" => "integer"}}
+        rename => {{"verb" => "method"}}
+        remove_field => ["ident"]
+    }}
+}}
+output {{ file {{ path => "{out}" }} }}
+"""
+    conf_path = tmp_path / "p.conf"
+    conf_path.write_text(conf)
+    yaml_path = convert_file(str(conf_path))
+    from data_prepper_spark.pipeline import load_yaml, run_pipeline
+
+    cfg = load_yaml(yaml_path)["logstash-converted-pipeline"]
+    routed = run_pipeline(spark, cfg)
+    got = {r["method"]: r for r in routed["_all"].collect()}
+    assert set(got) == {"GET"}
+    df = spark.read.json(str(out))
+    assert df.count() == 10
+    assert "ident" not in df.columns
+    assert df.schema["response"].dataType.typeName() in ("long", "integer")
