@@ -104,7 +104,29 @@ def cmd_run_pipeline(args) -> int:
     from data_prepper_spark.pipeline import load_yaml, run_pipelines
 
     spark = _get_spark(args)
-    results = run_pipelines(spark, load_yaml(args.config))
+    pipelines = load_yaml(args.config)
+    if getattr(args, "transform", False):
+        # rule-driven template rewrite (RuleEvaluator /
+        # DynamicConfigTransformer analog): logical pipelines expand to
+        # their physical multi-pipeline graph before execution
+        from data_prepper_spark.plans.template import (
+            BUILTIN_RULES,
+            transform_pipelines,
+        )
+
+        pipelines = transform_pipelines(pipelines, BUILTIN_RULES)
+        streaming = {
+            n: c for n, c in pipelines.items()
+            if next(iter(c["source"])).startswith("stream-")
+        }
+        for n in streaming:
+            print(json.dumps({
+                "pipeline": n,
+                "skipped": "streaming pipeline — run via "
+                           "pipeline.run_pipeline_streaming with a checkpoint",
+            }))
+        pipelines = {n: c for n, c in pipelines.items() if n not in streaming}
+    results = run_pipelines(spark, pipelines)
     for name, routed in results.items():
         counts = {r: df.count() for r, df in routed.items()}
         print(json.dumps({"pipeline": name, "route_counts": counts}))
@@ -176,6 +198,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     rp.add_argument("--config", required=True, help="pipelines YAML path")
     rp.add_argument("--local-cores", type=int, default=None)
+    rp.add_argument(
+        "--transform", action="store_true",
+        help="apply rule-driven template rewrite before running",
+    )
     rp.set_defaults(fn=cmd_run_pipeline)
 
     c = sub.add_parser(

@@ -1,0 +1,256 @@
+"""Pipeline config template rewrite — the reference's rule-driven
+transformation layer, from scratch.
+
+Reference mechanism (data-prepper-pipeline-parser/src/main/java/org/
+opensearch/dataprepper/pipeline/parser/rule/RuleEvaluator.java:46-143,
+transformer/DynamicConfigTransformer.java, TransformersFactory.java;
+example rule/template pairs ship with plugins, e.g.
+data-prepper-plugins/mongodb/.../transforms/rules/documentdb-rule.yaml
++ templates/documentdb-template.yaml): the user writes ONE logical
+pipeline (a CDC source straight into a sink); a rule file recognizes
+it — `apply_when` is a list of JsonPath expressions that must ALL
+match — and the plugin's template expands it into the physical
+multi-pipeline graph (e.g. an export pipeline + a stream pipeline
+joined by a pipeline connector).
+
+Template placeholder language (DynamicConfigTransformer.java:50-68):
+- `<<pipeline-name>>`           the matched user pipeline's name
+                                (valid in mapping keys and values)
+- `<<$.json.path>>`             splices the node at that path in the
+                                user's pipelines document, PRESERVING
+                                type (objects/arrays/numbers, not just
+                                strings). An unresolvable path deletes
+                                the containing entry — that's how
+                                optional user settings drop out.
+                                Recursive `$..` is not allowed inside
+                                placeholders (exact paths only), same
+                                as the reference.
+- `<<FUNCTION_NAME:fn,PARAMETER:$.path>>`
+                                calls a registered function on the
+                                resolved parameter (the reference's
+                                only built-in is the AWS-specific
+                                getAccountIdFromRole; the registry
+                                here is caller-supplied).
+Nesting works: `<<$.<<pipeline-name>>.workers>>` resolves the inner
+placeholder first.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+from typing import Any, Callable
+
+_PLACEHOLDER = re.compile(r"<<\s*(.+?)\s*>>")
+_PIPELINE_NAME = re.compile(r"<<\s*pipeline-name\s*>>")
+_FUNCTION = re.compile(r"FUNCTION_NAME:(.*?),PARAMETER:(.*)")
+_TOKEN = re.compile(r"\.\.([A-Za-z0-9_\-@$]+)|\.([A-Za-z0-9_\-@$]+)|\[(\d+)\]")
+
+_DELETE = object()  # sentinel: remove the containing entry
+
+
+class TemplateError(ValueError):
+    pass
+
+
+# -------------------------------------------------------- JsonPath-lite
+
+def jsonpath_find(doc: Any, path: str) -> list:
+    """Evaluate the JsonPath subset the rule/template files use:
+    `$` root, `.key` child, `..key` recursive descent, `[n]` index.
+    Returns ALL matches (possibly empty)."""
+    if not path.startswith("$"):
+        raise TemplateError(f"JsonPath must start with $: {path!r}")
+    nodes, pos, rest = [doc], 0, path[1:]
+    while pos < len(rest):
+        m = _TOKEN.match(rest, pos)
+        if not m:
+            raise TemplateError(f"bad JsonPath at ...{rest[pos:]!r}")
+        pos = m.end()
+        rec, key, idx = m.group(1), m.group(2), m.group(3)
+        nxt: list = []
+        for n in nodes:
+            if rec is not None:
+                nxt.extend(_descendants(n, rec))
+            elif key is not None:
+                if isinstance(n, dict) and key in n:
+                    nxt.append(n[key])
+            else:
+                i = int(idx)
+                if isinstance(n, list) and i < len(n):
+                    nxt.append(n[i])
+        nodes = nxt
+    return nodes
+
+
+def _descendants(node: Any, key: str) -> list:
+    out = []
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k == key:
+                out.append(v)
+            out.extend(_descendants(v, key))
+    elif isinstance(node, list):
+        for v in node:
+            out.extend(_descendants(v, key))
+    return out
+
+
+# ------------------------------------------------------------ the rules
+
+def rule_applies(pipelines: dict, rule: dict) -> str | None:
+    """RuleEvaluator.isTransformationNeeded: evaluate the rule against
+    each pipeline entry separately (a single-entry {name: cfg} doc, the
+    reference's per-entry pipelineJson); ALL apply_when paths must
+    match. Returns the first matching pipeline name, else None."""
+    paths = rule.get("apply_when") or []
+    for name, cfg in pipelines.items():
+        doc = {name: cfg}
+        if paths and all(jsonpath_find(doc, p) for p in paths):
+            return name
+    return None
+
+
+# -------------------------------------------------------- the templates
+
+def apply_template(
+    template: dict,
+    pipeline_name: str,
+    pipelines: dict,
+    functions: dict[str, Callable[[Any], Any]] | None = None,
+) -> dict:
+    """Expand one template against the user's pipelines document.
+    Returns the new pipelines mapping the template defines (often more
+    than one — export + stream)."""
+    t = copy.deepcopy(template)
+    resolved = _walk(t, pipeline_name, pipelines, functions or {})
+    if resolved is _DELETE:
+        raise TemplateError("template resolved to nothing")
+    return resolved
+
+
+def _sub_name(s: str, pipeline_name: str) -> str:
+    return _PIPELINE_NAME.sub(pipeline_name, s)
+
+
+def _walk(node: Any, name: str, pipelines: dict, functions: dict) -> Any:
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            k = _sub_name(k, name) if isinstance(k, str) else k
+            rv = _walk(v, name, pipelines, functions)
+            if rv is not _DELETE:
+                out[k] = rv
+        return out
+    if isinstance(node, list):
+        out_l = []
+        for v in node:
+            rv = _walk(v, name, pipelines, functions)
+            if rv is not _DELETE:
+                out_l.append(rv)
+        return out_l
+    if isinstance(node, str):
+        return _resolve_string(node, name, pipelines, functions)
+    return node
+
+
+def _resolve_string(s: str, name: str, pipelines: dict, functions: dict) -> Any:
+    s = _sub_name(s, name)
+    full = _PLACEHOLDER.fullmatch(s)
+    if full:
+        return _resolve_placeholder(full.group(1), pipelines, functions)
+
+    # embedded placeholders inside larger text -> string substitution
+    def repl(m: re.Match) -> str:
+        v = _resolve_placeholder(m.group(1), pipelines, functions)
+        return "" if v is _DELETE else str(v)
+
+    return _PLACEHOLDER.sub(repl, s)
+
+
+def _resolve_placeholder(inner: str, pipelines: dict, functions: dict) -> Any:
+    fm = _FUNCTION.fullmatch(inner)
+    if fm:
+        fn_name, param = fm.group(1).strip(), fm.group(2).strip()
+        if fn_name not in functions:
+            raise TemplateError(f"unknown template function {fn_name!r}")
+        arg: Any = param
+        if param.startswith("$"):
+            hits = jsonpath_find(pipelines, param)
+            if not hits:
+                return _DELETE
+            arg = hits[0]
+        return functions[fn_name](arg)
+    if ".." in inner:
+        # DynamicConfigTransformer.findExactPath: recursion banned in
+        # template placeholders — rules may use it, templates may not
+        raise TemplateError(f"recursive JsonPath not allowed in template: {inner!r}")
+    hits = jsonpath_find(pipelines, inner)
+    return hits[0] if hits else _DELETE
+
+
+# ----------------------------------------------------------- full flow
+
+def transform_pipelines(
+    pipelines: dict,
+    rules_and_templates: list[tuple[dict, dict]],
+    functions: dict[str, Callable[[Any], Any]] | None = None,
+) -> dict:
+    """PipelineConfigurationTransformer flow: if any rule matches a user
+    pipeline, REPLACE that pipeline with its template's expansion
+    (first matching rule wins — the reference also stops at the first);
+    every other pipeline passes through untouched."""
+    for rule, template in rules_and_templates:
+        name = rule_applies(pipelines, rule)
+        if name is not None:
+            out = {k: v for k, v in pipelines.items() if k != name}
+            out.update(apply_template(template, name, pipelines, functions))
+            return out
+    return dict(pipelines)
+
+
+# ------------------------------------------- built-in rule/template pair
+# The Spark-native analog of the reference's documentdb export+stream
+# split (documentdb-rule.yaml / documentdb-template.yaml): a logical
+# `parquet_cdc` source becomes (1) an export pipeline indexing the full
+# snapshot and (2) a stream pipeline tailing new files. Vocabulary is
+# THIS repo's runner (pipeline.run_pipeline / run_pipeline_streaming).
+
+PARQUET_CDC_RULE = {
+    "plugin_name": "parquet_cdc",
+    "apply_when": [
+        "$..source.parquet_cdc",
+        "$..source.parquet_cdc.export_path",
+    ],
+}
+
+PARQUET_CDC_TEMPLATE = {
+    "<<pipeline-name>>": {
+        "source": {
+            "parquet": {"path": "<<$.<<pipeline-name>>.source.parquet_cdc.export_path>>"},
+        },
+        "processor": "<<$.<<pipeline-name>>.processor>>",
+        "sink": [
+            {"index": {
+                "path": "<<$.<<pipeline-name>>.source.parquet_cdc.index_path>>",
+                "shards": "<<$.<<pipeline-name>>.source.parquet_cdc.shards>>",
+            }},
+        ],
+    },
+    "<<pipeline-name>>-stream": {
+        "source": {
+            "stream-parquet": {
+                "path": "<<$.<<pipeline-name>>.source.parquet_cdc.stream_path>>",
+                "schema": "<<$.<<pipeline-name>>.source.parquet_cdc.schema>>",
+            },
+        },
+        "processor": "<<$.<<pipeline-name>>.processor>>",
+        "sink": [
+            {"parquet": {"path": "<<$.<<pipeline-name>>.source.parquet_cdc.stream_out>>"}},
+        ],
+    },
+}
+
+BUILTIN_RULES: list[tuple[dict, dict]] = [
+    (PARQUET_CDC_RULE, PARQUET_CDC_TEMPLATE),
+]

@@ -1,0 +1,132 @@
+"""Pipeline config template rewrite (reference: RuleEvaluator.java,
+DynamicConfigTransformer.java, documentdb-rule/template.yaml): JsonPath
+subset, rule AND-matching, typed placeholder splicing, unresolved-path
+deletion, function placeholders, and an end-to-end expanded run."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_prepper_spark.plans.template import (
+    BUILTIN_RULES,
+    PARQUET_CDC_RULE,
+    PARQUET_CDC_TEMPLATE,
+    TemplateError,
+    apply_template,
+    jsonpath_find,
+    rule_applies,
+    transform_pipelines,
+)
+
+DOC = {
+    "my-pipe": {
+        "workers": 4,
+        "source": {"parquet_cdc": {
+            "export_path": "/data/export",
+            "index_path": "/data/index",
+            "stream_path": "/data/stream",
+            "schema": "a long",
+            "stream_out": "/data/out",
+            "shards": 8,
+        }},
+        "processor": [{"noop": {}}],
+        "sink": [{"stdout": {}}],
+    },
+    "other": {"source": {"parquet": {"path": "/x"}}, "sink": [{"noop": {}}]},
+}
+
+
+def test_jsonpath_subset():
+    assert jsonpath_find(DOC, "$.my-pipe.workers") == [4]
+    assert jsonpath_find(DOC, "$..export_path") == ["/data/export"]
+    assert jsonpath_find(DOC, "$.my-pipe.processor[0]") == [{"noop": {}}]
+    assert jsonpath_find(DOC, "$.nope.x") == []
+    assert jsonpath_find(DOC, "$..parquet_cdc.shards") == [8]
+    with pytest.raises(TemplateError):
+        jsonpath_find(DOC, "my-pipe.workers")  # must start with $
+
+
+def test_rule_and_semantics():
+    assert rule_applies(DOC, PARQUET_CDC_RULE) == "my-pipe"
+    # ALL paths must match: a rule requiring a missing key fails
+    rule = {"apply_when": ["$..source.parquet_cdc", "$..source.parquet_cdc.nope"]}
+    assert rule_applies(DOC, rule) is None
+    assert rule_applies({"other": DOC["other"]}, PARQUET_CDC_RULE) is None
+
+
+def test_template_expansion_types_and_deletion():
+    out = apply_template(PARQUET_CDC_TEMPLATE, "my-pipe", DOC)
+    assert set(out) == {"my-pipe", "my-pipe-stream"}
+    exp = out["my-pipe"]
+    # typed splicing: processor list and int shards arrive as nodes
+    assert exp["processor"] == [{"noop": {}}]
+    assert exp["sink"][0]["index"]["shards"] == 8
+    assert exp["source"] == {"parquet": {"path": "/data/export"}}
+    st = out["my-pipe-stream"]
+    assert st["source"]["stream-parquet"]["schema"] == "a long"
+    # unresolved path deletes the entry: drop `processor` from the user
+    # pipeline and the template's processor keys vanish
+    doc2 = {"my-pipe": {**DOC["my-pipe"]}}
+    del doc2["my-pipe"]["processor"]
+    out2 = apply_template(PARQUET_CDC_TEMPLATE, "my-pipe", doc2)
+    assert "processor" not in out2["my-pipe"]
+    assert "processor" not in out2["my-pipe-stream"]
+
+
+def test_function_placeholder_and_recursion_ban():
+    tpl = {"x": "<<FUNCTION_NAME:upper,PARAMETER:$.my-pipe.source.parquet_cdc.export_path>>"}
+    out = apply_template(tpl, "my-pipe", DOC, functions={"upper": str.upper})
+    assert out["x"] == "/DATA/EXPORT"
+    with pytest.raises(TemplateError, match="unknown template function"):
+        apply_template(tpl, "my-pipe", DOC)
+    with pytest.raises(TemplateError, match="recursive"):
+        apply_template({"x": "<<$..export_path>>"}, "my-pipe", DOC)
+
+
+def test_embedded_placeholder_string_sub():
+    tpl = {"msg": "index at <<$.my-pipe.source.parquet_cdc.index_path>> ready"}
+    out = apply_template(tpl, "my-pipe", DOC)
+    assert out["msg"] == "index at /data/index ready"
+
+
+def test_transform_passthrough_and_replacement():
+    out = transform_pipelines(DOC, BUILTIN_RULES)
+    assert "my-pipe" in out and "my-pipe-stream" in out
+    assert out["other"] == DOC["other"]  # untouched
+    # no rule matches -> identity
+    assert transform_pipelines({"other": DOC["other"]}, BUILTIN_RULES) == {
+        "other": DOC["other"]
+    }
+
+
+def test_expanded_pipeline_runs_e2e(spark, tmp_path):
+    """The rewrite's point: the logical parquet_cdc pipeline executes as
+    the expanded export pipeline (full snapshot -> index build)."""
+    export = tmp_path / "export"
+    spark.range(40).selectExpr(
+        "concat('conv-', id) AS conv_id", "0 AS turn_idx",
+        "'user' AS role", "concat('hello world token', id) AS text",
+        "'' AS tool", "current_timestamp() AS ts",
+    ).write.parquet(str(export))
+    user = {
+        "ingest": {
+            "source": {"parquet_cdc": {
+                "export_path": str(export),
+                "index_path": str(tmp_path / "idx"),
+                "stream_path": str(tmp_path / "stream"),
+                "schema": "conv_id string, turn_idx int, text string",
+                "stream_out": str(tmp_path / "out"),
+                "shards": 4,
+            }},
+            "sink": [{"stdout": {}}],
+        }
+    }
+    expanded = transform_pipelines(user, BUILTIN_RULES)
+    from data_prepper_spark.pipeline import run_pipeline
+
+    run_pipeline(spark, expanded["ingest"])
+    import json as _json
+    import os
+
+    stats = _json.load(open(os.path.join(str(tmp_path / "idx"), "stats.json")))
+    assert stats["n_docs"] == 40
