@@ -224,6 +224,7 @@ def _rcf_mode(
     n_trees: int = 40,
     sample_size: int = 256,
     score_threshold: float = 0.7,
+    unkeyed_chunk_seconds: int = 3600,
 ) -> DataFrame:
     """random_cut_forest mode: per-group applyInPandas kernel — the
     shuffle on identification_keys is the reference's peer-forwarder
@@ -238,9 +239,13 @@ def _rcf_mode(
         list(df.schema.fields) + [T.StructField(grade_col, T.DoubleType())]
     )
 
+    seed_cols = gcols or ["_rcf_chunk"]
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, key], kind="mergesort")
-        gkey = "|".join(str(pdf[c].iloc[0]) for c in gcols) if gcols else ""
+        gkey = "|".join(
+            str(pdf[c].iloc[0]) for c in seed_cols if c in pdf.columns
+        )
         seed = int.from_bytes(
             hashlib.md5(gkey.encode()).digest()[:8], "big"
         ) & (2**63 - 1)
@@ -262,8 +267,25 @@ def _rcf_mode(
     if gcols:
         graded = df.groupBy(*gcols).applyInPandas(kernel, schema=out_schema)
     else:
-        graded = df.repartition(1).groupBy(F.lit(1)).applyInPandas(
-            lambda k, p: kernel(p), schema=out_schema
+        # unkeyed: one corpus-wide forest would execute as ONE task (the
+        # round-2 repartition(1) bottleneck). Instead the series chunks
+        # into contiguous time windows — distributed, bounded state, and
+        # deterministic across reruns AND cluster sizes because each
+        # window's forest is seeded from its own window start. Tradeoff
+        # (documented, matches streaming-RCF behavior of scoring within
+        # a bounded recent context): the first shingle-1 rows of each
+        # window carry grade 0, exactly like the global path's first
+        # rows.
+        chunk = F.floor(
+            F.col(ts_col).cast("double") / F.lit(float(unkeyed_chunk_seconds))
+        )
+        graded = (
+            df.withColumn("_rcf_chunk", chunk)
+            .groupBy("_rcf_chunk")
+            .applyInPandas(
+                lambda k, p: kernel(p).drop(columns=["_rcf_chunk"]),
+                schema=out_schema,
+            )
         )
     if emit_all:
         return graded

@@ -117,3 +117,41 @@ def test_anomaly_detector_rcf_mode(spark):
         ts_col="ts", emit_all=True,
     ).toPandas().sort_values(["grp", "ts"]).reset_index(drop=True)
     assert (pdf.reset_index(drop=True).anomaly_grade == pdf2.anomaly_grade).all()
+
+
+def test_anomaly_detector_rcf_unkeyed_chunks(spark):
+    """Unkeyed RCF must NOT collapse to one task (the round-2
+    repartition(1) bottleneck): the series chunks into contiguous time
+    windows, each scored by its own deterministic forest."""
+    import numpy as np
+
+    from data_prepper_spark.operators.anomaly import anomaly_detector
+
+    rng = np.random.default_rng(7)
+    vals = 5.0 + rng.normal(0, 0.2, 400)
+    vals[250] = 90.0
+    rows = [
+        # 100s apart -> 400 rows span ~11 hours -> ~12 hourly chunks
+        {"ts": float(i * 100), "value": float(v)} for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows)
+    out = anomaly_detector(
+        df, keys=["value"], identification_keys=None, mode="rcf",
+        ts_col="ts", emit_all=True,
+    )
+    # the plan distributes over chunk groups, not repartition(1)
+    assert "repartition" not in out._jdf.queryExecution().toString().lower()
+    pdf = out.toPandas().sort_values("ts").reset_index(drop=True)
+    assert len(pdf) == 400
+    flagged = pdf[pdf.anomaly_grade > 0]
+    # the spike's shingle window must be flagged; small chunks may add
+    # an occasional edge false-positive (RCF on a 40-row trailing chunk
+    # is noisier than on the full series — the price of distributing)
+    assert flagged.ts.between(25000, 25400).any(), flagged.ts.tolist()
+    assert len(flagged) <= 4, flagged.ts.tolist()
+    # deterministic across reruns (per-chunk seeds)
+    pdf2 = anomaly_detector(
+        df, keys=["value"], identification_keys=None, mode="rcf",
+        ts_col="ts", emit_all=True,
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+    assert (pdf.anomaly_grade == pdf2.anomaly_grade).all()
