@@ -12,6 +12,7 @@ and uses an Arrow-vectorized pandas UDF.
 
 from __future__ import annotations
 
+import json
 import re
 
 import pandas as pd
@@ -575,8 +576,214 @@ def parse_xml(
     return df.withColumn(destination or source, parsed)
 
 
-_ION_FIELD_RE = re.compile(r"(?<=[{,])\s*([A-Za-z_$][A-Za-z0-9_$]*)\s*:")
-_ION_SQ_RE = re.compile(r"'((?:[^'\\]|\\.)*)'")
+_ION_IDENT_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*")
+_ION_TS_RE = re.compile(
+    # Ion timestamp: yyyy[T] | yyyy-mm[T] | yyyy-mm-dd[T[hh:mm[:ss[.frac]]][Z|±hh:mm]]
+    r"\d{4}(?:-\d{2}(?:-\d{2}(?:T(?:\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)?"
+    r"(?:Z|[+-]\d{2}:\d{2})?)?|T)|T)"
+)
+_ION_HEX_RE = re.compile(r"[+-]?0[xX][0-9a-fA-F_]+")
+_ION_BIN_RE = re.compile(r"[+-]?0[bB][01_]+")
+_ION_NUM_RE = re.compile(r"[+-]?\d[\d_]*(?:\.[\d_]*)?(?:[eEdD][+-]?\d+)?")
+_ION_ESCAPES = {
+    "0": "\0", "a": "\a", "b": "\b", "t": "\t", "n": "\n", "f": "\f",
+    "r": "\r", "v": "\v", '"': '"', "'": "'", "?": "?", "\\": "\\", "/": "/",
+}
+
+
+def _ion_decode_escape(v: str, i: int) -> tuple[str, int]:
+    """Decode ONE backslash escape at v[i] == '\\\\'; returns
+    (decoded text, index after the escape)."""
+    e = v[i + 1]
+    if e == "\n":                  # escaped newline = line continuation
+        return "", i + 2
+    if e in _ION_ESCAPES:
+        return _ION_ESCAPES[e], i + 2
+    if e == "x":
+        return chr(int(v[i + 2:i + 4], 16)), i + 4
+    if e == "u":
+        return chr(int(v[i + 2:i + 6], 16)), i + 6
+    if e == "U":
+        return chr(int(v[i + 2:i + 10], 16)), i + 10
+    raise ValueError(f"bad escape \\{e}")
+
+
+def _ion_read_string(v: str, i: int, quote: str) -> tuple[str, int]:
+    """Decode one Ion short-quoted string/symbol body starting after the
+    opening quote; returns (decoded, index-after-closing-quote)."""
+    out: list[str] = []
+    n = len(v)
+    while i < n:
+        c = v[i]
+        if c == quote:
+            return "".join(out), i + 1
+        if c == "\\":
+            s, i = _ion_decode_escape(v, i)
+            out.append(s)
+        else:
+            out.append(c); i += 1
+    raise ValueError("unterminated string")
+
+
+def _ion_skip_ws(v: str, i: int) -> int:
+    """Skip whitespace and // or block comments."""
+    n = len(v)
+    while i < n:
+        c = v[i]
+        if c in " \t\r\n":
+            i += 1
+        elif v.startswith("//", i):
+            j = v.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif v.startswith("/*", i):
+            j = v.find("*/", i + 2)
+            if j < 0:
+                raise ValueError("unterminated comment")
+            i = j + 2
+        else:
+            break
+    return i
+
+
+def _ion_normalize(v: str) -> str:
+    """One-pass Amazon Ion text -> JSON text transcription (the public
+    Ion text grammar; amazon-ion/ion-docs spec). Covers the constructs
+    jackson-dataformat-ion produces when mapping to plain Maps, matching
+    ParseIonProcessor's IonObjectMapper.readValue(..., Map.class):
+
+    - unquoted / single-quoted field names and symbol values -> strings
+    - annotations (``x::`` / ``'x'::``) dropped (Jackson Map mapping
+      discards them) and a leading ``$ion_1_0`` version marker stripped
+    - triple-quoted long strings (adjacent segments concatenate)
+    - comments (// and /* */), trailing commas, null.<type> -> null
+    - timestamps -> ISO-8601 strings; blobs {{b64}} -> base64 strings;
+      clobs {{"..."}} -> strings
+    - hex/binary ints, underscore digit separators, decimal d-exponents
+    - nan / +inf / -inf -> null (JSON has no non-finite numbers)
+
+    S-expressions are not supported (no analog in the Map model)."""
+    out: list[str] = []
+    i = _ion_skip_ws(v, 0)
+    n = len(v)
+    if v.startswith("$ion_1_0", i) and not _ION_IDENT_RE.match(v, i + 8):
+        i = _ion_skip_ws(v, i + 8)
+    while i < n:
+        c = v[i]
+        if c in " \t\r\n" or v.startswith("//", i) or v.startswith("/*", i):
+            i = _ion_skip_ws(v, i)
+            continue
+        if c in "{}[]:":
+            if v.startswith("{{", i):
+                j = v.find("}}", i + 2)
+                if j < 0:
+                    raise ValueError("unterminated lob")
+                body = v[i + 2:j].strip()
+                if body.startswith('"'):                 # clob, short form
+                    s, _ = _ion_read_string(body, 1, '"')
+                    out.append(json.dumps(s))
+                elif body.startswith("'''"):             # clob, long form
+                    inner = body[3:body.rfind("'''")]
+                    seg: list[str] = []
+                    k = 0
+                    while k < len(inner):
+                        if inner[k] == "\\":
+                            s, k = _ion_decode_escape(inner, k)
+                            seg.append(s)
+                        else:
+                            seg.append(inner[k]); k += 1
+                    out.append(json.dumps("".join(seg)))
+                else:                                    # blob: base64 text
+                    out.append(json.dumps(re.sub(r"\s+", "", body)))
+                i = j + 2
+                continue
+            out.append(c); i += 1
+            continue
+        if c == ",":
+            j = _ion_skip_ws(v, i + 1)
+            if j < n and v[j] in "}]":
+                i += 1          # trailing comma: drop
+            else:
+                out.append(","); i += 1
+            continue
+        if v.startswith("'''", i):
+            parts: list[str] = []
+            while v.startswith("'''", i):
+                seg: list[str] = []
+                i += 3
+                while not v.startswith("'''", i):
+                    if i >= n:
+                        raise ValueError("unterminated long string")
+                    if v[i] == "\\":
+                        s, i = _ion_decode_escape(v, i)
+                        seg.append(s)
+                    else:
+                        seg.append(v[i]); i += 1
+                i = _ion_skip_ws(v, i + 3)
+                parts.append("".join(seg))
+            out.append(json.dumps("".join(parts)))
+            continue
+        if c == '"':
+            s, i = _ion_read_string(v, i + 1, '"')
+            out.append(json.dumps(s))
+            continue
+        if c == "'":
+            s, i = _ion_read_string(v, i + 1, "'")
+            j = _ion_skip_ws(v, i)
+            if v.startswith("::", j):
+                i = _ion_skip_ws(v, j + 2)   # annotation: drop
+            else:
+                out.append(json.dumps(s))
+            continue
+        m = _ION_TS_RE.match(v, i)
+        if m and (m.end() == n or not _ION_IDENT_RE.match(v, m.end())):
+            out.append(json.dumps(m.group(0)))
+            i = m.end()
+            continue
+        m = _ION_HEX_RE.match(v, i) or _ION_BIN_RE.match(v, i)
+        if m:
+            tok = m.group(0).replace("_", "")
+            out.append(str(int(tok, 0)))
+            i = m.end()
+            continue
+        if v[i:i + 4] in ("+inf", "-inf"):
+            out.append("null"); i += 4
+            continue
+        m = _ION_NUM_RE.match(v, i)
+        if m:
+            tok = m.group(0).replace("_", "").lstrip("+")
+            tok = tok.replace("d", "e").replace("D", "e")
+            if tok.endswith("."):
+                tok += "0"
+            out.append(tok)
+            i = m.end()
+            continue
+        m = _ION_IDENT_RE.match(v, i)
+        if m:
+            word = m.group(0)
+            j = _ion_skip_ws(v, m.end())
+            if v.startswith("::", j):
+                i = _ion_skip_ws(v, j + 2)   # annotation: drop
+                continue
+            if j < n and v[j] == ":" and not v.startswith("::", j):
+                out.append(json.dumps(word))
+                i = m.end()
+                continue
+            if word == "null":
+                if j < n and v[m.end():m.end() + 1] == ".":
+                    m2 = _ION_IDENT_RE.match(v, m.end() + 1)
+                    i = m2.end() if m2 else m.end() + 1
+                else:
+                    i = m.end()
+                out.append("null")
+            elif word in ("true", "false"):
+                out.append(word); i = m.end()
+            elif word == "nan":
+                out.append("null"); i = m.end()
+            else:
+                out.append(json.dumps(word)); i = m.end()  # symbol value
+            continue
+        raise ValueError(f"unexpected char {c!r} at {i}")
+    return "".join(out)
 
 
 def parse_ion(
@@ -588,17 +795,22 @@ def parse_ion(
 ) -> DataFrame:
     """parse-json-processor/.../ParseIonProcessor.java — the reference
     delegates to ion-java's IonObjectMapper. Amazon Ion text is a JSON
-    superset; this handles the structural subset its tests exercise
-    (unquoted field names, single-quoted strings) by normalizing to JSON
-    in an Arrow-vectorized pandas UDF, then parsing with `from_json`."""
+    superset; an Arrow-batched pandas UDF transcribes Ion text to JSON
+    (see `_ion_normalize` for the supported grammar: annotations,
+    timestamps, blobs/clobs, long strings, comments, null.<type>,
+    hex/bin ints, symbols), then `from_json` parses JVM-side. Rows that
+    fail to transcribe become null, matching the processor's
+    tags_on_failure contract downstream."""
 
     @F.pandas_udf(T.StringType())
     def ion_to_json(s: pd.Series) -> pd.Series:
         def conv(v):
             if v is None:
                 return None
-            out = _ION_FIELD_RE.sub(r'"\1":', v)
-            return _ION_SQ_RE.sub(lambda m: '"' + m.group(1).replace('"', '\\"') + '"', out)
+            try:
+                return _ion_normalize(v)
+            except (ValueError, IndexError):
+                return None
 
         return s.map(conv)
 

@@ -55,6 +55,45 @@ def test_parse_ion_unquoted_fields(spark):
     assert rows[1]["p"] is None
 
 
+def test_parse_ion_full_grammar(spark):
+    """Annotations, timestamps, blobs/clobs, null.<type>, hex ints,
+    comments, trailing commas, symbols — the ion-java text constructs
+    IonObjectMapper surfaces when mapping to a Map
+    (parse-json-processor/.../ParseIonProcessor.java)."""
+    ion = (
+        "$ion_1_0 {ts: 2023-01-15T12:30:00Z, n: priority::3, "
+        "b: {{ aGVsbG8= }}, c: {{ \"plain clob\" }}, miss: null.int, "
+        "x: 0x1F, sym: open, s: '''agent ''' '''turn''', "
+        "/* comment */ t: 1.5d2, }"
+    )
+    df = spark.createDataFrame([(ion,)], ["ion"])
+    out = ops.parse_ion(
+        df, source="ion", destination="p",
+        schema=("ts string, n bigint, b string, c string, miss bigint, "
+                "x bigint, sym string, s string, t double"),
+    )
+    r = out.collect()[0]["p"]
+    assert r["ts"] == "2023-01-15T12:30:00Z"
+    assert r["n"] == 3               # annotation dropped, value kept
+    assert r["b"] == "aGVsbG8="      # blob -> base64 string (Jackson byte[])
+    assert r["c"] == "plain clob"
+    assert r["miss"] is None         # typed null
+    assert r["x"] == 31
+    assert r["sym"] == "open"        # symbol value -> string
+    assert r["s"] == "agent turn"    # adjacent long strings concatenate
+    assert r["t"] == 150.0
+
+
+def test_parse_ion_malformed_row_is_null(spark):
+    df = spark.createDataFrame(
+        [("{ok: 1}",), ("{broken: (sexp not supported)}",)], ["ion"]
+    )
+    out = ops.parse_ion(df, source="ion", destination="p", schema="ok bigint")
+    rows = out.collect()
+    assert rows[0]["p"]["ok"] == 1
+    assert rows[1]["p"] is None
+
+
 def test_write_grouped_partitions_and_threshold(events, tmp_path):
     path = str(tmp_path / "out")
     write_grouped(
