@@ -51,6 +51,14 @@ def write_grouped(
     """
     if fmt not in _FORMATS:
         raise ValueError(f"unknown sink codec {fmt!r}")
+    if fmt == "avro" and not group_by:
+        # route through the jar-free container codec when spark-avro is
+        # absent (avro_codec falls back automatically); grouped avro
+        # writes still need the native writer's partitionBy
+        from data_prepper_spark.sources.avro_codec import write_avro
+
+        write_avro(df, path, codec=compression or "deflate", mode=mode)
+        return
     spark_fmt = "json" if fmt == "ndjson" else fmt
     if salt_partitions and group_by:
         df = df.repartition(
