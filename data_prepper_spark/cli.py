@@ -145,6 +145,29 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone deletes (the delete half of the reference's bulk
+    actions, OpenSearchSink.java:347-431): point doc_ids or whole
+    conversations; postings drop physically at the next `compact`."""
+    from data_prepper_spark.index.tombstones import (
+        delete_conversations,
+        delete_docs,
+    )
+
+    spark = _get_spark(args)
+    n = 0
+    if args.doc_id:
+        delete_docs(spark, args.index, [int(d) for d in args.doc_id])
+        n += len(args.doc_id)
+    if args.conv_serial:
+        delete_conversations(
+            spark, args.index, [int(c) for c in args.conv_serial]
+        )
+        n += len(args.conv_serial)
+    print(json.dumps({"tombstoned": n, "index": args.index}))
+    return 0
+
+
 def cmd_convert_logstash(args) -> int:
     """Logstash .conf -> runnable pipeline YAML (the reference's
     data-prepper-logstash-configuration converter)."""
@@ -211,6 +234,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--local-cores", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser(
+        "delete",
+        help="tombstone doc_ids / conversations; compact purges them",
+    )
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--doc-id", action="append", default=[],
+                    help="point doc_id to delete (repeatable)")
+    dl.add_argument("--conv-serial", action="append", default=[],
+                    help="conversation serial to purge (repeatable)")
+    dl.add_argument("--local-cores", type=int, default=None)
+    dl.set_defaults(fn=cmd_delete)
 
     cl = sub.add_parser(
         "convert-logstash",
