@@ -30,6 +30,7 @@ downstream source (PipelineConnector.java).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -267,13 +268,15 @@ def run_pipeline_streaming(
     DataFrame, so the YAML vocabulary is mode-agnostic. Routing fans out
     in ONE pass per micro-batch via foreachBatch (route-less sinks get
     every event, `_default` the unrouted remainder — Router semantics),
-    and the checkpoint gives AT-LEAST-ONCE delivery to the file sinks:
-    foreachBatch appends may re-execute on batch replay after a
-    failure, duplicating that batch's files (exactly-once would need
-    idempotent per-batchId output paths; the reference's own contract
-    is at-least-once via end-to-end acks). Returns the
-    StreamingQuery; with trigger_available_now the caller can
-    `.awaitTermination()` to drain current input."""
+    and file sinks (parquet/json/ndjson/csv) are EXACTLY-ONCE: each
+    micro-batch overwrites its own ``batch_id=<epoch>`` subdirectory,
+    so a replay after failure rewrites that batch instead of appending
+    duplicates (read back with plain spark.read — batch_id surfaces as
+    a partition column). Non-file sinks (stdout/noop/index/dlq) stay
+    at-least-once, the reference's own contract (end-to-end acks,
+    docs/end_to_end_acknowledgements.md). Returns the StreamingQuery;
+    with trigger_available_now the caller can `.awaitTermination()` to
+    drain current input."""
     (kind, opts), = cfg["source"].items()
     if not kind.startswith("stream-"):
         raise ValueError(
@@ -301,10 +304,18 @@ def run_pipeline_streaming(
         routes.update(r if isinstance(r, dict) else {})
 
     def _make_writer(skind: str, sopts: dict):
-        def write(batch_df: DataFrame):
-            o = dict(sopts)
-            o.setdefault("mode", "append")
-            _write_sink(skind, o, batch_df)
+        if skind in ("parquet", "json", "ndjson", "csv"):
+            # idempotent per-batchId subdirectory -> exactly-once files
+            def write(batch_df: DataFrame, epoch_id: int):
+                o = dict(sopts)
+                o["path"] = os.path.join(o["path"], f"batch_id={epoch_id}")
+                o["mode"] = "overwrite"
+                _write_sink(skind, o, batch_df)
+        else:
+            def write(batch_df: DataFrame, epoch_id: int):  # noqa: ARG001
+                o = dict(sopts)
+                o.setdefault("mode", "append")
+                _write_sink(skind, o, batch_df)
 
         return write
 
@@ -320,9 +331,9 @@ def run_pipeline_streaming(
             by_route.setdefault(rname, []).append(fn)
 
     def _multi(fns):
-        def write(batch_df: DataFrame):
+        def write(batch_df: DataFrame, epoch_id: int):
             for f in fns:
-                f(batch_df)
+                f(batch_df, epoch_id)
 
         return write
 

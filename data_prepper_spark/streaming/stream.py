@@ -138,9 +138,17 @@ def run_routed_stream(
 ):
     """Routing fan-out in ONE pass per micro-batch via foreachBatch
     (the reference's Router hands each sink its route subset —
-    router/Router.java:40-86). `sinks`: route name -> callable(batch_df);
-    '_default' receives unrouted rows."""
+    router/Router.java:40-86). `sinks`: route name -> callable(batch_df)
+    or callable(batch_df, epoch_id) — two-arg sinks receive the
+    micro-batch's epoch so they can write idempotently (see
+    `idempotent_file_sink`); '_default' receives unrouted rows."""
+    import inspect
+
     tagged = route_column(stream, routes)
+    wants_epoch = {
+        name: len(inspect.signature(fn).parameters) >= 2
+        for name, fn in sinks.items()
+    }
 
     def fan_out(batch: DataFrame, epoch_id: int):
         batch = batch.persist()
@@ -153,7 +161,11 @@ def run_routed_stream(
                     sub = batch.filter(F.size("_routes") == 0)
                 else:
                     sub = batch.filter(F.array_contains("_routes", name))
-                sink(sub.drop("_routes"))
+                sub = sub.drop("_routes")
+                if wants_epoch[name]:
+                    sink(sub, epoch_id)
+                else:
+                    sink(sub)
         finally:
             batch.unpersist()
 
@@ -164,3 +176,28 @@ def run_routed_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def idempotent_file_sink(path: str, fmt: str = "parquet", **options):
+    """Exactly-once file sink for foreachBatch: every micro-batch lands
+    in its own ``batch_id=<epoch>`` subdirectory with mode=overwrite, so
+    a replayed batch (failure between write and checkpoint commit)
+    overwrites its own previous — possibly partial — output instead of
+    appending duplicates. Combined with the checkpoint this upgrades the
+    file sink from foreachBatch's native at-least-once to exactly-once
+    (the standard Spark idempotent-batchId pattern; the reference's own
+    contract is at-least-once via end-to-end acks,
+    docs/end_to_end_acknowledgements.md). Read the output back with a
+    plain ``spark.read.<fmt>(path)`` — ``batch_id`` surfaces as a
+    partition column."""
+    import os
+
+    spark_fmt = "json" if fmt == "ndjson" else fmt
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        w = batch.write.mode("overwrite")
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.format(spark_fmt).save(os.path.join(path, f"batch_id={epoch_id}"))
+
+    return sink

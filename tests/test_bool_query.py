@@ -1,0 +1,119 @@
+"""bool query (must / should / must_not / minimum_should_match) over
+the compressed index — the OpenSearch `bool` query form the reference's
+deployments use for filtered search (the opensearch sink exists to
+serve exactly these; OpenSearchSink.java:132-141). Verified against a
+brute-force pandas scorer sharing the oracle BM25 math."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+
+@pytest.fixture(scope="module")
+def corpus_and_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bool_idx"))
+    pdf = generate_pandas(0, 400)
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    sdf = spark.createDataFrame(pdf[["doc_id", "text"]])
+    ib.build_index(spark, sdf, d, n_shards=4, block_size=64, assign_ids=False)
+    return pdf, d
+
+
+def _brute_bool(pdf, must, should, must_not, msm, k):
+    """Reference scorer: candidates contain ALL must terms, NONE of the
+    must_not terms, and >= msm distinct should terms; BM25 sum over
+    (must + should) terms present, sorted-term accumulation order."""
+    toks = [tokenize(t) for t in pdf.text]
+    n_docs = len(toks)
+    avgdl = float(np.mean([len(t) for t in toks]))
+    tf = [pd.Series(t).value_counts() for t in toks]
+    df_map: dict[str, int] = {}
+    for c in tf:
+        for term in c.index:
+            df_map[term] = df_map.get(term, 0) + 1
+    rows = []
+    for i, c in enumerate(tf):
+        if any(m not in c.index for m in must):
+            continue
+        if any(m in c.index for m in must_not):
+            continue
+        hits = sum(1 for s in set(should) if s in c.index)
+        if hits < msm:
+            continue
+        dl = len(toks[i])
+        score = 0.0
+        for t in sorted(set(must) | set(should)):
+            if t not in c.index:
+                continue
+            dft = df_map[t]
+            idf = np.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+            f = float(c[t])
+            score += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        rows.append((int(pdf.doc_id.iloc[i]), score))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def _run_bool(spark, d, qid, must, should, must_not, msm, k):
+    qdf = spark.createDataFrame(
+        [(qid, " ".join(must), " ".join(should), " ".join(must_not), msm, k)],
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match int, k int",
+    )
+    out = engine.bool_topk(spark, d, qdf).toPandas()
+    return list(zip(out.doc_id.astype(int), out.score))
+
+
+@pytest.mark.parametrize(
+    "must,should,must_not,msm",
+    [
+        (["error"], [], [], 0),                      # pure must
+        (["error", "timeout"], [], [], 0),           # AND of two terms
+        ([], ["error", "timeout", "retry"], [], 1),  # OR (match any)
+        ([], ["error", "timeout", "retry"], [], 2),  # minimum_should_match
+        (["error"], ["deploy"], ["crash"], 0),       # all three clauses
+        (["error"], [], ["error"], 0),               # contradiction -> empty
+        (["zz_nope"], [], [], 0),                    # absent must -> empty
+    ],
+)
+def test_bool_matches_brute_force(spark, corpus_and_index, must, should,
+                                  must_not, msm):
+    pdf, d = corpus_and_index
+    want = _brute_bool(pdf, must, should, must_not, msm, k=10)
+    got = _run_bool(spark, d, "q", must, should, must_not, msm, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want], atol=1e-9)
+
+
+def test_bool_should_scores_rank_like_match(spark, corpus_and_index):
+    """A should-only bool (msm=1) is OpenSearch's `match` with OR — it
+    must rank identically to the term engine on the same terms."""
+    pdf, d = corpus_and_index
+    got = _run_bool(spark, d, "q", [], ["error", "timeout"], [], 1, 10)
+    qdf = spark.createDataFrame(
+        [("q", "error timeout", 10)],
+        "query_id string, query_text string, k int",
+    )
+    ref = engine.score_topk(spark, d, qdf, algo="bmx").toPandas()
+    assert [g[0] for g in got] == list(ref.doc_id.astype(int))
+    assert np.allclose([g[1] for g in got], ref.score, atol=1e-9)
+
+
+def test_bool_respects_tombstones(spark, corpus_and_index):
+    from data_prepper_spark.index import tombstones as tb
+
+    pdf, d = corpus_and_index
+    before = _run_bool(spark, d, "q", ["error"], [], [], 0, 5)
+    assert before
+    top_conv = before[0][0] // DOC_ID_STRIDE
+    tb.delete_conversations(spark, d, [int(top_conv)])
+    after = _run_bool(spark, d, "q", ["error"], [], [], 0, 5)
+    assert all(doc // DOC_ID_STRIDE != top_conv for doc, _ in after)
