@@ -200,6 +200,100 @@ QUALIFY rank <= {BM25_K}
 """
 
 
+# fixed bool query set (must / should / must_not / minimum_should_match
+# — the OpenSearch `bool` form); terms are tokenizer-canonical
+BOOL_QUERIES = [
+    # (query_id, must, should, must_not, msm)
+    ("b1", "slow query", "", "", 0),
+    ("b2", "", "slow scan table", "", 2),
+    ("b3", "query", "", "scan", 0),
+    ("b4", "slow", "table scan", "", 0),
+    ("b5", "zz absent", "", "", 0),
+]
+
+
+def q_bool_topk(spark, sf_dir):
+    """bool-query top-k over the compressed index: must AND / should OR
+    with minimum_should_match / must_not exclusion, BM25-scored over the
+    positive terms present per doc (the OpenSearch `bool` query — the
+    filtered-search form every reference deployment runs against the
+    docs OpenSearchSink ships, OpenSearchSink.java:132-141)."""
+    d = _built_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(q, m, s, n, msm, BM25_K * 2) for q, m, s, n, msm in BOOL_QUERIES],
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match int, k int",
+    )
+    return _rounded_rank(engine.bool_topk(spark, d, qdf))
+
+
+def _bool_oracle_sql() -> str:
+    vals = ", ".join(
+        f"('{q}', '{m}', '{s}', '{n}', {msm})"
+        for q, m, s, n, msm in BOOL_QUERIES
+    )
+    toks = D_TOKS.format(c="text")
+    return f"""
+WITH queries(query_id, must, should, must_not, msm) AS (VALUES {vals}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM tokd),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tokd),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qm AS (SELECT query_id, unnest(list_distinct(string_split(must, ' '))) AS term
+       FROM queries WHERE must <> ''),
+qs AS (SELECT query_id, unnest(list_distinct(string_split(should, ' '))) AS term
+       FROM queries WHERE should <> ''),
+qn AS (SELECT query_id, unnest(list_distinct(string_split(must_not, ' '))) AS term
+       FROM queries WHERE must_not <> ''),
+m_cnt AS (SELECT query_id, count(*) AS n FROM qm GROUP BY 1),
+eff AS (SELECT q.query_id,
+               CASE WHEN q.msm > 0 THEN q.msm
+                    WHEN coalesce(m.n, 0) = 0 AND q.should <> '' THEN 1
+                    ELSE 0 END AS msm
+        FROM queries q LEFT JOIN m_cnt m USING (query_id)),
+base AS (
+  SELECT qm.query_id, tf.doc_id
+  FROM qm JOIN tf USING (term) JOIN m_cnt USING (query_id)
+  GROUP BY qm.query_id, tf.doc_id, m_cnt.n
+  HAVING count(DISTINCT tf.term) = m_cnt.n
+  UNION ALL
+  SELECT q.query_id, d.doc_id
+  FROM queries q CROSS JOIN (SELECT doc_id FROM dl) d
+  WHERE q.must = '' AND q.should <> ''),
+sc AS (SELECT qs.query_id, tf.doc_id, count(DISTINCT tf.term) AS hits
+       FROM qs JOIN tf USING (term) GROUP BY 1, 2),
+matched AS (
+  SELECT b.query_id, b.doc_id
+  FROM base b
+  JOIN eff USING (query_id)
+  LEFT JOIN sc ON sc.query_id = b.query_id AND sc.doc_id = b.doc_id
+  WHERE coalesce(sc.hits, 0) >= eff.msm
+    AND NOT EXISTS (SELECT 1 FROM qn JOIN tf t2 ON t2.term = qn.term
+                    WHERE qn.query_id = b.query_id
+                      AND t2.doc_id = b.doc_id)),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM (SELECT query_id, term FROM qm UNION SELECT query_id, term FROM qs) qt
+  JOIN tf USING (term)
+  JOIN matched ON matched.query_id = qt.query_id AND matched.doc_id = tf.doc_id
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       round(score, 4) AS score_r,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {BM25_K}
+"""
+
+
 def q_index_dictionary(spark, sf_dir):
     """Global dictionary (term -> df) of the compressed index — verifies
     the SPIMI build + shard merge end-to-end against plain SQL."""
@@ -484,7 +578,11 @@ def q_translate(spark, sf_dir):
         df, source="event_type", target="errish",
         regex_patterns={"err.*": "yes"}, default="no",
     )
-    return df.select("event_id", "code", "band", "errish")
+    # detect_format shares the slot (joined on event_id, like
+    # grok_extract) — frees a registry slot for bool_topk while keeping
+    # the 50-query gate exact and both operators hash-checked
+    det = q_detect_format(spark, sf_dir)
+    return df.select("event_id", "code", "band", "errish").join(det, "event_id")
 
 
 def q_detect_format(spark, sf_dir):
@@ -1177,6 +1275,7 @@ ORACLE: dict[str, str | None] = {
                'unit ' || event_type || ' code ' || event_id AS message
         FROM events""",
     "phrase_topk": _phrase_oracle_sql(),
+    "bool_topk": _bool_oracle_sql(),
     "key_value": """
         SELECT event_id, user_id::VARCHAR AS u_val, event_type AS t_val,
                'true' AS flag_val
@@ -1210,15 +1309,12 @@ ORACLE: dict[str, str | None] = {
                     WHEN value BETWEEN 25.0000001 AND 50 THEN 'mid'
                     ELSE 'high' END AS band,
                CASE WHEN regexp_full_match(event_type, 'err.*') THEN 'yes'
-                    ELSE 'no' END AS errish
-        FROM events""",
-    "detect_format": """
-        SELECT event_id,
-          CASE
-            WHEN event_id % 3 = 0 THEN
-              CASE WHEN regexp_matches(trim(props), '^[\\[{]') THEN 'json' ELSE 'text' END
-            WHEN event_id % 3 = 1 THEN 'csv'
-            ELSE 'kv' END AS detected_format
+                    ELSE 'no' END AS errish,
+               CASE
+                 WHEN event_id % 3 = 0 THEN
+                   CASE WHEN regexp_matches(trim(props), '^[\\[{]') THEN 'json' ELSE 'text' END
+                 WHEN event_id % 3 = 1 THEN 'csv'
+                 ELSE 'kv' END AS detected_format
         FROM events""",
     "flatten": """
         SELECT event_id, user_id AS uid, event_type AS t FROM events""",
@@ -1385,7 +1481,7 @@ QUERIES = {
     "date_format": q_date_format,
     "split_event": q_split_event,
     "translate": q_translate,
-    "detect_format": q_detect_format,
+    "bool_topk": q_bool_topk,
     "flatten": q_flatten,
     "dissect": q_dissect,
     "parse_xml_ion": q_parse_xml_ion,

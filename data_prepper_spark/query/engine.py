@@ -237,47 +237,48 @@ def score_topk(
 
 # ---------------------------------------------------------- match_phrase
 
-def _decode_term_runs(tg: pd.DataFrame, tomb=None) -> dict:
+def _decode_term_runs(tg: pd.DataFrame, tomb=None, need_positions=True) -> dict:
     """Decode every (seg, block) row of ONE term into doc-sorted posting
-    arrays + the flat per-occurrence position stream. Segments hold
-    disjoint doc sets, so the multi-segment merge is a stable interleave
-    (argsort by doc, position runs gathered along). Tombstoned docs'
-    postings (and their position runs) are dropped."""
+    arrays + (optionally) the flat per-occurrence position stream.
+    Segments hold disjoint doc sets, so the multi-segment merge is a
+    stable interleave (argsort by doc, position runs gathered along).
+    Tombstoned docs' postings (and their position runs) are dropped."""
     from data_prepper_spark.index import codec
 
+    has_pos = need_positions and "poss" in tg.columns
     d_docs, d_tf, d_dl, d_pos, d_seg = [], [], [], [], []
-    for g, t, l, first, po, seg in zip(
-        tg["gaps"], tg["tfs"], tg["dls"], tg["first_doc"], tg["poss"],
-        tg["seg"],
-    ):
+    for i, (g, t, l, first, seg) in enumerate(zip(
+        tg["gaps"], tg["tfs"], tg["dls"], tg["first_doc"], tg["seg"],
+    )):
         docs = codec.delta_decode(bytes(g), base=int(first))
         tf = codec.varint_decode(bytes(t))
         d_docs.append(docs)
         d_tf.append(tf)
         d_dl.append(codec.varint_decode(bytes(l)))
-        d_pos.append(codec.pos_delta_decode(bytes(po or b""), tf))
+        if has_pos:
+            po = tg["poss"].iloc[i]
+            d_pos.append(codec.pos_delta_decode(bytes(po or b""), tf))
         d_seg.append(np.full(len(docs), int(seg), dtype=np.int64))
     docs = np.concatenate(d_docs)
     tfs = np.concatenate(d_tf).astype(np.int64)
     dls = np.concatenate(d_dl).astype(np.int64)
-    pos = np.concatenate(d_pos)
-    if len(pos) != int(tfs.sum()):
-        raise ValueError(
-            "index has no position stream (built with "
-            "store_positions=False) — match_phrase needs positions"
-        )
-    occ_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
     order = np.argsort(docs, kind="stable")
     if tomb is not None:
         segs = np.concatenate(d_seg)
         del_mask = tombstones.deleted_mask_per_seg(docs, segs, tomb)
         order = order[~del_mask[order]]
-    pos = codec.gather_runs(pos, occ_starts, tfs, order)
-    docs, tfs, dls = docs[order], tfs[order], dls[order]
-    return {
-        "docs": docs, "tfs": tfs, "dls": dls, "pos": pos,
-        "occ": np.concatenate(([0], np.cumsum(tfs))),
-    }
+    out = {"docs": docs[order], "tfs": tfs[order], "dls": dls[order]}
+    if has_pos:
+        pos = np.concatenate(d_pos)
+        if len(pos) != int(tfs.sum()):
+            raise ValueError(
+                "index has no position stream (built with "
+                "store_positions=False) — match_phrase needs positions"
+            )
+        occ_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+        out["pos"] = codec.gather_runs(pos, occ_starts, tfs, order)
+        out["occ"] = np.concatenate(([0], np.cumsum(out["tfs"])))
+    return out
 
 
 _POS_STRIDE = np.int64(1) << np.int64(32)  # doc-local key = idx*2^32 + pos
@@ -439,6 +440,198 @@ def phrase_topk(
     )
     per_shard = needed.groupBy("shard").applyInPandas(
         _phrase_kernel(
+            stats["avgdl"], stats["n_docs"],
+            tomb=tombstones.load_tombstones(spark, index_dir),
+        ),
+        schema=_KERNEL_OUT,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.join(F.broadcast(queries.select("query_id", "k")), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# ----------------------------------------------------------- bool query
+
+def _bool_kernel(avgdl: float, n_docs: int, tomb=None):
+    """Per-shard bool-query evaluation (must / should / must_not /
+    minimum_should_match — the OpenSearch `bool` query, the form the
+    reference's deployments use for filtered search over the docs the
+    opensearch sink ships, OpenSearchSink.java:132-141).
+
+    Shards are doc-disjoint, so clause logic is complete shard-locally:
+    candidates = ∩ must-term postings (every must term must appear in
+    this shard's pdf — tracked via n_must — else no shard doc can match),
+    minus ∪ must_not postings, filtered to docs holding >= msm distinct
+    should terms. Scoring is the standard BM25 sum over the distinct
+    (must ∪ should) terms PRESENT per doc, sorted-term accumulation
+    order — a should-only msm=1 bool therefore ranks identically to
+    `match` on the same terms."""
+    from data_prepper_spark.index import codec
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded: dict[str, dict] = {}
+        idfs: dict[str, float] = {}
+        queries: dict[str, dict] = {}
+        for term, tg in pdf.groupby("term", sort=True):
+            df_t = int(tg["df"].iloc[0])
+            idfs[term] = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+            decoded[term] = _decode_term_runs(
+                tg.sort_values(["seg", "block_ord"]), tomb=tomb,
+                need_positions=False,
+            )
+            for q in tg["queries"].iloc[0]:
+                ent = queries.setdefault(
+                    q["query_id"],
+                    {"k": int(q["k"]), "msm": int(q["msm"]),
+                     "n_must": int(q["n_must"]),
+                     "must": set(), "should": set(), "must_not": set()},
+                )
+                for role in q["roles"]:
+                    ent[role].add(term)
+
+        out_q, out_d, out_s = [], [], []
+        for qid, ent in queries.items():
+            if len(ent["must"]) < ent["n_must"]:
+                continue  # a must term has no postings in this shard
+            cand = None
+            for t in sorted(ent["must"]):
+                cand = decoded[t]["docs"] if cand is None else np.intersect1d(
+                    cand, decoded[t]["docs"], assume_unique=True
+                )
+                if not len(cand):
+                    break
+            if cand is not None and not len(cand):
+                continue
+            should = sorted(ent["should"])
+            if should:
+                s_docs = np.concatenate([decoded[t]["docs"] for t in should])
+                s_uniq, s_cnt = np.unique(s_docs, return_counts=True)
+            if cand is None:
+                if not should:
+                    continue  # no positive clause at all
+                cand = s_uniq[s_cnt >= max(1, ent["msm"])]
+            elif should and ent["msm"] > 0:
+                if not len(s_uniq):
+                    continue
+                si = np.clip(np.searchsorted(s_uniq, cand), 0, len(s_uniq) - 1)
+                hit = np.where(s_uniq[si] == cand, s_cnt[si], 0)
+                cand = cand[hit >= ent["msm"]]
+            if not len(cand):
+                continue
+            for t in sorted(ent["must_not"]):
+                nd = decoded[t]["docs"]
+                if not len(nd):
+                    continue
+                ni = np.clip(np.searchsorted(nd, cand), 0, len(nd) - 1)
+                cand = cand[nd[ni] != cand]
+                if not len(cand):
+                    break
+            if not len(cand):
+                continue
+            scores = np.zeros(len(cand), dtype=np.float64)
+            for t in sorted(ent["must"] | ent["should"]):
+                d = decoded[t]
+                if not len(d["docs"]):
+                    continue
+                di = np.clip(np.searchsorted(d["docs"], cand), 0,
+                             len(d["docs"]) - 1)
+                has = d["docs"][di] == cand
+                part = idfs[t] * codec.bm25_partial(
+                    d["tfs"][di], d["dls"][di], avgdl
+                )
+                scores += np.where(has, part, 0.0)
+            k = ent["k"]
+            if len(cand) > k:
+                kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                keep = np.flatnonzero(scores >= kth)
+                keep = keep[np.lexsort((cand[keep], -scores[keep]))][:k]
+            else:
+                keep = np.lexsort((cand, -scores))
+            out_q += [qid] * len(keep)
+            out_d += list(cand[keep])
+            out_s += list(scores[keep])
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return run
+
+
+def bool_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+) -> DataFrame:
+    """bool query top-k. queries(query_id, must, should, must_not,
+    minimum_should_match, k) — each clause a space-separated term string
+    (tokenizer-normalized like every query path) -> (query_id, rank,
+    doc_id, score).
+
+    OpenSearch semantics: docs must contain ALL must terms, NONE of the
+    must_not terms, and at least minimum_should_match distinct should
+    terms (msm defaults to 1 when there is no must clause, 0 — purely
+    score-boosting — when there is). Same scatter-gather plan as
+    score_topk: clause-term In-filter pushed into both parquet scans
+    (positions column never read), one kernel exchange, global top-k
+    over per-shard winners."""
+    stats = load_stats(index_dir)
+    parts = []
+    for role, col in (("must", "must"), ("should", "should"),
+                      ("must_not", "must_not")):
+        parts.append(
+            queries.select(
+                "query_id", "k",
+                F.col("minimum_should_match").alias("msm_raw"),
+                F.explode(F.array_distinct(tokens_col(col))).alias("term"),
+            ).withColumn("role", F.lit(role))
+        )
+    qterms = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    counts = qterms.groupBy("query_id").agg(
+        F.countDistinct(F.when(F.col("role") == "must", F.col("term")))
+        .alias("n_must"),
+        F.countDistinct(F.when(F.col("role") == "should", F.col("term")))
+        .alias("n_should"),
+    )
+    qterms = qterms.join(counts, "query_id").withColumn(
+        "msm",
+        F.when(F.col("msm_raw") > 0, F.col("msm_raw")).otherwise(
+            F.when((F.col("n_must") == 0) & (F.col("n_should") > 0), F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
+    per_tq = qterms.groupBy("term", "query_id", "k", "msm", "n_must").agg(
+        F.collect_set("role").alias("roles")
+    )
+    qmap = per_tq.groupBy("term").agg(
+        F.collect_list(
+            F.struct("query_id", "k", "msm", "n_must", "roles")
+        ).alias("queries")
+    )
+    terms = [r["term"] for r in qmap.select("term").collect()]
+    blocks_path = layout.resolve(index_dir, "blocks")
+    local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
+    if not terms or local_missing:
+        return spark.createDataFrame(
+            [], "query_id string, rank long, doc_id long, score double"
+        )
+    dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
+    dict_slice = dictionary.filter(F.col("term").isin(terms))
+    blocks = spark.read.parquet(blocks_path)
+    if "seg" not in blocks.columns:
+        blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
+    needed = (
+        blocks.select(
+            "shard", "seg", "term", "block_ord", "first_doc",
+            "gaps", "tfs", "dls",
+        )
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qmap), "term")
+        .join(F.broadcast(dict_slice), "term")
+    )
+    per_shard = needed.groupBy("shard").applyInPandas(
+        _bool_kernel(
             stats["avgdl"], stats["n_docs"],
             tomb=tombstones.load_tombstones(spark, index_dir),
         ),
