@@ -109,8 +109,13 @@ def run_suite(
     idx_dir2 = tempfile.mkdtemp(prefix="bench_idx2_")
     try:
         dirs = iter([idx_dir, idx_dir2])
+        # SPARK_GRAFT_POSITIONS=0 isolates the position-stream cost in
+        # scaling comparisons (positions roughly double block bytes and
+        # push the bus-bound build harder at low core counts)
+        positions = os.environ.get("SPARK_GRAFT_POSITIONS", "1") != "0"
         timed("index_build", lambda: ib.build_index(
-            spark, corpus, next(dirs), n_shards=n_shards, block_size=128),
+            spark, corpus, next(dirs), n_shards=n_shards, block_size=128,
+            store_positions=positions),
             reps=2)
         shutil.rmtree(idx_dir2, ignore_errors=True)
         extras["n_turns"] = n_turns
@@ -124,6 +129,24 @@ def run_suite(
             spark, idx_dir, qdf, algo="bmx").count(), reps=2)
         timed("query_exh", lambda: engine.score_topk(
             spark, idx_dir, qdf, algo="exhaustive").count(), reps=2)
+        if positions:
+            phr = spark.createDataFrame(
+                [("p1", "error timeout", 10), ("p2", "deploy rollback", 10),
+                 ("p3", "query cache", 10), ("p4", "index search scan", 10),
+                 ("p5", "zz absent phrase", 10)],
+                "query_id string, query_text string, k int",
+            )
+            timed("query_phrase", lambda: engine.phrase_topk(
+                spark, idx_dir, phr).count(), reps=2)
+        booldf = spark.createDataFrame(
+            [("b1", "error timeout", "", "", 0, 10),
+             ("b2", "", "error timeout retry deploy", "", 2, 10),
+             ("b3", "error", "deploy login", "crash", 0, 10)],
+            "query_id string, must string, should string, must_not string, "
+            "minimum_should_match int, k int",
+        )
+        timed("query_bool", lambda: engine.bool_topk(
+            spark, idx_dir, booldf).count(), reps=2)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(idx_dir2, ignore_errors=True)
