@@ -79,6 +79,22 @@ def cmd_query(args) -> int:
     from data_prepper_spark.query import engine
 
     spark = _get_spark(args)
+    if args.must or args.should or args.must_not:
+        # bool query mode (OpenSearch bool: must AND / should OR with
+        # minimum_should_match / must_not exclusion)
+        qdf = spark.createDataFrame(
+            [("q0", args.must or "", args.should or "", args.must_not or "",
+              args.minimum_should_match, args.k)],
+            "query_id string, must string, should string, must_not string, "
+            "minimum_should_match int, k int",
+        )
+        res = engine.bool_topk(spark, args.index, qdf)
+        rows_out = res.orderBy("query_id", "rank").collect()
+        for r in rows_out:
+            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+                              "doc_id": r["doc_id"],
+                              "score": round(r["score"], 6)}))
+        return 0
     rows = []
     if args.queries_json:
         for q in json.load(open(args.queries_json)):
@@ -86,10 +102,14 @@ def cmd_query(args) -> int:
     if args.query:
         rows.append(("q0", args.query, args.k))
     if not rows:
-        print("no queries given (--query or --queries-json)", file=sys.stderr)
+        print("no queries given (--query/--queries-json or bool clauses)",
+              file=sys.stderr)
         return 2
     qdf = spark.createDataFrame(rows, "query_id string, query_text string, k int")
-    res = engine.score_topk(spark, args.index, qdf, algo=args.algo)
+    if args.phrase:
+        res = engine.phrase_topk(spark, args.index, qdf)
+    else:
+        res = engine.score_topk(spark, args.index, qdf, algo=args.algo)
     rows_out = res.orderBy("query_id", "rank").collect()
     if not rows_out:
         print("0 hits (no query term matched the index dictionary)",
@@ -212,6 +232,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--queries-json", help="JSON file: [{query_id, query_text, k}]")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--algo", default="bmx", choices=["bmx", "wand", "exhaustive"])
+    q.add_argument("--phrase", action="store_true",
+                   help="match_phrase: consecutive tokens in order")
+    q.add_argument("--must", help="bool query: AND terms")
+    q.add_argument("--should", help="bool query: OR terms")
+    q.add_argument("--must-not", help="bool query: excluded terms")
+    q.add_argument("--minimum-should-match", type=int, default=0)
     q.add_argument("--local-cores", type=int, default=None)
     q.set_defaults(fn=cmd_query)
 
