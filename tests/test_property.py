@@ -117,3 +117,68 @@ def test_kv_recursive_stray_closer_does_not_swallow_rest():
     assert kv_parse_recursive("x=))&y=1&z=[q=2]") == {
         "x": "))", "y": "1", "z": {"q": "2"},
     }
+
+
+# --------------------------------------------------------- ion normalizer
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=40),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=10), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@given(_json_values)
+@settings(max_examples=200, deadline=None)
+def test_ion_normalize_is_identity_on_json(value):
+    """Amazon Ion text is a superset of JSON, so the Ion->JSON
+    transcriber must round-trip arbitrary JSON documents unchanged
+    (values compared after parsing; whitespace may differ)."""
+    import json as _json
+
+    from data_prepper_spark.operators.parse import _ion_normalize
+
+    doc = _json.dumps(value)
+    assert _json.loads(_ion_normalize(doc)) == value
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_avro_varint_roundtrip(values):
+    import io
+
+    from data_prepper_spark.sources import avro_codec as av
+
+    buf = io.BytesIO()
+    for v in values:
+        av.write_long(buf, v)
+    buf.seek(0)
+    assert [av.read_long(buf) for _ in values] == values
+
+
+@given(st.lists(st.tuples(st.text(max_size=30),
+                          st.integers(min_value=-(2**40), max_value=2**40),
+                          st.booleans()), max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_avro_container_roundtrip_property(rows):
+    from data_prepper_spark.sources import avro_codec as av
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "b", "type": "boolean"}]}
+    recs = [{"s": s, "n": n, "b": b} for s, n, b in rows]
+    for codec in ("null", "deflate"):
+        _, back = av.decode_container(
+            av.encode_container(schema, recs, codec=codec, block_rows=3))
+        assert back == recs
