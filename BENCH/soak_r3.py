@@ -1,0 +1,77 @@
+"""Round-3 soak: 10x the bench corpus (13M turns) on local[32] with the
+positions-enabled index — build throughput, index bytes/turn with the
+position stream, and query latency incl. match_phrase and bool at 20x
+the driver-bench index size. Run from the repo root:
+    python BENCH/soak_r3.py
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import tempfile
+import time
+
+
+def sh(cmd):
+    return subprocess.run(cmd, shell=True, capture_output=True, text=True)
+
+
+def main():
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import bench
+    from data_prepper_spark.data.transcripts import generate_queries, generate_spark
+    from data_prepper_spark.index import build as ib
+    from data_prepper_spark.query import engine
+    from data_prepper_spark.session import get_spark
+
+    machine = bench._quick_probe()
+    spark = get_spark(cores=32, shuffle_partitions=64)
+    corpus = generate_spark(spark, 2_000_000).persist()
+    n_turns = corpus.count()
+    idx = tempfile.mkdtemp(prefix="soak_r3_")
+    out = {"n_turns": n_turns, "machine": machine}
+    try:
+        t0 = time.monotonic()
+        ib.build_index(spark, corpus, idx, n_shards=256, block_size=128)
+        out["build_sec"] = round(time.monotonic() - t0, 1)
+        out["build_turns_per_sec"] = round(n_turns / out["build_sec"], 1)
+        corpus.unpersist()
+        du = sh(f"du -sb {idx}").stdout.split()[0]
+        out["index_bytes"] = int(du)
+        out["bytes_per_turn"] = round(int(du) / n_turns, 1)
+
+        qdf = spark.createDataFrame(generate_queries(100))
+        for algo in ("bmx", "wand"):
+            t0 = time.monotonic()
+            engine.score_topk(spark, idx, qdf, algo=algo).count()
+            out[f"q100_{algo}_sec"] = round(time.monotonic() - t0, 1)
+        phr = spark.createDataFrame(
+            [("p1", "error timeout", 10), ("p2", "deploy rollback", 10),
+             ("p3", "query cache", 10), ("p4", "index search scan", 10),
+             ("p5", "zz absent phrase", 10)],
+            "query_id string, query_text string, k int",
+        )
+        t0 = time.monotonic()
+        engine.phrase_topk(spark, idx, phr).count()
+        out["q5_phrase_sec"] = round(time.monotonic() - t0, 1)
+        booldf = spark.createDataFrame(
+            [("b1", "error timeout", "", "", 0, 10),
+             ("b2", "", "error timeout retry deploy", "", 2, 10),
+             ("b3", "error", "deploy login", "crash", 0, 10)],
+            "query_id string, must string, should string, must_not string, "
+            "minimum_should_match int, k int",
+        )
+        t0 = time.monotonic()
+        engine.bool_topk(spark, idx, booldf).count()
+        out["q3_bool_sec"] = round(time.monotonic() - t0, 1)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    out["steal_jiffies"] = bench._steal_jiffies()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    main()
