@@ -21,8 +21,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+from pyspark.sql import functions as _F
 
 
 def _get_spark(args):
@@ -165,6 +168,46 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Index introspection (`_cat/indices` + `_segments` analog for the
+    from-scratch index): corpus stats, per-segment block/term counts,
+    tombstone ranges, on-disk bytes."""
+    import glob as _glob
+
+    from data_prepper_spark.index import layout
+    from data_prepper_spark.query.engine import load_stats
+
+    spark = _get_spark(args)
+    stats = load_stats(args.index)
+    out = {"index": args.index, **stats}
+    blocks_path = layout.resolve(args.index, "blocks")
+    if os.path.exists(blocks_path):
+        blocks = spark.read.parquet(blocks_path)
+        if "seg" not in blocks.columns:
+            blocks = blocks.withColumn("seg", _F.lit(0).cast("long"))
+        per_seg = (
+            blocks.groupBy("seg")
+            .agg(
+                _F.count("*").alias("block_rows"),
+                _F.countDistinct("term").alias("terms"),
+                _F.countDistinct("shard").alias("shards"),
+            )
+            .orderBy("seg")
+            .collect()
+        )
+        out["segments"] = [r.asDict() for r in per_seg]
+    tomb_dir = os.path.join(args.index, "tombstones")
+    if os.path.isdir(tomb_dir):
+        out["tombstone_ranges"] = spark.read.parquet(tomb_dir).count()
+    out["disk_bytes"] = sum(
+        os.path.getsize(p)
+        for p in _glob.glob(os.path.join(args.index, "**"), recursive=True)
+        if os.path.isfile(p)
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Tombstone deletes (the delete half of the reference's bulk
     actions, OpenSearchSink.java:347-431): point doc_ids or whole
@@ -260,6 +303,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--local-cores", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser(
+        "stats",
+        help="index introspection: corpus stats, segments, tombstones, bytes",
+    )
+    st.add_argument("--index", required=True)
+    st.add_argument("--local-cores", type=int, default=None)
+    st.set_defaults(fn=cmd_stats)
 
     dl = sub.add_parser(
         "delete",
