@@ -1,0 +1,112 @@
+"""Highlighting: wrap query-term hits in tagged fragments of the
+original turn text — the OpenSearch `highlight` feature every reference
+deployment gets from the search side of the opensearch sink
+(OpenSearchSink.java ships the docs; the plain highlighter re-analyzes
+the stored source at query time, which is exactly what this does).
+
+Plan shape (the part that matters at 100 TB): the top-k result set is
+tiny (k docs x queries), so it broadcasts; the corpus is scanned ONCE
+with the broadcast hash join pruning it to matched doc_ids (no corpus
+shuffle), and the fragment kernel runs inside one mapInPandas pass over
+the few surviving rows. Never joins corpus x corpus, never shuffles the
+text column.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_prepper_spark.query.bm25_df import tokens_col
+
+DEFAULT_FRAGMENT_SIZE = 100  # chars, the plain highlighter's default
+
+
+def _term_regex(terms: tuple[str, ...]) -> re.Pattern:
+    """Case-insensitive match of any term at tokenizer boundaries: our
+    tokens are [a-z0-9]+ runs, so boundaries are non-alphanumerics
+    (NOT \\b, which treats '_' as a word char)."""
+    alts = "|".join(sorted((re.escape(t) for t in terms), key=len,
+                           reverse=True))
+    return re.compile(rf"(?<![A-Za-z0-9])({alts})(?![A-Za-z0-9])",
+                      re.IGNORECASE)
+
+
+def _fragment(text: str, rx: re.Pattern, size: int,
+              pre: str, post: str) -> str | None:
+    """Best-effort plain-highlighter fragment: window of ~`size` chars
+    around the densest run of matches, word-snapped, every in-window
+    match wrapped in pre/post tags."""
+    spans = [m.span() for m in rx.finditer(text)]
+    if not spans:
+        return None
+    # densest window: most matches starting within `size` chars
+    starts = [s for s, _ in spans]
+    best_i, best_n = 0, 1
+    j = 0
+    for i in range(len(starts)):
+        while starts[i] - starts[j] > size:
+            j += 1
+        if i - j + 1 > best_n:
+            best_n, best_i = i - j + 1, j
+    anchor = starts[best_i]
+    lo = max(0, anchor - max(0, (size - (spans[best_i][1] - anchor))) // 4)
+    hi = min(len(text), lo + size)
+    # snap to whitespace so words are not cut mid-token
+    if lo > 0:
+        sp = text.rfind(" ", max(0, lo - 20), lo + 1)
+        lo = sp + 1 if sp >= 0 else lo
+    if hi < len(text):
+        sp = text.find(" ", hi, hi + 20)
+        hi = sp if sp >= 0 else hi
+    window = text[lo:hi]
+    return rx.sub(lambda m: f"{pre}{m.group(0)}{post}", window)
+
+
+def highlight_topk(
+    docs: DataFrame,
+    results: DataFrame,
+    queries: DataFrame,
+    fragment_size: int = DEFAULT_FRAGMENT_SIZE,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> DataFrame:
+    """docs(doc_id, text) x results(query_id, doc_id, ...) x
+    queries(query_id, query_text) -> results + `fragment` string column
+    (null when no term occurs literally, e.g. rank rows from absent-term
+    should clauses)."""
+    qterms = queries.select(
+        "query_id", F.array_distinct(tokens_col("query_text")).alias("_terms")
+    )
+    slim = results.join(F.broadcast(qterms), "query_id")
+    joined = docs.select("doc_id", "text").join(F.broadcast(slim), "doc_id")
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in results.schema.fields
+    ) + ", fragment string"
+    res_cols = [f.name for f in results.schema.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rx_cache: dict[tuple[str, ...], re.Pattern] = {}
+        for b in batches:
+            frags = []
+            for text, terms in zip(b["text"], b["_terms"]):
+                key = tuple(terms)
+                if not key:
+                    frags.append(None)
+                    continue
+                rx = rx_cache.get(key)
+                if rx is None:
+                    rx = rx_cache[key] = _term_regex(key)
+                frags.append(
+                    _fragment(text or "", rx, fragment_size, pre_tag, post_tag)
+                )
+            out = b[res_cols].copy()
+            out["fragment"] = frags
+            yield out
+
+    return joined.mapInPandas(kernel, schema=out_schema)

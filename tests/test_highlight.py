@@ -1,0 +1,63 @@
+"""Highlight fragments over top-k results (the OpenSearch `highlight`
+feature, plain-highlighter semantics: re-analyze the stored text at
+query time, wrap hits at tokenizer boundaries)."""
+
+import re
+
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.highlight import (
+    _fragment,
+    _term_regex,
+    highlight_topk,
+)
+
+
+def test_term_regex_tokenizer_boundaries():
+    rx = _term_regex(("error", "q1"))
+    assert rx.search("an Error occurred").group(0) == "Error"
+    # '_' is NOT alphanumeric, so 'error' in 'fatal_error' IS a separate
+    # token under our tokenizer (tokens are [a-z0-9]+ runs) — unlike \b
+    assert _term_regex(("error",)).search("fatal_error") is not None
+    assert _term_regex(("error",)).search("errors") is None   # longer token
+    assert _term_regex(("q1",)).search("pq12") is None
+
+
+def test_fragment_wraps_and_windows():
+    text = "x " * 200 + "the error and the timeout happened here" + " y" * 200
+    rx = _term_regex(("error", "timeout"))
+    frag = _fragment(text, rx, 100, "<em>", "</em>")
+    assert "<em>error</em>" in frag and "<em>timeout</em>" in frag
+    assert len(frag) <= 140  # window + snapping slack
+
+
+def test_fragment_none_when_no_hit():
+    assert _fragment("nothing here", _term_regex(("zz",)), 100, "<", ">") is None
+
+
+def test_highlight_topk_end_to_end(spark, tmp_path):
+    from data_prepper_spark.data.transcripts import generate_spark
+    from data_prepper_spark.index import build as ib
+    from data_prepper_spark.query.bm25_df import assign_doc_ids
+
+    docs = assign_doc_ids(generate_spark(spark, 150, 4))
+    d = str(tmp_path / "idx")
+    ib.build_index(spark, docs.select("doc_id", "text"), d, n_shards=4,
+                   block_size=64, assign_ids=False)
+    qdf = spark.createDataFrame(
+        [("q1", "error timeout", 5)],
+        "query_id string, query_text string, k int",
+    )
+    res = engine.score_topk(spark, d, qdf, algo="bmx")
+    out = highlight_topk(docs, res, qdf).toPandas()
+    assert len(out) == 5
+    assert set(out.columns) == {"query_id", "rank", "doc_id", "score",
+                                "fragment"}
+    # every fragment contains at least one wrapped query term
+    for frag in out.fragment:
+        assert frag is not None
+        assert re.search(r"<em>(error|timeout)</em>", frag, re.IGNORECASE)
+    # fragments come from the ORIGINAL text of the right doc
+    joined = out.merge(docs.toPandas()[["doc_id", "text"]], on="doc_id")
+    for _, r in joined.iterrows():
+        plain = r.fragment.replace("<em>", "").replace("</em>", "")
+        assert plain in r.text
