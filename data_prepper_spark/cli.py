@@ -25,8 +25,6 @@ import os
 import sys
 import time
 
-from pyspark.sql import functions as _F
-
 
 def _get_spark(args):
     from pyspark.sql import SparkSession
@@ -173,6 +171,8 @@ def cmd_stats(args) -> int:
     from-scratch index): corpus stats, per-segment block/term counts,
     tombstone ranges, on-disk bytes."""
     import glob as _glob
+
+    from pyspark.sql import functions as _F
 
     from data_prepper_spark.index import layout
     from data_prepper_spark.query.engine import load_stats

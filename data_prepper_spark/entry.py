@@ -209,6 +209,9 @@ BOOL_QUERIES = [
     ("b3", "query", "", "scan", 0),
     ("b4", "slow", "table scan", "", 0),
     ("b5", "zz absent", "", "", 0),
+    # must-only with msm>0: msm is ignored without a should clause
+    # (OpenSearch semantics) — guards the oracle/kernel agreement
+    ("b6", "slow query", "", "", 2),
 ]
 
 
@@ -249,8 +252,11 @@ qn AS (SELECT query_id, unnest(list_distinct(string_split(must_not, ' '))) AS te
        FROM queries WHERE must_not <> ''),
 m_cnt AS (SELECT query_id, count(*) AS n FROM qm GROUP BY 1),
 eff AS (SELECT q.query_id,
-               CASE WHEN q.msm > 0 THEN q.msm
-                    WHEN coalesce(m.n, 0) = 0 AND q.should <> '' THEN 1
+               -- msm only applies when a should clause exists (OpenSearch
+               -- semantics; mirrors the kernel's `elif should and msm > 0`)
+               CASE WHEN q.should = '' THEN 0
+                    WHEN q.msm > 0 THEN q.msm
+                    WHEN coalesce(m.n, 0) = 0 THEN 1
                     ELSE 0 END AS msm
         FROM queries q LEFT JOIN m_cnt m USING (query_id)),
 base AS (

@@ -32,9 +32,28 @@ kernel closure — no join, no broadcast variable bookkeeping.
 from __future__ import annotations
 
 import os
+import warnings
 
 import numpy as np
 import pandas as pd
+
+# Every query kernel ships the tombstone arrays in its task closure
+# (3 int64 per range). Ranges are one-per-delete-interval, so the set
+# only grows adversarially under many-point-delete workloads; past this
+# threshold the engine warns to run `compact_index` (which consumes the
+# tombstones and resets the set) — the documented compact-after-N policy.
+COMPACT_THRESHOLD_RANGES = 100_000  # ~2.4 MB of closure arrays
+
+
+def _size_guard(n_ranges: int, index_dir: str) -> None:
+    if n_ranges > COMPACT_THRESHOLD_RANGES:
+        warnings.warn(
+            f"tombstone set at {index_dir!r} holds {n_ranges} ranges "
+            f"(> {COMPACT_THRESHOLD_RANGES}): every query task ships "
+            "them in its closure — run compact_index to consume them",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def _current_seg(index_dir: str) -> int:
@@ -64,9 +83,10 @@ def write_tombstones(
             "upto_seg": np.full(len(ranges), upto_seg, dtype=np.int64),
         }
     )
-    spark.createDataFrame(pdf).write.mode("append").parquet(
-        os.path.join(index_dir, "tombstones")
-    )
+    path = os.path.join(index_dir, "tombstones")
+    spark.createDataFrame(pdf).write.mode("append").parquet(path)
+    # cheap: parquet row count comes from footer metadata only
+    _size_guard(spark.read.parquet(path).count(), index_dir)
 
 
 def delete_docs(
@@ -143,6 +163,7 @@ def load_tombstones(spark, index_dir: str) -> Tombstones | None:
     pdf = spark.read.parquet(path).toPandas()
     if not len(pdf):
         return None
+    _size_guard(len(pdf), index_dir)
     return Tombstones(
         pdf["start"].to_numpy(np.int64),
         pdf["end"].to_numpy(np.int64),

@@ -250,6 +250,41 @@ def run_pipeline(
     return routed
 
 
+def _check_sink_lineage(checkpoint_dir: str, out_path: str) -> None:
+    """Guard the exactly-once contract of per-batchId file sinks: a
+    lineage uuid lives in the checkpoint dir and is stamped into each
+    output dir; a restart against a FRESH checkpoint (epoch ids reset to
+    0) over an already-stamped output raises instead of silently
+    overwriting committed batch_id=0..N dirs."""
+    import uuid as _uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    lin_path = os.path.join(checkpoint_dir, "_dps_lineage")
+    if os.path.exists(lin_path):
+        with open(lin_path) as f:
+            lineage = f.read().strip()
+    else:
+        lineage = _uuid.uuid4().hex
+        with open(lin_path, "w") as f:
+            f.write(lineage)
+    marker = os.path.join(out_path, "_dps_checkpoint_lineage")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            seen = f.read().strip()
+        if seen != lineage:
+            raise ValueError(
+                f"streaming file sink {out_path!r} was written by a "
+                f"different checkpoint lineage ({seen} != {lineage}): a "
+                "fresh checkpoint restarts epoch ids at 0 and would "
+                "overwrite committed batch_id dirs. Reuse the original "
+                "checkpoint dir, or remove the output dir first."
+            )
+    else:
+        os.makedirs(out_path, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(lineage)
+
+
 def run_pipeline_streaming(
     spark: SparkSession,
     cfg: dict,
@@ -305,7 +340,15 @@ def run_pipeline_streaming(
 
     def _make_writer(skind: str, sopts: dict):
         if skind in ("parquet", "json", "ndjson", "csv"):
-            # idempotent per-batchId subdirectory -> exactly-once files
+            # idempotent per-batchId subdirectory -> exactly-once files.
+            # Exactly-once is COUPLED to the checkpoint: epoch ids restart
+            # at 0 under a fresh/deleted checkpoint, which would silently
+            # overwrite previously committed batch_id=0..N dirs — so the
+            # output dir is stamped with the checkpoint's lineage id and
+            # a mismatch refuses to write (delete the output dir or reuse
+            # the original checkpoint to proceed).
+            _check_sink_lineage(checkpoint_dir, sopts["path"])
+
             def write(batch_df: DataFrame, epoch_id: int):
                 o = dict(sopts)
                 o["path"] = os.path.join(o["path"], f"batch_id={epoch_id}")

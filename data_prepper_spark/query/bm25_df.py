@@ -39,32 +39,55 @@ B = 0.75
 DOC_ID_STRIDE = 1 << 20
 
 
+# the arithmetic packing only applies to this conv_id shape; anything
+# else (UUIDs — the realistic production case) routes through the
+# convmap/dense paths. Anchored so 'conv-12x' or 'xconv-1' can't
+# half-match and silently produce garbage serials.
+CONV_ID_ARITH_RE = r"^conv-([0-9]+)$"
+
+
+def packed_doc_id(serial: Column, stride: int = DOC_ID_STRIDE) -> Column:
+    """serial * stride + turn_idx with a loud turn-range guard: a packing
+    collision would silently merge two turns' postings into one phantom
+    document, so out-of-range input must fail in the executor. One
+    codegen'd comparison per row — free."""
+    bad = (F.col("turn_idx") >= stride) | (F.col("turn_idx") < 0)
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(f"packed_doc_id: turn_idx outside [0, {stride}) "
+                      "would collide doc_ids (use assign_doc_ids_dense): "),
+                F.col("turn_idx").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(serial * stride + F.col("turn_idx").cast("long"))
+
+
 def transcript_doc_id(stride: int = DOC_ID_STRIDE) -> Column:
     """doc_id for transcripts: conv serial * stride + turn_idx. Monotone
     in (conv_id, turn_idx) — the stable ordering the north rule mandates —
     with NO global shuffle (a dense-rank assignment would need one; see
     assign_doc_ids_dense for arbitrary conv_id schemes).
 
-    A runtime guard RAISES on turn_idx outside [0, stride): a packing
-    collision would silently merge two turns' postings into one phantom
-    document, so out-of-range input must fail loud (callers with
-    >stride-turn conversations use assign_doc_ids_auto's dense
-    fallback). The guard is one codegen'd comparison per row — free."""
-    packed = (
-        F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("long") * stride
-        + F.col("turn_idx").cast("long")
-    )
-    bad = (F.col("turn_idx") >= stride) | (F.col("turn_idx") < 0)
-    return F.when(
-        bad,
+    Runtime guards RAISE on (a) turn_idx outside [0, stride) and (b) a
+    conv_id that does not match the `conv-N` arithmetic scheme — a UUID
+    corpus must fail loud here, never produce null serials (callers use
+    assign_doc_ids_auto / the index's convmap for arbitrary schemes)."""
+    serial = F.when(
+        F.col("conv_id").rlike(CONV_ID_ARITH_RE),
+        F.regexp_extract("conv_id", CONV_ID_ARITH_RE, 1).cast("long"),
+    ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(f"transcript_doc_id: turn_idx outside [0, {stride}) "
-                      "would collide doc_ids (use assign_doc_ids_dense): "),
-                F.col("turn_idx").cast("string"),
+                F.lit("transcript_doc_id: conv_id does not match the "
+                      "arithmetic 'conv-N' scheme (use assign_doc_ids_auto "
+                      "or the index convmap): "),
+                F.col("conv_id"),
             )
-        ).cast("long"),
-    ).otherwise(packed)
+        ).cast("long")
+    )
+    return packed_doc_id(serial, stride)
 
 
 def tokens_col(text_col: str = "text") -> Column:

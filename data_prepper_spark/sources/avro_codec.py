@@ -29,6 +29,7 @@ import io
 import json
 import os
 import struct
+import uuid
 import zlib
 from typing import Any, Iterator
 
@@ -425,17 +426,33 @@ def write_avro(
         rows: list[dict] = []
         for b in batches:
             for c, lt in logical.items():
+                # mask nulls BEFORE the int view: NaT.astype(int64) is
+                # the int64 sentinel, which would be written as a
+                # garbage long instead of the union's null branch
+                src = b[c] if lt != "date" else pd.to_datetime(b[c])
+                na = src.isna()
+                if na.any():  # some pandas builds raise on NaT->int
+                    src = src.fillna(
+                        pd.Timestamp(0, tz=getattr(src.dtype, "tz", None))
+                    )
                 if lt == "timestamp-micros":
-                    b[c] = b[c].astype("int64") // 1_000          # ns -> us
+                    v = src.astype("int64") // 1_000              # ns -> us
                 elif lt == "timestamp-millis":
-                    b[c] = b[c].astype("int64") // 1_000_000      # ns -> ms
-                elif lt == "date":
-                    b[c] = (pd.to_datetime(b[c]).astype("int64")
-                            // 86_400_000_000_000)                # ns -> days
+                    v = src.astype("int64") // 1_000_000          # ns -> ms
+                else:                                             # date
+                    v = src.astype("int64") // 86_400_000_000_000  # ns -> days
+                b[c] = v.astype(object).where(~na, None)
             rows.extend(b.where(pd.notna(b), None).to_dict("records"))
         if rows:
             data = encode_container(schema, rows, codec=codec)
-            name = hashlib.md5(data[:4096]).hexdigest()[:16]
+            # task-unique name: the container header (schema + schema-md5
+            # sync marker) is identical across partitions, so a content
+            # hash could collide between partitions -> silent overwrite
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else os.getpid()
+            name = f"{pid:05d}-{uuid.uuid4().hex[:12]}"
             tmp = os.path.join(path, f".part-{name}.avro.tmp")
             with open(tmp, "wb") as f:
                 f.write(data)

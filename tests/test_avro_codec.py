@@ -144,3 +144,35 @@ def test_unknown_codec_rejected():
     with pytest.raises(ValueError):
         av.encode_container({"type": "record", "name": "r", "fields": []},
                             [], codec="snappy")
+
+
+def test_write_null_timestamp_roundtrip(spark, tmp_path):
+    """NaT/null timestamps must take the union's null branch, not the
+    int64 sentinel (-2^63) the raw astype produces."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 5, 1, 12, 0, 0)), ("b", None)],
+        "s string, ts timestamp",
+    )
+    path = str(tmp_path / "null_ts")
+    av.write_avro(df, path, codec="deflate")
+    back = av.read_avro(spark, path)
+    got = {r["s"]: r["ts"] for r in back.collect()}
+    assert got["b"] is None
+    assert got["a"] == dt.datetime(2024, 5, 1, 12, 0, 0)
+
+
+def test_write_duplicate_partitions_no_filename_collision(spark, tmp_path):
+    """Two partitions with IDENTICAL content must produce two part
+    files (content-hash names silently overwrote one before r4)."""
+    import glob
+
+    df = spark.createDataFrame(
+        [("same", 1)] * 50 + [("same", 1)] * 50, "s string, n long"
+    ).repartition(2)
+    path = str(tmp_path / "dup_parts")
+    av.write_avro(df, path, codec="null")
+    back = av.read_avro(spark, path)
+    assert back.count() == 100
+    assert len(glob.glob(str(tmp_path / "dup_parts" / "part-*.avro"))) == 2

@@ -275,3 +275,40 @@ p:
     q2 = run_pipeline_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "ck"))
     q2.awaitTermination(120)
     assert spark.read.json(str(tmp_path / "out")).count() == 5
+
+
+def test_yaml_streaming_fresh_checkpoint_refuses_overwrite(spark, tmp_path):
+    """A FRESH checkpoint restarts epoch ids at 0; writing into an
+    output dir stamped by a different checkpoint lineage must raise
+    instead of silently overwriting committed batch_id dirs."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from data_prepper_spark.pipeline import load_yaml, run_pipeline_streaming
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps({"v": i}) for i in range(3))
+    )
+    yml = f"""
+p:
+  source:
+    stream-json:
+      path: "{src}"
+      schema: "v long"
+  sink:
+    - json:
+        path: "{tmp_path}/out"
+"""
+    cfg = load_yaml(yml)["p"]
+    q = run_pipeline_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert spark.read.json(str(tmp_path / "out")).count() == 3
+    with _pytest.raises(ValueError, match="checkpoint lineage"):
+        run_pipeline_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "ck2"))
+    # original checkpoint still works (lineage matches)
+    q3 = run_pipeline_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "ck1"))
+    q3.awaitTermination(120)
+    assert spark.read.json(str(tmp_path / "out")).count() == 3

@@ -238,3 +238,25 @@ def test_point_delete_single_turn(spark, corpus_pdf, tmp_path_factory):
     assert victim_doc not in set(got.doc_id)
     sibling = int(target_conv * STRIDE + conv_rows.turn_idx.iloc[1])
     assert sibling in set(got.doc_id)
+
+
+def test_tombstone_size_guard_warns(spark, tmp_path, monkeypatch):
+    """Past COMPACT_THRESHOLD_RANGES the engine warns to compact (every
+    query task ships the ranges in its closure)."""
+    import warnings as _warnings
+
+    from data_prepper_spark.index import tombstones as tb
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx, exist_ok=True)
+    monkeypatch.setattr(tb, "COMPACT_THRESHOLD_RANGES", 4)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        tb.write_tombstones(spark, idx, [(i * 10, i * 10 + 1) for i in range(3)])
+        assert not any(issubclass(x.category, RuntimeWarning) for x in w)
+        tb.write_tombstones(spark, idx, [(i * 10 + 5, i * 10 + 6) for i in range(3)])
+        assert any("compact_index" in str(x.message) for x in w)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert tb.load_tombstones(spark, idx) is not None
+        assert any("compact_index" in str(x.message) for x in w)
