@@ -227,6 +227,11 @@ def cmd_delete(args) -> int:
             spark, args.index, [int(c) for c in args.conv_serial]
         )
         n += len(args.conv_serial)
+    if getattr(args, "conv_id", None):
+        from data_prepper_spark.index.build import delete_conversations_by_id
+
+        delete_conversations_by_id(spark, args.index, list(args.conv_id))
+        n += len(args.conv_id)
     print(json.dumps({"tombstoned": n, "index": args.index}))
     return 0
 
@@ -321,6 +326,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="point doc_id to delete (repeatable)")
     dl.add_argument("--conv-serial", action="append", default=[],
                     help="conversation serial to purge (repeatable)")
+    dl.add_argument("--conv-id", action="append", default=[],
+                    help="conversation id STRING to purge — works under "
+                         "both id schemes incl. UUID corpora (repeatable)")
     dl.add_argument("--local-cores", type=int, default=None)
     dl.set_defaults(fn=cmd_delete)
 

@@ -102,15 +102,30 @@ def assign_doc_ids(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("doc_id", transcript_doc_id())
 
 
+def conv_scheme_arith_ok(df: DataFrame) -> bool:
+    """ONE narrow agg over (conv_id, turn_idx) — negligible next to
+    tokenization — deciding whether the shuffle-free arithmetic packing
+    applies: every conv_id must match the anchored `conv-N` scheme AND
+    every turn_idx must fit the stride. A UUID corpus (the realistic
+    production case) fails both-or-either and routes to the dense /
+    convmap paths instead of producing null serials."""
+    row = df.agg(
+        F.sum((~F.col("conv_id").rlike(CONV_ID_ARITH_RE)).cast("long")).alias("bad"),
+        F.max("turn_idx").alias("mx"),
+    ).first()
+    bad = int(row["bad"] or 0)
+    mx = row["mx"]
+    return bad == 0 and (mx is None or int(mx) < DOC_ID_STRIDE)
+
+
 def assign_doc_ids_auto(df: DataFrame) -> DataFrame:
-    """Guarded assignment: one cheap agg over the turn_idx column (narrow
-    int scan — negligible next to tokenization) decides between the
-    shuffle-free arithmetic packing and the dense two-phase fallback for
-    corpora with >= DOC_ID_STRIDE-turn conversations."""
-    mx = df.agg(F.max("turn_idx")).first()[0]
-    if mx is not None and int(mx) >= DOC_ID_STRIDE:
-        return assign_doc_ids_dense(df, ["conv_id", "turn_idx"])
-    return df.withColumn("doc_id", transcript_doc_id())
+    """Guarded assignment: conv_scheme_arith_ok picks between the
+    shuffle-free arithmetic packing and the dense two-phase fallback
+    (arbitrary conv_id schemes — UUIDs — or >= DOC_ID_STRIDE-turn
+    conversations)."""
+    if conv_scheme_arith_ok(df):
+        return df.withColumn("doc_id", transcript_doc_id())
+    return assign_doc_ids_dense(df, ["conv_id", "turn_idx"])
 
 
 def assign_doc_ids_dense(df: DataFrame, order_cols: list[str]) -> DataFrame:
