@@ -1,0 +1,67 @@
+"""Multilingual golden corpus for the unicode tokenizer mode.
+
+The reference gets Unicode search for free from OpenSearch's `standard`
+analyzer (the opensearch sink delegates analysis —
+reference: data-prepper-plugins/opensearch/.../OpenSearchSink.java:132-141);
+this fixed corpus pins the rebuild's equivalent: CJK, Korean, Cyrillic,
+Greek, Arabic, accented Latin and mixed-script text must index, match
+and rank identically across the Spark engine, the pure-Python oracle
+and the DuckDB SQL oracle.
+
+Deliberately EXCLUDED (documented cross-engine casing divergences —
+DuckDB's lower() is utf8proc simple-case): U+0130 (İ), uppercase final
+sigma, and single quotes (SQL literal embedding).
+"""
+
+from __future__ import annotations
+
+# (doc_id, text) — doc_ids deliberately non-contiguous
+DOCS: list[tuple[int, str]] = [
+    (101, "Héllo wörld: Ünïcode tëst für die Suche"),
+    (102, "日本語のテキスト検索エンジンを構築する"),
+    (103, "中文分词 搜索引擎 倒排索引 测试"),
+    (104, "한국어 텍스트 검색 엔진 테스트"),
+    (105, "Привет мир — русский текст для поиска"),
+    (106, "Поиск по русскому тексту: индекс и запрос"),
+    (107, "ελληνικά κείμενο αναζήτηση δοκιμή"),
+    (108, "العربية نص بحث فهرس اختبار"),
+    (109, "mixed ASCII and 漢字 plus numbers 123 and café"),
+    (110, "café crème brûlée: très élégant déjà vu"),
+    (111, "Spark engine query: slow scan over the table"),
+    (112, "die Suche nach dem Wörterbuch ist schnell"),
+    (113, "поиск 検索 search 검색 — four ways to say it"),
+    (114, "naïve résumé with ümlauts and ça va"),
+    (115, "倒排索引 inverted index built from 日本語 and 中文"),
+    (116, "query engine test: unicode text search"),
+    (117, "ΑΒΓ αβγ greek letters and αναζήτηση again"),
+    (118, "schnell schnell die Suche die Suche"),
+]
+
+# (query_id, query_text, k)
+QUERIES: list[tuple[str, str, int]] = [
+    ("u1", "検索 エンジン", 5),
+    ("u2", "русский поиск", 5),
+    ("u3", "die Suche", 5),
+    ("u4", "café élégant", 5),
+    ("u5", "search 검색 検索", 5),
+    ("u6", "αναζήτηση", 5),
+    ("u7", "unicode query engine", 5),
+    ("u8", "中文 倒排索引", 5),
+]
+
+
+def docs_pandas():
+    """Transcript-shaped frame (one conversation per doc) so the same
+    corpus drives build_index end-to-end."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "conv_id": [f"conv-{d:08d}" for d, _ in DOCS],
+            "turn_idx": [0] * len(DOCS),
+            "role": ["user"] * len(DOCS),
+            "text": [t for _, t in DOCS],
+            "tool": [None] * len(DOCS),
+            "ts": pd.to_datetime("2026-01-01"),
+        }
+    )

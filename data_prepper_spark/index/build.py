@@ -51,7 +51,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_prepper_spark.index import codec, layout
-from data_prepper_spark.index.tokenizer import SPARK_TOKENIZE_SQL, token_spans
+from data_prepper_spark.index.tokenizer import (
+    decode_term_bytes,
+    token_spans,
+)
 from data_prepper_spark.query.bm25_df import (
     CONV_ID_ARITH_RE,
     DOC_ID_STRIDE,
@@ -138,7 +141,8 @@ def _encode_posting_blocks(
 
 
 def _spimi_kernel(
-    avgdl: float, block_size: int, seg: int = 0, store_positions: bool = True
+    avgdl: float, block_size: int, seg: int = 0, store_positions: bool = True,
+    tokenizer: str = "ascii",
 ):
     """`seg` tags every block with the build that produced it (Lucene's
     segment concept): incremental builds append a NEW segment per
@@ -159,7 +163,7 @@ def _spimi_kernel(
         # + numpy boundary scan; no per-token Python objects ever exist
         # (the r1 str.findall object-list path was the build's dominant
         # memory-bus load — tokenizer.token_spans)
-        arr, tstarts, tends, tok_doc, dls = token_spans(pdf["text"])
+        arr, tstarts, tends, tok_doc, dls = token_spans(pdf["text"], tokenizer)
         n_tok = int(len(tstarts))
         # within-doc token position per token (token_spans emits tokens
         # doc-major position-minor): global index minus the doc's first
@@ -211,7 +215,7 @@ def _spimi_kernel(
             enc = _encode_posting_blocks(
                 term_b, darr, farr, larr, partial, block_size, positions=pp
             )
-            enc["term"] = enc.pop("term_key").astype("U")  # tokens are ASCII
+            enc["term"] = decode_term_bytes([enc.pop("term_key")], tokenizer)
             parts.append(enc)
 
         if parts:
@@ -281,7 +285,9 @@ def _spimi_kernel(
     return build
 
 
-def compute_stats(df_docs: DataFrame, text_col: str = "text") -> dict:
+def compute_stats(
+    df_docs: DataFrame, text_col: str = "text", tokenizer: str = "ascii",
+) -> dict:
     """Corpus (n_docs, avgdl) in one narrow pass. Token COUNT via
     regexp_count — identical to size(filter(split(...))) for the shared
     tokenizer's pattern but without materializing a token array per row,
@@ -289,7 +295,11 @@ def compute_stats(df_docs: DataFrame, text_col: str = "text") -> dict:
     memory traffic."""
     row = (
         df_docs.select(
-            F.expr(f"regexp_count(lower({text_col}), '[a-z0-9]+')").alias("dl")
+            F.expr(
+                f"regexp_count(lower({text_col}), '[a-z0-9]+')"
+                if tokenizer != "unicode" else
+                f"regexp_count(lower({text_col}), '[\\\\p{{L}}\\\\p{{N}}]+')"
+            ).alias("dl")
         )
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
         .collect()[0]
@@ -391,6 +401,7 @@ def build_index(
     assign_ids: bool = True,
     incremental: bool = False,
     store_positions: bool = True,
+    tokenizer: str = "ascii",
 ) -> dict:
     """Build (or resume) the index at index_dir. Returns stats dict.
 
@@ -423,6 +434,7 @@ def build_index(
     if resume and os.path.exists(stats_path):
         stats = json.load(open(stats_path))
         assert stats["n_shards"] == n_shards, "resume with different n_shards"
+        tokenizer = stats.get("tokenizer", "ascii")
     elif incremental:
         # CDC append (snapshots-between semantics of the reference's
         # iceberg source): merge corpus stats with the existing index.
@@ -438,7 +450,10 @@ def build_index(
             f"incremental snapshot_id {snapshot_id} must exceed the index's "
             f"current {old.get('snapshot_id')} (compaction consumes an id too)"
         )
-        inc = compute_stats(docs_assigned)
+        # an index has ONE analyzer for its whole life (same contract as
+        # an OpenSearch index mapping): incremental appends reuse it
+        tokenizer = old.get("tokenizer", "ascii")
+        inc = compute_stats(docs_assigned, tokenizer=tokenizer)
         n_total = old["n_docs"] + inc["n_docs"]
         avgdl = (
             old["avgdl"] * old["n_docs"] + inc["avgdl"] * inc["n_docs"]
@@ -454,11 +469,12 @@ def build_index(
         )
         layout.publish_file(stats_path, json.dumps(stats))
     else:
-        stats = compute_stats(docs_assigned)
+        stats = compute_stats(docs_assigned, tokenizer=tokenizer)
         stats.update(
             n_shards=n_shards, block_size=block_size, k1=K1, b=B,
             snapshot_id=snapshot_id, avgdl_min=stats["avgdl"],
             positions=store_positions, id_scheme=id_scheme,
+            tokenizer=tokenizer,
         )
         layout.publish_file(stats_path, json.dumps(stats))
 
@@ -492,7 +508,7 @@ def build_index(
         .applyInPandas(
             _spimi_kernel(
                 stats["avgdl"], block_size, seg=snapshot_id,
-                store_positions=store_positions,
+                store_positions=store_positions, tokenizer=tokenizer,
             ),
             schema=BLOCK_SCHEMA,
         )
@@ -625,6 +641,7 @@ def upsert_conversations(
         incremental=True,
         snapshot_id=snapshot_id,
         store_positions=bool(stats.get("positions", True)),
+        tokenizer=stats.get("tokenizer", "ascii"),
     )
 
 

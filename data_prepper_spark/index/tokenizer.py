@@ -7,10 +7,21 @@ reference delegates analysis to a single OpenSearch analyzer
 sink ships raw text; OpenSearch's `standard` analyzer lowercases and
 splits on non-alphanumerics).
 
-Semantics: lowercase, split on any non-[a-z0-9] run. Equivalent SQL:
-    split(lower(text), '[^a-z0-9]+')  with empty strings removed
-so the same tokenization is expressible in Spark SQL, DuckDB (oracle
-checks) and this pure-Python function.
+Two MODES, both expressible identically in Spark SQL (Java regex),
+DuckDB (RE2) and Python `re` — verified cross-engine by tests:
+
+- "ascii" (default, the original): lowercase, split on any non-[a-z0-9]
+  run. SQL: split(lower(text), '[^a-z0-9]+') with empties removed.
+- "unicode": lowercase, tokens are runs of Unicode letters/digits —
+  [\\p{L}\\p{N}]+ in Java/RE2, [^\\W_]+ in Python (the classes are
+  equal: L* ∪ N*, combining marks and underscore excluded). This is
+  what OpenSearch's `standard` analyzer gives every reference
+  deployment (minus its word-boundary niceties), so CJK / Cyrillic /
+  accented text becomes searchable instead of vanishing.
+
+Known oracle-edge (documented, excluded from golden corpora): DuckDB's
+lower() is utf8proc simple-case, so U+0130 (İ) and capital final sigma
+lower differently there than in Python/Java full casing.
 """
 
 from __future__ import annotations
@@ -22,13 +33,20 @@ import numpy as np
 import pandas as pd
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
+_TOKEN_RE_UNI = re.compile(r"[^\W_]+", re.UNICODE)
+# 1:1 char -> space for every non-token char EXCEPT NUL (the doc
+# separator): length-preserving, so doc boundaries survive the pass
+_NON_TOKEN_1CH = re.compile(r"[^\w\x00]|_", re.UNICODE)
+
+MODES = ("ascii", "unicode")
 
 
-def tokenize(text: str) -> list[str]:
+def tokenize(text: str, mode: str = "ascii") -> list[str]:
     """Pure-Python tokenizer (oracle + UDF kernel share this)."""
     if not text:
         return []
-    return _TOKEN_RE.findall(text.lower())
+    rx = _TOKEN_RE_UNI if mode == "unicode" else _TOKEN_RE
+    return rx.findall(text.lower())
 
 
 # ---------------------------------------------------------------------------
@@ -58,45 +76,25 @@ _LOWER_TABLE = bytes(
 _TOKEN_LUT = np.zeros(256, dtype=bool)
 for _c in b"abcdefghijklmnopqrstuvwxyz0123456789":
     _TOKEN_LUT[_c] = True
+# unicode mode: after the 1:1 non-token->space pass, every surviving
+# non-ASCII byte belongs to a token codepoint, so the byte class is
+# "ascii alnum OR >= 0x80". All bytes of a multi-byte codepoint are
+# >= 0x80, so spans always cover complete codepoints; UTF-8 byte order
+# equals codepoint order, so byte-sorted terms match Python/DuckDB/Spark
+# string sort exactly.
+_TOKEN_LUT_UNI = _TOKEN_LUT.copy()
+_TOKEN_LUT_UNI[0x80:] = True
 
 
-def token_spans(
-    texts: pd.Series,
+def _spans_from_buffer(
+    buf: bytes, blens: np.ndarray, n_docs: int, lut: np.ndarray, empty: tuple,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Whole-column span scan. Returns (arr, starts, ends, tok_doc, dls):
-      arr      uint8[total_bytes]  lowercased utf-8 buffer (docs joined by NUL)
-      starts   int64[n_tokens]     token start offsets into arr
-      ends     int64[n_tokens]     token end offsets (exclusive)
-      tok_doc  int64[n_tokens]     input-row index per token (doc-major order)
-      dls      int64[n_docs]       token count per input row
-    """
-    n_docs = len(texts)
-    empty = (
-        np.empty(0, np.uint8), np.empty(0, np.int64), np.empty(0, np.int64),
-        np.empty(0, np.int64), np.zeros(n_docs, np.int64),
-    )
-    if n_docs == 0:
-        return empty
-    enc = texts.fillna("").str.encode("utf-8")
-    buf = b"\x00".join(enc.tolist())
-    if not buf:
-        return empty
-    arr0 = np.frombuffer(buf, np.uint8)
-    if arr0.max() >= 0x80:
-        # non-ASCII present: Unicode lowercasing can INTRODUCE ASCII
-        # token chars (U+212A KELVIN SIGN -> 'k', U+0130 -> 'i'+dot), so
-        # match `tokenize` exactly by lowercasing in unicode FIRST, then
-        # byte-scanning the lowered text (remaining multi-byte sequences
-        # are non-token bytes under both paths)
-        enc = texts.fillna("").str.lower().str.encode("utf-8")
-        buf = b"\x00".join(enc.tolist())
-    blens = enc.str.len().to_numpy(np.int64)
-    arr = np.frombuffer(buf.translate(_LOWER_TABLE), np.uint8)
+    arr = np.frombuffer(buf, np.uint8)
     # doc k occupies [doc_ends[k-1], doc_ends[k] - 1); the -1 slot is the
     # NUL separator (the final doc has no trailing NUL — hence the +1 on
     # an exclusive cumsum works for searchsorted below)
     doc_ends = np.cumsum(blens + 1)
-    mask = _TOKEN_LUT[arr]
+    mask = lut[arr]
     d = np.diff(mask.view(np.int8))
     starts = np.flatnonzero(d == 1) + 1
     ends = np.flatnonzero(d == -1) + 1
@@ -111,7 +109,74 @@ def token_spans(
     return arr, starts, ends, tok_doc, dls
 
 
-def tokenize_frame(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def token_spans(
+    texts: pd.Series, mode: str = "ascii",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-column span scan. Returns (arr, starts, ends, tok_doc, dls):
+      arr      uint8[total_bytes]  lowercased utf-8 buffer (docs joined by NUL)
+      starts   int64[n_tokens]     token start offsets into arr
+      ends     int64[n_tokens]     token end offsets (exclusive)
+      tok_doc  int64[n_tokens]     input-row index per token (doc-major order)
+      dls      int64[n_docs]       token count per input row
+
+    Unicode mode adds ONE regex pass (the length-preserving 1:1
+    non-token -> space substitution over the whole joined buffer) and
+    then runs the identical numpy byte machinery; spans may contain
+    multi-byte UTF-8 sequences, decoded only for the few UNIQUE terms.
+    """
+    n_docs = len(texts)
+    empty = (
+        np.empty(0, np.uint8), np.empty(0, np.int64), np.empty(0, np.int64),
+        np.empty(0, np.int64), np.zeros(n_docs, np.int64),
+    )
+    if n_docs == 0:
+        return empty
+    if mode == "unicode":
+        low = texts.fillna("").str.lower()
+        joined = "\x00".join(low.tolist())
+        if not joined:
+            return empty
+        cleaned = _NON_TOKEN_1CH.sub(" ", joined)
+        enc = pd.Series(cleaned.split("\x00")).str.encode("utf-8")
+        buf = b"\x00".join(enc.tolist())
+        blens = enc.str.len().to_numpy(np.int64)
+        return _spans_from_buffer(buf, blens, n_docs, _TOKEN_LUT_UNI, empty)
+    enc = texts.fillna("").str.encode("utf-8")
+    buf = b"\x00".join(enc.tolist())
+    if not buf:
+        return empty
+    arr0 = np.frombuffer(buf, np.uint8)
+    if arr0.max() >= 0x80:
+        # non-ASCII present: Unicode lowercasing can INTRODUCE ASCII
+        # token chars (U+212A KELVIN SIGN -> 'k', U+0130 -> 'i'+dot), so
+        # match `tokenize` exactly by lowercasing in unicode FIRST, then
+        # byte-scanning the lowered text (remaining multi-byte sequences
+        # are non-token bytes under both paths)
+        enc = texts.fillna("").str.lower().str.encode("utf-8")
+        buf = b"\x00".join(enc.tolist())
+    blens = enc.str.len().to_numpy(np.int64)
+    return _spans_from_buffer(
+        buf.translate(_LOWER_TABLE), blens, n_docs, _TOKEN_LUT, empty
+    )
+
+
+def decode_term_bytes(parts: list[np.ndarray], mode: str) -> np.ndarray:
+    """fixed-width 'S' byte arrays -> one U-dtype string array. ASCII
+    mode is a free astype; unicode mode decodes UTF-8 per UNIQUE term
+    (the only place per-term Python strings are ever created)."""
+    if mode == "unicode":
+        out = [x.decode("utf-8") for p in parts for x in p.tolist()]
+        return np.array(out, dtype="U") if out else np.empty(0, "U1")
+    cast = [p.astype(f"U{max(1, p.dtype.itemsize)}") for p in parts]
+    if not cast:
+        return np.empty(0, "U1")
+    width = max(int(u.dtype.itemsize // 4) for u in cast)
+    return np.concatenate([u.astype(f"U{width}") for u in cast])
+
+
+def tokenize_frame(
+    texts: pd.Series, mode: str = "ascii",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Tokenize a whole column at once.
 
     Returns (codes, uniq_terms, dls):
@@ -120,7 +185,7 @@ def tokenize_frame(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray
       uniq_terms U-dtype[n_uniq]  code -> term string
       dls        int64[n_docs]    token count per input row
     """
-    arr, starts, ends, tok_doc, dls = token_spans(texts)
+    arr, starts, ends, tok_doc, dls = token_spans(texts, mode)
     if not len(starts):
         return (np.empty(0, np.int64), np.empty(0, "U1"), dls)
 
@@ -136,21 +201,36 @@ def tokenize_frame(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray
         fixed = np.ascontiguousarray(gathered).view(f"S{L}").ravel()
         u, inv = np.unique(fixed, return_inverse=True)
         codes[sel] = offset + inv
-        uniq_parts.append(u.astype(f"U{L}"))  # tokens are pure ASCII
+        uniq_parts.append(u)
         offset += len(u)
-    width = max(int(u.dtype.itemsize // 4) for u in uniq_parts)
-    uniq_terms = np.concatenate([u.astype(f"U{width}") for u in uniq_parts])
-    return codes, uniq_terms, dls
+    return codes, decode_term_bytes(uniq_parts, mode), dls
 
 
 def term_freqs(text: str) -> Counter:
     return Counter(tokenize(text))
 
 
-# SQL fragment (Spark SQL and DuckDB compatible) producing the same tokens:
-#   Spark:  filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')
-#   DuckDB: list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+# SQL fragments (Spark SQL and DuckDB compatible) producing the same
+# tokens as `tokenize` in each mode. Spark is Java regex (backslashes
+# doubled inside the SQL string literal); DuckDB is RE2.
 SPARK_TOKENIZE_SQL = "filter(split(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
 DUCKDB_TOKENIZE_SQL = (
     "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
 )
+SPARK_TOKENIZE_SQL_UNI = (
+    "filter(split(lower({col}), '[^\\\\p{{L}}\\\\p{{N}}]+'), x -> x <> '')"
+)
+DUCKDB_TOKENIZE_SQL_UNI = (
+    "list_filter(string_split_regex(lower({col}), "
+    "'[^\\p{{L}}\\p{{N}}]+'), x -> x <> '')"
+)
+
+
+def spark_tokenize_sql(col: str, mode: str = "ascii") -> str:
+    t = SPARK_TOKENIZE_SQL_UNI if mode == "unicode" else SPARK_TOKENIZE_SQL
+    return t.format(col=col)
+
+
+def duckdb_tokenize_sql(col: str, mode: str = "ascii") -> str:
+    t = DUCKDB_TOKENIZE_SQL_UNI if mode == "unicode" else DUCKDB_TOKENIZE_SQL
+    return t.format(col=col)

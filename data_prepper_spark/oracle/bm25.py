@@ -32,6 +32,7 @@ B = 0.75
 class OracleIndex:
     n_docs: int = 0
     avgdl: float = 0.0
+    mode: str = "ascii"
     doc_len: dict[int, int] = field(default_factory=dict)
     # term -> sorted list of (doc_id, tf)
     postings: dict[str, list[tuple[int, int]]] = field(default_factory=dict)
@@ -41,13 +42,16 @@ class OracleIndex:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
 
-def build_index(docs: list[tuple[int, str]]) -> OracleIndex:
+def build_index(
+    docs: list[tuple[int, str]], mode: str = "ascii"
+) -> OracleIndex:
     """docs: (doc_id, text), doc_id unique. Returns the in-memory index."""
     idx = OracleIndex()
+    idx.mode = mode
     post: dict[str, dict[int, int]] = defaultdict(dict)
     total_len = 0
     for doc_id, text in docs:
-        toks = tokenize(text)
+        toks = tokenize(text, mode)
         idx.doc_len[doc_id] = len(toks)
         total_len += len(toks)
         for t in toks:
@@ -65,7 +69,7 @@ def score_query(idx: OracleIndex, query_text: str, k: int = 10) -> list[tuple[in
     Lucene's treatment of repeated query terms as a single clause... we
     choose dedup; the Spark engine follows the same contract).
     """
-    terms = sorted(set(tokenize(query_text)))
+    terms = sorted(set(tokenize(query_text, idx.mode)))
     acc: dict[int, float] = defaultdict(float)
     for t in terms:
         plist = idx.postings.get(t)

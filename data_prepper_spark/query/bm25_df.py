@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_prepper_spark.index.tokenizer import SPARK_TOKENIZE_SQL
+from data_prepper_spark.index.tokenizer import spark_tokenize_sql
 
 K1 = 1.2
 B = 0.75
@@ -90,9 +90,9 @@ def transcript_doc_id(stride: int = DOC_ID_STRIDE) -> Column:
     return packed_doc_id(serial, stride)
 
 
-def tokens_col(text_col: str = "text") -> Column:
+def tokens_col(text_col: str = "text", mode: str = "ascii") -> Column:
     """JVM-side tokenizer, identical semantics to oracle tokenize()."""
-    return F.expr(SPARK_TOKENIZE_SQL.format(col=text_col))
+    return F.expr(spark_tokenize_sql(text_col, mode))
 
 
 def assign_doc_ids(df: DataFrame, text_col: str = "text") -> DataFrame:

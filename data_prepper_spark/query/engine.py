@@ -169,10 +169,11 @@ def score_topk(
 ) -> DataFrame:
     """queries(query_id, query_text, k) -> (query_id, rank, doc_id, score)."""
     stats = load_stats(index_dir)
+    mode = stats.get("tokenizer", "ascii")
     qterms = queries.select(
         "query_id",
         "k",
-        F.explode(F.array_distinct(tokens_col("query_text"))).alias("term"),
+        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
     )
     # one row per term carrying its interested queries — block rows are
     # NOT replicated per query through the shuffle
@@ -401,10 +402,11 @@ def phrase_topk(
             f"index at {index_dir} was built without positions "
             "(store_positions=False) — cannot serve match_phrase"
         )
+    mode = stats.get("tokenizer", "ascii")
     qterms = queries.select(
         "query_id",
         "k",
-        F.posexplode(tokens_col("query_text")).alias("ord", "term"),
+        F.posexplode(tokens_col("query_text", mode)).alias("ord", "term"),
     )
     qcnt = qterms.groupBy("query_id").agg(
         F.countDistinct("term").alias("n_terms")
@@ -577,6 +579,7 @@ def bool_topk(
     (positions column never read), one kernel exchange, global top-k
     over per-shard winners."""
     stats = load_stats(index_dir)
+    mode = stats.get("tokenizer", "ascii")
     parts = []
     for role, col in (("must", "must"), ("should", "should"),
                       ("must_not", "must_not")):
@@ -584,7 +587,7 @@ def bool_topk(
             queries.select(
                 "query_id", "k",
                 F.col("minimum_should_match").alias("msm_raw"),
-                F.explode(F.array_distinct(tokens_col(col))).alias("term"),
+                F.explode(F.array_distinct(tokens_col(col, mode))).alias("term"),
             ).withColumn("role", F.lit(role))
         )
     qterms = parts[0].unionByName(parts[1]).unionByName(parts[2])
