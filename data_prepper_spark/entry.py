@@ -1575,6 +1575,43 @@ QUALIFY rank <= {BM25_K}
 """
 
 
+
+# --------------------------------------------------- search_after slot
+
+def q_search_after(spark, sf_dir):
+    """Deep pagination over the compressed index (the reference's
+    opensearch source pages indexes out with PIT + search_after,
+    opensearch/.../worker/PitWorker.java:170-189): page 1 (k=10) yields
+    a (score, doc_id) cursor per query; page 2 is served by the SAME
+    scatter-gather kernels with the cursor pushed in — cost of page 1,
+    no deep fetch. Result = global rows 11..20 per query (rank column
+    dropped: the page SET is the contract; ordering inside the page is
+    the oracle's rounded tie-break)."""
+    d = _built_index(spark, sf_dir)
+    qdf = _bm25_queries_df(spark).withColumn("k", F.lit(BM25_K))
+    page1 = engine.score_topk(spark, d, qdf, algo="wand")
+    cursor = page1.filter(F.col("rank") == BM25_K).select(
+        "query_id",
+        F.col("score").alias("after_score"),
+        F.col("doc_id").alias("after_doc"),
+    )
+    q2 = qdf.join(cursor, "query_id")  # queries with < k hits have no page 2
+    page2 = engine.score_topk(spark, d, q2, algo="wand")
+    return page2.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score_r")
+    )
+
+
+def _search_after_oracle_sql() -> str:
+    base = _bm25_oracle_sql().replace(
+        f"QUALIFY rank <= {BM25_K}",
+        f"QUALIFY rank > {BM25_K} AND rank <= {2 * BM25_K}",
+    )
+    # page SET without the rank column (engine pages by exact score; the
+    # in-page ordering contract is the rounded tie-break)
+    return f"SELECT query_id, doc_id, score_r FROM (\n{base}\n)"
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "wand_topk": q_wand_topk,
@@ -1598,6 +1635,7 @@ QUERIES = {
     "translate": q_translate,
     "bool_topk": q_bool_topk,
     "bm25_unicode": q_bm25_unicode,
+    "search_after": q_search_after,
 
     "parse_xml_ion": q_parse_xml_ion,
     "aggregate_count": q_aggregate_count,
@@ -1675,6 +1713,7 @@ FROM events"""
 ORACLE["user_agent"] = _user_agent_sql()
 ORACLE["geoip_enrich"] = _GEOIP_SQL
 ORACLE["bm25_unicode"] = _bm25_unicode_oracle_sql()
+ORACLE["search_after"] = _search_after_oracle_sql()
 ORACLE["dlq_parse_failures"] = """
 SELECT 'events-pipeline' AS pipeline_name, 'parse_json' AS plugin_name,
        '_failed_parse' AS failure_tags,

@@ -112,7 +112,8 @@ def _shard_kernel(
         # segments), mirroring Lucene's per-segment posting lists
         term_data: dict[tuple[str, int], dict] = {}
         term_segs: dict[str, list[tuple[str, int]]] = {}
-        queries: dict[str, tuple[int, list[str]]] = {}  # qid -> (k, terms)
+        # qid -> [k, terms, after-cursor]
+        queries: dict[str, list] = {}
         for term, tg in pdf.groupby("term", sort=True):
             df_t = int(tg["df"].iloc[0])
             idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
@@ -132,10 +133,15 @@ def _shard_kernel(
                 term_segs.setdefault(term, []).append((term, int(seg)))
             for q in tg["queries"].iloc[0]:
                 qid, k = q["query_id"], int(q["k"])
-                queries.setdefault(qid, (k, []))[1].append(term)
+                a_s = q.get("after_score") if hasattr(q, "get") else q["after_score"]
+                after = (
+                    (float(a_s), int(q["after_doc"]))
+                    if a_s is not None and not pd.isna(a_s) else None
+                )
+                queries.setdefault(qid, [k, [], after])[1].append(term)
 
         out_q, out_d, out_s = [], [], []
-        for qid, (k, terms) in queries.items():
+        for qid, (k, terms, after) in queries.items():
             cursors = [
                 wand_mod.TermCursor(
                     term=t, seg=seg, avgdl=avgdl, cache=cache,
@@ -148,11 +154,11 @@ def _shard_kernel(
                 for (_, seg) in term_segs[t]
             ]
             if algo == "wand":
-                topk = wand_mod.wand_topk(cursors, k)
+                topk = wand_mod.wand_topk(cursors, k, after)
             elif algo == "bmx":
-                topk = wand_mod.blockmax_topk(cursors, k)
+                topk = wand_mod.blockmax_topk(cursors, k, after)
             else:
-                topk = wand_mod.exhaustive_topk(cursors, k)
+                topk = wand_mod.exhaustive_topk(cursors, k, after)
             out_q += [qid] * len(topk)
             out_d += [d for d, _ in topk]
             out_s += [s for _, s in topk]
@@ -167,18 +173,38 @@ def score_topk(
     queries: DataFrame,
     algo: str = "bmx",
 ) -> DataFrame:
-    """queries(query_id, query_text, k) -> (query_id, rank, doc_id, score)."""
+    """queries(query_id, query_text, k[, after_score, after_doc]) ->
+    (query_id, rank, doc_id, score).
+
+    search_after pagination (the reference opensearch source pages an
+    index out with PIT + search_after — opensearch/.../worker/
+    PitWorker.java:170-189): optional per-query cursor columns
+    (after_score double, after_doc long) restrict results to docs
+    strictly AFTER the cursor in (score desc, doc_id asc) order; page
+    N+1 costs one scatter-gather like page 1, and rank restarts at 1
+    per page. Cursor = the last row of the previous page."""
     stats = load_stats(index_dir)
     mode = stats.get("tokenizer", "ascii")
+    cursor_cols = (
+        [F.col("after_score").cast("double"), F.col("after_doc").cast("long")]
+        if "after_score" in queries.columns
+        else [F.lit(None).cast("double").alias("after_score"),
+              F.lit(None).cast("long").alias("after_doc")]
+    )
+    queries = queries.select("query_id", "query_text", "k", *cursor_cols)
     qterms = queries.select(
         "query_id",
         "k",
+        "after_score",
+        "after_doc",
         F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
     )
     # one row per term carrying its interested queries — block rows are
     # NOT replicated per query through the shuffle
     qmap = qterms.groupBy("term").agg(
-        F.collect_list(F.struct("query_id", "k")).alias("queries")
+        F.collect_list(
+            F.struct("query_id", "k", "after_score", "after_doc")
+        ).alias("queries")
     )
     # The distinct query-term set is tiny and driver-known (the queries
     # ARE a driver-side input), so materialize it and push an In-filter

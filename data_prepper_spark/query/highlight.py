@@ -26,12 +26,17 @@ from data_prepper_spark.query.bm25_df import tokens_col
 DEFAULT_FRAGMENT_SIZE = 100  # chars, the plain highlighter's default
 
 
-def _term_regex(terms: tuple[str, ...]) -> re.Pattern:
-    """Case-insensitive match of any term at tokenizer boundaries: our
-    tokens are [a-z0-9]+ runs, so boundaries are non-alphanumerics
-    (NOT \\b, which treats '_' as a word char)."""
+def _term_regex(terms: tuple[str, ...], mode: str = "ascii") -> re.Pattern:
+    """Case-insensitive match of any term at tokenizer boundaries: ascii
+    tokens are [a-z0-9]+ runs, so boundaries are non-alphanumerics (NOT
+    \\b, which treats '_' as a word char); unicode tokens bound on
+    anything outside \\p{L}\\p{N} ([^\\W_] in Python)."""
     alts = "|".join(sorted((re.escape(t) for t in terms), key=len,
                            reverse=True))
+    if mode == "unicode":
+        return re.compile(
+            rf"(?<![^\W_])({alts})(?![^\W_])", re.IGNORECASE | re.UNICODE
+        )
     return re.compile(rf"(?<![A-Za-z0-9])({alts})(?![A-Za-z0-9])",
                       re.IGNORECASE)
 
@@ -74,16 +79,30 @@ def highlight_topk(
     fragment_size: int = DEFAULT_FRAGMENT_SIZE,
     pre_tag: str = "<em>",
     post_tag: str = "</em>",
+    mode: str = "ascii",
 ) -> DataFrame:
     """docs(doc_id, text) x results(query_id, doc_id, ...) x
     queries(query_id, query_text) -> results + `fragment` string column
     (null when no term occurs literally, e.g. rank rows from absent-term
     should clauses)."""
     qterms = queries.select(
-        "query_id", F.array_distinct(tokens_col("query_text")).alias("_terms")
+        "query_id",
+        F.array_distinct(tokens_col("query_text", mode)).alias("_terms"),
     )
     slim = results.join(F.broadcast(qterms), "query_id")
-    joined = docs.select("doc_id", "text").join(F.broadcast(slim), "doc_id")
+    # The matched doc_id set is tiny and driver-known (results ARE a
+    # top-k), so push it as an In-filter INTO the docs scan: the
+    # broadcast join alone is shuffle-free but still reads every corpus
+    # row — at 100 TB a highlight over 10 hits must prune at the scan
+    # (PushedFilters on doc_id; same pattern as the term In-filter in
+    # engine.py). One extra job over the small results frame.
+    doc_ids = [r["doc_id"] for r in slim.select("doc_id").distinct().collect()]
+    pruned = docs.select("doc_id", "text")
+    pruned = (
+        pruned.filter(F.col("doc_id").isin(doc_ids)) if doc_ids
+        else pruned.limit(0)
+    )
+    joined = pruned.join(F.broadcast(slim), "doc_id")
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in results.schema.fields
@@ -101,7 +120,7 @@ def highlight_topk(
                     continue
                 rx = rx_cache.get(key)
                 if rx is None:
-                    rx = rx_cache[key] = _term_regex(key)
+                    rx = rx_cache[key] = _term_regex(key, mode)
                 frags.append(
                     _fragment(text or "", rx, fragment_size, pre_tag, post_tag)
                 )

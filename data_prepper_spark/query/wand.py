@@ -137,7 +137,19 @@ class TermCursor:
             self._decode_block(self.bi + 1)
 
 
-def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+
+def _cursor_mask(docs: np.ndarray, scores: np.ndarray, after) -> np.ndarray:
+    """search_after predicate: keep docs strictly AFTER the cursor in
+    (score desc, doc asc) order — (score < s) or (score == s and doc > d).
+    Scores are deterministic float64 (sorted-term accumulation), so the
+    equality compare is exact across kernels/pages."""
+    a_s, a_d = after
+    return (scores < a_s) | ((scores == a_s) & (docs > a_d))
+
+
+def wand_topk(
+    cursors: list[TermCursor], k: int, after: tuple[float, int] | None = None,
+) -> list[tuple[int, float]]:
     """Exact top-k via WINDOW-BATCHED block-max DAAT.
 
     Classic WAND moves one posting pointer per iteration — a per-posting
@@ -201,6 +213,13 @@ def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
             uniq, inv = np.unique(docs_all, return_inverse=True)
             scores = np.zeros(len(uniq), dtype=np.float64)
             np.add.at(scores, inv, np.concatenate(con_arrs))
+            if after is not None:
+                # search_after: only docs past the cursor may enter the
+                # top set, so theta becomes the kth best PASSING score —
+                # the skip rule stays exact (a skipped doc's full score
+                # is < theta, hence outside the passing top-k too)
+                keep_m = _cursor_mask(uniq, scores, after)
+                uniq, scores = uniq[keep_m], scores[keep_m]
             # merge window winners into the running top-k (vectorized)
             m_docs = np.concatenate([top_docs, uniq])
             m_scores = np.concatenate([top_scores, scores])
@@ -317,7 +336,9 @@ def _merge_acc(
     return uniq, out
 
 
-def blockmax_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+def blockmax_topk(
+    cursors: list[TermCursor], k: int, after: tuple[float, int] | None = None,
+) -> list[tuple[int, float]]:
     """Exact top-k via vectorized block-max pruning, term-at-a-time.
 
     The TAAT analog of block-max WAND (Ding & Suel 2011): DAAT pointer
@@ -340,6 +361,11 @@ def blockmax_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
     cursors = [c for c in cursors if len(c.firsts)]
     if not cursors:
         return []
+    if after is not None:
+        # pagination inverts the pruning direction: phase-1 theta would
+        # come from PRE-cursor (page-1) docs and prune exactly the docs
+        # a later page needs, so score exhaustively and cursor-filter
+        return exhaustive_topk(cursors, k, after)
     if any(c.idf <= 0 for c in cursors):
         # BM25's Lucene idf is always > 0; negative contributions would
         # invalidate every upper bound here, so refuse to prune
@@ -400,7 +426,9 @@ def blockmax_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
     return [(int(uniq[i]), float(scores[i])) for i in sel]
 
 
-def exhaustive_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+def exhaustive_topk(
+    cursors: list[TermCursor], k: int, after: tuple[float, int] | None = None,
+) -> list[tuple[int, float]]:
     """Vectorized exact scoring of every posting (the fast path in this
     Python sandbox; WAND wins when posting lists dwarf the candidate set
     and the kernel is native). Sorted-term accumulation order."""
@@ -436,6 +464,9 @@ def exhaustive_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]
     uniq, inv = np.unique(docs_all, return_inverse=True)
     scores = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(scores, inv, contribs)  # in-order accumulation (term-sorted)
+    if after is not None:
+        keep_m = _cursor_mask(uniq, scores, after)
+        uniq, scores = uniq[keep_m], scores[keep_m]
     if len(uniq) <= k:
         order = np.lexsort((uniq, -scores))[:k]
     else:

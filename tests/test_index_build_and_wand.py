@@ -168,3 +168,48 @@ def test_empty_corpus_builds_and_queries_cleanly(spark, tmp_path):
     res = engine.score_topk(spark, d, qdf)
     assert res.count() == 0
     assert [f.name for f in res.schema.fields] == ["query_id", "rank", "doc_id", "score"]
+
+
+def test_search_after_pagination(spark, tmp_path):
+    """search_after cursor (PitWorker.java:170-189 semantics): page N+1
+    returns exactly oracle rows k*N+1..k*(N+1), no overlap, no gap, for
+    every kernel."""
+    from data_prepper_spark.data.transcripts import generate_pandas
+    from data_prepper_spark.oracle import bm25 as oracle
+    from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+    pdf = generate_pandas(0, 150)
+    d = str(tmp_path / "page_idx")
+    ib.build_index(spark, spark.createDataFrame(pdf), d, n_shards=4,
+                   block_size=16)
+    doc_ids = pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    idx = oracle.build_index(list(zip(doc_ids, pdf.text)))
+    qtext = "error handling retry"
+    k = 5
+    want = oracle.score_query(idx, qtext, k=3 * k)  # [(doc, score)] full order
+    assert len(want) == 3 * k, "query too selective for a 3-page test"
+
+    for algo in ("wand", "bmx", "exh"):
+        cursor = None
+        got_all = []
+        for page in range(3):
+            if cursor is None:
+                qdf = spark.createDataFrame(
+                    [("q", qtext, k)],
+                    "query_id string, query_text string, k int",
+                )
+            else:
+                qdf = spark.createDataFrame(
+                    [("q", qtext, k, float(cursor[1]), int(cursor[0]))],
+                    "query_id string, query_text string, k int, "
+                    "after_score double, after_doc long",
+                )
+            rows = (
+                engine.score_topk(spark, d, qdf, algo)
+                .orderBy("rank").collect()
+            )
+            assert [r["rank"] for r in rows] == list(range(1, k + 1))
+            got_all += [(r["doc_id"], r["score"]) for r in rows]
+            cursor = (rows[-1]["doc_id"], rows[-1]["score"])
+        assert [g[0] for g in got_all] == [w[0] for w in want], algo
+        assert all(abs(g[1] - w[1]) <= 1e-9 for g, w in zip(got_all, want)), algo
