@@ -1612,6 +1612,123 @@ def _search_after_oracle_sql() -> str:
     return f"SELECT query_id, doc_id, score_r FROM (\n{base}\n)"
 
 
+
+# --------------------------------------------------- terms facet slot
+
+def q_terms_facet(spark, sf_dir):
+    """Terms-facet aggregation over each BM25 query's MATCH SET (the
+    OpenSearch `aggs.terms` surface next to search): top-5 values of
+    `lang` and `source` among docs matching any query term, counted
+    exactly — kernel emits the match set, corpus join is
+    column-pruned, agg is two-phase (query/facets.py)."""
+    from data_prepper_spark.query import facets
+
+    d = _built_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(q, t) for q, t in BM25_QUERIES], "query_id string, query_text string"
+    )
+    return facets.terms_facet(
+        spark, d, qdf, _docs(spark, sf_dir), ["lang", "source"], size=5
+    ).select("query_id", "field", "value", F.col("count").cast("long").alias("count"))
+
+
+def _terms_facet_oracle_sql() -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+    toks = D_TOKS.format(c="text")
+    qtoks = D_TOKS.format(c="query_text")
+    return f"""
+WITH queries(query_id, query_text) AS (VALUES {vals}),
+toks AS (SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents),
+qt AS (SELECT DISTINCT query_id, unnest(list_distinct({qtoks})) AS term FROM queries),
+m AS (SELECT DISTINCT qt.query_id, toks.doc_id FROM qt JOIN toks USING (term)),
+j AS (SELECT m.query_id, d.lang, d.source FROM m JOIN documents d USING (doc_id)),
+stacked AS (
+  SELECT query_id, 'lang' AS field, lang AS value FROM j
+  UNION ALL
+  SELECT query_id, 'source' AS field, source AS value FROM j),
+counts AS (SELECT query_id, field, value, count(*)::BIGINT AS count
+           FROM stacked GROUP BY 1, 2, 3)
+SELECT query_id, field, value, count FROM counts
+QUALIFY row_number() OVER (PARTITION BY query_id, field
+                           ORDER BY count DESC, value) <= 5
+"""
+
+
+
+# --------------------------------------- prefix/wildcard/fuzzy slot
+
+# (query_id, kind, pattern) — multi-term queries over the documents
+# vocabulary; scored with the scoring_boolean rewrite (expand -> bool
+# should, msm=1) so ranks stay BM25-exact
+EXPAND_QUERIES = [
+    ("x1", "prefix", "sc"),        # scan, ...
+    ("x2", "prefix", "qu"),        # query, ...
+    ("x3", "wildcard", "s*w"),     # slow
+    ("x4", "wildcard", "h?sh"),    # hash
+    ("x5", "fuzzy", "tabel"),      # table (edit distance 1)
+    ("x6", "prefix", "zzqq"),      # no expansion -> no rows
+]
+
+
+def q_expand_queries(spark, sf_dir):
+    """prefix + wildcard + fuzzy queries in ONE slot (Lucene multi-term
+    queries under the scoring_boolean rewrite): dictionary range-scan /
+    LIKE / levenshtein expansion capped at 50 by (df desc, term asc),
+    then the existing bool machinery (query/expand.py)."""
+    from data_prepper_spark.query import expand as ex
+
+    d = _built_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(q, kind, pat, BM25_K * 2) for q, kind, pat in EXPAND_QUERIES],
+        "query_id string, kind string, pattern string, k int",
+    )
+    return _rounded_rank(ex.expand_topk(spark, d, qdf))
+
+
+def _expand_oracle_sql() -> str:
+    conds = []
+    for q, kind, pat in EXPAND_QUERIES:
+        if kind == "prefix":
+            c = f"d.term LIKE '{pat}%'"
+        elif kind == "wildcard":
+            like = pat.replace("*", "%").replace("?", "_")
+            c = f"d.term LIKE '{like}'"
+        else:
+            c = f"levenshtein(d.term, '{pat}') <= 1"
+        conds.append(f"SELECT '{q}' AS query_id, d.term, d.df FROM dict d WHERE {c}")
+    exp_union = "\nUNION ALL\n".join(conds)
+    toks = D_TOKS.format(c="text")
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM tokd),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tokd),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+exp_all AS ({exp_union}),
+qt AS (SELECT query_id, term FROM exp_all
+       QUALIFY row_number() OVER (PARTITION BY query_id
+                                  ORDER BY df DESC, term) <= 50),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(ln(1 + (stats.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dict USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       round(score, 4) AS score_r,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {BM25_K}
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "wand_topk": q_wand_topk,
@@ -1636,6 +1753,8 @@ QUERIES = {
     "bool_topk": q_bool_topk,
     "bm25_unicode": q_bm25_unicode,
     "search_after": q_search_after,
+    "terms_facet": q_terms_facet,
+    "expand_queries": q_expand_queries,
 
     "parse_xml_ion": q_parse_xml_ion,
     "aggregate_count": q_aggregate_count,
@@ -1663,7 +1782,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "multimodal_features": q_multimodal_features,
 }
-assert len(QUERIES) <= 50, f"driver gate caps at 50 queries, have {len(QUERIES)}"  # r4-in-progress: restore == 50
+assert len(QUERIES) == 50, f"driver gate caps at 50 queries, have {len(QUERIES)}"
 
 ORACLE["event_json_roundtrip"] = """
 SELECT event_id, user_id, event_type, round(value, 6) AS value,
@@ -1714,6 +1833,8 @@ ORACLE["user_agent"] = _user_agent_sql()
 ORACLE["geoip_enrich"] = _GEOIP_SQL
 ORACLE["bm25_unicode"] = _bm25_unicode_oracle_sql()
 ORACLE["search_after"] = _search_after_oracle_sql()
+ORACLE["terms_facet"] = _terms_facet_oracle_sql()
+ORACLE["expand_queries"] = _expand_oracle_sql()
 ORACLE["dlq_parse_failures"] = """
 SELECT 'events-pipeline' AS pipeline_name, 'parse_json' AS plugin_name,
        '_failed_parse' AS failure_tags,

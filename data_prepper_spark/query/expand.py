@@ -1,0 +1,93 @@
+"""Multi-term query expansion: prefix / wildcard / fuzzy.
+
+The reference's search side serves these as Lucene multi-term queries;
+with `rewrite: scoring_boolean` a multi-term query expands into a bool
+SHOULD of term queries scored normally — exactly what this module does,
+which keeps scores BM25-exact and oracle-reproducible (the default
+constant_score rewrite throws ranking away; scoring_boolean is the
+documented OpenSearch option this mirrors).
+
+Expansion source is the index DICTIONARY (term -> df), which is
+term-sorted parquet:
+- prefix: `term LIKE 'pre%'` — Spark pushes StringStartsWith to the
+  scan, so row groups outside the prefix range never decompress;
+- wildcard: SQL LIKE with % and _ (Spark and DuckDB share LIKE
+  semantics bit-for-bit) — a leading wildcard scans the dictionary
+  (small: ~10^7-10^8 terms even at 10^12 turns), never the corpus;
+- fuzzy: levenshtein(term, w) <= max_edits (classic edit distance in
+  both Spark and DuckDB).
+
+Determinism cap (OpenSearch max_expansions, default 50): top-N by
+(df DESC, term ASC) — reproducible in SQL, so the oracle expands to the
+same set. Expanded terms feed the existing bool machinery (should,
+minimum_should_match=1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index import layout
+from data_prepper_spark.query import engine
+
+MAX_EXPANSIONS = 50
+
+
+def _cond(kind: str, pattern: str):
+    if kind == "prefix":
+        return F.col("term").startswith(pattern)
+    if kind == "wildcard":
+        # user wildcards: * = any run, ? = one char -> SQL LIKE % and _
+        like = (
+            pattern.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_").replace("*", "%").replace("?", "_")
+        )
+        return F.col("term").like(like)
+    if kind == "fuzzy":
+        return F.levenshtein(F.col("term"), F.lit(pattern)) <= 1
+    raise ValueError(f"unknown expansion kind {kind!r}")
+
+
+def expand_terms(
+    spark: SparkSession, index_dir: str, kind: str, pattern: str,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> list[str]:
+    """-> the expansion term set for one (kind, pattern), capped at
+    max_expansions by (df DESC, term ASC)."""
+    d = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
+    rows = (
+        d.filter(_cond(kind, pattern))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def expand_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """queries(query_id, kind, pattern, k) -> (query_id, rank, doc_id,
+    score): expand each pattern against the dictionary, then run ONE
+    bool query batch (should OR, msm=1, BM25 over terms present).
+    Queries whose pattern expands to nothing return no rows (same as an
+    absent term). The queries table is tiny and driver-side by
+    definition, so the per-query dictionary probe is a driver loop; the
+    corpus-side work stays one scatter-gather for the whole batch."""
+    qrows = queries.collect()
+    brows = []
+    for r in qrows:
+        terms = expand_terms(
+            spark, index_dir, r["kind"], r["pattern"], max_expansions
+        )
+        brows.append((r["query_id"], "", " ".join(terms), "", 1, int(r["k"])))
+    bq = spark.createDataFrame(
+        brows,
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match int, k int",
+    )
+    return engine.bool_topk(spark, index_dir, bq)

@@ -1,0 +1,135 @@
+"""Terms-facet aggregation over a query's match set — the OpenSearch
+`aggs: {terms: {field: ...}}` surface every consumer of the reference's
+indexes uses next to search itself (the reference ships docs via the
+opensearch sink, OpenSearchSink.java:132-141; the search side then
+serves `query + aggregations`). VERDICT r3 'What's missing' #3.
+
+Plan shape (and why it scales):
+
+    blocks scan (term In-filter pushed -> row-group pruned)
+      |> per-shard kernel: union of the query's term postings,
+      |    tombstone-filtered, np.unique -> (query_id, doc_id)
+      |> shuffle join with the corpus on doc_id (narrow projection:
+      |    doc_id + facet fields only — column-pruned at the scan)
+      |> groupBy(query_id, field, value).count()   # partial agg map-side
+      |> top-`size` values per (query_id, field) via Window
+
+The match set of a hot term is NOT driver-known and can be huge, so it
+flows kernel -> join as distributed rows (never .collect()). At 100 TB
+the join is the cost center: bucket the corpus by doc_id (the index is
+already doc-partitioned by the same key) and this becomes a co-located
+join with zero corpus shuffle. The facet agg itself is two-phase
+(map-side partial) — the same merge OpenSearch does across shards.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index import layout, tombstones
+from data_prepper_spark.query.bm25_df import tokens_col
+from data_prepper_spark.query.engine import _decode_term_runs, load_stats
+
+_MATCH_OUT = "query_id string, doc_id long"
+
+
+def _match_kernel(tomb=None):
+    """Per-shard: (query_id, doc_id) for every doc containing ANY of the
+    query's terms (OpenSearch `match` / bool-should msm=1 match set)."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded: dict[str, np.ndarray] = {}
+        queries: dict[str, list[str]] = {}
+        for term, tg in pdf.groupby("term", sort=True):
+            decoded[term] = _decode_term_runs(
+                tg.sort_values(["seg", "block_ord"]), tomb=tomb,
+                need_positions=False,
+            )["docs"]
+            for q in tg["queries"].iloc[0]:
+                queries.setdefault(q["query_id"], []).append(term)
+        out_q, out_d = [], []
+        for qid, terms in queries.items():
+            docs = np.unique(np.concatenate([decoded[t] for t in terms]))
+            out_q += [qid] * len(docs)
+            out_d += list(docs)
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d})
+
+    return run
+
+
+def match_docs(
+    spark: SparkSession, index_dir: str, queries: DataFrame,
+) -> DataFrame:
+    """queries(query_id, query_text) -> (query_id, doc_id) match set.
+    Same scatter plan as score_topk: term In-filter pushed to both
+    parquet scans, one kernel exchange, positions column never read."""
+    stats = load_stats(index_dir)
+    mode = stats.get("tokenizer", "ascii")
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
+    )
+    qmap = qterms.groupBy("term").agg(
+        F.collect_list(F.struct("query_id")).alias("queries")
+    )
+    terms = [r["term"] for r in qmap.select("term").collect()]
+    blocks_path = layout.resolve(index_dir, "blocks")
+    local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
+    if not terms or local_missing:
+        return spark.createDataFrame([], _MATCH_OUT)
+    blocks = spark.read.parquet(blocks_path)
+    if "seg" not in blocks.columns:
+        blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
+    needed = (
+        blocks.select(
+            "shard", "seg", "term", "block_ord", "first_doc",
+            "gaps", "tfs", "dls",
+        )
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qmap), "term")
+    )
+    tomb = tombstones.load_tombstones(spark, index_dir)
+    return needed.groupBy("shard").applyInPandas(
+        _match_kernel(tomb=tomb), schema=_MATCH_OUT
+    )
+
+
+def terms_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    fields: list[str],
+    size: int = 10,
+) -> DataFrame:
+    """-> (query_id, field, value, count): for each query, the top
+    `size` values of each facet field among MATCHING docs, ordered by
+    count desc then value asc (OpenSearch terms-agg tie-break)."""
+    m = match_docs(spark, index_dir, queries)
+    slim = docs.select("doc_id", *fields)
+    joined = m.join(slim, "doc_id")
+    stacked = joined.select(
+        "query_id",
+        F.explode(
+            F.create_map(*[
+                x for f in fields
+                for x in (F.lit(f), F.col(f).cast("string"))
+            ])
+        ).alias("field", "value"),
+    )
+    counts = stacked.groupBy("query_id", "field", "value").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    w = Window.partitionBy("query_id", "field").orderBy(
+        F.desc("count"), F.asc("value")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= size)
+        .select("query_id", "field", "value", "count")
+    )
