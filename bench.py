@@ -46,6 +46,18 @@ def _n_convs(sf_dir: str) -> int:
     return _CONVS_BY_SF.get(os.path.basename(sf_dir.rstrip("/")), 100_000)
 
 
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def run_suite(
     sf_dir: str,
     cpus: int,
@@ -147,6 +159,56 @@ def run_suite(
         )
         timed("query_bool", lambda: engine.bool_topk(
             spark, idx_dir, booldf).count(), reps=2)
+
+        # --- r4 query surfaces (new in BENCH_r4: e2e_sec grows by these
+        # three entries relative to r3 — see BENCH/BASELINE.md note)
+        from data_prepper_spark.query import expand as ex
+        from data_prepper_spark.query import facets, highlight
+        from data_prepper_spark.query.bm25_df import assign_doc_ids
+
+        docs_df = assign_doc_ids(corpus).select(
+            "doc_id", "text", "role").persist()
+        docs_df.count()
+        hl_q = spark.createDataFrame(
+            [(f"h{i}", t, 10) for i, t in
+             enumerate(["error timeout", "deploy rollback", "query cache"])],
+            "query_id string, query_text string, k int",
+        )
+        hl_res = engine.score_topk(spark, idx_dir, hl_q, algo="wand")
+        timed("query_highlight", lambda: highlight.highlight_topk(
+            docs_df, hl_res, hl_q.select("query_id", "query_text")
+        ).count(), reps=2)
+        timed("query_facet", lambda: facets.terms_facet(
+            spark, idx_dir, hl_q.select("query_id", "query_text"),
+            docs_df, ["role"], size=5).count(), reps=2)
+        exp_q = spark.createDataFrame(
+            [("x1", "prefix", "err", 10), ("x2", "wildcard", "time*t", 10),
+             ("x3", "fuzzy", "deplyo", 10)],
+            "query_id string, kind string, pattern string, k int",
+        )
+        timed("query_expand", lambda: ex.expand_topk(
+            spark, idx_dir, exp_q).count(), reps=2)
+        docs_df.unpersist()
+
+        # --- index size + unicode-mode deltas (extras only, not e2e):
+        # same corpus built with tokenizer='unicode' — the honest cost
+        # of the r4 analyzer on ASCII-heavy input (the regex-sub path
+        # replaces the pure byte-translate lowercase)
+        extras["bytes_per_turn"] = round(_dir_bytes(idx_dir) / n_turns, 1)
+        if os.environ.get("SPARK_GRAFT_UNICODE_BENCH", "1") != "0":
+            uni_dir = tempfile.mkdtemp(prefix="bench_uniidx_")
+            try:
+                t0 = time.monotonic()
+                ib.build_index(spark, corpus, uni_dir, n_shards=n_shards,
+                               block_size=128, store_positions=positions,
+                               tokenizer="unicode")
+                dt = time.monotonic() - t0
+                extras["unicode_build_sec"] = round(dt, 3)
+                extras["unicode_build_turns_per_sec"] = round(n_turns / dt, 1)
+                extras["unicode_bytes_per_turn"] = round(
+                    _dir_bytes(uni_dir) / n_turns, 1)
+            finally:
+                shutil.rmtree(uni_dir, ignore_errors=True)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(idx_dir2, ignore_errors=True)
