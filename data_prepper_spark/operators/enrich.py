@@ -43,6 +43,19 @@ _UA_BROWSERS: list[tuple[str, str]] = [
     ("MJ12bot", r"MJ12bot/v?(\d+[\.\d]*)"),
     ("PetalBot", r"PetalBot()"),
     ("GPTBot", r"GPTBot/(\d+[\.\d]*)"),
+    ("CCBot", r"CCBot/(\d+[\.\d]*)"),
+    ("Bytespider", r"Bytespider()"),
+    ("Amazonbot", r"Amazonbot/(\d+[\.\d]*)"),
+    ("SeznamBot", r"SeznamBot/(\d+[\.\d]*)"),
+    ("Sogou web spider", r"Sogou web spider/(\d+[\.\d]*)"),
+    ("360Spider", r"360Spider()"),
+    ("Exabot", r"Exabot/(\d+[\.\d]*)"),
+    ("archive.org_bot", r"(?:archive\.org_bot|ia_archiver)()"),
+    ("Discordbot", r"Discordbot/(\d+[\.\d]*)"),
+    ("TelegramBot", r"TelegramBot()"),
+    ("LinkedInBot", r"LinkedInBot/(\d+[\.\d]*)"),
+    ("Pinterestbot", r"Pinterest(?:bot)?/(\d+[\.\d]*)"),
+    ("redditbot", r"redditbot/(\d+[\.\d]*)"),
     ("curl", r"curl/(\d+[\.\d]*)"),
     ("Wget", r"[Ww]get/(\d+[\.\d]*)"),
     ("Python Requests", r"python-requests/(\d+[\.\d]*)"),
@@ -83,6 +96,21 @@ _UA_BROWSERS: list[tuple[str, str]] = [
     ("Whale", r"Whale/(\d+[\.\d]*)"),
     ("DuckDuckGo Mobile", r"DuckDuckGo/(\d+[\.\d]*)"),
     ("Amazon Silk", r"Silk/(\d+[\.\d]*)"),
+    ("Pale Moon", r"PaleMoon/(\d+[\.\d]*)"),
+    ("Maxthon", r"Maxthon[/ ](\d+[\.\d]*)"),
+    ("Sogou Explorer", r"MetaSr (\d+[\.\d]*)"),
+    ("360 Browser", r"QIHU 360[SE]E()"),
+    ("Coc Coc", r"coc_coc_browser/(\d+[\.\d]*)"),
+    ("Firefox Focus", r"Focus/(\d+[\.\d]*)"),
+    ("Puffin", r"Puffin/(\d+[\.\d]*)"),
+    ("Epiphany", r"Epiphany/(\d+[\.\d]*)"),
+    ("Falkon", r"Falkon/(\d+[\.\d]*)"),
+    ("Midori", r"Midori/(\d+[\.\d]*)"),
+    ("Lynx", r"Lynx/(\d+[\.\d]*)"),
+    ("w3m", r"w3m/(\d+[\.\d]*)"),
+    ("Links", r"^Links \((\d+[\.\d]*)"),
+    ("NetFront", r"NetFront/(\d+[\.\d]*)"),
+    ("webOS Browser", r"wOSBrowser/(\d+[\.\d]*)"),
     ("Chrome Mobile iOS", r"CriOS/(\d+[\.\d]*)"),
     ("Firefox iOS", r"FxiOS/(\d+[\.\d]*)"),
     ("Chrome Mobile WebView", r"; wv\).*Chrome/(\d+[\.\d]*)"),
@@ -123,6 +151,11 @@ _UA_OS: list[tuple[str, str]] = [
     ("Fedora", r"Fedora()"),
     ("FreeBSD", r"FreeBSD()"),
     ("OpenBSD", r"OpenBSD()"),
+    ("webOS", r"(?:Web0S|webOS/)(\d*[\.\d]*)"),
+    ("Roku OS", r"Roku[\w]*/DVP-(\d+[\.\d]*)"),
+    ("tvOS", r"(?:AppleTV|tvOS )(\d*[\.\d]*)"),
+    ("Nintendo", r"Nintendo (?:Switch|WiiU|3DS)()"),
+    ("Symbian OS", r"(?:SymbOS|Symbian(?:OS)?/)(\d*[\.\d]*)"),
     ("PlayStation", r"PlayStation (?:\d+)/(\d+[\.\d]*)"),
     ("Xbox", r"Xbox()"),
     ("Linux", r"Linux()"),  # empty capture: family-only rule

@@ -1,0 +1,107 @@
+"""terms_facet + expand (prefix/wildcard/fuzzy) unit tests — the driver
+gate covers the DuckDB oracles; these pin tombstone interaction,
+max_expansions determinism, and pagination-facet composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index import tombstones as tomb
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import expand as ex
+from data_prepper_spark.query import facets
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+N_CONVS = 100
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    pdf = generate_pandas(0, N_CONVS)
+    d = str(tmp_path_factory.mktemp("fx") / "idx")
+    ib.build_index(spark, spark.createDataFrame(pdf), d, n_shards=4,
+                   block_size=16)
+    pdf = pdf.copy()
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    return d, pdf
+
+
+def _match_set(pdf: pd.DataFrame, qtext: str) -> set[int]:
+    terms = set(tokenize(qtext))
+    hit = pdf.text.map(lambda t: bool(terms & set(tokenize(t))))
+    return set(pdf.doc_id[hit])
+
+
+def test_match_docs_exact(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame(
+        [("q1", "error handling"), ("q2", "zzabsent")],
+        "query_id string, query_text string",
+    )
+    got = facets.match_docs(spark, d, q).toPandas()
+    assert set(got[got.query_id == "q1"].doc_id) == _match_set(pdf, "error handling")
+    assert len(got[got.query_id == "q2"]) == 0
+
+
+def test_facet_counts_exact_and_tombstone_aware(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error")], "query_id string, query_text string")
+    docs_df = spark.createDataFrame(pdf[["doc_id", "role"]])
+    got = facets.terms_facet(spark, d, q, docs_df, ["role"], size=10).toPandas()
+    m = _match_set(pdf, "error")
+    want = pdf[pdf.doc_id.isin(m)].groupby("role").size()
+    for _, r in got.iterrows():
+        assert r["count"] == int(want[r["value"]])
+    # tombstone one matching conversation: its docs leave the counts
+    victims = sorted({doc // DOC_ID_STRIDE for doc in m})[:1]
+    tomb.delete_conversations(spark, d, victims)
+    got2 = facets.terms_facet(spark, d, q, docs_df, ["role"], size=10).toPandas()
+    live = {doc for doc in m if doc // DOC_ID_STRIDE not in set(victims)}
+    want2 = pdf[pdf.doc_id.isin(live)].groupby("role").size()
+    for _, r in got2.iterrows():
+        assert r["count"] == int(want2[r["value"]])
+    tomb.clear_tombstones(d)
+
+
+def test_expand_prefix_matches_vocab(spark, corpus):
+    d, pdf = corpus
+    terms = ex.expand_terms(spark, d, "prefix", "err")
+    vocab = set()
+    pdf.text.map(lambda t: vocab.update(tokenize(t)))
+    want = {t for t in vocab if t.startswith("err")}
+    assert set(terms) == want or (len(want) > 50 and len(terms) == 50)
+
+
+def test_expand_cap_is_deterministic(spark, corpus):
+    d, _ = corpus
+    a = ex.expand_terms(spark, d, "prefix", "c", max_expansions=5)
+    b = ex.expand_terms(spark, d, "prefix", "c", max_expansions=5)
+    assert a == b and len(a) <= 5
+
+
+def test_expand_fuzzy_and_wildcard(spark, corpus):
+    d, pdf = corpus
+    vocab = set()
+    pdf.text.map(lambda t: vocab.update(tokenize(t)))
+    some = sorted(vocab)[len(vocab) // 2]
+    # fuzzy on an exact vocab word always includes the word itself
+    assert some in ex.expand_terms(spark, d, "fuzzy", some)
+    # wildcard ? = exactly one char
+    got = set(ex.expand_terms(spark, d, "wildcard", some[:-1] + "?"))
+    want = {t for t in vocab if len(t) == len(some) and t[:-1] == some[:-1]}
+    assert want <= got
+
+
+def test_expand_topk_empty_expansion(spark, corpus):
+    d, _ = corpus
+    q = spark.createDataFrame(
+        [("x", "prefix", "zzqqxx", 5)],
+        "query_id string, kind string, pattern string, k int",
+    )
+    assert ex.expand_topk(spark, d, q).count() == 0

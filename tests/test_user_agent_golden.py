@@ -57,7 +57,7 @@ GOLDEN = [
     ("Mozilla/5.0 (Linux; Android 13; CPH2449) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/117.0.0.0 Mobile Safari/537.36 OPR/76.2.4027.0",
      "Opera Mobile", "76.2.4027.0", "Android", "Mobile"),
     ("Opera/9.80 (J2ME/MIDP; Opera Mini/9.80 (S60; SymbOS); U; en) Presto/2.12.423 Version/12.16",
-     "Opera Mini", "9.80", "Other", "Mobile"),
+     "Opera Mini", "9.80", "Symbian OS", "Mobile"),
     ("Mozilla/5.0 (Linux; U; Android 13; en-US; V2134 Build/TP1A) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/100.0.4896.58 UCBrowser/13.4.0.1306 Mobile Safari/537.36",
      "UC Browser", "13.4.0.1306", "Android", "Mobile"),
     ("Mozilla/5.0 (Linux; U; Android 12; zh-cn; M2012K11AC Build/SKQ1.211006.001) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/89.0.4389.116 MQQBrowser/6.2 Mobile Safari/537.36",
@@ -158,8 +158,72 @@ def parsed(spark):
     return {r["i"]: r["p"] for r in out.collect()}
 
 
+# --- r4 long-tail additions (hand-typed from public UA documentation;
+# uap-core's regexes.yaml itself is not vendored in the reference tree,
+# so the full-DB generation VERDICT r3 item #8 asked for is not possible
+# in-sandbox — this widens the hand cascade + golden set instead)
+GOLDEN += [
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:102.0) Gecko/20100101 Goanna/6.3 Firefox/102.0 PaleMoon/32.4.1",
+     "Pale Moon", "32.4.1", "Windows", "Desktop"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Maxthon/7.1.6.1000 Chrome/109.0.0.0 Safari/537.36",
+     "Maxthon", "7.1.6.1000", "Windows", "Desktop"),
+    ("Mozilla/5.0 (Windows NT 10.0; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/95.0.4638.69 Safari/537.36 MetaSr 1.0",
+     "Sogou Explorer", "1.0", "Windows", "Desktop"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/114.0.0.0 Safari/537.36 coc_coc_browser/120.0.120 ",
+     "Coc Coc", "120.0.120", "Windows", "Desktop"),
+    ("Mozilla/5.0 (Linux; Android 13) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.66 Mobile Safari/537.36 Focus/119.0",
+     "Firefox Focus", "119.0", "Android", "Mobile"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) AppleWebKit/537.36 (KHTML, like Gecko) Puffin/9.10.1.51573AP",
+     "Puffin", "9.10.1.51573", "Linux", "Desktop"),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/14.0 Epiphany/45.1 Safari/605.1.15",
+     "Epiphany", "45.1", "Linux", "Desktop"),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Falkon/23.08.4 QtWebEngine/5.15.16 Chrome/87.0.4280.144 Safari/537.36",
+     "Falkon", "23.08.4", "Linux", "Desktop"),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Midori/11.3 Chrome/114.0.0.0 Safari/537.36",
+     "Midori", "11.3", "Linux", "Desktop"),
+    ("Lynx/2.9.0dev.12 libwww-FM/2.14 SSL-MM/1.4.1 OpenSSL/3.0.11",
+     "Lynx", "2.9.0", "Other", "Desktop"),
+    ("w3m/0.5.3+git20230121", "w3m", "0.5.3", "Other", "Desktop"),
+    ("Links (2.29; Linux 6.1.0 x86_64; GNU C 12.2; text)",
+     "Links", "2.29", "Linux", "Desktop"),
+    ("Mozilla/5.0 (Web0S; Linux/SmartTV) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/87.0.4280.88 Safari/537.36 wOSBrowser/79.1",
+     "webOS Browser", "79.1", "webOS", "Smart TV"),
+    # bots / AI crawlers / social preview
+    ("CCBot/2.0 (https://commoncrawl.org/faq/)", "CCBot", "2.0", "Other", "Spider"),
+    ("Mozilla/5.0 (Linux; Android 5.0) AppleWebKit/537.36 (KHTML, like Gecko) Mobile Safari/537.36 (compatible; Bytespider; spider-feedback@bytedance.com)",
+     "Bytespider", "", "Android", "Spider"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_10_1) AppleWebKit/600.2.5 (KHTML, like Gecko) Version/8.0.2 Safari/600.2.5 (Amazonbot/0.1; +https://developer.amazon.com/support/amazonbot)",
+     "Amazonbot", "0.1", "Mac OS X", "Spider"),
+    ("Mozilla/5.0 (compatible; SeznamBot/4.0; +http://napoveda.seznam.cz/seznambot-intro/)",
+     "SeznamBot", "4.0", "Other", "Spider"),
+    ("Sogou web spider/4.0(+http://www.sogou.com/docs/help/webmasters.htm#07)",
+     "Sogou web spider", "4.0", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; Exabot/3.0; +http://www.exabot.com/go/robot)",
+     "Exabot", "3.0", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; archive.org_bot +http://archive.org/details/archive.org_bot)",
+     "archive.org_bot", "", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; Discordbot/2.0; +https://discordapp.com)",
+     "Discordbot", "2.0", "Other", "Spider"),
+    ("TelegramBot (like TwitterBot)", "TelegramBot", "", "Other", "Spider"),
+    ("LinkedInBot/1.0 (compatible; Mozilla/5.0; Apache-HttpClient +http://www.linkedin.com)",
+     "LinkedInBot", "1.0", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; Pinterestbot/1.0; +http://www.pinterest.com/bot.html)",
+     "Pinterestbot", "1.0", "Other", "Spider"),
+    ("Mozilla/5.0 (compatible; redditbot/1.0; +http://www.reddit.com/feedback)",
+     "redditbot", "1.0", "Other", "Spider"),
+    # legacy / niche OS
+    ("Mozilla/5.0 (PlayStation; PlayStation 5/2.26) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/13.0 Safari/605.1.15",
+     "Safari", "13.0", "PlayStation", "Console"),
+    ("Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet) AppleWebKit/606.4 (KHTML, like Gecko) NF/6.0.1.15.4 NintendoBrowser/5.1.0.20393",
+     "Other", "", "Nintendo", "Console"),
+    ("Mozilla/5.0 (SymbianOS/9.4; Series60/5.0 NokiaN97-1/20.0.019; Profile/MIDP-2.1 Configuration/CLDC-1.1) AppleWebKit/525 (KHTML, like Gecko) BrowserNG/7.1.18124",
+     "Other", "", "Symbian OS", "Mobile"),
+    ("Roku4640X/DVP-7.70 (297.70E04154A)", "Other", "", "Roku OS", "Smart TV"),
+]
+
+
 def test_golden_set_size():
-    assert len(GOLDEN) >= 55
+    assert len(GOLDEN) >= 80
     assert len({g[0] for g in GOLDEN}) == len(GOLDEN)  # no dup UAs
 
 
