@@ -236,6 +236,50 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Full read-back of an index's matching documents (the reference's
+    opensearch SOURCE role — PitWorker/ScrollWorker export an index's
+    docs for reprocessing): match set from the query engine joined back
+    to the corpus parquet, written distributed (never collected). With
+    no --query, exports the whole corpus minus tombstoned docs."""
+    from pyspark.sql import functions as F
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.docs)
+    if args.query:
+        from data_prepper_spark.query.facets import match_docs
+
+        q = spark.createDataFrame(
+            [("q", args.query)], "query_id string, query_text string"
+        )
+        m = match_docs(spark, args.index, q).select("doc_id").distinct()
+        out = docs.join(m, "doc_id")
+    else:
+        from data_prepper_spark.index import tombstones as tb
+        from data_prepper_spark.query.engine import load_stats
+
+        out = docs
+        tomb = tb.load_tombstones(spark, args.index)
+        if tomb is not None:
+            # liveDocs of the NEWEST segment: true deletes apply to every
+            # segment incl. the current one; upsert tombstones stop at
+            # the old generation, so replacement rows stay exported
+            cur = int(load_stats(args.index).get("snapshot_id", 0))
+            rng = tomb.for_seg(cur)
+            if rng is not None:
+                # ranges are driver-small: compile to one boolean Column
+                cond = F.lit(False)
+                for a, b in zip(*[list(map(int, x)) for x in rng]):
+                    cond = cond | (
+                        (F.col("doc_id") >= a) & (F.col("doc_id") < b)
+                    )
+                out = docs.filter(~cond)
+    out.write.mode(args.mode).parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"exported_rows": n, "out": args.out}))
+    return 0
+
+
 def cmd_convert_logstash(args) -> int:
     """Logstash .conf -> runnable pipeline YAML (the reference's
     data-prepper-logstash-configuration converter)."""
@@ -331,6 +375,19 @@ def main(argv: list[str] | None = None) -> int:
                          "both id schemes incl. UUID corpora (repeatable)")
     dl.add_argument("--local-cores", type=int, default=None)
     dl.set_defaults(fn=cmd_delete)
+
+    ex = sub.add_parser(
+        "export", help="export matching (or all live) docs to parquet "
+        "(the opensearch-source read-back role)")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--docs", required=True,
+                    help="corpus parquet with doc_id + payload columns")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--query", default=None,
+                    help="match query; omit to export all live docs")
+    ex.add_argument("--mode", default="overwrite")
+    ex.add_argument("--local-cores", type=int, default=None)
+    ex.set_defaults(fn=cmd_export)
 
     cl = sub.add_parser(
         "convert-logstash",

@@ -132,10 +132,22 @@ def token_spans(
     if n_docs == 0:
         return empty
     if mode == "unicode":
+        # pure-ASCII fast path: on ASCII text the unicode token class
+        # [^\W_] degenerates to [a-z0-9] after lower(), so the byte
+        # machinery below is EXACTLY equivalent — the regex-sub pass
+        # (~4x slower, measured at sf0.1) only runs when the buffer
+        # actually contains a non-ASCII byte
+        enc0 = texts.fillna("").str.encode("utf-8")
+        buf0 = b"\x00".join(enc0.tolist())
+        if not buf0:
+            return empty
+        if np.frombuffer(buf0, np.uint8).max() < 0x80:
+            blens = enc0.str.len().to_numpy(np.int64)
+            return _spans_from_buffer(
+                buf0.translate(_LOWER_TABLE), blens, n_docs, _TOKEN_LUT, empty
+            )
         low = texts.fillna("").str.lower()
         joined = "\x00".join(low.tolist())
-        if not joined:
-            return empty
         cleaned = _NON_TOKEN_1CH.sub(" ", joined)
         enc = pd.Series(cleaned.split("\x00")).str.encode("utf-8")
         buf = b"\x00".join(enc.tolist())

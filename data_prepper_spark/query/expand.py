@@ -75,16 +75,32 @@ def expand_topk(
     score): expand each pattern against the dictionary, then run ONE
     bool query batch (should OR, msm=1, BM25 over terms present).
     Queries whose pattern expands to nothing return no rows (same as an
-    absent term). The queries table is tiny and driver-side by
-    definition, so the per-query dictionary probe is a driver loop; the
-    corpus-side work stays one scatter-gather for the whole batch."""
+    absent term). All patterns expand in ONE dictionary pass (a
+    per-query when() disjunction over the scan — one job for the whole
+    batch, not one per query), then one corpus-side scatter-gather."""
+    from pyspark.sql import Window
+
     qrows = queries.collect()
-    brows = []
-    for r in qrows:
-        terms = expand_terms(
-            spark, index_dir, r["kind"], r["pattern"], max_expansions
-        )
-        brows.append((r["query_id"], "", " ".join(terms), "", 1, int(r["k"])))
+    d = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
+    matches = F.array_compact(F.array(*[
+        F.when(_cond(r["kind"], r["pattern"]), F.lit(r["query_id"]))
+        for r in qrows
+    ]))
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    exp = (
+        d.select("term", "df", F.explode(matches).alias("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expansions)
+        .groupBy("query_id")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_list("term"))).alias("should"))
+        .collect()
+    )
+    should_by_q = {r["query_id"]: r["should"] for r in exp}
+    brows = [
+        (r["query_id"], "", should_by_q.get(r["query_id"], ""), "", 1,
+         int(r["k"]))
+        for r in qrows
+    ]
     bq = spark.createDataFrame(
         brows,
         "query_id string, must string, should string, must_not string, "

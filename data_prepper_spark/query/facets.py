@@ -133,3 +133,27 @@ def terms_facet(
         .filter(F.col("rn") <= size)
         .select("query_id", "field", "value", "count")
     )
+
+
+def date_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    ts_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """-> (query_id, bucket timestamp, count): the OpenSearch
+    `date_histogram` agg over a query's match set, with fixed calendar
+    buckets (date_trunc — hour/day/minute/month). Same plan family as
+    terms_facet: kernel match set, column-pruned corpus join, two-phase
+    count agg; bucket count is bounded by time range / unit, so the
+    final agg output is tiny regardless of corpus size."""
+    m = match_docs(spark, index_dir, queries)
+    joined = m.join(docs.select("doc_id", ts_col), "doc_id")
+    return (
+        joined.groupBy(
+            "query_id", F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+    )

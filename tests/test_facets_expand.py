@@ -105,3 +105,51 @@ def test_expand_topk_empty_expansion(spark, corpus):
         "query_id string, kind string, pattern string, k int",
     )
     assert ex.expand_topk(spark, d, q).count() == 0
+
+
+def test_date_histogram_exact(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error")], "query_id string, query_text string")
+    docs_df = spark.createDataFrame(pdf[["doc_id", "ts"]])
+    got = facets.date_histogram(spark, d, q, docs_df, "ts", unit="hour").toPandas()
+    m = _match_set(pdf, "error")
+    want = (
+        pdf[pdf.doc_id.isin(m)]
+        .assign(bucket=lambda x: pd.to_datetime(x.ts).dt.floor("h"))
+        .groupby("bucket").size()
+    )
+    got = got.set_index(pd.to_datetime(got.bucket))["count"].sort_index()
+    assert (got.values == want.sort_index().values).all()
+    assert len(got) == len(want)
+
+
+def test_export_cli_roundtrip(spark, corpus, tmp_path):
+    """export CLI: query-filtered read-back equals the match set; full
+    export minus a deleted conversation equals the live corpus."""
+    import json as _json
+    import sys
+
+    from data_prepper_spark import cli
+
+    d, pdf = corpus
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(docs_path)
+
+    out1 = str(tmp_path / "export_q")
+    rc = cli.main([
+        "export", "--index", d, "--docs", docs_path, "--out", out1,
+        "--query", "error handling",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out1)
+    assert set(r["doc_id"] for r in got.select("doc_id").collect()) == \
+        _match_set(pdf, "error handling")
+
+    tomb.delete_conversations(spark, d, [0, 1])
+    out2 = str(tmp_path / "export_all")
+    rc = cli.main(["export", "--index", d, "--docs", docs_path, "--out", out2])
+    assert rc == 0
+    got2 = spark.read.parquet(out2)
+    live = pdf[~(pdf.doc_id // DOC_ID_STRIDE).isin([0, 1])]
+    assert got2.count() == len(live)
+    tomb.clear_tombstones(d)
