@@ -141,6 +141,7 @@ def grok(
     patterns: dict[str, str] | None = None,
     pattern_definitions: dict[str, str] | None = None,
     keys_to_overwrite: list[str] | None = None,
+    merge_captures: bool = False,
     timeout_millis: int | None = None,  # noqa: ARG001 (config parity)
 ) -> DataFrame:
     """GrokProcessor.java:64,140-153 — named-capture extraction.
@@ -151,15 +152,21 @@ def grok(
 
     keys_to_overwrite (GrokProcessorConfig.java): a capture whose name is
     an EXISTING column only replaces it when listed here; otherwise the
-    existing value wins. Divergence from the reference, documented: the
-    reference's mergeCaptures APPENDS the colliding capture into a list
-    next to the existing value; a columnar schema cannot hold
-    string-or-list, so the capture is dropped instead. One deliberate
-    carve-out: when the capture name IS the source column (`fname ==
-    src` is excluded from the keep rule), the capture replaces the
-    source even unlisted — grok'ing a field onto itself is the
-    reference's overwrite-in-place idiom and keeping the raw line would
-    make the extraction a no-op.
+    existing value wins (capture dropped) — UNLESS ``merge_captures``.
+
+    merge_captures=True maps the reference's mergeCaptures semantics
+    (GrokProcessor.java:283-320: a colliding capture is APPENDED into a
+    list next to the existing value) onto a columnar schema: the
+    colliding column becomes array<string> for ALL rows —
+    [existing] when the capture is null, [existing, capture] when it
+    matched. Documented approximation: the reference keeps a SCALAR on
+    rows where grok produced nothing, but a column cannot be
+    string-or-array per row; the array form loses no data and is
+    deterministic. One deliberate carve-out either way: when the capture
+    name IS the source column (`fname == src` is excluded from the keep
+    rule), the capture replaces the source even unlisted — grok'ing a
+    field onto itself is the reference's overwrite-in-place idiom and
+    keeping the raw line would make the extraction a no-op.
 
     timeout_millis is accepted for config parity and ignored: regex
     evaluation has no per-row timeout; runaway patterns are prevented by
@@ -208,7 +215,12 @@ def grok(
             out_cols: dict[str, Column] = {}
             for fname, col in seen.items():
                 if fname in df.columns and fname != src and fname not in overwrite:
-                    continue  # existing key kept unless keys_to_overwrite
+                    if not merge_captures:
+                        continue  # existing key kept unless keys_to_overwrite
+                    # mergeCaptures: existing + capture as array<string>
+                    col = F.array_compact(
+                        F.array(F.col(fname).cast("string"), col.cast("string"))
+                    )
                 if cond is not None:
                     col = F.when(cond, col)
                 out_cols[fname] = col

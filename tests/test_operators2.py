@@ -401,3 +401,24 @@ def test_anomaly_random_cut_forest_alias(spark):
     out = anomaly_detector(df, keys=["value"], identification_keys=["g"],
                            mode="random_cut_forest", ts_col="ts", emit_all=True)
     assert out.count() == 30
+
+
+def test_grok_merge_captures(spark):
+    """merge_captures=True: a capture colliding with an existing column
+    appends into a list (GrokProcessor.java:283-320 mergeCaptures),
+    mapped columnar as array<string>; default behavior still keeps the
+    existing value scalar."""
+    from data_prepper_spark.operators.parse import grok
+
+    df = spark.createDataFrame(
+        [("code 42", "keepme"), ("no digits here", "orig")],
+        "line string, num string",
+    )
+    out = grok(df, {"line": [r"code %{INT:num}"]}, merge_captures=True)
+    rows = {r["line"]: r["num"] for r in out.collect()}
+    assert rows["code 42"] == ["keepme", "42"]
+    assert rows["no digits here"] == ["orig"]  # null capture compacted away
+    # default: capture dropped, existing scalar untouched
+    out2 = grok(df, {"line": [r"code %{INT:num}"]})
+    rows2 = {r["line"]: r["num"] for r in out2.collect()}
+    assert rows2 == {"code 42": "keepme", "no digits here": "orig"}
