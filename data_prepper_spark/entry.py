@@ -214,20 +214,42 @@ BOOL_QUERIES = [
     ("b6", "slow query", "", "", 2),
 ]
 
+# filter-context queries consolidated into the same slot (a filter IS a
+# bool clause: `bool: {must: match, filter: [...]}` — restricts the
+# candidate set BEFORE the heap, contributes no score, leaves idf/avgdl
+# full-corpus). (query_id, query_text, spark filter expr, duckdb WHERE)
+FILTERED_QUERIES = [
+    ("f1", "slow query scan", "lang = 'en' AND n_chars > 200",
+     "lang = 'en' AND n_chars > 200"),
+    ("f2", "table index error", "source IN ('src1', 'src2', 'src3')",
+     "source IN ('src1', 'src2', 'src3')"),
+]
+
 
 def q_bool_topk(spark, sf_dir):
     """bool-query top-k over the compressed index: must AND / should OR
     with minimum_should_match / must_not exclusion, BM25-scored over the
-    positive terms present per doc (the OpenSearch `bool` query — the
-    filtered-search form every reference deployment runs against the
-    docs OpenSearchSink ships, OpenSearchSink.java:132-141)."""
+    positive terms present per doc, PLUS filter-context queries (f1/f2:
+    match restricted by structured attributes before the heap — the
+    everyday `bool: {must, filter}` shape every consumer of the
+    reference's indexes runs, OpenSearchSink.java:132-141). Filtered
+    candidates flow corpus-scan (pushed filter) -> shard-keyed cogroup
+    with the posting blocks — never collect()ed or broadcast."""
     d = _built_index(spark, sf_dir)
     qdf = spark.createDataFrame(
         [(q, m, s, n, msm, BM25_K * 2) for q, m, s, n, msm in BOOL_QUERIES],
         "query_id string, must string, should string, must_not string, "
         "minimum_should_match int, k int",
     )
-    return _rounded_rank(engine.bool_topk(spark, d, qdf))
+    out = engine.bool_topk(spark, d, qdf)
+    docs = _docs(spark, sf_dir)
+    for q, text, filt, _ in FILTERED_QUERIES:
+        fq = spark.createDataFrame(
+            [(q, text, BM25_K * 2)],
+            "query_id string, query_text string, k int",
+        )
+        out = out.unionByName(engine.filtered_topk(spark, d, fq, docs, filt))
+    return _rounded_rank(out)
 
 
 def _bool_oracle_sql() -> str:
@@ -236,6 +258,14 @@ def _bool_oracle_sql() -> str:
         for q, m, s, n, msm in BOOL_QUERIES
     )
     toks = D_TOKS.format(c="text")
+    fvals = ", ".join(
+        f"('{q}', '{t}')" for q, t, _, _ in FILTERED_QUERIES
+    )
+    fqtoks = D_TOKS.format(c="query_text")
+    fallowed = "\n  UNION ALL\n  ".join(
+        f"SELECT '{q}' AS query_id, doc_id FROM documents WHERE {where}"
+        for q, _, _, where in FILTERED_QUERIES
+    )
     return f"""
 WITH queries(query_id, must, should, must_not, msm) AS (VALUES {vals}),
 tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -290,13 +320,43 @@ scored AS (
   JOIN dft USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats
-  GROUP BY 1, 2)
-SELECT query_id, doc_id,
-       round(score, 4) AS score_r,
-       row_number() OVER (PARTITION BY query_id
-                          ORDER BY round(score, 4) DESC, doc_id) AS rank
-FROM scored
-QUALIFY rank <= {BM25_K}
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id,
+         round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rank
+  FROM scored
+  QUALIFY rank <= {BM25_K}),
+-- filter-context queries (f*): match restricted to filter-passing
+-- docs; scoring stats (idf/avgdl) stay full-corpus (OpenSearch
+-- filter-context semantics)
+fqueries(query_id, query_text) AS (VALUES {fvals}),
+fqt AS (SELECT DISTINCT query_id, unnest(list_distinct({fqtoks})) AS term
+        FROM fqueries),
+fallowed AS (
+  {fallowed}),
+fscored AS (
+  SELECT fqt.query_id, tf.doc_id,
+         SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM fqt
+  JOIN tf USING (term)
+  JOIN fallowed ON fallowed.query_id = fqt.query_id
+               AND fallowed.doc_id = tf.doc_id
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2),
+franked AS (
+  SELECT query_id, doc_id,
+         round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rank
+  FROM fscored
+  QUALIFY rank <= {BM25_K})
+SELECT * FROM ranked UNION ALL SELECT * FROM franked
 """
 
 

@@ -766,3 +766,189 @@ def bool_topk(
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+# ------------------------------------------------------------ filter context
+
+
+def _filtered_kernel(avgdl: float, n_docs: int, tomb=None):
+    """Per-shard filter-context scoring (OpenSearch `bool: {must:
+    match, filter: [...]}` — the filter restricts candidates BEFORE the
+    top-k heap and contributes no score; idf/avgdl stay full-corpus,
+    exactly OpenSearch's filter-context semantics).
+
+    Cogroup kernel: `left` = this shard's posting blocks (one row per
+    (term, seg, block)), `right` = this shard's ALLOWED doc_ids (the
+    corpus rows passing the filter, shuffled here on the same
+    shard key the index build used). The allowed set acts as the
+    candidate set from the first decode on, so hot terms are
+    block-range-pruned against it (_pruned_runs) — per-shard cost
+    scales with the FILTERED corpus, not the terms' df."""
+    from data_prepper_spark.index import codec
+
+    def run(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        allowed = np.unique(right["doc_id"].to_numpy(np.int64))
+        block_cache: dict = {}
+        queries: dict[str, dict] = {}
+        decoded: dict[str, dict | None] = {}
+        idfs: dict[str, float] = {}
+        for term, tg in left.groupby("term", sort=True):
+            df_t = int(tg["df"].iloc[0])
+            idfs[term] = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+            decoded[term] = _pruned_runs(
+                tg.sort_values(["seg", "block_ord"]), allowed, tomb,
+                False, block_cache, term,
+            )
+            for q in tg["queries"].iloc[0]:
+                ent = queries.setdefault(
+                    q["query_id"], {"k": int(q["k"]), "terms": set()}
+                )
+                ent["terms"].add(term)
+
+        out_q, out_d, out_s = [], [], []
+        for qid, ent in queries.items():
+            terms = sorted(ent["terms"])
+            per_term: dict[str, dict] = {}
+            matched = []
+            for t in terms:
+                d = decoded[t]
+                if d is None or not len(d["docs"]):
+                    continue
+                per_term[t] = d
+                matched.append(d["docs"])
+            if not matched:
+                continue
+            cand = np.intersect1d(
+                np.unique(np.concatenate(matched)), allowed,
+                assume_unique=True,
+            )
+            if not len(cand):
+                continue
+            scores = np.zeros(len(cand), dtype=np.float64)
+            # sorted-term accumulation order (rank-identity determinism)
+            for t in terms:
+                d = per_term.get(t)
+                if d is None:
+                    continue
+                di = np.clip(np.searchsorted(d["docs"], cand), 0,
+                             len(d["docs"]) - 1)
+                has = d["docs"][di] == cand
+                part = idfs[t] * codec.bm25_partial(
+                    d["tfs"][di], d["dls"][di], avgdl
+                )
+                scores += np.where(has, part, 0.0)
+            live = scores > 0.0
+            cand, scores = cand[live], scores[live]
+            k = ent["k"]
+            if len(cand) > k:
+                kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                keep = np.flatnonzero(scores >= kth)
+                keep = keep[np.lexsort((cand[keep], -scores[keep]))][:k]
+            else:
+                keep = np.lexsort((cand, -scores))
+            out_q += [qid] * len(keep)
+            out_d += list(cand[keep])
+            out_s += list(scores[keep])
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return run
+
+
+def shard_col(docs: DataFrame, n_shards: int):
+    """The shard key a corpus row routes to — MUST mirror build_index's
+    assignment (index/build.py: xxhash64(conv_id) % n_shards, with
+    conv_id falling back to cast(doc_id as string) for external-id
+    corpora)."""
+    base = (
+        F.col("conv_id") if "conv_id" in docs.columns
+        else F.col("doc_id").cast("string")
+    )
+    return F.pmod(F.xxhash64(base), F.lit(n_shards)).cast("int")
+
+
+def filtered_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    filter_expr: str,
+) -> DataFrame:
+    """Filter-context BM25 top-k — `bool: {must: match(query_text),
+    filter: filter_expr}` (the everyday OpenSearch query shape over the
+    reference sink's indexes: full-text match restricted by structured
+    attributes, OpenSearchSink.java:132-141 consumers).
+
+    queries(query_id, query_text, k); docs = the corpus table holding
+    doc_id (+ conv_id when conv-sharded) and the filter's columns;
+    filter_expr = a Spark SQL boolean expression over docs' columns.
+
+    Plan (and why it scales to 10^12 docs):
+      corpus scan: .filter(filter_expr) pushes to parquet
+        (PushedFilters) and only (id cols + filter cols) are read
+        (ReadSchema pruning — `text` never leaves the scan);
+      allowed set: (shard, doc_id), shuffled BY SHARD — the same
+        partitioner the index build used, so each kernel sees exactly
+        its shard's allowed docs; the set is never collect()ed or
+        broadcast (a date-range filter at 100 TB passes billions of
+        docs);
+      blocks scan: term In-filter pushed (row-group pruned), positions
+        column never read;
+      cogroup kernel: allowed doubles as the candidate set from the
+        first decode — hot query terms decode only blocks whose
+        [first_doc, last_doc] overlaps an allowed doc;
+      global top-k: per-shard winners only (k rows per shard per
+        query) through the final window."""
+    stats = load_stats(index_dir)
+    mode = stats.get("tokenizer", "ascii")
+    n_shards = int(stats["n_shards"])
+    queries = queries.select("query_id", "query_text", "k")
+    qterms = queries.select(
+        "query_id", "k",
+        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
+    )
+    qmap = qterms.groupBy("term").agg(
+        F.collect_list(F.struct("query_id", "k")).alias("queries")
+    )
+    terms = [r["term"] for r in qmap.select("term").collect()]
+    blocks_path = layout.resolve(index_dir, "blocks")
+    local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
+    if not terms or local_missing:
+        return spark.createDataFrame(
+            [], "query_id string, rank long, doc_id long, score double"
+        )
+    allowed = docs.filter(F.expr(filter_expr)).select(
+        shard_col(docs, n_shards).alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
+    dict_slice = dictionary.filter(F.col("term").isin(terms))
+    blocks = spark.read.parquet(blocks_path)
+    if "seg" not in blocks.columns:
+        blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
+    needed = (
+        blocks.select(
+            "shard", "seg", "term", "block_ord", "first_doc", "last_doc",
+            "gaps", "tfs", "dls",
+        )
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qmap), "term")
+        .join(F.broadcast(dict_slice), "term")
+    )
+    tomb = tombstones.load_tombstones(spark, index_dir)
+    per_shard = (
+        needed.groupBy("shard")
+        .cogroup(allowed.groupBy("shard"))
+        .applyInPandas(
+            _filtered_kernel(stats["avgdl"], stats["n_docs"], tomb=tomb),
+            schema=_KERNEL_OUT,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.join(F.broadcast(queries.select("query_id", "k")), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,144 @@
+"""Filter-context BM25 top-k (`bool: {must: match, filter: [...]}`) —
+the everyday OpenSearch query shape over the reference sink's indexes
+(OpenSearchSink.java:132-141 consumers): full-text match restricted by
+structured attributes (timestamp range, role) BEFORE the top-k heap,
+with full-corpus idf/avgdl (filter context never changes scoring
+stats). Verified against a brute-force pandas scorer sharing the
+oracle BM25 math, over the north-rule transcript shape (conv_id,
+turn_idx, role, text, tool, ts)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+
+@pytest.fixture(scope="module")
+def corpus_and_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("filt_idx"))
+    pdf = generate_pandas(0, 400)
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    # index is conv-sharded: keep conv_id in the build input
+    sdf = spark.createDataFrame(pdf[["doc_id", "conv_id", "text"]])
+    ib.build_index(spark, sdf, d, n_shards=4, block_size=64, assign_ids=False)
+    return pdf, d
+
+
+def _brute_filtered(pdf, query_terms, allow_mask, k):
+    """Reference scorer: BM25 (full-corpus stats) over docs that match
+    >=1 query term AND pass the filter; sorted-term accumulation."""
+    toks = [tokenize(t) for t in pdf.text]
+    n_docs = len(toks)
+    avgdl = float(np.mean([len(t) for t in toks]))
+    tf = [pd.Series(t).value_counts() for t in toks]
+    df_map: dict[str, int] = {}
+    for c in tf:
+        for term in c.index:
+            df_map[term] = df_map.get(term, 0) + 1
+    rows = []
+    for i, c in enumerate(tf):
+        if not allow_mask.iloc[i]:
+            continue
+        dl = len(toks[i])
+        score = 0.0
+        for t in sorted(set(query_terms)):
+            if t not in c.index:
+                continue
+            dft = df_map[t]
+            idf = np.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+            f = float(c[t])
+            score += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        if score > 0.0:
+            rows.append((int(pdf.doc_id.iloc[i]), score))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def _run_filtered(spark, d, pdf, query_text, filter_expr, k):
+    qdf = spark.createDataFrame(
+        [("q", query_text, k)], "query_id string, query_text string, k int"
+    )
+    docs = spark.createDataFrame(
+        pdf[["doc_id", "conv_id", "role", "ts", "text"]]
+    )
+    out = engine.filtered_topk(spark, d, qdf, docs, filter_expr).toPandas()
+    return list(zip(out.doc_id.astype(int), out.score))
+
+
+@pytest.mark.parametrize(
+    "query_text,filter_py,filter_sql",
+    [
+        ("error timeout", lambda p: p.role == "user", "role = 'user'"),
+        ("error retry connection",
+         lambda p: p.turn_idx >= 3, "turn_idx >= 3"),
+        ("database index",
+         lambda p: (p.role == "assistant") & (p.turn_idx % 2 == 0),
+         "role = 'assistant' AND turn_idx % 2 = 0"),
+        # empty filter result -> zero rows
+        ("error", lambda p: p.role == "nobody", "role = 'nobody'"),
+    ],
+)
+def test_filtered_matches_bruteforce(
+    spark, corpus_and_index, query_text, filter_py, filter_sql
+):
+    pdf, d = corpus_and_index
+    pdf2 = pdf.copy()
+    if "turn_idx" in filter_sql:
+        pass  # turn_idx is a corpus column already
+    want = _brute_filtered(pdf2, tokenize(query_text), filter_py(pdf2), k=10)
+    qdf = spark.createDataFrame(
+        [("q", query_text, 10)], "query_id string, query_text string, k int"
+    )
+    docs = spark.createDataFrame(
+        pdf2[["doc_id", "conv_id", "role", "turn_idx", "ts", "text"]]
+    )
+    out = engine.filtered_topk(spark, d, qdf, docs, filter_sql).toPandas()
+    got = list(zip(out.doc_id.astype(int), out.score))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want], atol=1e-9)
+
+
+def test_filter_does_not_change_stats(spark, corpus_and_index):
+    """A doc's score under a filter equals its score UNFILTERED —
+    filter context must not change idf/avgdl (OpenSearch semantics)."""
+    pdf, d = corpus_and_index
+    qdf = spark.createDataFrame(
+        [("q", "error timeout", 400 * 8)],
+        "query_id string, query_text string, k int",
+    )
+    docs = spark.createDataFrame(pdf[["doc_id", "conv_id", "role", "text"]])
+    unfiltered = engine.score_topk(spark, d, qdf, algo="exh").toPandas()
+    filtered = engine.filtered_topk(
+        spark, d, qdf, docs, "role = 'user'"
+    ).toPandas()
+    base = dict(zip(unfiltered.doc_id.astype(int), unfiltered.score))
+    for doc, s in zip(filtered.doc_id.astype(int), filtered.score):
+        assert doc in base
+        assert abs(base[doc] - s) < 1e-9
+
+
+def test_filtered_respects_tombstones(spark, corpus_and_index, tmp_path):
+    pdf, d = corpus_and_index
+    # tombstone one conversation that owns a top result
+    qdf = spark.createDataFrame(
+        [("q", "error", 5)], "query_id string, query_text string, k int"
+    )
+    docs = spark.createDataFrame(pdf[["doc_id", "conv_id", "role", "text"]])
+    before = engine.filtered_topk(spark, d, qdf, docs, "role = 'user'").toPandas()
+    assert len(before) > 0
+    from data_prepper_spark.index import tombstones as tomb_mod
+
+    top_conv = int(before.doc_id.iloc[0]) // DOC_ID_STRIDE
+    tomb_mod.delete_conversations(spark, d, [top_conv])
+    after = engine.filtered_topk(spark, d, qdf, docs, "role = 'user'").toPandas()
+    gone = set(
+        pdf[pdf.conv_id == f"conv-{top_conv}"].doc_id.astype(int)
+    )
+    assert not (set(after.doc_id.astype(int)) & gone)
