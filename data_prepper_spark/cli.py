@@ -280,6 +280,34 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_facet(args) -> int:
+    """Aggregations over a query's match set (the OpenSearch `aggs`
+    surface next to search): terms (top values per field),
+    date-histogram (calendar buckets), stats (count/min/max/avg/sum)."""
+    from data_prepper_spark.query import facets
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.docs)
+    q = spark.createDataFrame(
+        [("q0", args.query)], "query_id string, query_text string"
+    )
+    if args.kind == "terms":
+        res = facets.terms_facet(
+            spark, args.index, q, docs, args.field, size=args.size
+        )
+    elif args.kind == "date_histogram":
+        res = facets.date_histogram(
+            spark, args.index, q, docs, args.field[0], unit=args.unit
+        )
+    else:
+        res = facets.stats_facet(spark, args.index, q, docs, args.field)
+    for r in res.orderBy(*[c for c in ("field", "bucket") if c in res.columns]).collect():
+        print(json.dumps(
+            {k: (str(v) if k == "bucket" else v) for k, v in r.asDict().items()}
+        ))
+    return 0
+
+
 def cmd_convert_logstash(args) -> int:
     """Logstash .conf -> runnable pipeline YAML (the reference's
     data-prepper-logstash-configuration converter)."""
@@ -388,6 +416,24 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--mode", default="overwrite")
     ex.add_argument("--local-cores", type=int, default=None)
     ex.set_defaults(fn=cmd_export)
+
+    fc = sub.add_parser(
+        "facet", help="aggregations over a query's match set "
+        "(terms / date_histogram / stats)")
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--docs", required=True,
+                    help="corpus parquet with doc_id + facet columns")
+    fc.add_argument("--query", required=True)
+    fc.add_argument("--kind", choices=["terms", "date_histogram", "stats"],
+                    default="terms")
+    fc.add_argument("--field", action="append", required=True,
+                    help="facet field (repeatable; date_histogram uses "
+                         "the first)")
+    fc.add_argument("--size", type=int, default=10)
+    fc.add_argument("--unit", default="hour",
+                    help="date_histogram bucket unit (minute/hour/day/month)")
+    fc.add_argument("--local-cores", type=int, default=None)
+    fc.set_defaults(fn=cmd_facet)
 
     cl = sub.add_parser(
         "convert-logstash",

@@ -157,3 +157,37 @@ def date_histogram(
         )
         .agg(F.count(F.lit(1)).alias("count"))
     )
+
+
+def stats_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    fields: list[str],
+) -> DataFrame:
+    """-> (query_id, field, count, min, max, avg, sum): the OpenSearch
+    `stats` aggregation over a query's match set — the third agg of the
+    triad next to `terms` and `date_histogram`. One row per (query,
+    numeric field). Same scale shape as terms_facet: distributed match
+    set, column-pruned corpus join, ONE two-phase agg producing a
+    bounded (n_queries x n_fields) result regardless of corpus size."""
+    m = match_docs(spark, index_dir, queries)
+    slim = docs.select("doc_id", *fields)
+    joined = m.join(slim, "doc_id")
+    stacked = joined.select(
+        "query_id",
+        F.explode(
+            F.create_map(*[
+                x for f in fields
+                for x in (F.lit(f), F.col(f).cast("double"))
+            ])
+        ).alias("field", "value"),
+    )
+    return stacked.groupBy("query_id", "field").agg(
+        F.count("value").alias("count"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.avg("value").alias("avg"),
+        F.sum("value").alias("sum"),
+    )

@@ -153,3 +153,27 @@ def test_export_cli_roundtrip(spark, corpus, tmp_path):
     live = pdf[~(pdf.doc_id // DOC_ID_STRIDE).isin([0, 1])]
     assert got2.count() == len(live)
     tomb.clear_tombstones(d)
+
+
+def test_stats_facet_exact(spark, corpus):
+    """OpenSearch `stats` agg over the match set: count/min/max/avg/sum
+    of numeric fields among matching docs, exact vs pandas."""
+    d, pdf = corpus
+    pdf = pdf.copy()
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    q = spark.createDataFrame(
+        [("q1", "error handling")], "query_id string, query_text string"
+    )
+    docs = spark.createDataFrame(pdf[["doc_id", "n_chars", "turn_idx"]])
+    got = facets.stats_facet(
+        spark, d, q, docs, ["n_chars", "turn_idx"]
+    ).toPandas().set_index("field")
+    m = _match_set(pdf, "error handling")
+    sub = pdf[pdf.doc_id.isin(m)]
+    for f in ("n_chars", "turn_idx"):
+        row = got.loc[f]
+        assert int(row["count"]) == len(sub)
+        assert row["min"] == float(sub[f].min())
+        assert row["max"] == float(sub[f].max())
+        assert abs(row["avg"] - float(sub[f].mean())) < 1e-9
+        assert abs(row["sum"] - float(sub[f].sum())) < 1e-6
