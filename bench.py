@@ -167,7 +167,7 @@ def run_suite(
         from data_prepper_spark.query.bm25_df import assign_doc_ids
 
         docs_df = assign_doc_ids(corpus).select(
-            "doc_id", "text", "role").persist()
+            "doc_id", "conv_id", "text", "role").persist()
         docs_df.count()
         hl_q = spark.createDataFrame(
             [(f"h{i}", t, 10) for i, t in
@@ -188,6 +188,12 @@ def run_suite(
         )
         timed("query_expand", lambda: ex.expand_topk(
             spark, idx_dir, exp_q).count(), reps=2)
+        # filter-context: match restricted by an attribute predicate
+        # BEFORE the heap (corpus filter -> shard cogroup; engine.py
+        # filtered_topk) — new in the r4 suite like the three above
+        timed("query_filtered", lambda: engine.filtered_topk(
+            spark, idx_dir, hl_q, docs_df, "role = 'user'"
+        ).count(), reps=2)
         docs_df.unpersist()
 
         # --- index size + unicode-mode deltas (extras only, not e2e):
