@@ -1,0 +1,95 @@
+"""Plan-shape regression guards: the scale properties EXPLAIN.md
+documents are asserted here so a refactor can't silently lose them.
+Each test checks the OPTIMIZED/physical plan string, not results —
+results are covered by the oracle gates.
+
+Guarded invariants (EXPLAIN.md §2/§7/§9):
+  - query scatter: term In-filter reaches the blocks parquet scan
+    (PushedFilters) and the positions column never does (ReadSchema);
+  - highlight: the top-k doc_id set reaches the corpus scan;
+  - filtered_topk: the attribute filter reaches the corpus scan and
+    only id + filter columns are read (text never leaves the scan).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+
+@pytest.fixture(scope="module")
+def corpus_and_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plan_idx"))
+    pdf = generate_pandas(0, 60)
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    sdf = spark.createDataFrame(pdf[["doc_id", "conv_id", "text"]])
+    ib.build_index(spark, sdf, d, n_shards=2, block_size=32,
+                   assign_ids=False)
+    return pdf, d
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_score_topk_scan_pruning(spark, corpus_and_index):
+    _, d = corpus_and_index
+    qdf = spark.createDataFrame(
+        [("q", "error timeout", 5)],
+        "query_id string, query_text string, k int",
+    )
+    plan = _physical(engine.score_topk(spark, d, qdf, algo="wand"))
+    # term In-filter pushed into the blocks scan
+    assert "PushedFilters: [In(term" in plan
+    # the position stream must not reach the scan (largest column)
+    assert "poss" not in plan
+
+
+def test_filtered_topk_corpus_scan_pruning(spark, corpus_and_index, tmp_path):
+    pdf, d = corpus_and_index
+    qdf = spark.createDataFrame(
+        [("q", "error timeout", 5)],
+        "query_id string, query_text string, k int",
+    )
+    # corpus must be a parquet SCAN for pushdown to be visible
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pdf[["doc_id", "conv_id", "role", "text"]]
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = _physical(engine.filtered_topk(spark, d, qdf, docs,
+                                          "role = 'user'"))
+    # blocks scan still term-pruned
+    assert "PushedFilters: [In(term" in plan
+    # corpus-side filter evaluated at the scan, not post-load
+    assert "EqualTo(role,user)" in plan
+    # `text` must never leave the corpus scan: every ReadSchema line in
+    # the plan is free of it (only id + filter cols are read)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line, line
+
+
+def test_highlight_docid_pushdown(spark, corpus_and_index, tmp_path):
+    from data_prepper_spark.query import highlight
+
+    pdf, d = corpus_and_index
+    # corpus must be a parquet SCAN for pushdown to be visible
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(pdf[["doc_id", "text"]]).write.parquet(p)
+    docs = spark.read.parquet(p)
+    qdf = spark.createDataFrame(
+        [("q", "error timeout", 3)],
+        "query_id string, query_text string, k int",
+    )
+    res = engine.score_topk(spark, d, qdf, algo="wand")
+    plan = _physical(highlight.highlight_topk(
+        docs, res, qdf.select("query_id", "query_text")
+    ))
+    assert "In(doc_id" in plan  # top-k doc_id set reaches the scan
