@@ -107,7 +107,18 @@ def cmd_query(args) -> int:
               file=sys.stderr)
         return 2
     qdf = spark.createDataFrame(rows, "query_id string, query_text string, k int")
-    if args.phrase:
+    if args.filter:
+        # filter context: bool {must: match, filter: attrs} — needs the
+        # corpus for the attribute columns (--docs)
+        if not args.docs:
+            print("--filter needs --docs (corpus parquet with doc_id + "
+                  "filter columns)", file=sys.stderr)
+            return 2
+        res = engine.filtered_topk(
+            spark, args.index, qdf, spark.read.parquet(args.docs),
+            args.filter,
+        )
+    elif args.phrase:
         res = engine.phrase_topk(spark, args.index, qdf)
     else:
         res = engine.score_topk(spark, args.index, qdf, algo=args.algo)
@@ -358,6 +369,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--should", help="bool query: OR terms")
     q.add_argument("--must-not", help="bool query: excluded terms")
     q.add_argument("--minimum-should-match", type=int, default=0)
+    q.add_argument("--filter", default=None,
+                   help="filter context (bool {must: match, filter}): a "
+                        "Spark SQL predicate over corpus columns; "
+                        "restricts candidates before the top-k heap "
+                        "without changing scoring stats")
+    q.add_argument("--docs", default=None,
+                   help="corpus parquet with doc_id + filter columns "
+                        "(required with --filter)")
     q.add_argument("--local-cores", type=int, default=None)
     q.set_defaults(fn=cmd_query)
 

@@ -411,7 +411,11 @@ def build_index(
     to simulate a crash between shard batches). ``assign_ids=False``
     indexes any table that already has (doc_id, text) columns; a
     conv_id lineage column is synthesized from doc_id if absent."""
-    if not assign_ids and "conv_id" not in transcripts.columns:
+    # external-id corpora without a conv_id shard by doc_id-string; the
+    # choice is RECORDED in stats.json (shard_key) so query-side shard
+    # derivation (engine.sharded_docs) can mirror it instead of guessing
+    ext_shard_from_doc = not assign_ids and "conv_id" not in transcripts.columns
+    if ext_shard_from_doc:
         transcripts = transcripts.withColumn("conv_id", F.col("doc_id").cast("string"))
     os.makedirs(index_dir, exist_ok=True)
     stats_path = os.path.join(index_dir, "stats.json")
@@ -475,6 +479,7 @@ def build_index(
             snapshot_id=snapshot_id, avgdl_min=stats["avgdl"],
             positions=store_positions, id_scheme=id_scheme,
             tokenizer=tokenizer,
+            shard_key=("doc_id" if ext_shard_from_doc else "conv_id"),
         )
         layout.publish_file(stats_path, json.dumps(stats))
 

@@ -856,16 +856,66 @@ def _filtered_kernel(avgdl: float, n_docs: int, tomb=None):
     return run
 
 
-def shard_col(docs: DataFrame, n_shards: int):
-    """The shard key a corpus row routes to — MUST mirror build_index's
-    assignment (index/build.py: xxhash64(conv_id) % n_shards, with
-    conv_id falling back to cast(doc_id as string) for external-id
-    corpora)."""
-    base = (
-        F.col("conv_id") if "conv_id" in docs.columns
-        else F.col("doc_id").cast("string")
+def sharded_docs(
+    spark: SparkSession, index_dir: str, docs: DataFrame, stats: dict,
+) -> DataFrame:
+    """(shard, doc_id) for corpus rows — MUST mirror build_index's
+    assignment (index/build.py: xxhash64(conv_id) % n_shards). The
+    routing key is derived FROM THE INDEX's recorded id scheme, never
+    guessed from the corpus columns (a corpus without conv_id routed by
+    doc_id-string against a conv-sharded index silently lands docs in
+    the wrong shards and DROPS results):
+
+      arith    — conv_id is a pure function of doc_id
+                 ('conv-' || doc_id div stride), derived here;
+      convmap  — recover conv_id by joining the index's persisted
+                 (conv_id, serial) side table on serial = doc_id div
+                 stride (distributed equi-join; the convmap is NOT
+                 broadcast — ~10^8 rows at 10^12 turns);
+      external — stats.json's shard_key records whether the build
+                 sharded by a PROVIDED conv_id column or by the
+                 doc_id-string fallback; a conv_id-sharded external
+                 index REQUIRES conv_id in `docs` (loud raise, never a
+                 silent wrong-shard route)."""
+    from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+    n_shards = int(stats["n_shards"])
+    scheme = stats.get("id_scheme", "arith")
+    if scheme == "external" and stats.get("shard_key", "conv_id") == "conv_id":
+        if "conv_id" not in docs.columns:
+            raise ValueError(
+                "this external-id index was sharded by a provided conv_id "
+                "column; pass a docs DataFrame that includes conv_id "
+                "(routing by doc_id would silently drop results)"
+            )
+        out = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "conv_id"
+        )
+        base = F.col("conv_id")
+        return out.select(
+            F.pmod(F.xxhash64(base), F.lit(n_shards)).cast("int")
+            .alias("shard"),
+            "doc_id",
+        )
+    out = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    if scheme == "arith":
+        base = F.concat(
+            F.lit("conv-"),
+            (F.col("doc_id") / DOC_ID_STRIDE).cast("long").cast("string"),
+        )
+    elif scheme == "convmap":
+        cm = spark.read.parquet(os.path.join(index_dir, "convmap"))
+        out = out.withColumn(
+            "_serial", (F.col("doc_id") / DOC_ID_STRIDE).cast("long")
+        ).join(cm.select(F.col("serial").alias("_serial"), "conv_id"),
+               "_serial").drop("_serial")
+        base = F.col("conv_id")
+    else:  # external ids sharded by the doc_id-string fallback
+        base = F.col("doc_id").cast("string")
+    return out.select(
+        F.pmod(F.xxhash64(base), F.lit(n_shards)).cast("int").alias("shard"),
+        "doc_id",
     )
-    return F.pmod(F.xxhash64(base), F.lit(n_shards)).cast("int")
 
 
 def filtered_topk(
@@ -918,9 +968,8 @@ def filtered_topk(
         return spark.createDataFrame(
             [], "query_id string, rank long, doc_id long, score double"
         )
-    allowed = docs.filter(F.expr(filter_expr)).select(
-        shard_col(docs, n_shards).alias("shard"),
-        F.col("doc_id").cast("long").alias("doc_id"),
+    allowed = sharded_docs(
+        spark, index_dir, docs.filter(F.expr(filter_expr)), stats
     )
     dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
     dict_slice = dictionary.filter(F.col("term").isin(terms))

@@ -142,3 +142,58 @@ def test_filtered_respects_tombstones(spark, corpus_and_index, tmp_path):
         pdf[pdf.conv_id == f"conv-{top_conv}"].doc_id.astype(int)
     )
     assert not (set(after.doc_id.astype(int)) & gone)
+
+
+def test_filtered_shard_routing_without_conv_id(spark, tmp_path):
+    """A corpus WITHOUT a conv_id column must route allowed docs to the
+    same shards the build used — the index's recorded id scheme drives
+    derivation (arith: conv_id from doc_id; convmap: join the persisted
+    side table), never a doc_id-string guess (which silently drops
+    results on conv-sharded indexes)."""
+    import uuid
+
+    pdf = generate_pandas(0, 120)
+    # UUID conv ids -> convmap scheme
+    remap = {c: str(uuid.uuid5(uuid.NAMESPACE_URL, c)) for c in pdf.conv_id.unique()}
+    updf = pdf.copy()
+    updf["conv_id"] = updf.conv_id.map(remap)
+    d = str(tmp_path / "uuid_idx")
+    ib.build_index(spark, spark.createDataFrame(updf), d, n_shards=4,
+                   block_size=64)
+    import json, os
+    stats = json.load(open(os.path.join(d, "stats.json")))
+    assert stats["id_scheme"] == "convmap"
+    # doc_ids as the convmap assigned them
+    cm = spark.read.parquet(os.path.join(d, "convmap")).toPandas()
+    serial = dict(zip(cm.conv_id, cm.serial))
+    updf["doc_id"] = (
+        updf.conv_id.map(serial).astype(int) * DOC_ID_STRIDE + updf.turn_idx
+    )
+    qdf = spark.createDataFrame(
+        [("q", "error timeout", 10)],
+        "query_id string, query_text string, k int",
+    )
+    # corpus WITHOUT conv_id: engine must recover routing via convmap
+    docs = spark.createDataFrame(updf[["doc_id", "role", "text"]])
+    got = engine.filtered_topk(spark, d, qdf, docs, "role = 'user'").toPandas()
+    want = _brute_filtered(updf, tokenize("error timeout"),
+                           updf.role == "user", k=10)
+    assert [int(x) for x in got.doc_id] == [w[0] for w in want]
+
+
+def test_filtered_external_conv_sharded_requires_conv_id(spark, tmp_path):
+    """External-id index sharded by a PROVIDED conv_id column: querying
+    with a conv_id-free corpus must raise loudly, not drop results."""
+    pdf = generate_pandas(0, 40)
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    d = str(tmp_path / "ext_idx")
+    ib.build_index(spark, spark.createDataFrame(pdf[["doc_id", "conv_id", "text"]]),
+                   d, n_shards=2, block_size=64, assign_ids=False)
+    qdf = spark.createDataFrame(
+        [("q", "error", 5)], "query_id string, query_text string, k int"
+    )
+    docs = spark.createDataFrame(pdf[["doc_id", "role", "text"]])
+    with pytest.raises(ValueError, match="conv_id"):
+        engine.filtered_topk(spark, d, qdf, docs, "role = 'user'")
