@@ -1001,3 +1001,40 @@ def filtered_topk(
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def filtered_topk_multi(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+) -> DataFrame:
+    """Per-query filter contexts: queries(query_id, query_text, k,
+    filter) where `filter` is a Spark SQL predicate string (empty/null
+    = unfiltered match). Queries sharing a filter run in ONE
+    scatter-gather (grouped by distinct predicate — the filter string
+    is part of the plan, so it cannot ride a data column); distinct
+    filters each cost one corpus-scan + cogroup, unfiltered queries
+    ride a single score_topk."""
+    rows = queries.select("query_id", "query_text", "k", "filter").collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r["filter"] or "", []).append(
+            (r["query_id"], r["query_text"], int(r["k"]))
+        )
+    out = None
+    for filt, qs in sorted(groups.items()):
+        qdf = spark.createDataFrame(
+            qs, "query_id string, query_text string, k int"
+        )
+        part = (
+            score_topk(spark, index_dir, qdf)
+            if not filt
+            else filtered_topk(spark, index_dir, qdf, docs, filt)
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return spark.createDataFrame(
+            [], "query_id string, rank long, doc_id long, score double"
+        )
+    return out

@@ -197,3 +197,34 @@ def test_filtered_external_conv_sharded_requires_conv_id(spark, tmp_path):
     docs = spark.createDataFrame(pdf[["doc_id", "role", "text"]])
     with pytest.raises(ValueError, match="conv_id"):
         engine.filtered_topk(spark, d, qdf, docs, "role = 'user'")
+
+
+def test_filtered_topk_multi(spark, corpus_and_index):
+    """Per-query filters: grouped by distinct predicate, unfiltered
+    queries ride score_topk; each query's rows equal its single-call
+    result."""
+    pdf, d = corpus_and_index
+    docs = spark.createDataFrame(pdf[["doc_id", "conv_id", "role", "text"]])
+    qdf = spark.createDataFrame(
+        [("m1", "error timeout", 5, "role = 'user'"),
+         ("m2", "error retry", 5, "role = 'user'"),
+         ("m3", "error timeout", 5, "role = 'assistant'"),
+         ("m4", "error timeout", 5, None)],
+        "query_id string, query_text string, k int, filter string",
+    )
+    got = engine.filtered_topk_multi(spark, d, qdf, docs).toPandas()
+    for qid, text, filt in [("m1", "error timeout", "role = 'user'"),
+                            ("m2", "error retry", "role = 'user'"),
+                            ("m3", "error timeout", "role = 'assistant'")]:
+        one = spark.createDataFrame(
+            [(qid, text, 5)], "query_id string, query_text string, k int"
+        )
+        want = engine.filtered_topk(spark, d, one, docs, filt).toPandas()
+        sub = got[got.query_id == qid].reset_index(drop=True)
+        assert list(sub.doc_id) == list(want.doc_id)
+    one = spark.createDataFrame(
+        [("m4", "error timeout", 5)], "query_id string, query_text string, k int"
+    )
+    want = engine.score_topk(spark, d, one).toPandas()
+    sub = got[got.query_id == "m4"].reset_index(drop=True)
+    assert list(sub.doc_id) == list(want.doc_id)
