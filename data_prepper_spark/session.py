@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # cap the generated-code dump when a >64KB method fails to
+        # compile (the ~190-rule user_agent cascade does; Spark retries
+        # un-fused automatically — see operators/enrich.py::_cascade) —
+        # without this the ERROR log carries the full multi-MB source
+        .config("spark.sql.codegen.logging.maxLines", "20")
     )
     if extra_conf:
         for k, v in extra_conf.items():
