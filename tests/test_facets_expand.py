@@ -177,3 +177,17 @@ def test_stats_facet_exact(spark, corpus):
         assert row["max"] == float(sub[f].max())
         assert abs(row["avg"] - float(sub[f].mean())) < 1e-9
         assert abs(row["sum"] - float(sub[f].sum())) < 1e-6
+
+
+def test_count_matches_exact(spark, corpus):
+    """_count role: per-query match count without materializing the
+    match set; absent-term queries report 0; tombstones respected."""
+    d, pdf = corpus
+    q = spark.createDataFrame(
+        [("q1", "error handling"), ("q2", "zzabsent"), ("q3", "retry")],
+        "query_id string, query_text string",
+    )
+    got = facets.count_matches(spark, d, q).toPandas().set_index("query_id")
+    assert int(got.loc["q1", "n"]) == len(_match_set(pdf, "error handling"))
+    assert int(got.loc["q2", "n"]) == 0
+    assert int(got.loc["q3", "n"]) == len(_match_set(pdf, "retry"))
