@@ -122,6 +122,26 @@ def cmd_query(args) -> int:
         res = engine.phrase_topk(spark, args.index, qdf)
     else:
         res = engine.score_topk(spark, args.index, qdf, algo=args.algo)
+    if args.fetch:
+        # the _search stored-fields role: join the (tiny, driver-known)
+        # top-k doc_id set back to the corpus — the In-filter pushes to
+        # the corpus scan exactly like highlight's (engine In-filter
+        # pattern), so at 100 TB this reads k row groups, not the corpus
+        if not args.docs:
+            print("--fetch needs --docs (corpus parquet with doc_id + "
+                  "stored fields)", file=sys.stderr)
+            return 2
+        from pyspark.sql import functions as F
+
+        slim = res.select("query_id", "rank", "doc_id", "score")
+        ids = [r["doc_id"] for r in slim.select("doc_id").distinct().collect()]
+        docs = spark.read.parquet(args.docs).filter(F.col("doc_id").isin(ids))
+        fetched = slim.join(F.broadcast(docs), "doc_id", "left")
+        for r in fetched.orderBy("query_id", "rank").collect():
+            d = r.asDict()
+            d["score"] = round(d["score"], 6)
+            print(json.dumps(d, default=str))
+        return 0
     rows_out = res.orderBy("query_id", "rank").collect()
     if not rows_out:
         print("0 hits (no query term matched the index dictionary)",
@@ -376,7 +396,11 @@ def main(argv: list[str] | None = None) -> int:
                         "without changing scoring stats")
     q.add_argument("--docs", default=None,
                    help="corpus parquet with doc_id + filter columns "
-                        "(required with --filter)")
+                        "(required with --filter / --fetch)")
+    q.add_argument("--fetch", action="store_true",
+                   help="join results back to --docs and print stored "
+                        "fields with each hit (the _search source role; "
+                        "term/phrase/filter modes)")
     q.add_argument("--local-cores", type=int, default=None)
     q.set_defaults(fn=cmd_query)
 
