@@ -80,14 +80,16 @@ def cmd_query(args) -> int:
     from data_prepper_spark.query import engine
 
     spark = _get_spark(args)
-    if args.must or args.should or args.must_not:
+    if args.must or args.should or args.must_not or args.must_group:
         # bool query mode (OpenSearch bool: must AND / should OR with
-        # minimum_should_match / must_not exclusion)
+        # minimum_should_match / must_not exclusion; --must-group adds
+        # conjunctive OR-groups: each flag's terms are OR'd, groups AND'd)
         qdf = spark.createDataFrame(
             [("q0", args.must or "", args.should or "", args.must_not or "",
-              args.minimum_should_match, args.k)],
+              args.minimum_should_match, args.k,
+              " | ".join(args.must_group))],
             "query_id string, must string, should string, must_not string, "
-            "minimum_should_match int, k int",
+            "minimum_should_match int, k int, must_groups string",
         )
         res = engine.bool_topk(spark, args.index, qdf)
         rows_out = res.orderBy("query_id", "rank").collect()
@@ -389,6 +391,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--should", help="bool query: OR terms")
     q.add_argument("--must-not", help="bool query: excluded terms")
     q.add_argument("--minimum-should-match", type=int, default=0)
+    q.add_argument("--must-group", action="append", default=[],
+                   help="conjunctive OR-group: terms in one flag are "
+                        "OR'd, repeated flags AND'd — '(a OR b) AND "
+                        "(c OR d)' = --must-group 'a b' --must-group "
+                        "'c d' (the synonym-expansion shape)")
     q.add_argument("--filter", default=None,
                    help="filter context (bool {must: match, filter}): a "
                         "Spark SQL predicate over corpus columns; "

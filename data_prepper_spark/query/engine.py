@@ -582,10 +582,18 @@ def _bool_kernel(avgdl: float, n_docs: int, tomb=None):
                     q["query_id"],
                     {"k": int(q["k"]), "msm": int(q["msm"]),
                      "n_must": int(q["n_must"]),
-                     "must": set(), "should": set(), "must_not": set()},
+                     "n_groups": int(q["n_groups"]) if "n_groups" in q else 0,
+                     "must": set(), "should": set(), "must_not": set(),
+                     "groups": {}},
                 )
                 for role in q["roles"]:
-                    ent[role].add(term)
+                    if role.startswith("group"):
+                        # conjunctive OR-group (Lucene nested bool /
+                        # synonym shape): doc must hold >=1 term of
+                        # EACH group
+                        ent["groups"].setdefault(role, set()).add(term)
+                    else:
+                        ent[role].add(term)
 
         def _runs(t, cand):
             """Full decode while unconstrained, block-pruned once a
@@ -601,6 +609,8 @@ def _bool_kernel(avgdl: float, n_docs: int, tomb=None):
         for qid, ent in queries.items():
             if len(ent["must"]) < ent["n_must"]:
                 continue  # a must term has no postings in this shard
+            if len(ent["groups"]) < ent["n_groups"]:
+                continue  # a whole OR-group is absent from this shard
             decoded: dict[str, dict] = {}
             cand = None
             # must intersection RAREST-df-FIRST: the candidate set
@@ -618,6 +628,31 @@ def _bool_kernel(avgdl: float, n_docs: int, tomb=None):
                 if not len(cand):
                     break
             if cand is not None and not len(cand):
+                continue
+            # conjunctive OR-groups, rarest group first (by summed df):
+            # union the group's member postings (block-pruned once cand
+            # exists), then intersect with the running candidate set
+            dead = False
+            for g in sorted(ent["groups"],
+                            key=lambda g: (sum(dfs[t] for t in ent["groups"][g]), g)):
+                docs_g = []
+                for t in sorted(ent["groups"][g]):
+                    r = _runs(t, cand)
+                    if r is None or not len(r["docs"]):
+                        continue
+                    decoded[t] = r
+                    docs_g.append(r["docs"])
+                if not docs_g:
+                    dead = True
+                    break
+                g_union = np.unique(np.concatenate(docs_g))
+                cand = g_union if cand is None else np.intersect1d(
+                    cand, g_union, assume_unique=True
+                )
+                if not len(cand):
+                    dead = True
+                    break
+            if dead:
                 continue
             should = sorted(ent["should"])
             if should:
@@ -654,9 +689,12 @@ def _bool_kernel(avgdl: float, n_docs: int, tomb=None):
             if not len(cand):
                 continue
             scores = np.zeros(len(cand), dtype=np.float64)
-            for t in sorted(ent["must"] | ent["should"]):
-                d = decoded[t]
-                if not len(d["docs"]):
+            positive = ent["must"] | ent["should"]
+            for g in ent["groups"].values():
+                positive |= g
+            for t in sorted(positive):
+                d = decoded.get(t)
+                if d is None or not len(d["docs"]):
                     continue
                 di = np.clip(np.searchsorted(d["docs"], cand), 0,
                              len(d["docs"]) - 1)
@@ -709,12 +747,38 @@ def bool_topk(
                 F.explode(F.array_distinct(tokens_col(col, mode))).alias("term"),
             ).withColumn("role", F.lit(role))
         )
-    qterms = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    if "must_groups" in queries.columns:
+        # conjunctive OR-groups: 'a b | c d' = (a OR b) AND (c OR d)
+        # (Lucene nested bool / the synonym-expansion shape); each group
+        # becomes role 'group<i>' — doc must hold >=1 term of each
+        grp = (
+            queries.select(
+                "query_id", "k",
+                F.col("minimum_should_match").alias("msm_raw"),
+                F.posexplode(
+                    F.split(F.coalesce(F.col("must_groups"), F.lit("")), r"\|")
+                ).alias("gidx", "gtext"),
+            )
+            .filter(F.trim("gtext") != "")
+            .select(
+                "query_id", "k", "msm_raw",
+                F.explode(F.array_distinct(
+                    tokens_col("gtext", mode))).alias("term"),
+                F.concat(F.lit("group"), F.col("gidx").cast("string"))
+                .alias("role"),
+            )
+        )
+        parts.append(grp.select(*parts[0].columns))
+    qterms = parts[0]
+    for p in parts[1:]:
+        qterms = qterms.unionByName(p)
     counts = qterms.groupBy("query_id").agg(
         F.countDistinct(F.when(F.col("role") == "must", F.col("term")))
         .alias("n_must"),
         F.countDistinct(F.when(F.col("role") == "should", F.col("term")))
         .alias("n_should"),
+        F.countDistinct(F.when(F.col("role").startswith("group"),
+                               F.col("role"))).alias("n_groups"),
     )
     qterms = qterms.join(counts, "query_id").withColumn(
         "msm",
@@ -723,12 +787,12 @@ def bool_topk(
             .otherwise(F.lit(0))
         ),
     )
-    per_tq = qterms.groupBy("term", "query_id", "k", "msm", "n_must").agg(
-        F.collect_set("role").alias("roles")
-    )
+    per_tq = qterms.groupBy(
+        "term", "query_id", "k", "msm", "n_must", "n_groups"
+    ).agg(F.collect_set("role").alias("roles"))
     qmap = per_tq.groupBy("term").agg(
         F.collect_list(
-            F.struct("query_id", "k", "msm", "n_must", "roles")
+            F.struct("query_id", "k", "msm", "n_must", "n_groups", "roles")
         ).alias("queries")
     )
     terms = [r["term"] for r in qmap.select("term").collect()]

@@ -117,3 +117,75 @@ def test_bool_respects_tombstones(spark, corpus_and_index):
     tb.delete_conversations(spark, d, [int(top_conv)])
     after = _run_bool(spark, d, "q", ["error"], [], [], 0, 5)
     assert all(doc // DOC_ID_STRIDE != top_conv for doc, _ in after)
+
+
+def _brute_groups(pdf, groups, must, must_not, k):
+    """Reference scorer for conjunctive OR-groups: doc holds >=1 term
+    of EACH group, all must terms, no must_not terms; BM25 sum over
+    distinct positive terms present, sorted-term accumulation."""
+    toks = [tokenize(t) for t in pdf.text]
+    n_docs = len(toks)
+    avgdl = float(np.mean([len(t) for t in toks]))
+    tf = [pd.Series(t).value_counts() for t in toks]
+    df_map: dict[str, int] = {}
+    for c in tf:
+        for term in c.index:
+            df_map[term] = df_map.get(term, 0) + 1
+    positive = sorted(set(must) | {t for g in groups for t in g})
+    rows = []
+    for i, c in enumerate(tf):
+        if any(m not in c.index for m in must):
+            continue
+        if any(m in c.index for m in must_not):
+            continue
+        if any(not any(t in c.index for t in g) for g in groups):
+            continue
+        dl = len(toks[i])
+        score = 0.0
+        for t in positive:
+            if t not in c.index:
+                continue
+            dft = df_map[t]
+            idf = np.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+            f = float(c[t])
+            score += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        rows.append((int(pdf.doc_id.iloc[i]), score))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+@pytest.mark.parametrize(
+    "groups,must,must_not",
+    [
+        ([["error", "timeout"], ["retry", "deploy"]], [], []),   # CNF
+        ([["error", "timeout"]], ["query"], []),                 # group + must
+        ([["error", "crash"], ["login", "cache"]], [], ["scan"]),
+        ([["zzabsent", "qqmissing"]], [], []),                   # dead group
+        ([["error", "timeout", "retry"]], [], []),               # 1 group = OR
+    ],
+)
+def test_bool_or_groups_match_bruteforce(spark, corpus_and_index,
+                                         groups, must, must_not):
+    """Conjunctive OR-groups ('a b | c d' = (a OR b) AND (c OR d)) —
+    the Lucene nested-bool / synonym-expansion shape — rank- and
+    score-identical to brute force."""
+    pdf, d = corpus_and_index
+    qdf = spark.createDataFrame(
+        [("g", " ".join(must), "", " ".join(must_not), 0, 10,
+          " | ".join(" ".join(g) for g in groups))],
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match int, k int, must_groups string",
+    )
+    out = engine.bool_topk(spark, d, qdf).toPandas()
+    got = list(zip(out.doc_id.astype(int), out.score))
+    want = _brute_groups(pdf, groups, must, must_not, 10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want], atol=1e-9)
+
+
+def test_bool_groups_column_absent_is_noop(spark, corpus_and_index):
+    """Queries without a must_groups column behave exactly as before."""
+    pdf, d = corpus_and_index
+    got = _run_bool(spark, d, "q", ["error"], ["timeout"], [], 0, 10)
+    want = _brute_bool(pdf, ["error"], ["timeout"], [], 0, 10)
+    assert [g[0] for g in got] == [w[0] for w in want]
