@@ -107,3 +107,50 @@ def expand_topk(
         "minimum_should_match int, k int",
     )
     return engine.bool_topk(spark, index_dir, bq)
+
+
+def synonym_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    synonyms: dict[str, list[str]],
+) -> DataFrame:
+    """Query-time synonym expansion (the role of OpenSearch's
+    synonym/synonym_graph analyzer filter, which the reference gets for
+    free from the cluster's index analyzer): each query term becomes a
+    conjunctive OR-group of (term + its synonyms), so a doc matches if
+    it holds ANY variant of EVERY query term — Lucene's SynonymQuery
+    placement, expressed through the bool OR-group kernel.
+
+    Documented divergence: Lucene's SynonymQuery scores variants with a
+    BLENDED df (the max across the group); here each variant keeps its
+    own idf and the BM25 sum runs over the distinct variants present —
+    the scoring_boolean rewrite, same policy as expand_topk's
+    multi-term queries. Rank parity with the reference is therefore
+    per-rewrite, not per-analyzer.
+
+    `synonyms` is driver-known config (the analyzer's synonyms file —
+    small, like the reference's), applied AFTER tokenization so keys
+    and values are tokenizer-canonical. Multi-word synonyms
+    contribute their tokens to the same group."""
+    from data_prepper_spark.index.tokenizer import tokenize
+    from data_prepper_spark.query.engine import load_stats
+
+    mode = load_stats(index_dir).get("tokenizer", "ascii")
+    rows = []
+    for r in queries.select("query_id", "query_text", "k").collect():
+        groups = []
+        for t in dict.fromkeys(tokenize(r["query_text"], mode=mode)):
+            variants = [t]
+            for s in synonyms.get(t, []):
+                variants += [v for v in tokenize(s, mode=mode)
+                             if v not in variants]
+            groups.append(" ".join(variants))
+        rows.append((r["query_id"], "", "", "", 0, int(r["k"]),
+                     " | ".join(groups)))
+    bq = spark.createDataFrame(
+        rows,
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match int, k int, must_groups string",
+    )
+    return engine.bool_topk(spark, index_dir, bq)

@@ -191,3 +191,43 @@ def test_count_matches_exact(spark, corpus):
     assert int(got.loc["q1", "n"]) == len(_match_set(pdf, "error handling"))
     assert int(got.loc["q2", "n"]) == 0
     assert int(got.loc["q3", "n"]) == len(_match_set(pdf, "retry"))
+
+
+def test_synonym_topk_matches_group_bruteforce(spark, corpus):
+    """Synonym expansion = per-term OR-groups: a doc matches holding ANY
+    variant of EVERY query term; scores = BM25 over distinct variants
+    present (scoring_boolean, documented divergence from blended-df)."""
+    d, pdf = corpus
+    syn = {"error": ["crash", "failure"], "timeout": ["deadline"]}
+    q = spark.createDataFrame(
+        [("s1", "error timeout", 10)],
+        "query_id string, query_text string, k int",
+    )
+    got = ex.synonym_topk(spark, d, q, syn).toPandas()
+    # brute force: groups = [{error,crash,failure},{timeout,deadline}]
+    groups = [["error", "crash", "failure"], ["timeout", "deadline"]]
+    positive = sorted({t for g in groups for t in g})
+    toks = [tokenize(t) for t in pdf.text]
+    n_docs, avgdl = len(toks), float(np.mean([len(t) for t in toks]))
+    tf = [pd.Series(t).value_counts() for t in toks]
+    dfm: dict[str, int] = {}
+    for c in tf:
+        for term in c.index:
+            dfm[term] = dfm.get(term, 0) + 1
+    want = []
+    for i, c in enumerate(tf):
+        if any(not any(t in c.index for t in g) for g in groups):
+            continue
+        dl = len(toks[i])
+        s = 0.0
+        for t in positive:
+            if t not in c.index:
+                continue
+            idf = np.log(1.0 + (n_docs - dfm[t] + 0.5) / (dfm[t] + 0.5))
+            f = float(c[t])
+            s += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        want.append((int(pdf.doc_id.iloc[i]), s))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    want = want[:10]
+    assert [int(x) for x in got.doc_id] == [w[0] for w in want]
+    assert np.allclose(got.score, [w[1] for w in want], atol=1e-9)
