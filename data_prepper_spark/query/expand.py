@@ -154,3 +154,69 @@ def synonym_topk(
         "minimum_should_match int, k int, must_groups string",
     )
     return engine.bool_topk(spark, index_dir, bq)
+
+
+def more_like_this_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    max_query_terms: int = 25,
+    minimum_should_match: float = 0.3,
+) -> DataFrame:
+    """The OpenSearch `more_like_this` query over our own index:
+    queries(query_id, like_text, k) -> docs similar to the text.
+
+    Lucene's MLT recipe: select the like-text's most distinctive terms
+    by tf·idf (idf from the GLOBAL dictionary — one pushed In-filter
+    probe), cap at `max_query_terms` (Lucene default 25, ordered score
+    desc then term asc for determinism), then run a bool should query
+    with minimum_should_match = 30% of selected terms (the MLT
+    default). Unindexed terms are dropped before the cap, like Lucene
+    skipping zero-df terms."""
+    from data_prepper_spark.index.tokenizer import tokenize
+    from data_prepper_spark.query.engine import load_stats
+
+    stats = load_stats(index_dir)
+    mode = stats.get("tokenizer", "ascii")
+    n_docs = int(stats["n_docs"])
+    rows = queries.select("query_id", "like_text", "k").collect()
+    all_terms = sorted({
+        t for r in rows for t in tokenize(r["like_text"], mode=mode)
+    })
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query_id string, rank long, doc_id long, score double"
+        )
+    dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in dictionary.filter(F.col("term").isin(all_terms)).collect()
+    }
+    import math
+
+    brows = []
+    for r in rows:
+        toks = tokenize(r["like_text"], mode=mode)
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = [
+            (tf[t] * math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)), t)
+            for t in tf if t in dfs
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        sel = [t for _, t in scored[:max_query_terms]]
+        if not sel:
+            continue
+        msm = max(1, int(minimum_should_match * len(sel)))
+        brows.append((r["query_id"], "", " ".join(sel), "", msm, int(r["k"])))
+    if not brows:
+        return spark.createDataFrame(
+            [], "query_id string, rank long, doc_id long, score double"
+        )
+    bq = spark.createDataFrame(
+        brows,
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match int, k int",
+    )
+    return engine.bool_topk(spark, index_dir, bq)

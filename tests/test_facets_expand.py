@@ -231,3 +231,27 @@ def test_synonym_topk_matches_group_bruteforce(spark, corpus):
     want = want[:10]
     assert [int(x) for x in got.doc_id] == [w[0] for w in want]
     assert np.allclose(got.score, [w[1] for w in want], atol=1e-9)
+
+
+def test_more_like_this(spark, corpus):
+    """MLT: distinctive terms of the like-text (tf·idf, capped, zero-df
+    dropped) run as bool should with msm=30%; the source doc of a
+    verbatim like-text must rank first (it holds every selected term)."""
+    d, pdf = corpus
+    src = pdf.iloc[7]
+    q = spark.createDataFrame(
+        [("m1", src.text, 5), ("m2", "zzabsent qqmissing", 5)],
+        "query_id string, like_text string, k int",
+    )
+    got = ex.more_like_this_topk(spark, d, q).toPandas()
+    m1 = got[got.query_id == "m1"].reset_index(drop=True)
+    assert len(m1) > 0
+    assert int(m1.doc_id.iloc[0]) == int(src.doc_id)
+    # all-unindexed like-text yields no rows for that query
+    assert len(got[got.query_id == "m2"]) == 0
+    # determinism: a second run is identical
+    again = ex.more_like_this_topk(spark, d, q).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
