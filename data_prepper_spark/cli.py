@@ -98,6 +98,19 @@ def cmd_query(args) -> int:
                               "doc_id": r["doc_id"],
                               "score": round(r["score"], 6)}))
         return 0
+    if args.like:
+        from data_prepper_spark.query import expand as ex
+
+        qdf = spark.createDataFrame(
+            [("q0", args.like, args.k)],
+            "query_id string, like_text string, k int",
+        )
+        res = ex.more_like_this_topk(spark, args.index, qdf)
+        for r in res.orderBy("query_id", "rank").collect():
+            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+                              "doc_id": r["doc_id"],
+                              "score": round(r["score"], 6)}))
+        return 0
     rows = []
     if args.queries_json:
         for q in json.load(open(args.queries_json)):
@@ -391,6 +404,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--should", help="bool query: OR terms")
     q.add_argument("--must-not", help="bool query: excluded terms")
     q.add_argument("--minimum-should-match", type=int, default=0)
+    q.add_argument("--like", default=None,
+                   help="more_like_this: find docs similar to this text "
+                        "(tf-idf term selection + bool should, msm 30%%)")
     q.add_argument("--must-group", action="append", default=[],
                    help="conjunctive OR-group: terms in one flag are "
                         "OR'd, repeated flags AND'd — '(a OR b) AND "
