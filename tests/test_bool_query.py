@@ -189,3 +189,39 @@ def test_bool_groups_column_absent_is_noop(spark, corpus_and_index):
     got = _run_bool(spark, d, "q", ["error"], ["timeout"], [], 0, 10)
     want = _brute_bool(pdf, ["error"], ["timeout"], [], 0, 10)
     assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_bool_or_groups_randomized_batch(spark, corpus_and_index):
+    """12 seeded-random OR-group queries (1-3 groups x 1-3 terms from
+    the corpus vocabulary, random must/must_not) in ONE bool_topk call,
+    each checked against brute force — randomized coverage without a
+    Spark job per example."""
+    import random
+
+    pdf, d = corpus_and_index
+    rng = random.Random(42)
+    vocab = sorted({t for txt in pdf.text[:200] for t in tokenize(txt)})
+    vocab = [t for t in vocab if len(t) > 3][:400]
+    cases = []
+    for i in range(12):
+        groups = [
+            sorted(rng.sample(vocab, rng.randint(1, 3)))
+            for _ in range(rng.randint(1, 3))
+        ]
+        must = sorted(rng.sample(vocab, rng.randint(0, 1)))
+        must_not = sorted(rng.sample(vocab, rng.randint(0, 1)))
+        cases.append((f"r{i}", groups, must, must_not))
+    qdf = spark.createDataFrame(
+        [(qid, " ".join(m), "", " ".join(n), 0, 10,
+          " | ".join(" ".join(g) for g in gs))
+         for qid, gs, m, n in cases],
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match int, k int, must_groups string",
+    )
+    out = engine.bool_topk(spark, d, qdf).toPandas()
+    for qid, gs, m, n in cases:
+        sub = out[out.query_id == qid].sort_values("rank")
+        want = _brute_groups(pdf, gs, m, n, 10)
+        assert list(sub.doc_id.astype(int)) == [w[0] for w in want], qid
+        assert np.allclose(list(sub.score), [w[1] for w in want],
+                           atol=1e-9), qid
