@@ -326,6 +326,18 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_check_index(args) -> int:
+    """Lucene CheckIndex analog: one distributed scan verifying stream
+    decode, block ordering/metadata, postings-vs-dictionary df, and
+    doc counts vs stats.json."""
+    from data_prepper_spark.index.check import check_index
+
+    spark = _get_spark(args)
+    report = check_index(spark, args.index)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def cmd_facet(args) -> int:
     """Aggregations over a query's match set (the OpenSearch `aggs`
     surface next to search): terms (top values per field),
@@ -482,6 +494,13 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--mode", default="overwrite")
     ex.add_argument("--local-cores", type=int, default=None)
     ex.set_defaults(fn=cmd_export)
+
+    ci = sub.add_parser(
+        "check-index", help="verify index integrity (Lucene CheckIndex "
+        "analog): decode, ordering, df and doc-count consistency")
+    ci.add_argument("--index", required=True)
+    ci.add_argument("--local-cores", type=int, default=None)
+    ci.set_defaults(fn=cmd_check_index)
 
     fc = sub.add_parser(
         "facet", help="aggregations over a query's match set "
