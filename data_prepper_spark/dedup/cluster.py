@@ -1,0 +1,168 @@
+"""Connected components over candidate-pair graphs → dedup clusters.
+
+MinHash-LSH (`dedup.minhash_lsh_pairs`) emits candidate PAIRS; a
+training-data dedup pipeline needs CLUSTERS — one representative kept
+per near-duplicate group, the rest dropped. Pairs → clusters is
+connected components on the pair graph.
+
+At 10^12 documents the graph fits nowhere, so this is the alternating
+large-star / small-star algorithm of Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii, "Connected Components in MapReduce and Beyond"
+(ACM SoCC 2014): each round is two shuffles (a groupBy-min plus a
+join back to the edge list), it converges in O(log² n) rounds on any
+graph (typically 3–5 on dedup graphs, whose components are shallow),
+and — unlike naive min-label propagation — it needs no per-node
+neighbor-list materialization beyond Spark's map-side partial min, so
+a hot node (one doc near-duplicated a million times) is handled by the
+combiner, not a single reducer.
+
+Reference parity: the reference has no graph operator — this extends
+its dedup role (aggregate remove_duplicates,
+data-prepper-plugins/aggregate-processor/.../RemoveDuplicatesAggregateAction.java)
+to the near-dup regime the way web-scale corpus pipelines (C4, RefinedWeb,
+Dolma — see PAPERS.md) do: LSH pairs → connected components → keep min id.
+
+Scale notes (100 TB):
+- every iteration ends in localCheckpoint(eager) — lineage is cut, so
+  round k's plan does not replay rounds 1..k-1 (the classic iterative-
+  Spark blowup);
+- edges are canonicalized (hi, lo) distinct — the working set only
+  shrinks as stars collapse;
+- convergence is an exact set comparison (exceptAll both ways is
+  overkill: equal counts + empty one-sided except on distinct sets is
+  exact), not a probabilistic checksum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters", "cc_pure"]
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected form: (hi, lo), hi > lo, distinct."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to m(u) = min(N(u) ∪ {u}).
+
+    Input/output are directed (src, dst) pairs; input must contain each
+    undirected edge in both directions (we symmetrize here)."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("src", "mn").alias("m"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's smaller-neighborhood, connect everything to
+    the minimum. Input directed (src > dst after canon)."""
+    d = _canon(edges)
+    mins = d.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        d.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Labels for the pair graph: (node, label) with label = min node id
+    of the component. Nodes that appear in no pair are absent (callers
+    coalesce to the node's own id). Raises if not converged within
+    max_iter rounds (log²(10^12) ≈ 16 — 50 means a bug, not a big graph).
+    """
+    edges = _canon(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # exact set equality on two distinct sets: equal counts + empty
+        # one-sided difference
+        same = (
+            new.count() == edges.count()
+            and new.exceptAll(edges).limit(1).count() == 0
+        )
+        old = edges
+        edges = new
+        old.unpersist()
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds"
+        )
+
+    # converged: edges are (node, root) stars, root = component min
+    labels = edges.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+    roots = labels.select(F.col("label").alias("node"), F.col("label"))
+    return labels.union(roots).distinct()
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-corpus cluster assignment: (doc_id, cluster_id, cluster_size,
+    is_representative). Singletons are their own cluster of size 1; the
+    representative (the doc a dedup pass KEEPS) is the min doc_id.
+
+    The labels side is bounded by the number of near-dup docs (≪ corpus),
+    so the join broadcasts when small; cluster_size is a groupBy on the
+    already-small label set joined back — never a window over the corpus.
+    """
+    labels = connected_components(pairs, "id_a", "id_b")
+    lab = labels.withColumnRenamed("node", id_col)
+    out = (
+        docs.select(id_col)
+        .join(lab, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
+def cc_pure(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find oracle for tests: node -> min-id component label."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}

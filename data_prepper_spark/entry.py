@@ -785,6 +785,31 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters in ONE slot: MinHash-LSH candidate pairs
+    resolved into connected components (large-star/small-star),
+    full-corpus assignment with the kept representative marked, PLUS
+    each doc's LSH degree (n_pairs) so the pair set itself stays
+    oracle-pinned — degree per node + component labels determine the
+    pair graph up to within-component edges. The cluster step every
+    web-scale dedup pipeline (C4/RefinedWeb/Dolma) runs after LSH."""
+    from data_prepper_spark.dedup import cluster as cl
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id", n=3, num_hashes=8, band_size=2)
+    clusters = cl.dedup_clusters(docs, pairs, "doc_id")
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return clusters.join(deg, "doc_id", "left").select(
+        "doc_id", "cluster_id", "cluster_size", "is_representative",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(
         _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.05,
@@ -1449,7 +1474,33 @@ ORACLE: dict[str, str | None] = {
     "dedup_signatures": f"""
         WITH mh AS ({_minhash_sig_sql(8)}), sims AS ({_simhash_sql(16)})
         SELECT mh.*, sims.simhash FROM mh JOIN sims USING (doc_id)""",
-    "minhash_lsh_pairs": _minhash_pairs_sql(8, 2),
+    # pairs -> connected components via recursive min-label reachability:
+    # walk(node, label) holds "label reaches node"; min(label) per node is
+    # the component minimum — exact on the sf-scale graph (components are
+    # near-dup clusters, so the reachability set stays tiny)
+    "dedup_clusters": f"""
+        WITH RECURSIVE prs AS ({_minhash_pairs_sql(8, 2)}),
+        edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+        walk(node, label) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+        lab AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+        deg AS (SELECT a AS doc_id, count(*)::BIGINT AS n_pairs
+                FROM edges GROUP BY a),
+        assigned AS (
+          SELECT d.doc_id::BIGINT AS doc_id,
+                 coalesce(l.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+                 coalesce(g.n_pairs, 0)::BIGINT AS n_pairs
+          FROM documents d
+          LEFT JOIN lab l ON l.node = d.doc_id
+          LEFT JOIN deg g ON g.doc_id = d.doc_id)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+               (doc_id = cluster_id) AS is_representative,
+               n_pairs
+        FROM assigned""",
     "ngram_jaccard": _jaccard_sql(3, 0.05),
     "embedding_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1825,7 +1876,7 @@ QUERIES = {
     "samplers": q_samplers,
     "dedup_exact": q_dedup_exact,
     "dedup_signatures": q_dedup_signatures,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "text_analysis": q_text_analysis,
     "embedding_topk": q_embedding_topk,

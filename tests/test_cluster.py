@@ -1,0 +1,68 @@
+"""Connected components (dedup clustering) vs a pure union-find oracle.
+
+Covers the shapes that break naive label propagation: long chains
+(diameter >> log n), star hubs (skew), multiple components, singletons,
+and an empty pair set.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.dedup.cluster import cc_pure, connected_components, dedup_clusters
+
+
+def _run(spark, pairs):
+    df = spark.createDataFrame(pairs or [(0, 0)], "id_a long, id_b long")
+    if not pairs:
+        df = df.limit(0)
+    out = connected_components(df)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_empty(spark):
+    assert _run(spark, []) == {}
+
+
+def test_chain(spark):
+    # path graph 0-1-2-...-40: worst case for diameter-bound algorithms
+    pairs = [(i, i + 1) for i in range(40)]
+    got = _run(spark, pairs)
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_star_hub_and_components(spark):
+    # hot hub (skew shape) + separate triangle + isolated pair
+    pairs = [(100, i) for i in range(20)] + [(200, 201), (201, 202), (200, 202), (300, 301)]
+    got = _run(spark, pairs)
+    assert got[100] == 0 and all(got[i] == 0 for i in range(20))
+    assert got[200] == got[201] == got[202] == 200
+    assert got[300] == got[301] == 300
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_graph_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(90))
+                    if a != b})
+    assert _run(spark, pairs) == cc_pure(pairs)
+
+
+def test_dedup_clusters_assignment(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    out = dedup_clusters(docs, pairs, "doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 10
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"] == 1
+    assert rows[1]["cluster_size"] == 3
+    assert rows[7]["cluster_id"] == 7 and rows[8]["cluster_id"] == 7
+    # singleton: own cluster, size 1, representative
+    assert rows[0]["cluster_id"] == 0 and rows[0]["cluster_size"] == 1
+    reps = [d for d, r in rows.items() if r["is_representative"]]
+    assert sorted(reps) == [0, 1, 4, 5, 6, 7, 9]
