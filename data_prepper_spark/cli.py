@@ -326,6 +326,43 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Corpus near-dup clustering end-to-end: MinHash-LSH candidate
+    pairs -> connected components (large-star/small-star) -> full
+    cluster assignment written distributed. --drop-dups writes only the
+    kept representatives (the dedup pass every training-data pipeline
+    runs); default writes the assignment table (doc_id, cluster_id,
+    cluster_size, is_representative) for auditing before dropping."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.dedup import cluster as cl
+    from data_prepper_spark.dedup import dedup as dd
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.docs)
+    pairs = dd.minhash_lsh_pairs(
+        docs, args.text_col, args.id_col,
+        n=args.shingle, num_hashes=args.num_hashes, band_size=args.band_size,
+    )
+    out = cl.dedup_clusters(docs, pairs, args.id_col)
+    if args.drop_dups:
+        keep = out.filter(F.col("is_representative")).select(args.id_col)
+        docs.join(keep, args.id_col).write.mode(args.mode).parquet(args.out)
+    else:
+        out.write.mode(args.mode).parquet(args.out)
+    res = spark.read.parquet(args.out)
+    n = res.count()
+    summary = {"rows": n, "out": args.out, "dropped_dups": bool(args.drop_dups)}
+    if not args.drop_dups:
+        agg = res.agg(
+            F.countDistinct("cluster_id").alias("clusters"),
+            F.sum((~F.col("is_representative")).cast("long")).alias("dups"),
+        ).first()
+        summary.update(clusters=int(agg["clusters"]), duplicate_docs=int(agg["dups"]))
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_check_index(args) -> int:
     """Lucene CheckIndex analog: one distributed scan verifying stream
     decode, block ordering/metadata, postings-vs-dictionary df, and
@@ -501,6 +538,24 @@ def main(argv: list[str] | None = None) -> int:
     ci.add_argument("--index", required=True)
     ci.add_argument("--local-cores", type=int, default=None)
     ci.set_defaults(fn=cmd_check_index)
+
+    dp = sub.add_parser(
+        "dedup", help="near-dup clustering: MinHash-LSH pairs -> connected "
+        "components -> cluster assignment (or --drop-dups to keep only "
+        "representatives)")
+    dp.add_argument("--docs", required=True, help="input parquet of documents")
+    dp.add_argument("--out", required=True, help="output parquet path")
+    dp.add_argument("--id-col", default="doc_id")
+    dp.add_argument("--text-col", default="text")
+    dp.add_argument("--shingle", type=int, default=3)
+    dp.add_argument("--num-hashes", type=int, default=16)
+    dp.add_argument("--band-size", type=int, default=4)
+    dp.add_argument("--drop-dups", action="store_true",
+                    help="write the deduplicated corpus instead of the "
+                    "assignment table")
+    dp.add_argument("--mode", default="error", help="parquet write mode")
+    dp.add_argument("--local-cores", type=int, default=None)
+    dp.set_defaults(fn=cmd_dedup)
 
     fc = sub.add_parser(
         "facet", help="aggregations over a query's match set "

@@ -53,6 +53,32 @@ def test_random_graph_matches_union_find(spark, seed):
     assert _run(spark, pairs) == cc_pure(pairs)
 
 
+def test_dedup_cli(spark, tmp_path):
+    """dedup CLI: assignment table + --drop-dups keep exactly the
+    representatives (one per cluster, including singletons)."""
+    from data_prepper_spark import cli
+
+    docs_path = str(tmp_path / "docs")
+    rows = [(i, f"totally unique document number {i} about topic {i}") for i in range(6)]
+    # two exact near-dups of doc 0
+    rows += [(10, rows[0][1]), (11, rows[0][1] + " extra")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs_path)
+
+    out1 = str(tmp_path / "assign")
+    assert cli.main(["dedup", "--docs", docs_path, "--out", out1,
+                     "--num-hashes", "8", "--band-size", "2"]) == 0
+    assign = {r["doc_id"]: r for r in spark.read.parquet(out1).collect()}
+    assert len(assign) == 8
+    assert assign[10]["cluster_id"] == 0 and not assign[10]["is_representative"]
+
+    out2 = str(tmp_path / "kept")
+    assert cli.main(["dedup", "--docs", docs_path, "--out", out2,
+                     "--num-hashes", "8", "--band-size", "2", "--drop-dups"]) == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    reps = sorted(d for d, r in assign.items() if r["is_representative"])
+    assert kept == reps and 0 in kept and 10 not in kept
+
+
 def test_dedup_clusters_assignment(spark):
     docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
