@@ -178,6 +178,73 @@ def run_routed_stream(
     return writer.start()
 
 
+def streaming_index_sink(
+    index_dir: str,
+    n_shards: int = 8,
+    store_positions: bool = True,
+    tokenizer: str = "ascii",
+):
+    """Continuous indexing: a ``foreachBatch`` sink that appends each
+    micro-batch of transcripts to the inverted index as ONE new segment
+    (the reference's steady-state: opensearch sink bulk-indexing a
+    stream, OpenSearchSink.java:347-431 — here the index IS ours).
+
+        stream.writeStream.foreachBatch(streaming_index_sink(idx))
+              .option("checkpointLocation", ckpt).start()
+
+    Exactly-once without acks: segment ids are ``epoch_id + 1`` and the
+    index's committed stats.json records the newest snapshot, so a
+    REPLAYED batch (crash between index commit and checkpoint commit —
+    foreachBatch's native at-least-once window) sees its own segment
+    already committed and returns without writing: the same
+    idempotent-batchId pattern as idempotent_file_sink, with the
+    index's atomic manifest commit as the commit marker. Restarting
+    with a FRESH checkpoint against an existing index raises (epochs
+    would restart at 0 below the committed snapshot) instead of
+    silently interleaving stale segments.
+
+    Scale notes: each micro-batch runs the normal distributed SPIMI
+    build (one shuffle, vectorized kernel) producing one segment;
+    query-side block-max pruning keeps latency flat as segments
+    accumulate, and ``compact_index`` (CLI ``compact``) is the
+    background-merge analog that folds them back down."""
+    import json
+    import os
+
+    from data_prepper_spark.index import build as ib
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        snap = int(epoch_id) + 1
+        stats_path = os.path.join(index_dir, "stats.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                cur = int(json.load(f).get("snapshot_id", 0))
+            if cur >= snap:
+                if cur > snap:
+                    raise RuntimeError(
+                        f"streaming_index_sink: index at snapshot {cur} is "
+                        f"ahead of stream epoch {epoch_id} — the checkpoint "
+                        "was deleted or belongs to another stream; refuse "
+                        "to interleave stale segments"
+                    )
+                return  # replayed batch: segment already committed
+            ib.build_index(
+                batch.sparkSession, batch, index_dir, n_shards=n_shards,
+                incremental=True, snapshot_id=snap,
+                store_positions=store_positions, tokenizer=tokenizer,
+            )
+        else:
+            ib.build_index(
+                batch.sparkSession, batch, index_dir, n_shards=n_shards,
+                snapshot_id=snap, store_positions=store_positions,
+                tokenizer=tokenizer,
+            )
+
+    return sink
+
+
 def idempotent_file_sink(path: str, fmt: str = "parquet", **options):
     """Exactly-once file sink for foreachBatch: every micro-batch lands
     in its own ``batch_id=<epoch>`` subdirectory with mode=overwrite, so

@@ -1,0 +1,99 @@
+"""Continuous indexing: streaming foreachBatch sink appends one segment
+per micro-batch; replayed batches are no-ops (exactly-once); a stale /
+foreign checkpoint is refused; queries see all segments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+from data_prepper_spark.streaming.stream import streaming_index_sink
+
+TSCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _write_batch(d: str, name: str, pdf: pd.DataFrame) -> None:
+    rows = pdf.to_dict("records")
+    with open(os.path.join(d, name), "w") as f:
+        f.write("\n".join(json.dumps({**r, "ts": str(r["ts"])}) for r in rows))
+
+
+def _run_available(spark, src: str, ckpt: str, sink) -> None:
+    q = (
+        spark.readStream.schema(TSCHEMA).json(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+@pytest.fixture()
+def dirs():
+    made = [tempfile.mkdtemp(prefix=f"dps_stridx_{n}_") for n in ("src", "ckpt", "idx")]
+    # index dir must not pre-exist for the initial build path
+    shutil.rmtree(made[2], ignore_errors=True)
+    yield made
+    for d in made:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_index_end_to_end(spark, dirs):
+    src, ckpt, idx = dirs
+    b1 = generate_pandas(0, 120)
+    b2 = generate_pandas(120, 180)
+    sink = streaming_index_sink(idx, n_shards=4)
+
+    _write_batch(src, "b1.json", b1)
+    _run_available(spark, src, ckpt, sink)
+    s1 = engine.load_stats(idx)
+    assert s1["n_docs"] == len(b1) and s1["snapshot_id"] >= 1
+
+    _write_batch(src, "b2.json", b2)
+    _run_available(spark, src, ckpt, sink)
+    s2 = engine.load_stats(idx)
+    assert s2["n_docs"] == len(b1) + len(b2)
+    assert s2["snapshot_id"] > s1["snapshot_id"]
+
+    # rank identity vs the oracle over BOTH batches
+    full = pd.concat([b1, b2], ignore_index=True)
+    doc_ids = full.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + full.turn_idx
+    oidx = oracle.build_index(list(zip(doc_ids, full.text)))
+    qpdf = pd.DataFrame(generate_queries(20))
+    orc = pd.DataFrame(oracle.score_queries(oidx, list(qpdf.itertuples(index=False, name=None))))
+    got = (
+        engine.score_topk(spark, idx, spark.createDataFrame(qpdf))
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    orc = orc.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got.doc_id) == list(orc.doc_id)
+
+    # replayed batch is a no-op: call the sink again with the LAST epoch
+    last_epoch = s2["snapshot_id"] - 1
+    segs_before = sorted(os.listdir(idx))
+    sink(spark.createDataFrame(b2), last_epoch)
+    assert engine.load_stats(idx)["n_docs"] == s2["n_docs"]
+    assert sorted(os.listdir(idx)) == segs_before
+
+    # a FRESH checkpoint (epochs restart at 0) against the committed
+    # index must refuse, not interleave stale segments
+    with pytest.raises(Exception, match="ahead of stream epoch"):
+        sink(spark.createDataFrame(b1), 0)
+
+    # empty batch: no new segment
+    sink(spark.createDataFrame([], TSCHEMA), 99)
+    assert engine.load_stats(idx)["snapshot_id"] == s2["snapshot_id"]
