@@ -307,8 +307,11 @@ def run_pipeline_streaming(
     micro-batch overwrites its own ``batch_id=<epoch>`` subdirectory,
     so a replay after failure rewrites that batch instead of appending
     duplicates (read back with plain spark.read — batch_id surfaces as
-    a partition column). Non-file sinks (stdout/noop/index/dlq) stay
-    at-least-once, the reference's own contract (end-to-end acks,
+    a partition column). The ``index`` sink is ALSO exactly-once:
+    each micro-batch commits one segment and the index's atomic
+    manifest commit doubles as the batch marker (replay = no-op).
+    Remaining sinks (stdout/noop/dlq) stay at-least-once, the
+    reference's own contract (end-to-end acks,
     docs/end_to_end_acknowledgements.md). Returns the StreamingQuery;
     with trigger_available_now the caller can `.awaitTermination()` to
     drain current input."""
@@ -354,6 +357,19 @@ def run_pipeline_streaming(
                 o["path"] = os.path.join(o["path"], f"batch_id={epoch_id}")
                 o["mode"] = "overwrite"
                 _write_sink(skind, o, batch_df)
+        elif skind == "index":
+            # continuous indexing: one SPIMI segment per micro-batch,
+            # exactly-once via the index's atomic manifest commit as
+            # the batch marker (streaming/stream.py::streaming_index_sink
+            # — replay is a no-op, a stale/foreign checkpoint raises)
+            from data_prepper_spark.streaming.stream import streaming_index_sink
+
+            write = streaming_index_sink(
+                sopts["path"],
+                n_shards=int(sopts.get("shards", 8)),
+                store_positions=bool(sopts.get("positions", True)),
+                tokenizer=sopts.get("tokenizer", "ascii"),
+            )
         else:
             def write(batch_df: DataFrame, epoch_id: int):  # noqa: ARG001
                 o = dict(sopts)

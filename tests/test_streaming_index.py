@@ -50,6 +50,47 @@ def dirs():
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_yaml_streaming_pipeline_index_sink(spark, tmp_path):
+    """The reference's canonical shape — source -> processors ->
+    opensearch sink — as a STREAMING YAML pipeline whose sink is the
+    from-scratch index: drains twice, each drain appends a segment,
+    the index stays queryable and complete."""
+    from data_prepper_spark.pipeline import load_yaml, run_pipeline_streaming
+
+    src = tmp_path / "in"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    yml = f"""
+p:
+  source:
+    stream-json:
+      path: "{src}"
+      schema: "{TSCHEMA}"
+  processor:
+    - drop_events:
+        drop_when: "/role == \\"system\\""
+  sink:
+    - index:
+        path: "{idx}"
+        shards: 4
+"""
+    cfg = load_yaml(yml)["p"]
+    b1, b2 = generate_pandas(0, 60), generate_pandas(60, 90)
+    _write_batch(str(src), "b1.json", b1)
+    q = run_pipeline_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    n1 = engine.load_stats(idx)["n_docs"]
+    assert n1 == int((b1.role != "system").sum())
+
+    _write_batch(str(src), "b2.json", b2)
+    q = run_pipeline_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert engine.load_stats(idx)["n_docs"] == n1 + int((b2.role != "system").sum())
+
+    qdf = spark.createDataFrame(pd.DataFrame(generate_queries(5)))
+    assert engine.score_topk(spark, idx, qdf).count() > 0
+
+
 def test_streaming_index_end_to_end(spark, dirs):
     src, ckpt, idx = dirs
     b1 = generate_pandas(0, 120)
