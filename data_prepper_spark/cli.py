@@ -136,7 +136,8 @@ def cmd_query(args) -> int:
     elif args.phrase:
         res = engine.phrase_topk(spark, args.index, qdf)
     else:
-        res = engine.score_topk(spark, args.index, qdf, algo=args.algo)
+        res = engine.score_topk(spark, args.index, qdf, algo=args.algo,
+                                collapse=args.collapse)
     if args.fetch:
         # the _search stored-fields role: join the (tiny, driver-known)
         # top-k doc_id set back to the corpus — the In-filter pushes to
@@ -162,8 +163,11 @@ def cmd_query(args) -> int:
         print("0 hits (no query term matched the index dictionary)",
               file=sys.stderr)
     for r in rows_out:
-        print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
-                          "doc_id": r["doc_id"], "score": round(r["score"], 6)}))
+        d = {"query_id": r["query_id"], "rank": r["rank"],
+             "doc_id": r["doc_id"], "score": round(r["score"], 6)}
+        if args.collapse:
+            d["conv"] = r["conv"]
+        print(json.dumps(d))
     return 0
 
 
@@ -449,6 +453,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--algo", default="bmx", choices=["bmx", "wand", "exhaustive"])
     q.add_argument("--phrase", action="store_true",
                    help="match_phrase: consecutive tokens in order")
+    q.add_argument("--collapse", action="store_true",
+                   help="one best hit per conversation (OpenSearch "
+                        "collapse on conv); top-k conversations")
     q.add_argument("--must", help="bool query: AND terms")
     q.add_argument("--should", help="bool query: OR terms")
     q.add_argument("--must-not", help="bool query: excluded terms")

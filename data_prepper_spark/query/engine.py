@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from data_prepper_spark.index import layout, tombstones
 from data_prepper_spark.query import wand as wand_mod
-from data_prepper_spark.query.bm25_df import tokens_col
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE, tokens_col
 
 _KERNEL_OUT = "query_id string, doc_id long, score double"
 
@@ -96,7 +96,7 @@ def load_stats(index_dir: str) -> dict:
 
 def _shard_kernel(
     avgdl: float, n_docs: int, algo: str, ub_scale: float = 1.0,
-    cache_ns: str = "", tomb=None,
+    cache_ns: str = "", tomb=None, collapse_stride: int | None = None,
 ):
     """One call per SHARD: block rows arrive ONCE per term (each row
     carries the list of (query_id, k) needing that term — no per-query
@@ -153,7 +153,13 @@ def _shard_kernel(
                 for t in terms
                 for (_, seg) in term_segs[t]
             ]
-            if algo == "wand":
+            if collapse_stride:
+                # collapse scores every candidate (exhaustive path);
+                # block-max pruning can't apply — the kth GROUP score
+                # is not a valid doc-level threshold
+                topk = wand_mod.collapse_exhaustive_topk(
+                    cursors, k, collapse_stride, after)
+            elif algo == "wand":
                 topk = wand_mod.wand_topk(cursors, k, after)
             elif algo == "bmx":
                 topk = wand_mod.blockmax_topk(cursors, k, after)
@@ -172,6 +178,8 @@ def score_topk(
     index_dir: str,
     queries: DataFrame,
     algo: str = "bmx",
+    collapse: bool = False,
+    collapse_stride: int | None = None,
 ) -> DataFrame:
     """queries(query_id, query_text, k[, after_score, after_doc]) ->
     (query_id, rank, doc_id, score).
@@ -182,8 +190,17 @@ def score_topk(
     (after_score double, after_doc long) restrict results to docs
     strictly AFTER the cursor in (score desc, doc_id asc) order; page
     N+1 costs one scatter-gather like page 1, and rank restarts at 1
-    per page. Cursor = the last row of the previous page."""
+    per page. Cursor = the last row of the previous page.
+
+    collapse=True (OpenSearch `collapse: {field: conv_id}` — one best
+    hit per conversation): each shard returns its collapsed top-k
+    GROUPS (exhaustive scoring — a kth-group score is not a valid
+    doc-level WAND threshold), merged exactly across shards (group
+    best = max over per-shard bests). Output gains a `conv` column;
+    rank orders groups. doc_id // stride is the group key under BOTH
+    id schemes (arith and convmap)."""
     stats = load_stats(index_dir)
+    _stride = int(collapse_stride or DOC_ID_STRIDE)
     mode = stats.get("tokenizer", "ascii")
     cursor_cols = (
         [F.col("after_score").cast("double"), F.col("after_doc").cast("long")]
@@ -220,7 +237,10 @@ def score_topk(
         # the existence check only applies to local paths — remote
         # (s3://, hdfs://) indexes always attempt the read
         return spark.createDataFrame(
-            [], "query_id string, rank long, doc_id long, score double"
+            [],
+            "query_id string, rank long, "
+            + ("conv long, " if collapse else "")
+            + "doc_id long, score double",
         )
     dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
     dict_slice = dictionary.filter(F.col("term").isin(terms))
@@ -250,10 +270,41 @@ def score_topk(
             cache_ns=(os.path.abspath(index_dir), stats["n_docs"],
                       round(stats["avgdl"], 9), tombstones.fingerprint(tomb)),
             tomb=tomb,
+            collapse_stride=_stride if collapse else None,
         ),
         schema=_KERNEL_OUT,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    if collapse:
+        # cross-shard merge of per-shard collapsed top-k: a group's
+        # global best is the max over shards of its per-shard best
+        # ((score desc, doc asc) via struct max on (score, -doc_id)),
+        # then top-k GROUPS per query. The merge input is bounded by
+        # k * n_shards rows per query.
+        best = (
+            per_shard.withColumn("conv", F.expr(f"doc_id div {_stride}"))
+            .groupBy("query_id", "conv")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score"),
+                        (-F.col("doc_id")).alias("neg_doc"),
+                        F.col("doc_id"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "query_id", "conv",
+                F.col("b.doc_id").alias("doc_id"),
+                F.col("b.score").alias("score"),
+            )
+        )
+        return (
+            best.join(F.broadcast(queries.select("query_id", "k")), "query_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "conv", "doc_id", "score")
+        )
     return (
         per_shard.join(F.broadcast(queries.select("query_id", "k")), "query_id")
         .withColumn("rank", F.row_number().over(w))

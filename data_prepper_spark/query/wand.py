@@ -426,12 +426,10 @@ def blockmax_topk(
     return [(int(uniq[i]), float(scores[i])) for i in sel]
 
 
-def exhaustive_topk(
-    cursors: list[TermCursor], k: int, after: tuple[float, int] | None = None,
-) -> list[tuple[int, float]]:
-    """Vectorized exact scoring of every posting (the fast path in this
-    Python sandbox; WAND wins when posting lists dwarf the candidate set
-    and the kernel is native). Sorted-term accumulation order."""
+def _exhaustive_scores(cursors: list[TermCursor]):
+    """Exact BM25 score of every matching doc: (doc_ids, scores) numpy
+    pair, sorted-term accumulation order (float identity contract).
+    Shared by exhaustive_topk and collapse_exhaustive_topk."""
     cursors = sorted(cursors, key=lambda c: c.term)
     doc_arrs, con_arrs = [], []
     for c in cursors:
@@ -458,12 +456,24 @@ def exhaustive_topk(
         doc_arrs.append(docs)
         con_arrs.append(contribs)
     if not doc_arrs:
-        return []
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     docs_all = np.concatenate(doc_arrs)
     contribs = np.concatenate(con_arrs)
     uniq, inv = np.unique(docs_all, return_inverse=True)
     scores = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(scores, inv, contribs)  # in-order accumulation (term-sorted)
+    return uniq, scores
+
+
+def exhaustive_topk(
+    cursors: list[TermCursor], k: int, after: tuple[float, int] | None = None,
+) -> list[tuple[int, float]]:
+    """Vectorized exact scoring of every posting (the fast path in this
+    Python sandbox; WAND wins when posting lists dwarf the candidate set
+    and the kernel is native). Sorted-term accumulation order."""
+    uniq, scores = _exhaustive_scores(cursors)
+    if len(uniq) == 0:
+        return []
     if after is not None:
         keep_m = _cursor_mask(uniq, scores, after)
         uniq, scores = uniq[keep_m], scores[keep_m]
@@ -478,3 +488,38 @@ def exhaustive_topk(
         cand = cand[np.lexsort((uniq[cand], -scores[cand]))]
         order = cand[:k]
     return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
+def collapse_exhaustive_topk(
+    cursors: list[TermCursor],
+    k: int,
+    stride: int,
+    after: tuple[float, int] | None = None,
+) -> list[tuple[int, float]]:
+    """Field collapsing (OpenSearch `collapse`, the one-hit-per-group
+    query every reference consumer uses for "best turn per
+    conversation"): exact scores for every matching doc, then keep ONE
+    representative per group (group = doc_id // stride — the conv
+    serial under both id schemes) — the (score desc, doc_id asc) best —
+    and return the top-k groups.
+
+    Emitting a shard's top-k GROUPS (not docs) keeps the cross-shard
+    merge exact: a group's global best is the max of its per-shard
+    bests, and if a group's shard-best is beaten by k other groups in
+    that shard, those k groups beat it globally too."""
+    uniq, scores = _exhaustive_scores(cursors)
+    if len(uniq) == 0:
+        return []
+    if after is not None:
+        keep_m = _cursor_mask(uniq, scores, after)
+        uniq, scores = uniq[keep_m], scores[keep_m]
+        if len(uniq) == 0:
+            return []
+    order = np.lexsort((uniq, -scores))  # rank order: score desc, doc asc
+    du, su = uniq[order], scores[order]
+    groups = du // stride
+    # first occurrence of each group in rank order == its best doc
+    _, first_idx = np.unique(groups, return_index=True)
+    first_idx.sort()  # back to rank order across groups
+    sel = first_idx[:k]
+    return [(int(du[i]), float(su[i])) for i in sel]

@@ -1,0 +1,83 @@
+"""Field collapsing (OpenSearch `collapse`): one best hit per
+conversation, top-k conversations — rank-identical to a brute-force
+collapse of the pure-Python oracle's full score list.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("collapse_idx"))
+    pdf = generate_pandas(0, 300)
+    ib.build_index(spark, spark.createDataFrame(pdf), d, n_shards=6)
+    return d, pdf
+
+
+def _oracle_collapsed(pdf: pd.DataFrame, queries: list[tuple[str, str, int]]):
+    doc_ids = pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    oidx = oracle.build_index(list(zip(doc_ids, pdf.text)))
+    rows = []
+    for qid, qtext, k in queries:
+        # full score list (k = corpus size), collapse in pandas
+        full = pd.DataFrame(oracle.score_queries(oidx, [(qid, qtext, len(pdf))]))
+        if full.empty:
+            continue
+        full["conv"] = full.doc_id // DOC_ID_STRIDE
+        full = full.sort_values(["rank"])  # score desc, doc asc already
+        best = full.drop_duplicates("conv", keep="first").head(k)
+        for r, (_, row) in enumerate(best.iterrows(), 1):
+            rows.append({"query_id": qid, "rank": r, "conv": int(row.conv),
+                         "doc_id": int(row.doc_id), "score": row.score})
+    return pd.DataFrame(rows)
+
+
+def test_collapse_rank_identity(spark, corpus):
+    d, pdf = corpus
+    qpdf = pd.DataFrame(generate_queries(25))
+    got = (
+        engine.score_topk(spark, d, spark.createDataFrame(qpdf), collapse=True)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle_collapsed(pdf, list(qpdf.itertuples(index=False, name=None)))
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.conv) == list(want.conv)
+    assert (got.score - want.score).abs().max() < 1e-9
+    # one hit per conversation per query
+    assert not got.duplicated(["query_id", "conv"]).any()
+
+
+def test_collapse_vs_uncollapsed(spark, corpus):
+    """Collapsed results are a subset of the full ranking's per-conv
+    bests, and scores never exceed the uncollapsed top score."""
+    d, pdf = corpus
+    q = spark.createDataFrame([("q0", "error handling timeout", 5)],
+                              "query_id string, query_text string, k int")
+    col = engine.score_topk(spark, d, q, collapse=True).toPandas()
+    flat = engine.score_topk(spark, d, q.withColumn("k", q.k * 0 + 100)).toPandas()
+    assert len(col) <= 5
+    assert col.score.iloc[0] == flat.score.iloc[0]  # best doc survives collapse
+    assert col.doc_id.iloc[0] == flat.doc_id.iloc[0]
+
+
+def test_collapse_empty_terms(spark, corpus):
+    d, _ = corpus
+    q = spark.createDataFrame([("q0", "zzzzqqqq", 5)],
+                              "query_id string, query_text string, k int")
+    out = engine.score_topk(spark, d, q, collapse=True)
+    assert out.count() == 0 and "conv" in out.columns
