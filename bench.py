@@ -194,6 +194,10 @@ def run_suite(
         timed("query_filtered", lambda: engine.filtered_topk(
             spark, idx_dir, hl_q, docs_df, "role = 'user'"
         ).count(), reps=2)
+        # collapse: one best hit per conversation (late-r4 surface;
+        # exhaustive scoring per shard + exact group merge)
+        timed("query_collapse", lambda: engine.score_topk(
+            spark, idx_dir, hl_q, collapse=True).count(), reps=2)
         docs_df.unpersist()
 
         # --- index size + unicode-mode deltas (extras only, not e2e):
@@ -238,6 +242,10 @@ def run_suite(
     timed("dedup_minhash", lambda: dd.minhash_lsh_pairs(
         E._docs(spark, sf_dir), "text", "doc_id", n=3, num_hashes=8, band_size=2
     ).count(), reps=2)
+    # pairs -> connected components -> full cluster assignment (late-r4;
+    # iterative, so single-shot — min-of-2 would be flattered by the
+    # worker-persistent JVM warmup only)
+    timed("dedup_clusters", lambda: E.q_dedup_clusters(spark, sf_dir).count())
     timed("ann_topk", lambda: E.q_embedding_topk(spark, sf_dir).count(), reps=2)
 
     spark.stop()
