@@ -367,6 +367,35 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    """Benchmark decontamination: write the corpus minus every doc
+    sharing >= 1 word n-gram with the benchmark set (GPT-3's 13-gram
+    recipe); --report writes the (doc_id, n_hits) audit table instead."""
+    from data_prepper_spark.dedup import decontaminate as dc
+
+    spark = _get_spark(args)
+    corpus = spark.read.parquet(args.docs)
+    bench = spark.read.parquet(args.benchmark)
+    if args.report:
+        out = dc.contaminated_ids(
+            corpus, bench, args.text_col, args.id_col, args.ngram,
+            bench_text_col=args.bench_text_col,
+        )
+    else:
+        out = dc.decontaminate(
+            corpus, bench, args.text_col, args.id_col, args.ngram,
+            bench_text_col=args.bench_text_col,
+        )
+    out.write.mode(args.mode).parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "rows": n, "out": args.out, "ngram": args.ngram,
+        "kind": "contamination_report" if args.report else "clean_corpus",
+        "dropped": None if args.report else corpus.count() - n,
+    }))
+    return 0
+
+
 def cmd_check_index(args) -> int:
     """Lucene CheckIndex analog: one distributed scan verifying stream
     decode, block ordering/metadata, postings-vs-dictionary df, and
@@ -563,6 +592,24 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--mode", default="error", help="parquet write mode")
     dp.add_argument("--local-cores", type=int, default=None)
     dp.set_defaults(fn=cmd_dedup)
+
+    dc = sub.add_parser(
+        "decontaminate", help="drop corpus docs sharing any word n-gram "
+        "with a benchmark set (GPT-3 13-gram recipe); --report audits "
+        "instead of dropping")
+    dc.add_argument("--docs", required=True, help="corpus parquet")
+    dc.add_argument("--benchmark", required=True, help="benchmark parquet")
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--bench-text-col", default=None,
+                    help="benchmark text column if different")
+    dc.add_argument("--ngram", type=int, default=13)
+    dc.add_argument("--report", action="store_true",
+                    help="write (doc_id, n_hits) instead of the clean corpus")
+    dc.add_argument("--mode", default="error")
+    dc.add_argument("--local-cores", type=int, default=None)
+    dc.set_defaults(fn=cmd_decontaminate)
 
     fc = sub.add_parser(
         "facet", help="aggregations over a query's match set "

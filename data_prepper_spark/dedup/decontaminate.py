@@ -1,0 +1,84 @@
+"""Benchmark decontamination: drop training docs that overlap an
+evaluation set by any n consecutive tokens.
+
+The standard LLM training-data hygiene pass (GPT-3 appendix C used
+13-gram overlap; The Pile, C4 and Dolma run variants): a training doc
+containing ANY word n-gram that also appears in a benchmark document is
+contaminated and must be dropped (or flagged for audit).
+
+Scale notes (100 TB corpus vs a few-MB benchmark suite):
+- both sides shingle to md5 digests — 16-byte digests shuffle, raw text
+  never does;
+- the benchmark digest set is tiny (thousands of docs) and explicitly
+  broadcast: the corpus-side probe is a map-side hash lookup, NO
+  shuffle of the corpus at all;
+- the contaminated id set (≪ corpus) drives a broadcast anti-join, so
+  the clean-corpus write is a single scan;
+- n defaults to 13 (the published GPT-3 setting); lower n = stricter.
+
+Reference parity: the reference has no decontamination operator — this
+extends its dedup role the way `dedup/cluster.py` does, per the corpus
+papers in PAPERS.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_prepper_spark.dedup.dedup import shingles
+
+__all__ = ["contaminated_ids", "decontaminate"]
+
+
+def _digests(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, digest) — distinct word-n-gram md5 digests per doc.
+
+    `shingles` emits one whole-doc shingle for docs SHORTER than n
+    tokens (right for MinHash, wrong here): a true n-gram has exactly
+    n tokens, so sub-n shingles are dropped — a 3-token doc can never
+    13-gram-match anything."""
+    sh = shingles(df, text_col, id_col, n)
+    return sh.filter(F.size(F.split("shingle", " ")) >= n).select(
+        F.col(id_col), F.md5("shingle").alias("digest")
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_hits): corpus docs sharing >=1 word n-gram with any
+    benchmark doc, with the count of distinct overlapping n-grams
+    (n_hits ranks audit priority)."""
+    bt = bench_text_col or text_col
+    bench = (
+        _digests(benchmark.select(F.lit(0).alias("_bid"), F.col(bt)), bt, "_bid", n)
+        .select("digest")
+        .distinct()
+    )
+    probe = _digests(corpus, text_col, id_col, n)
+    return (
+        probe.join(F.broadcast(bench), "digest")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """The clean corpus: every doc with zero n-gram overlap against the
+    benchmark set. Docs shorter than n tokens have no n-grams and are
+    never flagged (matching the published recipes)."""
+    bad = contaminated_ids(corpus, benchmark, text_col, id_col, n, bench_text_col)
+    return corpus.join(F.broadcast(bad.select(id_col)), id_col, "left_anti")

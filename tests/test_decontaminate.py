@@ -1,0 +1,85 @@
+"""Decontamination (n-gram benchmark-overlap removal) vs a DuckDB
+oracle and hand-built cases.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_prepper_spark.dedup.decontaminate import contaminated_ids, decontaminate
+
+BENCH = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "to be or not to be that is the question"),
+]
+
+CORPUS = [
+    # contains bench 0's 5-gram "quick brown fox jumps over"
+    (10, "a story where the quick brown fox jumps over a fence today"),
+    # contains bench 1 verbatim
+    (11, "essay intro: to be or not to be that is the question indeed"),
+    # clean
+    (12, "completely unrelated text about spark partitions and shuffles"),
+    # shares only a 4-gram ("the quick brown fox") -> clean at n=5
+    (13, "the quick brown fox sat still and did not jump anywhere near"),
+    # shorter than n tokens -> never flagged
+    (14, "tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    c = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    b = spark.createDataFrame(BENCH, "bid long, text string")
+    return c, b
+
+
+def test_contaminated_and_clean(spark, dfs):
+    c, b = dfs
+    bad = {r["doc_id"]: r["n_hits"] for r in
+           contaminated_ids(c, b, n=5).collect()}
+    assert set(bad) == {10, 11}
+    assert bad[11] >= 6  # long verbatim overlap -> many distinct 5-grams
+    clean = sorted(r["doc_id"] for r in decontaminate(c, b, n=5).collect())
+    assert clean == [12, 13, 14]
+
+
+def test_matches_duckdb_oracle(spark, dfs):
+    c, b = dfs
+    got = (
+        contaminated_ids(c, b, n=5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", pd.DataFrame(CORPUS, columns=["doc_id", "text"]))
+    con.register("bench", pd.DataFrame(BENCH, columns=["bid", "text"]))
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    sh = (
+        "SELECT DISTINCT {id} AS id, array_to_string("
+        "list_slice(toks, i, i + 4), ' ') AS g FROM "
+        "(SELECT {id}, {t} AS toks FROM {tbl}), "
+        "LATERAL (SELECT unnest(range(1, greatest(len(toks) - 5, 0) + 2)) AS i) "
+        "WHERE len(toks) >= 5"
+    )
+    want = con.execute(
+        f"WITH cs AS ({sh.format(id='doc_id', t=toks, tbl='corpus')}), "
+        f"bs AS ({sh.format(id='bid', t=toks, tbl='bench')}) "
+        "SELECT cs.id AS doc_id, count(DISTINCT cs.g)::BIGINT AS n_hits "
+        "FROM cs JOIN (SELECT DISTINCT g FROM bs) b ON cs.g = b.g "
+        "GROUP BY cs.id ORDER BY doc_id"
+    ).df()
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.n_hits) == list(want.n_hits)
+
+
+def test_short_docs_never_flagged(spark):
+    c = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    b = spark.createDataFrame([(0, "a b c")], "bid long, text string")
+    # identical but shorter than n: no n-grams, not contaminated
+    assert contaminated_ids(c, b, n=13).count() == 0
+    assert decontaminate(c, b, n=13).count() == 1
