@@ -1,0 +1,123 @@
+"""Corpus-construction ops: deterministic stratified sampling and
+token-budget packing — the two steps between "clean corpus" and
+"training shards" in an LLM data pipeline.
+
+Both are deterministic (re-running yields byte-identical output — the
+property that makes corpus builds auditable and resumable) and both are
+exactly reproducible in ANSI SQL, so they carry DuckDB oracles in
+tests.
+
+Reference parity: extends the reference's percent_sampler
+(aggregate-processor PercentSamplerAggregateAction.java) the way the
+corpus papers (C4/RefinedWeb/Dolma, PAPERS.md) need: per-stratum rates
+instead of one global rate, and hash-determinism instead of RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stratified_sample", "pack_documents"]
+
+# sampling granularity: first 6 hex chars of md5 = 1/16^6 ≈ 6e-8 steps
+_HEX_DIGITS = 6
+_HEX_SPACE = 16 ** _HEX_DIGITS
+
+
+def _rate_threshold(rate: float) -> str:
+    """rate in [0,1] -> lowercase hex threshold string; keep iff
+    substr(md5(key),1,6) < threshold (plain string comparison — works
+    identically in Spark SQL, DuckDB and Python)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    n = int(rate * _HEX_SPACE)
+    if n >= _HEX_SPACE:
+        # keep-all must beat EVERY 6-hex digest lexicographically;
+        # format(16^6) would be 7 chars ("1000000") and LOSE to digests
+        # starting a-f — 'g' sorts after 'f' at position 1 instead
+        return "g"
+    return format(n, f"0{_HEX_DIGITS}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (corpus balancing: e.g.
+    keep 100% of low-resource languages, 10% of English).
+
+    Keep decision = md5(salt|id) prefix under the stratum's threshold:
+    no RNG state, no shuffle, no driver data — one codegen'd filter on
+    the scan, so at 100 TB this is a single pass whose output is stable
+    across retries/partitionings (hash of the ROW's id, not of its
+    position). Strata missing from `rates` get default_rate."""
+    h = F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+                    1, _HEX_DIGITS)
+    thr: Column = F.lit(_rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(_rate_threshold(rate))).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def pack_documents(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Assign each doc a training-shard bin so consecutive (by id_col)
+    docs fill ~`budget` tokens per bin: bin = floor(exclusive-prefix-sum
+    / budget). Streaming-fill semantics: the doc straddling a boundary
+    overflows its bin by at most one doc (the standard sequence-packing
+    approximation); docs larger than budget get a bin alone.
+
+    Scale: a naive `Window.orderBy(id)` prefix sum is ONE task at 100 TB.
+    This is the two-phase distributed prefix sum instead:
+      1. range-repartition by id (Spark's range partitioner: sorted,
+         non-overlapping id ranges per partition);
+      2. per-partition local cumsum (window WITHIN the partition);
+      3. per-partition totals -> driver (n_partitions rows, tiny) ->
+         exclusive offsets broadcast-joined back.
+    Every step is bounded: no global single-task sort, no driver data
+    beyond one row per partition."""
+    part = df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism
+                                 or 8, F.col(id_col))
+    part = part.withColumn("_pid", F.spark_partition_id())
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_cum_incl", F.sum(F.col(size_col)).over(w))
+    totals = (
+        local.groupBy("_pid").agg(F.max("_cum_incl").alias("_total"))
+        .orderBy("_pid")
+        .collect()
+    )
+    # exclusive offsets; partition ids from range partitioning are
+    # ordered by id range, so offsets accumulate in id order
+    offs, acc = {}, 0
+    for r in totals:
+        offs[r["_pid"]] = acc
+        acc += int(r["_total"])
+    off_df = part.sparkSession.createDataFrame(
+        [(p, o) for p, o in offs.items()], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            bin_col,
+            F.floor((F.col("_off") + F.col("_cum_incl") - F.col(size_col))
+                    / F.lit(budget)).cast("long"),
+        )
+        .drop("_pid", "_cum_incl", "_off")
+    )

@@ -1,0 +1,88 @@
+"""Stratified sampling + token-budget packing vs DuckDB oracles.
+
+Determinism is the point: both ops must yield identical output across
+re-runs and partitionings, and match a plain-SQL restatement.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_prepper_spark.text.corpus import pack_documents, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "de", "ja"][i % 3], 50 + (i * 37) % 400) for i in range(400)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "n_tokens"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_stratified_sample_matches_sql(spark, docs):
+    df, pdf = docs
+    rates = {"en": 0.3, "de": 1.0}  # ja falls to default 0.0
+    got = sorted(r["doc_id"] for r in
+                 stratified_sample(df, "lang", rates, salt="s1").collect())
+    con = duckdb.connect()
+    con.register("d", pdf)
+    want = sorted(con.execute("""
+        SELECT doc_id FROM d
+        WHERE substring(md5('s1|' || doc_id::VARCHAR), 1, 6) <
+              CASE lang WHEN 'en' THEN printf('%06x', CAST(0.3 * 16777216 AS BIGINT))
+                        WHEN 'de' THEN 'g'
+                        ELSE '000000' END
+    """).df().doc_id)
+    assert got == want
+    # all de kept, no ja kept, en ~30%
+    langs = pdf.set_index("doc_id").lang
+    assert all(langs[d] != "ja" for d in got)
+    assert sum(1 for d in got if langs[d] == "de") == (pdf.lang == "de").sum()
+    n_en = sum(1 for d in got if langs[d] == "en")
+    assert 0.15 * 134 < n_en < 0.45 * 134
+
+
+def test_stratified_sample_deterministic(spark, docs):
+    df, _ = docs
+    a = sorted(r["doc_id"] for r in
+               stratified_sample(df.repartition(7), "lang", {"en": 0.5}).collect())
+    b = sorted(r["doc_id"] for r in
+               stratified_sample(df.repartition(2), "lang", {"en": 0.5}).collect())
+    assert a == b
+
+
+def test_pack_documents_matches_sql(spark, docs):
+    df, pdf = docs
+    out = pack_documents(df, "n_tokens", budget=1000).toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    want = con.execute("""
+        SELECT doc_id, CAST(floor(
+          (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens) / 1000) AS BIGINT) AS bin
+        FROM d ORDER BY doc_id
+    """).df()
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.bin) == list(want.bin)
+    # bins are contiguous from 0 and fill near budget
+    sizes = got.groupby("bin").n_tokens.sum()
+    assert sizes.index.min() == 0
+    assert list(sizes.index) == list(range(len(sizes)))
+    # streaming-fill invariant: the cumulative total through bin b
+    # reaches (b+1)*budget (a straddler may eat into the next bin's
+    # range, so a bin's OWN sum can be < budget — but never the running
+    # total through it)
+    cum = sizes.cumsum()
+    assert all(cum.iloc[b] >= (b + 1) * 1000 for b in range(len(sizes) - 1))
+
+
+def test_pack_documents_oversize_doc(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 5000), (3, 10)], "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: r["bin"] for r in
+           pack_documents(df, "n_tokens", budget=100).collect()}
+    assert got[1] == 0 and got[2] == 0  # straddler overflows bin 0
+    assert got[3] > got[2]  # next doc starts a fresh bin
