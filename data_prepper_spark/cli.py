@@ -135,6 +135,13 @@ def cmd_query(args) -> int:
         )
     elif args.phrase:
         res = engine.phrase_topk(spark, args.index, qdf)
+    elif "," in args.index:
+        # alias search: comma-separated member indexes, union-corpus
+        # statistics (rank-identical to a single union index)
+        from data_prepper_spark.query.multi import multi_index_topk
+
+        res = multi_index_topk(spark, args.index.split(","), qdf,
+                               algo=args.algo)
     else:
         res = engine.score_topk(spark, args.index, qdf, algo=args.algo,
                                 collapse=args.collapse)
@@ -167,6 +174,8 @@ def cmd_query(args) -> int:
              "doc_id": r["doc_id"], "score": round(r["score"], 6)}
         if args.collapse:
             d["conv"] = r["conv"]
+        if "index" in r.__fields__:
+            d["index"] = r["index"]
         print(json.dumps(d))
     return 0
 

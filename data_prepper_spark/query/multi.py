@@ -1,0 +1,145 @@
+"""Multi-index (alias) search: one BM25 top-k over SEVERAL indexes.
+
+The reference's opensearch sink routes documents to multiple indexes
+(index patterns / date-rolled indices, OpenSearchSink.java index
+resolution) and consumers query them through an alias. Here the same
+role: `multi_index_topk([dir_a, dir_b], queries)` scores every index's
+shards in one job and merges one global top-k — with UNION-corpus
+statistics, so results are rank-identical to having indexed the union
+corpus as one index (verified by `tests/test_multi_index.py`).
+
+How the statistics stay exact:
+- n_docs and df(term) are summed across indexes (the dictionary slices
+  for the query terms union + re-aggregate — driver-tiny);
+- avgdl is the doc-weighted mean of the per-index avgdls;
+- per-block max_partial metadata was computed with each INDEX's avgdl;
+  scoring with the union avgdl can only RAISE a tf-partial by up to
+  avgdl_union/avgdl_index (bm25_partial is monotone in avgdl), so the
+  kernel's upper-bound scale takes the max over member ratios —
+  conservative, hence still exact pruning.
+
+Scale notes: one kernel exchange keyed by (index, shard) — the same
+single scatter-gather as score_topk, just over the union of block
+scans; each scan keeps its own In-filter pushdown. Doc ids may collide
+ACROSS indexes (they are per-corpus): results carry the index ordinal
+and tie-break (score desc, doc_id asc, index asc).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index import layout, tombstones
+from data_prepper_spark.query.bm25_df import tokens_col
+from data_prepper_spark.query.engine import _KERNEL_OUT, _shard_kernel, load_stats
+
+__all__ = ["multi_index_topk"]
+
+
+def multi_index_topk(
+    spark: SparkSession,
+    index_dirs: list[str],
+    queries: DataFrame,
+    algo: str = "bmx",
+) -> DataFrame:
+    """queries(query_id, query_text, k) ->
+    (query_id, rank, index, doc_id, score) with union-corpus stats."""
+    if not index_dirs:
+        raise ValueError("multi_index_topk needs at least one index dir")
+    stats = [load_stats(d) for d in index_dirs]
+    modes = {s.get("tokenizer", "ascii") for s in stats}
+    if len(modes) > 1:
+        raise ValueError(
+            f"member indexes use different tokenizers {sorted(modes)} — "
+            "their terms are not comparable; rebuild with one analyzer"
+        )
+    mode = modes.pop()
+    n_docs = sum(int(s["n_docs"]) for s in stats)
+    avgdl = (
+        sum(float(s["avgdl"]) * int(s["n_docs"]) for s in stats) / n_docs
+        if n_docs else 0.0
+    )
+
+    queries = queries.select(
+        "query_id", "query_text", "k",
+        F.lit(None).cast("double").alias("after_score"),
+        F.lit(None).cast("long").alias("after_doc"),
+    )
+    qterms = queries.select(
+        "query_id", "k", "after_score", "after_doc",
+        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
+    )
+    qmap = qterms.groupBy("term").agg(
+        F.collect_list(
+            F.struct("query_id", "k", "after_score", "after_doc")
+        ).alias("queries")
+    )
+    terms = [r["term"] for r in qmap.select("term").collect()]
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id string, rank long, index int, doc_id long, score double"
+        )
+
+    # union df across member dictionaries (driver-known term set -> the
+    # slices are tiny; re-aggregated df feeds the kernel's idf)
+    dict_union = None
+    for d in index_dirs:
+        sl = (
+            spark.read.parquet(layout.resolve(d, "dictionary"))
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+        )
+        dict_union = sl if dict_union is None else dict_union.unionByName(sl)
+    dict_union = dict_union.groupBy("term").agg(F.sum("df").alias("df"))
+
+    # conservative upper-bound scale: avgdl drift within each member
+    # (incremental builds) AND the union-avgdl uplift
+    ub_scale = max(
+        max(1.0, float(s["avgdl"]) / float(s.get("avgdl_min", s["avgdl"])))
+        * max(1.0, avgdl / float(s["avgdl"]))
+        for s in stats
+    )
+
+    per_index = []
+    for i, d in enumerate(index_dirs):
+        blocks = spark.read.parquet(layout.resolve(d, "blocks"))
+        if "seg" not in blocks.columns:
+            blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
+        tomb = tombstones.load_tombstones(spark, d)
+        needed = (
+            blocks.select(
+                "shard", "seg", "term", "block_ord", "first_doc", "last_doc",
+                "gaps", "tfs", "dls", "max_partial",
+            )
+            .filter(F.col("term").isin(terms))
+            .join(F.broadcast(qmap), "term")
+            .join(F.broadcast(dict_union), "term")
+        )
+        # one kernel pass per member index: shard keys stay per-index
+        # (same exchange class as score_topk), union stats injected
+        res = needed.groupBy("shard").applyInPandas(
+            _shard_kernel(
+                avgdl, n_docs, algo, ub_scale,
+                cache_ns=(os.path.abspath(d), "multi", n_docs,
+                          round(avgdl, 9), tombstones.fingerprint(tomb)),
+                tomb=tomb,
+            ),
+            schema=_KERNEL_OUT,
+        ).withColumn("index", F.lit(i))
+        per_index.append(res)
+
+    allres = per_index[0]
+    for r in per_index[1:]:
+        allres = allres.unionByName(r)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("index")
+    )
+    return (
+        allres.join(F.broadcast(queries.select("query_id", "k")), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "index", "doc_id", "score")
+    )

@@ -1,0 +1,73 @@
+"""Multi-index (alias) search: querying two disjoint-corpus indexes
+must be rank-identical to one index built over the union corpus
+(union-corpus idf/avgdl/n_docs are the exact statistics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.multi import multi_index_topk
+
+
+@pytest.fixture(scope="module")
+def three_indexes(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("multi_idx")
+    a_pdf = generate_pandas(0, 150)
+    b_pdf = generate_pandas(150, 250)  # disjoint conv range
+    da, db, du = str(root / "a"), str(root / "b"), str(root / "union")
+    ib.build_index(spark, spark.createDataFrame(a_pdf), da, n_shards=4)
+    ib.build_index(spark, spark.createDataFrame(b_pdf), db, n_shards=4)
+    union = pd.concat([a_pdf, b_pdf], ignore_index=True)
+    ib.build_index(spark, spark.createDataFrame(union), du, n_shards=4)
+    return da, db, du
+
+
+@pytest.mark.parametrize("algo", ["bmx", "wand", "exhaustive"])
+def test_rank_identity_vs_union_index(spark, three_indexes, algo):
+    da, db, du = three_indexes
+    qdf = spark.createDataFrame(pd.DataFrame(generate_queries(20)))
+    got = (
+        multi_index_topk(spark, [da, db], qdf, algo=algo)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        engine.score_topk(spark, du, qdf, algo=algo)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert (got.score - want.score).abs().max() < 1e-9
+    # results actually come from both member indexes
+    assert set(got["index"]) == {0, 1}
+
+
+def test_single_member_equals_plain_search(spark, three_indexes):
+    da, _, _ = three_indexes
+    qdf = spark.createDataFrame(pd.DataFrame(generate_queries(10)))
+    got = multi_index_topk(spark, [da], qdf).toPandas()
+    want = engine.score_topk(spark, da, qdf).toPandas()
+    g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    w = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(g.doc_id) == list(w.doc_id)
+    assert (g.score - w.score).abs().max() < 1e-9
+
+
+def test_tokenizer_mismatch_raises(spark, three_indexes, tmp_path):
+    da, _, _ = three_indexes
+    duni = str(tmp_path / "uni")
+    ib.build_index(spark, spark.createDataFrame(generate_pandas(300, 320)),
+                   duni, n_shards=2, tokenizer="unicode")
+    qdf = spark.createDataFrame(pd.DataFrame(generate_queries(2)))
+    with pytest.raises(ValueError, match="different tokenizers"):
+        multi_index_topk(spark, [da, duni], qdf)
+
+
+def test_empty_terms(spark, three_indexes):
+    da, db, _ = three_indexes
+    q = spark.createDataFrame([("q0", "zzxxqq", 5)],
+                              "query_id string, query_text string, k int")
+    assert multi_index_topk(spark, [da, db], q).count() == 0
