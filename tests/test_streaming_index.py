@@ -15,6 +15,7 @@ import pytest
 
 from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
 from data_prepper_spark.index import build as ib
+from data_prepper_spark.index import layout
 from data_prepper_spark.oracle import bm25 as oracle
 from data_prepper_spark.query import engine
 from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
@@ -89,6 +90,41 @@ p:
 
     qdf = spark.createDataFrame(pd.DataFrame(generate_queries(5)))
     assert engine.score_topk(spark, idx, qdf).count() > 0
+
+
+def test_streaming_many_batches_then_compact(spark, dirs):
+    """The steady-state operational story: 8 micro-batches stream in as
+    8 segments, a maintenance compact folds them to one, and ranking is
+    oracle-identical before AND after compaction."""
+    src, ckpt, idx = dirs
+    batches = [generate_pandas(i * 25, (i + 1) * 25) for i in range(8)]
+    sink = streaming_index_sink(idx, n_shards=4)
+    for i, b in enumerate(batches):
+        _write_batch(src, f"b{i}.json", b)
+        _run_available(spark, src, ckpt, sink)
+    stats = engine.load_stats(idx)
+    full = pd.concat(batches, ignore_index=True)
+    assert stats["n_docs"] == len(full)
+    segs = spark.read.parquet(layout.resolve(idx, "blocks")).select("seg").distinct()
+    assert segs.count() == 8
+
+    doc_ids = full.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + full.turn_idx
+    oidx = oracle.build_index(list(zip(doc_ids, full.text)))
+    qpdf = pd.DataFrame(generate_queries(15))
+    orc = pd.DataFrame(oracle.score_queries(oidx, list(qpdf.itertuples(index=False, name=None))))
+    orc = orc.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    def ranks():
+        return (
+            engine.score_topk(spark, idx, spark.createDataFrame(qpdf))
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+
+    assert list(ranks().doc_id) == list(orc.doc_id)
+    ib.compact_index(spark, idx)
+    segs2 = spark.read.parquet(layout.resolve(idx, "blocks")).select("seg").distinct()
+    assert segs2.count() == 1
+    assert list(ranks().doc_id) == list(orc.doc_id)
 
 
 def test_streaming_index_end_to_end(spark, dirs):
