@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from data_prepper_spark.index import layout, tombstones
 from data_prepper_spark.query import wand as wand_mod
+from data_prepper_spark.index.tokenizer import spark_tokenize_sql
 from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE, tokens_col
 
 _KERNEL_OUT = "query_id string, doc_id long, score double"
@@ -138,19 +139,26 @@ def _shard_kernel(
                     (float(a_s), int(q["after_doc"]))
                     if a_s is not None and not pd.isna(a_s) else None
                 )
-                queries.setdefault(qid, [k, [], after])[1].append(term)
+                # optional per-(query, term) boost (absent in the bool/
+                # phrase/multi qmaps -> 1.0)
+                try:
+                    bst = q.get("boost") if hasattr(q, "get") else q["boost"]
+                except (KeyError, ValueError):
+                    bst = None
+                bst = 1.0 if bst is None or pd.isna(bst) else float(bst)
+                queries.setdefault(qid, [k, [], after])[1].append((term, bst))
 
         out_q, out_d, out_s = [], [], []
         for qid, (k, terms, after) in queries.items():
             cursors = [
                 wand_mod.TermCursor(
-                    term=t, seg=seg, avgdl=avgdl, cache=cache,
+                    term=t, seg=seg, avgdl=avgdl, cache=cache, boost=b,
                     # per-segment liveDocs: a tombstone applies only to
                     # segments that existed when the delete happened
                     tomb=(tomb.for_seg(seg) if tomb is not None else None),
                     **term_data[(t, seg)],
                 )
-                for t in terms
+                for (t, b) in terms
                 for (_, seg) in term_segs[t]
             ]
             if collapse_stride:
@@ -209,18 +217,37 @@ def score_topk(
               F.lit(None).cast("long").alias("after_doc")]
     )
     queries = queries.select("query_id", "query_text", "k", *cursor_cols)
-    qterms = queries.select(
-        "query_id",
-        "k",
-        "after_score",
-        "after_doc",
-        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
+    # query-time boosts ("error^2 timeout"): each whitespace unit may
+    # carry a ^boost suffix applying to every term the unit tokenizes
+    # to; plain text parses to boost 1.0 everywhere (identical plan and
+    # cache behavior to the pre-boost engine). Duplicate terms keep the
+    # max boost (array_distinct dedup semantics, oracle-matched).
+    unit = F.explode(F.split("query_text", r"\s+")).alias("unit")
+    units = queries.select("query_id", "k", "after_score", "after_doc", unit)
+    units = units.select(
+        "query_id", "k", "after_score", "after_doc",
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract("unit", r"\^([0-9]+(?:\.[0-9]+)?)$", 1),
+                F.lit(""),
+            ).cast("double"),
+            F.lit(1.0),
+        ).alias("boost"),
+        F.explode(
+            F.array_distinct(
+                F.expr(spark_tokenize_sql(
+                    r"regexp_replace(unit, '\\^[0-9.]+$', '')", mode))
+            )
+        ).alias("term"),
     )
+    qterms = units.groupBy(
+        "query_id", "k", "after_score", "after_doc", "term"
+    ).agg(F.max("boost").alias("boost"))
     # one row per term carrying its interested queries — block rows are
     # NOT replicated per query through the shuffle
     qmap = qterms.groupBy("term").agg(
         F.collect_list(
-            F.struct("query_id", "k", "after_score", "after_doc")
+            F.struct("query_id", "k", "after_score", "after_doc", "boost")
         ).alias("queries")
     )
     # The distinct query-term set is tiny and driver-known (the queries

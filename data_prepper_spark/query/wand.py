@@ -48,6 +48,11 @@ class TermCursor:
     # optional shared decode cache {(term, bi): (docs, partials)} — lets
     # many queries hitting the same term in one shard decode blocks once
     cache: dict | None = None
+    # query-time term boost ("error^2"): scales this term's idf — and
+    # therefore every contribution AND every upper bound — uniformly,
+    # so all pruning rules stay exact. boost != 1 enters the decode
+    # cache key (cached partials are idf-scaled).
+    boost: float = 1.0
     # optional tombstone ranges (starts, ends): deleted docs are dropped
     # at decode time (Lucene liveDocs semantics — results exclude them
     # immediately; df/avgdl stay full-corpus until compaction). Block
@@ -56,6 +61,8 @@ class TermCursor:
     tomb: tuple | None = None
 
     def __post_init__(self):
+        if self.boost != 1.0:
+            self.idf = float(self.idf * self.boost)
         self.global_ub = float(self.idf * self.maxps.max()) if len(self.maxps) else 0.0
         self._decode_block(0)
 
@@ -64,7 +71,10 @@ class TermCursor:
         shared per-shard cache when present. Tombstoned docs are removed
         BEFORE caching (the cache namespace includes the tombstone
         fingerprint, so stale filtered decodes cannot be reused)."""
-        key = (self.term, self.seg, bi)
+        key = (
+            (self.term, self.seg, bi) if self.boost == 1.0
+            else (self.term, self.seg, bi, self.boost)
+        )
         hit = self.cache.get(key) if self.cache is not None else None
         if hit is not None:
             return hit
@@ -435,7 +445,10 @@ def _exhaustive_scores(cursors: list[TermCursor]):
     for c in cursors:
         if len(c.firsts) == 0:
             continue
-        key = (c.term, c.seg, "full")
+        key = (
+            (c.term, c.seg, "full") if c.boost == 1.0
+            else (c.term, c.seg, "full", c.boost)
+        )
         hit = c.cache.get(key) if c.cache is not None else None
         if hit is None:
             docs = np.concatenate(
