@@ -138,6 +138,10 @@ def cmd_query(args) -> int:
     elif "," in args.index:
         # alias search: comma-separated member indexes, union-corpus
         # statistics (rank-identical to a single union index)
+        if args.collapse:
+            print("--collapse is not supported with alias (multi-index) "
+                  "search yet", file=sys.stderr)
+            return 2
         from data_prepper_spark.query.multi import multi_index_topk
 
         res = multi_index_topk(spark, args.index.split(","), qdf,

@@ -93,3 +93,27 @@ def test_highlight_docid_pushdown(spark, corpus_and_index, tmp_path):
         docs, res, qdf.select("query_id", "query_text")
     ))
     assert "In(doc_id" in plan  # top-k doc_id set reaches the scan
+
+
+def test_multi_index_scan_pruning(spark, corpus_and_index, tmp_path):
+    """Alias search keeps the term In-filter pushed into EVERY member
+    index's blocks scan (and still prunes positions out of ReadSchema)."""
+    from data_prepper_spark.query.multi import multi_index_topk
+
+    pdf, d = corpus_and_index
+    d2 = str(tmp_path / "idx2")
+    pdf2 = generate_pandas(100, 130)
+    pdf2["doc_id"] = (
+        pdf2.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf2.turn_idx
+    )
+    ib.build_index(spark, spark.createDataFrame(pdf2[["doc_id", "conv_id", "text"]]),
+                   d2, n_shards=2, block_size=32, assign_ids=False)
+    qdf = spark.createDataFrame(
+        [("q", "error timeout", 3)],
+        "query_id string, query_text string, k int",
+    )
+    plan = _physical(multi_index_topk(spark, [d, d2], qdf))
+    assert plan.count("In(term") >= 4  # blocks + dictionary scans, both members
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "gaps" in line:
+            assert "poss" not in line, line
