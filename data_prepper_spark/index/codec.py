@@ -89,6 +89,24 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
+def varint_decode3(
+    a: bytes, b: bytes, c: bytes
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode THREE equal-count varint streams with ONE vectorized pass.
+
+    The per-call numpy fixed overhead (~8 small-array ops) dominates
+    varint_decode on 128-entry posting blocks; the query kernels decode
+    gaps+tfs+dls together for every block, so fusing the three calls
+    into one cuts that overhead 3x. Exact: each stream ends on a value
+    boundary, every stream holds the same count n (one gap, tf, dl per
+    posting), so the concatenated decode splits at n and 2n. Bit-equal
+    to three varint_decode calls by construction (same math, same
+    order), pinned by tests/test_codec.py."""
+    vals = varint_decode(a + b + c)
+    n = vals.size // 3
+    return vals[:n], vals[n:2 * n], vals[2 * n:]
+
+
 def delta_encode(doc_ids: np.ndarray, base: int = 0) -> bytes:
     """Sorted doc_ids -> varint gap stream. First gap is doc_ids[0]-base."""
     d = np.ascontiguousarray(doc_ids, dtype=np.int64)
@@ -99,12 +117,17 @@ def delta_encode(doc_ids: np.ndarray, base: int = 0) -> bytes:
     return varint_encode(gaps)
 
 
-def delta_decode(buf: bytes, base: int = 0) -> np.ndarray:
-    gaps = varint_decode(buf)
+def gaps_to_docs(gaps: np.ndarray, base: int = 0) -> np.ndarray:
+    """Decoded gap values -> absolute doc ids (the cumsum half of
+    delta_decode; shared with the fused varint_decode3 path)."""
     if gaps.size == 0:
         return np.empty(0, dtype=np.int64)
     out = np.cumsum(gaps.astype(np.int64))
     return out + base
+
+
+def delta_decode(buf: bytes, base: int = 0) -> np.ndarray:
+    return gaps_to_docs(varint_decode(buf), base)
 
 
 # ------------------------------------------------------------- positions

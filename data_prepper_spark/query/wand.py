@@ -78,9 +78,8 @@ class TermCursor:
         hit = self.cache.get(key) if self.cache is not None else None
         if hit is not None:
             return hit
-        docs = codec.delta_decode(self.gaps[bi], base=int(self.firsts[bi]))
-        tf = codec.varint_decode(self.tfs[bi])
-        dl = codec.varint_decode(self.dls[bi])
+        g, tf, dl = codec.varint_decode3(self.gaps[bi], self.tfs[bi], self.dls[bi])
+        docs = codec.gaps_to_docs(g, base=int(self.firsts[bi]))
         if self.tomb is not None:
             from data_prepper_spark.index.tombstones import deleted_mask
 
@@ -451,11 +450,16 @@ def _exhaustive_scores(cursors: list[TermCursor]):
         )
         hit = c.cache.get(key) if c.cache is not None else None
         if hit is None:
+            per_block = [
+                codec.varint_decode3(g, t, l)
+                for g, t, l in zip(c.gaps, c.tfs, c.dls)
+            ]
             docs = np.concatenate(
-                [codec.delta_decode(g, base=int(f)) for g, f in zip(c.gaps, c.firsts)]
+                [codec.gaps_to_docs(g, base=int(f))
+                 for (g, _, _), f in zip(per_block, c.firsts)]
             )
-            tf = np.concatenate([codec.varint_decode(x) for x in c.tfs])
-            dl = np.concatenate([codec.varint_decode(x) for x in c.dls])
+            tf = np.concatenate([t for _, t, _ in per_block])
+            dl = np.concatenate([l for _, _, l in per_block])
             if c.tomb is not None:
                 from data_prepper_spark.index.tombstones import deleted_mask
 

@@ -50,3 +50,22 @@ def test_bm25_partial_matches_oracle_formula():
     got = codec.bm25_partial(tf, dl, avgdl)[0]
     want = 3 * 2.2 / (3 + 1.2 * (1 - 0.75 + 0.75 * 25 / 30.0))
     assert math.isclose(got, want, rel_tol=0, abs_tol=0)
+
+
+def test_varint_decode3_bit_equal():
+    """Fused 3-stream decode == three independent decodes, any shapes."""
+    import numpy as np
+
+    from data_prepper_spark.index import codec
+
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 5, 128, 1000):
+        a = rng.integers(0, 1 << 62, n, dtype=np.int64).astype(np.uint64)
+        b = rng.integers(0, 1 << 20, n, dtype=np.int64).astype(np.uint64)
+        c = rng.integers(0, 128, n, dtype=np.int64).astype(np.uint64)
+        ea, eb, ec = (codec.varint_encode(x) for x in (a, b, c))
+        ga, gb, gc = codec.varint_decode3(ea, eb, ec)
+        assert (ga == codec.varint_decode(ea)).all()
+        assert (gb == codec.varint_decode(eb)).all()
+        assert (gc == codec.varint_decode(ec)).all()
+        assert (ga == a).all() and (gb == b).all() and (gc == c).all()
