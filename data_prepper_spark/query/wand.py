@@ -64,7 +64,13 @@ class TermCursor:
         if self.boost != 1.0:
             self.idf = float(self.idf * self.boost)
         self.global_ub = float(self.idf * self.maxps.max()) if len(self.maxps) else 0.0
-        self._decode_block(0)
+        # LAZY construction: position at block 0 with pending target 0;
+        # nothing decodes until a positional access (doc/score) or
+        # ensure_positioned(). Block-jump skips (next_geq past the
+        # current block) also stay lazy — a skipped window's blocks are
+        # never decoded (41% of wand windows skip on the bench corpus,
+        # and block-max TAAT prunes block 0 outright for most terms).
+        self._pend: int | None = 0 if len(self.firsts) else None
 
     def decode_cached(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
         """Decode block bi -> (docs, idf-scaled partial scores), via the
@@ -106,19 +112,52 @@ class TermCursor:
 
     @property
     def exhausted(self) -> bool:
-        return self.bi >= len(self.firsts) or len(self.docs) == 0
+        if self.bi >= len(self.firsts):
+            return True
+        if self._pend is not None:
+            return False  # lazy: at worst materializes empty later
+        return len(self.docs) == 0
+
+    def ensure_positioned(self) -> None:
+        """Materialize a lazy cursor: decode the pending block and place
+        pi at the first doc >= the pending target. May advance past
+        tombstone-empty blocks (targets never reach into a LATER block:
+        pending <= lasts[bi] < firsts[bi+1])."""
+        if self._pend is None:
+            return
+        t = self._pend
+        self._pend = None
+        self._decode_block(self.bi)
+        if not self.exhausted:
+            self.pi = int(np.searchsorted(self.docs, t, side="left"))
+            if self.pi >= len(self.docs):
+                self._decode_block(self.bi + 1)
+
+    def doc_lb(self) -> int:
+        """Exact lower bound of the next doc WITHOUT decoding (equals
+        .doc when already decoded). Used by window/active tests; a
+        phantom bound (e.g. tombstoned first_doc) only makes the active
+        set conservatively larger, never smaller."""
+        if self.exhausted:
+            return 1 << 62
+        if self._pend is not None:
+            return max(int(self.firsts[self.bi]), self._pend)
+        return int(self.docs[self.pi])
 
     @property
     def doc(self) -> int:
+        self.ensure_positioned()
         return int(self.docs[self.pi]) if not self.exhausted else 1 << 62
 
     @property
     def score(self) -> float:
+        self.ensure_positioned()
         return float(self.partials[self.pi])
 
     @property
     def block_ub(self) -> float:
-        """Exact upper bound of any contribution in the current block."""
+        """Exact upper bound of any contribution in the current block.
+        Metadata-only — valid on lazy (undecoded) cursors."""
         return float(self.idf * self.maxps[self.bi]) if not self.exhausted else 0.0
 
     @property
@@ -126,8 +165,23 @@ class TermCursor:
         return int(self.lasts[self.bi]) if not self.exhausted else 1 << 62
 
     def next_geq(self, target: int):
-        """Advance to the first posting with doc >= target (block skip)."""
+        """Advance to the first posting with doc >= target. Block jumps
+        are LAZY (metadata-only): the landing block is not decoded until
+        a positional access needs it — so a window skipped by the UB
+        rule never pays decode for the blocks it jumps over or onto."""
         if self.exhausted:
+            return
+        if self._pend is not None:
+            t = max(self._pend, target)
+            if t > int(self.lasts[self.bi]):
+                nb = int(np.searchsorted(self.lasts, t, side="left"))
+                if nb >= len(self.firsts):
+                    self.bi = len(self.firsts)
+                    self._pend = None
+                    self.docs = np.empty(0, np.int64)
+                    return
+                self.bi = nb
+            self._pend = t
             return
         if target > int(self.lasts[self.bi]):
             nb = int(np.searchsorted(self.lasts, target, side="left"))
@@ -135,12 +189,21 @@ class TermCursor:
                 self.bi = len(self.firsts)
                 self.docs = np.empty(0, np.int64)
                 return
-            self._decode_block(nb)
+            self.bi = nb
+            self._pend = target  # lazy landing
+            return
         self.pi = int(np.searchsorted(self.docs, target, side="left"))
         if self.pi >= len(self.docs):  # target fell in a gap past block end
-            self._decode_block(self.bi + 1)
+            if self.bi + 1 >= len(self.firsts):
+                self.bi = len(self.firsts)
+                self.docs = np.empty(0, np.int64)
+                return
+            self.bi += 1
+            self._pend = target  # lazy landing (target < firsts[bi+1])
+            return
 
     def advance(self):
+        self.ensure_positioned()
         self.pi += 1
         if self.pi >= len(self.docs):
             self._decode_block(self.bi + 1)
@@ -201,7 +264,7 @@ def wand_topk(
         if not live:
             break
         window_end = min(c.block_last for c in live)
-        active = [c for c in live if c.doc <= window_end]
+        active = [c for c in live if c.doc_lb() <= window_end]
         if not active:
             # every live cursor's next doc is past its own block_last —
             # impossible by cursor invariants, but advance defensively
@@ -214,10 +277,13 @@ def wand_topk(
             continue
         doc_arrs, con_arrs = [], []
         for c in active:  # term-sorted: accumulation order is sorted
+            c.ensure_positioned()  # decode ONLY for scored windows
+            if c.exhausted:
+                continue
             j = int(np.searchsorted(c.docs, window_end, side="right"))
             doc_arrs.append(c.docs[c.pi:j])
             con_arrs.append(c.partials[c.pi:j])
-        docs_all = np.concatenate(doc_arrs)
+        docs_all = np.concatenate(doc_arrs) if doc_arrs else np.empty(0, np.int64)
         if len(docs_all):
             uniq, inv = np.unique(docs_all, return_inverse=True)
             scores = np.zeros(len(uniq), dtype=np.float64)
