@@ -1,0 +1,155 @@
+"""Exact-substring dedup: remove long token spans repeated across docs.
+
+Distributed re-expression of the suffix-array ExactSubstr dedup of
+Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+Better"): any k-token window (default k=50, the paper's setting) whose
+content occurs more than once in the corpus is a duplicate span; all
+occurrences except one canonical keeper are removed from the text.
+
+The suffix array of the paper is a single-machine construct; at 100 TB
+the equivalent join-friendly formulation is rolling window hashes:
+
+1. one mapInPandas pass tokenizes each doc and emits
+   (hash64(window), doc_id, start) for every k-token window — the
+   shuffle payload is 8-byte hashes + positions, never text;
+2. windows duplicated ANYWHERE (count > 1 over the hash — a map-side
+   combinable groupBy) are the duplicate set; the canonical keeper per
+   hash is min(doc_id, start), kept so one copy of every passage
+   survives (the paper's dedup keeps one occurrence too);
+3. non-keeper occurrences shuffle back to their doc (join on hash —
+   equi-join, AQE-skew-safe because a hash's group is tiny unless the
+   passage is boilerplate, which is exactly what we want to collapse),
+   merge into [start, end) intervals per doc, and one applyInPandas
+   pass re-tokenizes and drops covered tokens.
+
+Cost at scale: two shuffles (window hashes; spans-by-doc), both narrow.
+The window explode is T - k + 1 rows per doc of constant width.
+
+Determinism: hash64 is md5-derived (first 8 bytes), no seed, so reruns
+and the pytest oracle agree bit-for-bit.
+
+Caveats (documented, matching the paper's own): removal is
+token-granular — cleaned text is the space-join of surviving tokens, so
+original whitespace/punctuation inside removed regions is not
+reconstructed; overlapping duplicate spans merge before removal.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOK_RE = re.compile(r"[a-z0-9]+")
+
+WINDOW = 50  # Lee et al. 2021 use 50 BPE tokens
+
+
+def _toks(text: str) -> list[str]:
+    return _TOK_RE.findall(text.lower())
+
+
+def _h64(s: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=True)
+
+
+def window_hashes(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = WINDOW) -> DataFrame:
+    """(h, doc_id, start) for every k-token window of every doc."""
+    out_schema = f"h long, {id_col} string, start int"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            hs, ids, starts = [], [], []
+            for did, text in zip(b[id_col].astype(str), b[text_col]):
+                t = _toks(text or "")
+                for i in range(0, len(t) - k + 1):
+                    hs.append(_h64(" ".join(t[i : i + k])))
+                    ids.append(did)
+                    starts.append(i)
+            yield pd.DataFrame({"h": pd.array(hs, dtype="int64"),
+                                id_col: ids,
+                                "start": pd.array(starts, dtype="int32")})
+
+    return docs.select(F.col(id_col).cast("string"), text_col).mapInPandas(
+        gen, schema=out_schema
+    )
+
+
+def duplicate_spans(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = WINDOW) -> DataFrame:
+    """(doc_id, start, end) token spans to REMOVE: every occurrence of a
+    corpus-duplicated k-window except the canonical keeper
+    (min (doc_id, start) per hash)."""
+    w = window_hashes(docs, text_col, id_col, k)
+    # duplicated hashes with their keeper occurrence; the groupBy is
+    # map-side combinable (count + min(struct)) so the shuffle carries
+    # one row per distinct hash
+    dup = (
+        w.groupBy("h")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.struct(id_col, "start")).alias("keep"),
+        )
+        .filter(F.col("n") > 1)
+        .select("h", "keep")
+    )
+    spans = (
+        w.join(dup, "h")
+        .filter(
+            ~((F.col(id_col) == F.col(f"keep.{id_col}"))
+              & (F.col("start") == F.col("keep.start")))
+        )
+        .select(id_col, "start", (F.col("start") + k).alias("end"))
+    )
+    return spans
+
+
+def remove_duplicate_substrings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = WINDOW,
+) -> DataFrame:
+    """docs minus duplicated passages: returns the input columns with
+    `text_col` rewritten (surviving tokens, space-joined) plus
+    `n_tokens_removed`. Docs with no duplicate spans pass through with
+    their ORIGINAL text untouched (no re-tokenization loss)."""
+    spans = duplicate_spans(docs, text_col, id_col, k)
+    # merge intervals per doc, then rewrite — cogroup ships only docs
+    # that actually have spans; everything else passes through untouched
+    merged = (
+        spans.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("start", "end"))).alias("spans"))
+    )
+    joined = docs.join(merged, id_col, "left")
+    fields = [f"{c}" for c in docs.columns]
+    out_schema = joined.select(*fields).schema.add("n_tokens_removed", "integer")
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            removed = []
+            texts = []
+            for text, sp in zip(b[text_col], b["spans"]):
+                if sp is None or len(sp) == 0:
+                    texts.append(text)
+                    removed.append(0)
+                    continue
+                t = _toks(text or "")
+                drop = bytearray(len(t))
+                for iv in sp:
+                    s, e = int(iv["start"]), min(int(iv["end"]), len(t))
+                    for j in range(s, e):
+                        drop[j] = 1
+                kept = [tok for tok, d in zip(t, drop) if not d]
+                texts.append(" ".join(kept))
+                removed.append(int(sum(drop)))
+            o = b[fields].copy()
+            o[text_col] = texts
+            o["n_tokens_removed"] = pd.array(removed, dtype="int32")
+            yield o
+
+    return joined.mapInPandas(rewrite, schema=out_schema)

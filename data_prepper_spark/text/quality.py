@@ -1,0 +1,196 @@
+"""Repetition / boilerplate quality signals for pretraining corpora.
+
+Implements the published Gopher quality-filter signals (Rae et al. 2021,
+"Scaling Language Models: Methods, Analysis & Insights from Training
+Gopher", Table A1) and the C4 line rules (Raffel et al. 2020 §2.2) as
+pure Spark Column expressions — no Python in the hot path, every signal
+reproducible in ANSI-ish SQL (DuckDB list lambdas) so the driver oracle
+can check values exactly.
+
+Reference parity: the reference repo has no corpus-quality stage (it is
+an ingest/search engine); these signals are the "beyond the reference"
+training-data operators the graft brief asks for. They complement
+text/analysis.py (lang-id, composite quality, fingerprint).
+
+Scale notes (100 TB): every signal is a per-row expression over one
+column — no shuffle, no UDF, fully inside WholeStageCodegen. The
+duplicate-line and top-n-gram signals are O(L^2) / O(T^2) in the line
+and token counts of ONE document via higher-order functions; for
+transcript turns (tens of lines, hundreds of tokens) this is cheap and
+vectorized. For book-length documents swap in the mapInPandas hash
+variant (same signature) — the per-row independence is what matters at
+scale, not the per-doc constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_prepper_spark.text.analysis import TOKENIZE
+
+
+def _tokens(c: str) -> Column:
+    return F.expr(TOKENIZE.format(c=c))
+
+
+def _lines(c: str) -> Column:
+    # non-empty lines, trimmed (C4 operates on lines after strip)
+    return F.expr(
+        f"filter(transform(split({c}, '\\n'), x -> trim(x)), x -> x <> '')"
+    )
+
+
+def dup_line_frac(text_col: str) -> Column:
+    """Fraction of lines that are repeats of an earlier line
+    (Gopher "duplicate line fraction"): 1 - distinct/total."""
+    lines = _lines(text_col)
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)) / n
+    )
+
+
+def dup_line_char_frac(text_col: str) -> Column:
+    """Fraction of characters inside duplicate lines (all occurrences
+    beyond the first), per Gopher's character-weighted variant."""
+    lines = _lines(text_col)
+    total = F.expr(
+        f"aggregate(filter(transform(split({text_col}, '\\n'), x -> trim(x)),"
+        " x -> x <> ''), 0L, (a, x) -> a + length(x))"
+    )
+    # for each DISTINCT line: (occurrences - 1) * length
+    dup_chars = F.expr(
+        "aggregate(array_distinct("
+        f"  filter(transform(split({text_col}, '\\n'), x -> trim(x)), x -> x <> '')), 0L,"
+        " (a, d) -> a + (size(filter("
+        f"   filter(transform(split({text_col}, '\\n'), x -> trim(x)), x -> x <> ''),"
+        "    y -> y = d)) - 1) * length(d))"
+    )
+    n = F.size(lines)
+    return F.when((n <= 0) | (total <= 0), F.lit(0.0)).otherwise(
+        dup_chars / total
+    )
+
+
+def _ngrams(text_col: str, n: int) -> Column:
+    """Word n-grams as space-joined strings (empty array when too short)."""
+    toks = TOKENIZE.format(c=text_col)
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        "ELSE array() END"
+    )
+
+
+def top_ngram_char_frac(text_col: str, n: int) -> Column:
+    """Fraction of characters covered by the single most frequent word
+    n-gram (Gopher uses n=2,3,4 with thresholds 0.20/0.18/0.16).
+
+    Chars are counted as occurrences * ngram length, over the total
+    non-space token characters, matching the published definition.
+    """
+    toks = TOKENIZE.format(c=text_col)
+    # max over distinct grams of count(g) * length-without-spaces(g)
+    grams_sql = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        "ELSE array() END"
+    )
+    top = F.expr(
+        f"aggregate(array_distinct({grams_sql}), 0L,"
+        f" (a, g) -> greatest(a, size(filter({grams_sql}, y -> y = g))"
+        "   * (length(g) - " + str(n - 1) + ")))"
+    )
+    total_chars = F.expr(f"aggregate({toks}, 0L, (a, x) -> a + length(x))")
+    return F.when((F.size(F.expr(grams_sql)) <= 0) | (total_chars <= 0), F.lit(0.0)).otherwise(
+        top / total_chars
+    )
+
+
+def symbol_word_ratio(text_col: str) -> Column:
+    """(# of '#' and '...' / ellipsis symbols) / word count (Gopher
+    threshold: < 0.1)."""
+    c = F.col(text_col)
+    hashes = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    # count '...' runs and unicode ellipsis
+    dots = F.size(F.split(c, r"\.{3}|…")) - 1
+    n_words = F.size(_tokens(text_col))
+    return (hashes + dots) / F.greatest(n_words, F.lit(1)).cast("double")
+
+
+def bullet_line_frac(text_col: str) -> Column:
+    """Fraction of lines starting with a bullet marker (Gopher: < 0.9)."""
+    lines = _lines(text_col)
+    bullets = F.expr(
+        f"size(filter(filter(transform(split({text_col}, '\\n'), x -> trim(x)),"
+        " x -> x <> ''),"
+        " x -> x like '-%' or x like '*%' or x like '•%'))"
+    )
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(bullets / n)
+
+
+def ellipsis_line_frac(text_col: str) -> Column:
+    """Fraction of lines ending with an ellipsis (Gopher: < 0.3)."""
+    lines = _lines(text_col)
+    ell = F.expr(
+        f"size(filter(filter(transform(split({text_col}, '\\n'), x -> trim(x)),"
+        " x -> x <> ''),"
+        " x -> x like '%...' or x like '%…'))"
+    )
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(ell / n)
+
+
+def alpha_word_frac(text_col: str) -> Column:
+    """Fraction of words containing at least one alphabetic character
+    (Gopher: >= 0.8)."""
+    toks = _tokens(text_col)
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    return alpha / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def gopher_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """All repetition/boilerplate signals as columns, rounded for exact
+    SQL-oracle comparison, plus the composite `gopher_keep` verdict with
+    the published thresholds (word count bounds relaxed for transcript
+    turns: >= 5 instead of >= 50)."""
+    n_words = F.size(_tokens(text_col))
+    mean_wlen = F.expr(
+        f"aggregate({TOKENIZE.format(c=text_col)}, 0L, (a, x) -> a + length(x))"
+    ) / F.greatest(n_words, F.lit(1)).cast("double")
+    cols = {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_wlen, 6),
+        "dup_line_frac": F.round(dup_line_frac(text_col), 6),
+        "dup_line_char_frac": F.round(dup_line_char_frac(text_col), 6),
+        "top_2gram_char_frac": F.round(top_ngram_char_frac(text_col, 2), 6),
+        "top_3gram_char_frac": F.round(top_ngram_char_frac(text_col, 3), 6),
+        "symbol_word_ratio": F.round(symbol_word_ratio(text_col), 6),
+        "bullet_line_frac": F.round(bullet_line_frac(text_col), 6),
+        "ellipsis_line_frac": F.round(ellipsis_line_frac(text_col), 6),
+        "alpha_word_frac": F.round(alpha_word_frac(text_col), 6),
+    }
+    out = df
+    for name, c in cols.items():
+        out = out.withColumn(name, c)
+    keep = (
+        (F.col("n_words") >= 5)
+        & (F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("dup_line_frac") < 0.3)
+        # the published top-n-gram thresholds assume Gopher's >= 50-word
+        # minimum doc length: below that, a single occurrence of the
+        # longest n-gram already exceeds 0.2, so the rule only applies
+        # to docs inside its calibrated domain
+        & ((F.col("n_words") < 50)
+           | ((F.col("top_2gram_char_frac") < 0.2)
+              & (F.col("top_3gram_char_frac") < 0.18)))
+    )
+    return out.withColumn("gopher_keep", keep)

@@ -1,0 +1,136 @@
+"""Gopher/C4 repetition-quality signals + exact-substring dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_prepper_spark.dedup.substring import (
+    duplicate_spans,
+    remove_duplicate_substrings,
+    window_hashes,
+)
+from data_prepper_spark.text import quality
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+    row = quality.gopher_signals(df, "text").collect()[0]
+    return row
+
+
+def test_dup_line_frac(spark):
+    r = _one(spark, "alpha beta\ngamma delta\nalpha beta\n\n  ")
+    # 3 non-empty lines, 2 distinct -> 1/3 duplicated
+    assert abs(r["dup_line_frac"] - (1 - 2 / 3)) < 1e-6
+    # duplicate chars: one repeat of 'alpha beta' (10 ch) / 31 total
+    assert abs(r["dup_line_char_frac"] - 10 / 31) < 1e-6
+
+
+def test_dup_line_frac_empty_and_unique(spark):
+    assert _one(spark, "")["dup_line_frac"] == 0.0
+    assert _one(spark, "a\nb\nc")["dup_line_frac"] == 0.0
+
+
+def test_top_ngram_char_frac(spark):
+    # 'the cat' appears 2x; tokens: the cat sat the cat ran (6 tokens,
+    # 18 chars). top-2gram chars = 2 * len('thecat')=12 -> 12/18
+    r = _one(spark, "the cat sat the cat ran")
+    assert abs(r["top_2gram_char_frac"] - 12 / 18) < 1e-6
+    # top 3-gram all distinct -> 1 * best length
+    assert r["top_3gram_char_frac"] > 0
+
+
+def test_top_ngram_short_doc(spark):
+    # fewer tokens than n -> 0, no error
+    r = _one(spark, "hi")
+    assert r["top_2gram_char_frac"] == 0.0
+    assert r["top_3gram_char_frac"] == 0.0
+
+
+def test_symbol_and_bullet_signals(spark):
+    r = _one(spark, "# title\n- item one\n- item two\nmore text ...")
+    # symbols: one '#', one '...' over 7 words
+    assert abs(r["symbol_word_ratio"] - 2 / 7) < 1e-6
+    assert abs(r["bullet_line_frac"] - 2 / 4) < 1e-6
+    assert abs(r["ellipsis_line_frac"] - 1 / 4) < 1e-6
+
+
+def test_alpha_word_frac_and_keep(spark):
+    good = _one(
+        spark,
+        "we deployed the service and the deploy finished cleanly today",
+    )
+    assert good["alpha_word_frac"] == 1.0
+    assert good["gopher_keep"] is True
+    # numeric-soup doc fails alpha-word
+    bad = _one(spark, "123 456 789 101 112 131 415 161 718 192")
+    assert bad["alpha_word_frac"] == 0.0
+    assert bad["gopher_keep"] is False
+
+
+def test_gopher_rejects_repetition(spark):
+    spammy = _one(spark, " ".join(["buy now"] * 40))
+    assert spammy["top_2gram_char_frac"] > 0.2
+    assert spammy["gopher_keep"] is False
+
+
+def test_signals_run_on_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    text_col = [c for c in docs.columns if c in ("text", "content", "body")][0]
+    out = quality.gopher_signals(docs, text_col)
+    n = out.count()
+    assert n == 50
+    assert out.filter(F.col("top_2gram_char_frac") > 1.0).count() == 0
+
+
+# ---------- exact-substring dedup ----------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_window_hashes_counts(spark):
+    d = _docs(spark, [("a", " ".join(f"t{i}" for i in range(12)))])
+    assert window_hashes(d, k=10).count() == 3  # 12 - 10 + 1
+
+
+def test_duplicate_spans_and_removal(spark):
+    shared = " ".join(f"w{i}" for i in range(10))  # 10-token passage
+    rows = [
+        ("a", f"{shared} unique tail of doc a here"),
+        ("b", f"totally different head {shared}"),
+        ("c", "no overlap with anything else at all"),
+    ]
+    d = _docs(spark, rows)
+    spans = duplicate_spans(d, k=10).collect()
+    # keeper is ('a', 0); only b's occurrence is removed
+    assert [(s.doc_id, s.start, s.end) for s in spans] == [("b", 3, 13)]
+
+    out = {r.doc_id: r for r in remove_duplicate_substrings(d, k=10).collect()}
+    assert out["a"].text == rows[0][1]  # keeper untouched, original text
+    assert out["a"].n_tokens_removed == 0
+    assert out["b"].text == "totally different head"
+    assert out["b"].n_tokens_removed == 10
+    assert out["c"].text == rows[2][1]
+    assert out["c"].n_tokens_removed == 0
+
+
+def test_overlapping_spans_merge(spark):
+    # 12 shared tokens -> three overlapping duplicated 10-windows in b;
+    # all merge into one 12-token removal
+    shared = " ".join(f"s{i}" for i in range(12))
+    d = _docs(spark, [("a", shared + " alpha"), ("b", "beta " + shared)])
+    out = {r.doc_id: r for r in remove_duplicate_substrings(d, k=10).collect()}
+    assert out["b"].text == "beta"
+    assert out["b"].n_tokens_removed == 12
+    assert out["a"].n_tokens_removed == 0
+
+
+def test_within_doc_repetition_removed(spark):
+    # the same 10 tokens twice INSIDE one doc: second occurrence removed
+    p = " ".join(f"r{i}" for i in range(10))
+    d = _docs(spark, [("a", f"{p} mid {p}")])
+    out = remove_duplicate_substrings(d, k=10).collect()[0]
+    assert out.text == f"{p} mid"
+    assert out.n_tokens_removed == 10
