@@ -181,6 +181,41 @@ def _shard_kernel(
     return run
 
 
+def parse_query_terms(
+    queries: DataFrame, mode: str, carry: list[str] | None = None
+) -> DataFrame:
+    """query_text -> one row per (query_id, term) with its boost.
+
+    Query-time boosts ("error^2 timeout"): each whitespace unit may
+    carry a ^boost suffix applying to every term the unit tokenizes
+    to; plain text parses to boost 1.0 everywhere (identical plan and
+    cache behavior to the pre-boost engine). Duplicate terms keep the
+    max boost (array_distinct dedup semantics, oracle-matched).
+    ``carry`` columns pass through the explode/groupBy unchanged."""
+    carry = carry or []
+    unit = F.explode(F.split("query_text", r"\s+")).alias("unit")
+    units = queries.select("query_id", *carry, unit)
+    units = units.select(
+        "query_id", *carry,
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract("unit", r"\^([0-9]+(?:\.[0-9]+)?)$", 1),
+                F.lit(""),
+            ).cast("double"),
+            F.lit(1.0),
+        ).alias("boost"),
+        F.explode(
+            F.array_distinct(
+                F.expr(spark_tokenize_sql(
+                    r"regexp_replace(unit, '\\^[0-9.]+$', '')", mode))
+            )
+        ).alias("term"),
+    )
+    return units.groupBy("query_id", *carry, "term").agg(
+        F.max("boost").alias("boost")
+    )
+
+
 def score_topk(
     spark: SparkSession,
     index_dir: str,
@@ -217,32 +252,9 @@ def score_topk(
               F.lit(None).cast("long").alias("after_doc")]
     )
     queries = queries.select("query_id", "query_text", "k", *cursor_cols)
-    # query-time boosts ("error^2 timeout"): each whitespace unit may
-    # carry a ^boost suffix applying to every term the unit tokenizes
-    # to; plain text parses to boost 1.0 everywhere (identical plan and
-    # cache behavior to the pre-boost engine). Duplicate terms keep the
-    # max boost (array_distinct dedup semantics, oracle-matched).
-    unit = F.explode(F.split("query_text", r"\s+")).alias("unit")
-    units = queries.select("query_id", "k", "after_score", "after_doc", unit)
-    units = units.select(
-        "query_id", "k", "after_score", "after_doc",
-        F.coalesce(
-            F.nullif(
-                F.regexp_extract("unit", r"\^([0-9]+(?:\.[0-9]+)?)$", 1),
-                F.lit(""),
-            ).cast("double"),
-            F.lit(1.0),
-        ).alias("boost"),
-        F.explode(
-            F.array_distinct(
-                F.expr(spark_tokenize_sql(
-                    r"regexp_replace(unit, '\\^[0-9.]+$', '')", mode))
-            )
-        ).alias("term"),
+    qterms = parse_query_terms(
+        queries, mode, carry=["k", "after_score", "after_doc"]
     )
-    qterms = units.groupBy(
-        "query_id", "k", "after_score", "after_doc", "term"
-    ).agg(F.max("boost").alias("boost"))
     # one row per term carrying its interested queries — block rows are
     # NOT replicated per query through the shuffle
     qmap = qterms.groupBy("term").agg(

@@ -1,0 +1,156 @@
+"""Score explain: per-(query, doc, term) BM25 breakdown.
+
+Parity with OpenSearch's `_explain` / `explain: true` search option —
+the surface every reference deployment uses to debug relevance (the
+reference's opensearch sink delegates scoring to OpenSearch, whose
+explain returns the same idf/tf-norm decomposition reproduced here).
+
+Each output row carries the raw statistics (tf, dl, global df) and the
+derived factors (idf, tf_norm, boost) whose product is the term's
+contribution; summing term_score over (query_id, doc_id) reproduces
+score_topk's score bit-for-bit (same float64 ops in sorted-term order —
+pytest asserts exact equality, not tolerance).
+
+Scale shape: explain targets a handful of (query, doc) pairs — the
+top-k a user is debugging. The pairs are driver-known and tiny, so they
+ride into the shard kernel inside the broadcast query map, the block
+decode is pruned to blocks whose doc range contains a target
+(engine._pruned_runs), and the parquet scan keeps score_topk's term
+In-filter pushdown. Cost scales with the target set, not the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index import layout, tombstones
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import B, K1
+
+_OUT = (
+    "query_id string, doc_id long, term string, tf int, dl int, df long, "
+    "idf double, tf_norm double, boost double, term_score double"
+)
+
+
+def _explain_kernel(avgdl: float, n_docs: int, tomb=None):
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [] for c in
+               ("query_id", "doc_id", "term", "tf", "dl", "df",
+                "idf", "tf_norm", "boost", "term_score")}
+        for term, tg in pdf.groupby("term", sort=True):
+            qs = tg["queries"].iloc[0]
+            targets_all = np.unique(np.concatenate(
+                [np.asarray(q["targets"], dtype=np.int64) for q in qs]
+            ))
+            runs = engine._pruned_runs(
+                tg, targets_all, tomb, need_positions=False
+            )
+            if runs is None:
+                continue
+            df_t = int(tg["df"].iloc[0])
+            idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+            docs, tfs, dls = runs["docs"], runs["tfs"], runs["dls"]
+            for q in qs:
+                t = np.asarray(q["targets"], dtype=np.int64)
+                ix = np.searchsorted(docs, t)
+                ok = (ix < len(docs)) & (docs[np.minimum(ix, len(docs) - 1)] == t)
+                for d, i in zip(t[ok], ix[ok]):
+                    tf, dl = float(tfs[i]), float(dls[i])
+                    tfn = tf * (K1 + 1.0) / (
+                        tf + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+                    boost = float(q["boost"])
+                    out["query_id"].append(q["query_id"])
+                    out["doc_id"].append(int(d))
+                    out["term"].append(term)
+                    out["tf"].append(int(tf))
+                    out["dl"].append(int(dl))
+                    out["df"].append(df_t)
+                    out["idf"].append(idf)
+                    out["tf_norm"].append(tfn)
+                    out["boost"].append(boost)
+                    out["term_score"].append(boost * idf * tfn)
+        return pd.DataFrame(out)
+
+    return run
+
+
+def explain_hits(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    hits: DataFrame,
+) -> DataFrame:
+    """queries(query_id, query_text), hits(query_id, doc_id) ->
+    one row per (query_id, doc_id, matched term) with the BM25
+    decomposition. hits is expected to be tiny (a top-k result)."""
+    stats = engine.load_stats(index_dir)
+    mode = stats.get("tokenizer", "ascii")
+    pairs = hits.select("query_id", "doc_id").collect()
+    targets: dict[str, list[int]] = {}
+    for r in pairs:
+        targets.setdefault(r["query_id"], []).append(int(r["doc_id"]))
+    qterms = engine.parse_query_terms(
+        queries.filter(F.col("query_id").isin(list(targets) or ["-"])), mode
+    )
+    tgt_df = spark.createDataFrame(
+        [(q, sorted(ds)) for q, ds in targets.items()],
+        "query_id string, targets array<long>",
+    )
+    qmap = (
+        qterms.join(tgt_df, "query_id")
+        .groupBy("term")
+        .agg(F.collect_list(F.struct("query_id", "boost", "targets")).alias("queries"))
+    )
+    terms = [r["term"] for r in qmap.select("term").collect()]
+    blocks_path = layout.resolve(index_dir, "blocks")
+    if not terms or not targets or (
+        "://" not in index_dir and not os.path.exists(blocks_path)
+    ):
+        return spark.createDataFrame([], _OUT)
+    dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
+    dict_slice = dictionary.filter(F.col("term").isin(terms))
+    blocks = spark.read.parquet(blocks_path)
+    if "seg" not in blocks.columns:
+        blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
+    needed = (
+        blocks.select(
+            "shard", "seg", "term", "block_ord", "first_doc", "last_doc",
+            "gaps", "tfs", "dls",
+        )
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qmap), "term")
+        .join(F.broadcast(dict_slice), "term")
+    )
+    tomb = tombstones.load_tombstones(spark, index_dir)
+    out = needed.groupBy("shard").applyInPandas(
+        _explain_kernel(stats["avgdl"], stats["n_docs"], tomb), schema=_OUT
+    )
+    return out.orderBy("query_id", "doc_id", "term")
+
+
+def explain_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    algo: str = "bmx",
+) -> DataFrame:
+    """Run the query, then explain every hit: score_topk's
+    (query_id, rank, doc_id, score) joined with the per-term breakdown."""
+    hits = engine.score_topk(spark, index_dir, queries, algo=algo)
+    hits_small = hits.select("query_id", "rank", "doc_id", "score")
+    hits_small.persist()
+    try:
+        parts = explain_hits(spark, index_dir, queries, hits_small)
+        return (
+            hits_small.join(parts, ["query_id", "doc_id"])
+            .orderBy("query_id", "rank", "term")
+        )
+    finally:
+        pass  # caller's action unpersists lazily; tiny df

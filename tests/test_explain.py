@@ -1,0 +1,102 @@
+"""Score explain: the per-term breakdown must reassemble score_topk's
+scores exactly and match brute-force corpus statistics."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.query import engine, explain
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("explain_idx"))
+    ib.build_index(spark, spark.createDataFrame(generate_pandas(0, 200)),
+                   d, n_shards=4)
+    return d
+
+
+def _queries(spark, texts, k=5):
+    return spark.createDataFrame(
+        [(f"q{i}", t, k) for i, t in enumerate(texts)],
+        "query_id string, query_text string, k int",
+    )
+
+
+def test_term_scores_sum_to_score(spark, idx):
+    q = _queries(spark, ["error timeout", "deploy rollback cache", "error"])
+    out = explain.explain_topk(spark, idx, q).toPandas()
+    assert len(out) > 0
+    # per (query, doc): sorted-term accumulation reproduces the engine's
+    # float64 sum EXACTLY (same op order)
+    for (_, _), g in out.groupby(["query_id", "doc_id"]):
+        g = g.sort_values("term")
+        total = 0.0
+        for ts in g.term_score:
+            total += ts
+        assert total == g.score.iloc[0]
+
+
+def test_factors_match_brute_force(spark, idx):
+    pdf = generate_pandas(0, 200)
+    tok = lambda s: re.findall(r"[a-z0-9]+", s.lower())
+    docs = {
+        int(r.conv_id[5:]) * DOC_ID_STRIDE + int(r.turn_idx): tok(r.text)
+        for r in pdf.itertuples()
+    }
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+
+    q = _queries(spark, ["error timeout"])
+    out = explain.explain_topk(spark, idx, q).toPandas()
+    for r in out.itertuples():
+        toks = docs[r.doc_id]
+        assert r.tf == toks.count(r.term)
+        assert r.dl == len(toks)
+        df_t = sum(1 for t in docs.values() if r.term in t)
+        assert r.df == df_t
+        assert abs(r.idf - math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))) < 1e-12
+        assert r.boost == 1.0
+        assert abs(r.term_score - r.idf * r.tf_norm) < 1e-15
+
+
+def test_boost_scales_term_score(spark, idx):
+    plain = explain.explain_topk(
+        spark, idx, _queries(spark, ["error timeout"])
+    ).toPandas()
+    boosted = explain.explain_hits(
+        spark, idx,
+        _queries(spark, ["error^2 timeout"]),
+        spark.createDataFrame(
+            [("q0", int(d)) for d in plain.doc_id.unique()],
+            "query_id string, doc_id long",
+        ),
+    ).toPandas()
+    m = plain.merge(boosted, on=["doc_id", "term"], suffixes=("_p", "_b"))
+    err = m[m.term == "error"]
+    tim = m[m.term == "timeout"]
+    assert len(err) and len(tim)
+    assert np.allclose(err.term_score_b, 2.0 * err.term_score_p, rtol=0, atol=0)
+    assert (tim.term_score_b == tim.term_score_p).all()
+    assert (err.boost_b == 2.0).all()
+
+
+def test_explain_empty_query_terms(spark, idx):
+    q = _queries(spark, ["???"])  # tokenizes to nothing
+    out = explain.explain_topk(spark, idx, q)
+    assert out.count() == 0
+
+
+def test_only_matching_terms_emitted(spark, idx):
+    # a term absent from a doc yields no row for that (doc, term)
+    q = _queries(spark, ["error zzznotaterm"])
+    out = explain.explain_topk(spark, idx, q).toPandas()
+    assert set(out.term) == {"error"}
