@@ -1778,14 +1778,16 @@ EXPAND_QUERIES = [
     ("x4", "wildcard", "h?sh"),    # hash
     ("x5", "fuzzy", "tabel"),      # table (edit distance 1)
     ("x6", "prefix", "zzqq"),      # no expansion -> no rows
+    ("x7", "regexp", "dat[a-z]*"),  # data, database, ... (anchored)
 ]
 
 
 def q_expand_queries(spark, sf_dir):
-    """prefix + wildcard + fuzzy queries in ONE slot (Lucene multi-term
-    queries under the scoring_boolean rewrite): dictionary range-scan /
-    LIKE / levenshtein expansion capped at 50 by (df desc, term asc),
-    then the existing bool machinery (query/expand.py)."""
+    """prefix + wildcard + fuzzy + regexp queries in ONE slot (Lucene
+    multi-term queries under the scoring_boolean rewrite): dictionary
+    range-scan / LIKE / levenshtein / anchored-regex expansion capped at
+    50 by (df desc, term asc), then the existing bool machinery
+    (query/expand.py)."""
     from data_prepper_spark.query import expand as ex
 
     d = _built_index(spark, sf_dir)
@@ -1804,6 +1806,8 @@ def _expand_oracle_sql() -> str:
         elif kind == "wildcard":
             like = pat.replace("*", "%").replace("?", "_")
             c = f"d.term LIKE '{like}'"
+        elif kind == "regexp":
+            c = f"regexp_full_match(d.term, '{pat}')"
         else:
             c = f"levenshtein(d.term, '{pat}') <= 1"
         conds.append(f"SELECT '{q}' AS query_id, d.term, d.df FROM dict d WHERE {c}")

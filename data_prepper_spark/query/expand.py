@@ -46,6 +46,11 @@ def _cond(kind: str, pattern: str):
         return F.col("term").like(like)
     if kind == "fuzzy":
         return F.levenshtein(F.col("term"), F.lit(pattern)) <= 1
+    if kind == "regexp":
+        # Lucene/OpenSearch regexp queries match the ENTIRE term
+        # (anchored), not a substring — same contract here; DuckDB's
+        # regexp_full_match is the oracle equivalent
+        return F.col("term").rlike(f"^(?:{pattern})$")
     raise ValueError(f"unknown expansion kind {kind!r}")
 
 

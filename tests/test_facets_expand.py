@@ -98,6 +98,20 @@ def test_expand_fuzzy_and_wildcard(spark, corpus):
     assert want <= got
 
 
+def test_expand_regexp_anchored(spark, corpus):
+    d, pdf = corpus
+    vocab = set()
+    pdf.text.map(lambda t: vocab.update(tokenize(t)))
+    import re
+
+    got = set(ex.expand_terms(spark, d, "regexp", "err[a-z]*"))
+    want = {t for t in vocab
+            if re.fullmatch(r"err[a-z]*", t) is not None}
+    assert got == want or (len(want) > 50 and len(got) == 50)
+    # anchoring: a mid-term match must NOT expand ('rror' inside 'error')
+    assert "error" not in ex.expand_terms(spark, d, "regexp", "rror")
+
+
 def test_expand_topk_empty_expansion(spark, corpus):
     d, _ = corpus
     q = spark.createDataFrame(
