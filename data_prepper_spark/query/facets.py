@@ -99,6 +99,54 @@ def match_docs(
     )
 
 
+def sort_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    sort_col: str,
+    ascending: bool = True,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """OpenSearch `sort` parameter: top-k of the MATCH SET ordered by a
+    document attribute instead of BM25 (scores are skipped entirely,
+    as OpenSearch does when a non-score sort is given).
+
+    queries(query_id, query_text, k) + docs(doc_id, <attrs>) ->
+    (query_id, rank, doc_id, <sort_col>, <fields...>).
+
+    Scale shape: the match set of a hot query can be huge and is never
+    collected. Top-k runs TWO-PHASE: a per-(query, input-partition)
+    partial top-k first (Window keyed by spark_partition_id spreads a
+    hot query over every reducer; each emits <= k rows), then the exact
+    global top-k over the <= k * n_partitions survivors — the same
+    shard-then-merge shape OpenSearch uses for sorted search."""
+    fields = fields or []
+    m = match_docs(spark, index_dir, queries)
+    proj = docs.select("doc_id", sort_col, *fields)
+    joined = (
+        m.join(proj, "doc_id")
+        .join(F.broadcast(queries.select("query_id", "k")), "query_id")
+    )
+    order = [
+        F.asc(sort_col) if ascending else F.desc(sort_col),
+        F.asc("doc_id"),
+    ]
+    w_part = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    survivors = (
+        joined.withColumn("_pid", F.spark_partition_id())
+        .withColumn("r", F.row_number().over(w_part))
+        .filter(F.col("r") <= F.col("k"))
+        .drop("r", "_pid")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", sort_col, *fields)
+    )
+
+
 def terms_facet(
     spark: SparkSession,
     index_dir: str,

@@ -269,3 +269,38 @@ def test_more_like_this(spark, corpus):
         got.sort_values(["query_id", "rank"]).reset_index(drop=True),
         again.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_sort_topk_matches_bruteforce(spark, corpus):
+    d, pdf = corpus
+    docs = spark.createDataFrame(pdf[["doc_id", "ts", "role"]])
+    q = spark.createDataFrame(
+        [("s1", "error timeout", 7), ("s2", "deploy", 3)],
+        "query_id string, query_text string, k int",
+    )
+    got = facets.sort_topk(
+        spark, d, q, docs, "ts", ascending=False, fields=["role"]
+    ).toPandas()
+    for qid, qtext, k in [("s1", "error timeout", 7), ("s2", "deploy", 3)]:
+        m = _match_set(pdf, qtext)
+        sub = pdf[pdf.doc_id.isin(m)].sort_values(
+            ["ts", "doc_id"], ascending=[False, True]
+        ).head(k)
+        g = got[got.query_id == qid].sort_values("rank")
+        assert list(g.doc_id) == list(sub.doc_id)
+        assert list(g["rank"]) == list(range(1, len(sub) + 1))
+        assert list(g.role) == list(sub.role)
+
+
+def test_sort_topk_ascending_and_empty(spark, corpus):
+    d, pdf = corpus
+    docs = spark.createDataFrame(pdf[["doc_id", "ts"]])
+    q = spark.createDataFrame(
+        [("a", "error", 4), ("none", "zzqqxx", 4)],
+        "query_id string, query_text string, k int",
+    )
+    got = facets.sort_topk(spark, d, q, docs, "ts").toPandas()
+    assert (got.query_id == "a").all()  # no-match query yields no rows
+    m = _match_set(pdf, "error")
+    want = pdf[pdf.doc_id.isin(m)].sort_values(["ts", "doc_id"]).head(4)
+    assert list(got.sort_values("rank").doc_id) == list(want.doc_id)
