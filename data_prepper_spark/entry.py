@@ -845,18 +845,31 @@ def q_embedding_dups_exact(spark, sf_dir):
 
 
 def q_text_analysis(spark, sf_dir):
-    """lang-ID + quality score + token count + fingerprint in ONE pass
-    over documents — all four are pure Column expressions, so Catalyst
-    fuses them into a single projection over one scan (the per-op split
-    in round 1 scanned documents four times)."""
+    """lang-ID + quality score + token count + fingerprint + the
+    Gopher/C4 repetition-quality signals (text/quality.py) in ONE pass
+    over documents — everything is a pure Column expression, so
+    Catalyst fuses all fifteen outputs into a single projection over
+    one scan (the per-op split in round 1 scanned documents four
+    times). The `lined` derivation (' the ' -> newline, identical
+    replace() in Spark and DuckDB) gives the single-line synthetic
+    docs a multi-line shape so the line-level signals execute."""
+    from data_prepper_spark.text import quality as tq
+
     df = _docs(spark, sf_dir)
     df = ta.lang_id(df, "text")
     df = ta.quality_score(df, "text")
     df = ta.token_count(df, "text")
     df = ta.fingerprint(df, "text")
+    df = df.withColumn("lined", F.replace("text", F.lit(" the "), F.lit("\n")))
+    df = tq.gopher_signals(df, "lined")
     return df.select(
         "doc_id", "lang_pred", "quality",
         F.col("n_tokens").cast("long").alias("n_tokens"), "fingerprint",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "gopher_keep",
     )
 
 
@@ -1539,8 +1552,62 @@ def _stoplist_sql(lang: str) -> str:
 
 ORACLE["text_analysis"] = f"""
 WITH t AS (
-  SELECT doc_id, text, {D_TOKS.format(c='text')} AS toks, length(text) AS n_chars
+  SELECT doc_id, text, {D_TOKS.format(c='text')} AS toks, length(text) AS n_chars,
+         replace(text, ' the ', chr(10)) AS lined
   FROM documents),
+tl AS (
+  SELECT doc_id, lined,
+         {D_TOKS.format(c='lined')} AS ltoks,
+         list_filter(list_transform(string_split(lined, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines
+  FROM t),
+g2 AS (SELECT doc_id, unnest(CASE WHEN len(ltoks) >= 2
+         THEN list_transform(range(1, len(ltoks)),
+                             i -> ltoks[i] || ' ' || ltoks[i+1])
+         ELSE [] END) AS g FROM tl),
+g3 AS (SELECT doc_id, unnest(CASE WHEN len(ltoks) >= 3
+         THEN list_transform(range(1, len(ltoks)-1),
+                             i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2])
+         ELSE [] END) AS g FROM tl),
+top2 AS (SELECT doc_id, max(cnt * chars) AS top FROM (
+  SELECT doc_id, g, count(*) AS cnt, length(g) - 1 AS chars
+  FROM g2 GROUP BY 1, 2) GROUP BY 1),
+top3 AS (SELECT doc_id, max(cnt * chars) AS top FROM (
+  SELECT doc_id, g, count(*) AS cnt, length(g) - 2 AS chars
+  FROM g3 GROUP BY 1, 2) GROUP BY 1),
+gq AS (
+  SELECT tl.doc_id,
+    len(ltoks)::BIGINT AS n_words,
+    round(list_sum(list_transform(ltoks, x -> length(x)))::DOUBLE
+          / greatest(len(ltoks), 1), 6) AS mean_word_len,
+    round(CASE WHEN len(lines) <= 0 THEN 0.0
+      ELSE 1.0 - len(list_distinct(lines)) / len(lines) END, 6) AS dup_line_frac,
+    round(CASE WHEN len(lines) <= 0
+            OR coalesce(list_sum(list_transform(lines, x -> length(x))), 0) <= 0 THEN 0.0
+      ELSE (list_sum(list_transform(lines, x -> length(x)))
+            - list_sum(list_transform(list_distinct(lines), x -> length(x))))::DOUBLE
+           / list_sum(list_transform(lines, x -> length(x))) END, 6) AS dup_line_char_frac,
+    round(CASE WHEN coalesce(top2.top, 0) <= 0
+            OR coalesce(list_sum(list_transform(ltoks, x -> length(x))), 0) <= 0 THEN 0.0
+      ELSE top2.top::DOUBLE / list_sum(list_transform(ltoks, x -> length(x)))
+      END, 6) AS top_2gram_char_frac,
+    round(CASE WHEN coalesce(top3.top, 0) <= 0
+            OR coalesce(list_sum(list_transform(ltoks, x -> length(x))), 0) <= 0 THEN 0.0
+      ELSE top3.top::DOUBLE / list_sum(list_transform(ltoks, x -> length(x)))
+      END, 6) AS top_3gram_char_frac,
+    round(((length(lined) - length(replace(lined, '#', '')))
+           + (len(string_split_regex(lined, '\\.{{3}}|…')) - 1))::DOUBLE
+          / greatest(len(ltoks), 1), 6) AS symbol_word_ratio,
+    round(CASE WHEN len(lines) <= 0 THEN 0.0
+      ELSE len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%'))::DOUBLE
+           / len(lines) END, 6) AS bullet_line_frac,
+    round(CASE WHEN len(lines) <= 0 THEN 0.0
+      ELSE len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…'))::DOUBLE
+           / len(lines) END, 6) AS ellipsis_line_frac,
+    round(len(list_filter(ltoks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+          / greatest(len(ltoks), 1), 6) AS alpha_word_frac
+  FROM tl LEFT JOIN top2 ON tl.doc_id = top2.doc_id
+          LEFT JOIN top3 ON tl.doc_id = top3.doc_id),
 hits AS (
   SELECT doc_id,
          len(list_filter(toks, x -> list_contains({_stoplist_sql('en')}, x))) AS en,
@@ -1566,8 +1633,18 @@ SELECT m.doc_id,
            + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0 END)
            + (CASE WHEN stop_hits > 0 THEN 0.25 ELSE 0 END)
            + (CASE WHEN mean_wlen BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0 END), 2) AS quality,
-       n_tokens, fingerprint
+       n_tokens, fingerprint,
+       gq.n_words, gq.mean_word_len, gq.dup_line_frac, gq.dup_line_char_frac,
+       gq.top_2gram_char_frac, gq.top_3gram_char_frac, gq.symbol_word_ratio,
+       gq.bullet_line_frac, gq.ellipsis_line_frac, gq.alpha_word_frac,
+       (gq.n_words >= 5 AND gq.mean_word_len BETWEEN 2.0 AND 10.0
+        AND gq.symbol_word_ratio < 0.1 AND gq.bullet_line_frac < 0.9
+        AND gq.ellipsis_line_frac < 0.3 AND gq.alpha_word_frac >= 0.8
+        AND gq.dup_line_frac < 0.3
+        AND (gq.n_words < 50 OR (gq.top_2gram_char_frac < 0.2
+                                 AND gq.top_3gram_char_frac < 0.18))) AS gopher_keep
 FROM m JOIN hits ON m.doc_id = hits.doc_id
+       JOIN gq ON m.doc_id = gq.doc_id
 """
 
 
