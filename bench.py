@@ -247,6 +247,16 @@ def run_suite(
     # worker-persistent JVM warmup only)
     timed("dedup_clusters", lambda: E.q_dedup_clusters(spark, sf_dir).count())
     timed("ann_topk", lambda: E.q_embedding_topk(spark, sf_dir).count(), reps=2)
+    # late-r4 training-data ops: Gopher/C4 signals (pure Column exprs,
+    # one scan) and exact-substring dedup (k=20 windows over the
+    # documents table — its ~56-word docs carry few 50-token windows)
+    from data_prepper_spark.dedup import substring as ss
+    from data_prepper_spark.text import quality as tq
+
+    timed("quality_signals", lambda: tq.gopher_signals(
+        E._docs(spark, sf_dir), "text").count(), reps=2)
+    timed("dedup_substring", lambda: ss.remove_duplicate_substrings(
+        E._docs(spark, sf_dir), "text", "doc_id", k=20).count(), reps=2)
 
     spark.stop()
     machine["steal_jiffies_during_suite"] = _steal_jiffies() - steal0
