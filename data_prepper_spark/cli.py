@@ -295,7 +295,43 @@ def cmd_delete(args) -> int:
 
         delete_conversations_by_id(spark, args.index, list(args.conv_id))
         n += len(args.conv_id)
+    if getattr(args, "query", None):
+        from data_prepper_spark.index.delete_query import delete_by_query
+
+        q = spark.createDataFrame(
+            [("cli-del", args.query)], "query_id string, query_text string"
+        )
+        n += delete_by_query(spark, args.index, q)
     print(json.dumps({"tombstoned": n, "index": args.index}))
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    """Term suggester ("did you mean") from the index dictionary —
+    the OpenSearch `suggest: {term: ...}` surface."""
+    from data_prepper_spark.query.suggest import suggest_terms
+
+    spark = _get_spark(args)
+    res = suggest_terms(
+        spark, args.index, args.text, max_edits=args.max_edits,
+        size=args.size, suggest_mode=args.mode,
+    )
+    for r in res.orderBy("token", "option_rank").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_redact(args) -> int:
+    """PII redaction over a document parquet (emails, phones, SSNs,
+    card numbers, IPs, AWS keys -> typed tokens; per-kind counts)."""
+    from data_prepper_spark.text.pii import redact_documents
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.docs)
+    kinds = list(args.kind) if args.kind else None
+    out = redact_documents(docs, column=args.text_col, kinds=kinds)
+    out.write.mode(args.mode).parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
     return 0
 
 
@@ -440,6 +476,10 @@ def cmd_facet(args) -> int:
         res = facets.date_histogram(
             spark, args.index, q, docs, args.field[0], unit=args.unit
         )
+    elif args.kind == "significant":
+        res = facets.significant_terms(
+            spark, args.index, q, docs, args.field[0], size=args.size
+        )
     else:
         res = facets.stats_facet(spark, args.index, q, docs, args.field)
     for r in res.orderBy(*[c for c in ("field", "bucket") if c in res.columns]).collect():
@@ -565,8 +605,35 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--conv-id", action="append", default=[],
                     help="conversation id STRING to purge — works under "
                          "both id schemes incl. UUID corpora (repeatable)")
+    dl.add_argument("--query", default=None,
+                    help="delete-by-query: tombstone every doc matching "
+                         "this match query (_delete_by_query)")
     dl.add_argument("--local-cores", type=int, default=None)
     dl.set_defaults(fn=cmd_delete)
+
+    sg = sub.add_parser(
+        "suggest", help='term suggester ("did you mean") from the '
+        "index dictionary")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--text", required=True)
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--mode", choices=["missing", "popular", "always"],
+                    default="missing")
+    sg.add_argument("--local-cores", type=int, default=None)
+    sg.set_defaults(fn=cmd_suggest)
+
+    rd = sub.add_parser(
+        "redact", help="PII redaction over a documents parquet "
+        "(email/phone/ssn/credit-card/ip/aws-key -> typed tokens)")
+    rd.add_argument("--docs", required=True)
+    rd.add_argument("--out", required=True)
+    rd.add_argument("--text-col", default="text")
+    rd.add_argument("--kind", action="append", default=[],
+                    help="restrict to these kinds (repeatable)")
+    rd.add_argument("--mode", default="error")
+    rd.add_argument("--local-cores", type=int, default=None)
+    rd.set_defaults(fn=cmd_redact)
 
     ex = sub.add_parser(
         "export", help="export matching (or all live) docs to parquet "
@@ -631,7 +698,9 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--docs", required=True,
                     help="corpus parquet with doc_id + facet columns")
     fc.add_argument("--query", required=True)
-    fc.add_argument("--kind", choices=["terms", "date_histogram", "stats"],
+    fc.add_argument("--kind",
+                    choices=["terms", "date_histogram", "stats",
+                             "significant"],
                     default="terms")
     fc.add_argument("--field", action="append", required=True,
                     help="facet field (repeatable; date_histogram uses "

@@ -1,0 +1,93 @@
+"""Delete-by-query: tombstone every doc matching a search query.
+
+The reference's opensearch sink issues per-document delete bulk
+actions (data-prepper-plugins/opensearch/.../OpenSearchSink.java:
+347-431); operators of those clusters clear cohorts with the
+`_delete_by_query` REST API — query in, matching docs tombstoned,
+`deleted` count out. This is that surface over our own index.
+
+Scale shape (the whole point of doing it here instead of a driver
+loop): the match set is NEVER collected. Matching doc_ids flow from
+the per-shard match kernels (term In-filter pushed to the blocks
+scan, tombstone-filtered so already-deleted docs don't recount) into
+a range repartition + within-partition sort, and each partition
+merges its consecutive doc_ids into maximal [start, end) runs with
+numpy before an executor-side parquet append. A run that spans two
+partitions costs at most one extra range per boundary; the
+Tombstones loader merges overlapping/adjacent ranges at read time
+anyway (index/tombstones.py Tombstones.for_seg), so correctness
+never depends on maximal merging here. The driver sees only the
+final `deleted` count — one long — no doc_id list ever.
+
+Semantics match the point-delete path exactly: tombstones apply to
+segments <= the current newest segment, queries see deletions
+immediately with full-corpus scoring stats, and compaction
+physically drops the postings (tests/test_tombstones.py pins all
+three phases; tests/test_delete_by_query.py pins this entry point).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index import tombstones
+
+_RANGE_OUT = "start long, end long, upto_seg long"
+
+
+def delete_by_query(
+    spark: SparkSession, index_dir: str, queries: DataFrame,
+    upto_seg: int | None = None,
+) -> int:
+    """Tombstone every live doc matching ANY of `queries(query_id,
+    query_text)` (OpenSearch `match` semantics — a doc matches if it
+    holds any query term). Returns the number of docs deleted (live
+    matches only, like the REST API's `deleted`)."""
+    from data_prepper_spark.query.facets import match_docs
+
+    if upto_seg is None:
+        upto_seg = tombstones._current_seg(index_dir)
+
+    matched = (
+        match_docs(spark, index_dir, queries)
+        .select("doc_id").distinct().persist()
+    )
+    n_deleted = matched.count()
+    if n_deleted == 0:
+        matched.unpersist()
+        return 0
+
+    upto = int(upto_seg)
+
+    def merge_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batches arrive in sorted order within the partition
+        chunks = [b["doc_id"].to_numpy() for b in batches]
+        d = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+        if d.size == 0:
+            return
+        breaks = np.flatnonzero(np.diff(d) != 1)
+        starts = d[np.concatenate(([0], breaks + 1))]
+        ends = d[np.concatenate((breaks, [d.size - 1]))] + 1
+        yield pd.DataFrame({
+            "start": starts.astype(np.int64),
+            "end": ends.astype(np.int64),
+            "upto_seg": np.full(starts.size, upto, np.int64),
+        })
+
+    ranges = (
+        matched.repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(merge_runs, schema=_RANGE_OUT)
+    )
+    path = os.path.join(index_dir, "tombstones")
+    ranges.write.mode("append").parquet(path)
+    matched.unpersist()
+    # footer-metadata count only, same guard as write_tombstones
+    tombstones._size_guard(spark.read.parquet(path).count(), index_dir)
+    return int(n_deleted)

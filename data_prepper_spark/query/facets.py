@@ -241,6 +241,72 @@ def stats_facet(
     )
 
 
+def significant_terms(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    size: int = 10,
+) -> DataFrame:
+    """The OpenSearch `significant_terms` aggregation: field values
+    UNUSUALLY frequent in a query's match set relative to the whole
+    corpus ("what is different about the matching docs"), scored with
+    the default JLH heuristic:
+
+        jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+
+    where fg_rate = fg_count/fg_total over the match set and bg_rate =
+    bg_count/bg_total over the full corpus; only values with
+    fg_rate > bg_rate qualify (the API returns no "negatively
+    significant" buckets). -> (query_id, value, fg_count, bg_count,
+    score), top `size` per query by (score desc, value asc).
+
+    Scale shape: foreground reuses the terms_facet plan (distributed
+    match set -> column-pruned corpus join -> two-phase count agg);
+    background is ONE corpus-wide two-phase agg whose output is
+    bounded by field cardinality and joined to the foreground counts
+    on value (broadcast-sized for any facetable field). Nothing about
+    the corpus is collected; doubles are IEEE-identical in Spark and
+    DuckDB so the score itself is oracle-checkable."""
+    m = match_docs(spark, index_dir, queries)
+    slim = docs.select("doc_id", F.col(field).cast("string").alias("value"))
+    fg = (
+        m.join(slim, "doc_id")
+        .groupBy("query_id", "value")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+    )
+    fg_tot = fg.groupBy("query_id").agg(
+        F.sum("fg_count").alias("fg_total")
+    )
+    bg = slim.groupBy("value").agg(F.count(F.lit(1)).alias("bg_count"))
+    bg_total = slim.count()
+    scored = (
+        fg.join(fg_tot, "query_id")
+        .join(F.broadcast(bg), "value")
+        .withColumn(
+            "fg_rate", F.col("fg_count") / F.col("fg_total")
+        )
+        .withColumn(
+            "bg_rate", F.col("bg_count") / F.lit(float(bg_total))
+        )
+        .filter(F.col("fg_rate") > F.col("bg_rate"))
+        .withColumn(
+            "score",
+            (F.col("fg_rate") - F.col("bg_rate"))
+            * (F.col("fg_rate") / F.col("bg_rate")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("value")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= size)
+        .select("query_id", "value", "fg_count", "bg_count", "score")
+    )
+
+
 def count_matches(
     spark: SparkSession, index_dir: str, queries: DataFrame,
 ) -> DataFrame:

@@ -1,0 +1,109 @@
+"""PII detection + redaction over document text — the scrub pass every
+training-data pipeline runs before anything else (C4 strips lines by
+blocklist; RefinedWeb/Dolma redact emails, IPs and phone numbers with
+regex passes — Penedo et al. 2023 §3.4, Soldaini et al. 2024 §4).
+
+The reference covers the masking role with its obfuscate processor
+(data-prepper-plugins/obfuscate-processor/.../ObfuscationProcessor.java
+— regex-driven mask over event fields, with PII shortcut patterns);
+this module is the corpus-scale version over the `documents` table:
+typed entity patterns, replacement tokens, per-kind hit counts.
+
+Everything is a pure Column expression (regexp_replace /
+regexp_count chains) — JVM-side, whole-stage codegen, zero Python in
+the hot path, so it fuses into the same scan as the quality signals
+(text/quality.py) and costs one corpus pass.
+
+Pattern dialect: ONLY syntax Java regex and RE2 share (char classes,
+alternation, bounded repeats, non-capturing groups, \\b) — no
+lookaround, no backrefs — so a DuckDB oracle reproduces redaction
+byte-for-byte (tests/test_pii.py cross-checks all three engines).
+Documented divergence from validator-backed scrubbers (e.g. a Luhn
+check on card numbers): regex-only means a 16-digit non-Luhn string
+still redacts; at corpus scale false-positive redaction of digit runs
+is the accepted C4/Dolma trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Ordered: earlier kinds claim their text before looser later patterns
+# can (an email's digits must not half-match as a phone). Tokens match
+# Dolma's |||EMAIL_ADDRESS||| style but shorter.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email",
+     r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",
+     "<EMAIL>"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    # no leading \b: the match can start at '(' or '+' (both non-word,
+    # so \b there never fires in Java/RE2/PCRE alike); right edge stays
+    # \b-anchored. Trade: a phone-shaped tail inside a longer digit run
+    # redacts its suffix — the C4/Dolma-style tolerance, documented.
+    ("phone",
+     r"(?:\+?1[-. ])?(?:\([0-9]{3}\)[-. ]?|[0-9]{3}[-. ])"
+     r"[0-9]{3}[-. ][0-9]{4}\b",
+     "<PHONE>"),
+    ("credit_card",
+     r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b",
+     "<CC>"),
+    ("ipv4",
+     r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+     "<IP>"),
+]
+
+_KINDS = {k for k, _, _ in PII_PATTERNS}
+
+
+def _selected(kinds: list[str] | None) -> list[tuple[str, str, str]]:
+    if kinds is None:
+        return PII_PATTERNS
+    unknown = set(kinds) - _KINDS
+    if unknown:
+        raise ValueError(f"unknown pii kinds: {sorted(unknown)}")
+    keep = set(kinds)
+    return [p for p in PII_PATTERNS if p[0] in keep]
+
+
+def redact(col: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace every PII span with its typed token, in pattern order."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, tok in _selected(kinds):
+        c = F.regexp_replace(c, pat, tok)
+    return c
+
+
+def pii_counts(col: Column | str, kinds: list[str] | None = None) -> Column:
+    """struct<kind: int, ...> of hit counts per kind, counted the same
+    ordered-claim way redact() replaces (each kind counts on the text
+    AFTER earlier kinds were redacted, so spans are never double-
+    attributed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cols = []
+    for name, pat, tok in _selected(kinds):
+        cols.append(F.regexp_count(c, F.lit(pat)).cast("int").alias(name))
+        c = F.regexp_replace(c, pat, tok)
+    return F.struct(*cols)
+
+
+def redact_documents(
+    df: DataFrame, column: str = "text", kinds: list[str] | None = None,
+    counts: bool = True,
+) -> DataFrame:
+    """documents(..., text) -> same rows with `text` redacted (+
+    `pii` counts struct when counts=True). One scan, zero shuffles."""
+    out = df.withColumn("__redacted", redact(column, kinds))
+    if counts:
+        out = out.withColumn("pii", pii_counts(column, kinds))
+    return out.withColumn(column, F.col("__redacted")).drop("__redacted")
+
+
+def oracle_redact_sql(expr: str, kinds: list[str] | None = None) -> str:
+    """The DuckDB expression computing redact() byte-for-byte (nested
+    regexp_replace with the 'g' flag)."""
+    for _, pat, tok in _selected(kinds):
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{tok}', 'g')"
+    return expr

@@ -1,0 +1,152 @@
+"""_delete_by_query over the index: query in, matching docs tombstoned.
+
+The reference's opensearch sink emits per-doc delete bulk actions
+(OpenSearchSink.java:347-431); cluster operators clear cohorts with
+the `_delete_by_query` REST API. index/delete_query.py is that entry
+point here — these tests pin:
+
+1. the `deleted` count == the oracle match-set size (docs holding ANY
+   query term), and a re-run deletes 0 (live-matches-only semantics);
+2. deletions are visible immediately with full-corpus stats (Lucene
+   liveDocs semantics — same contract test_tombstones.py pins for
+   point deletes);
+3. compaction physically drops them: rank-identical to a fresh build
+   over the reduced corpus;
+4. a query matching nothing writes nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.delete_query import delete_by_query
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE as STRIDE
+
+N_CONVS = 100
+DELETE_QUERY = "crash"  # a hot term of the synthetic vocabulary
+
+
+def _doc_ids(pdf: pd.DataFrame) -> pd.Series:
+    return pdf.conv_id.str.slice(5).astype(int) * STRIDE + pdf.turn_idx
+
+
+def _matching_ids(pdf: pd.DataFrame, qtext: str) -> set[int]:
+    qterms = set(tokenize(qtext))
+    ids = _doc_ids(pdf)
+    return {
+        int(d) for d, t in zip(ids, pdf.text)
+        if qterms & set(tokenize(t))
+    }
+
+
+def _qdf(spark, qtext: str):
+    return spark.createDataFrame(
+        [("del-q", qtext)], "query_id string, query_text string"
+    )
+
+
+def _topk(spark, d, queries_pdf):
+    return (
+        engine.score_topk(spark, d, spark.createDataFrame(queries_pdf), "wand")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def _live_oracle(corpus_pdf, live_ids: set[int], queries_pdf):
+    idx = oracle.build_index(list(zip(_doc_ids(corpus_pdf), corpus_pdf.text)))
+    rows = []
+    for qid, qtext, k in queries_pdf.itertuples(index=False, name=None):
+        hits = [(doc, s) for doc, s in
+                oracle.score_query(idx, qtext, k=len(corpus_pdf))
+                if doc in live_ids][:k]
+        rows += [
+            {"query_id": qid, "rank": r + 1, "doc_id": doc, "score": s}
+            for r, (doc, s) in enumerate(hits)
+        ]
+    return pd.DataFrame(rows).sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def test_delete_by_query_end_to_end(spark, tmp_path):
+    corpus = generate_pandas(0, N_CONVS)
+    d = str(tmp_path / "idx")
+    ib.build_index(spark, spark.createDataFrame(corpus), d,
+                   n_shards=4, block_size=16)
+
+    expected = _matching_ids(corpus, DELETE_QUERY)
+    assert expected, "fixture query must match something"
+
+    n = delete_by_query(spark, d, _qdf(spark, DELETE_QUERY))
+    assert n == len(expected)
+
+    # live-matches-only: the second pass sees nothing left to delete
+    assert delete_by_query(spark, d, _qdf(spark, DELETE_QUERY)) == 0
+
+    # immediate visibility, full-corpus stats (Lucene liveDocs phase)
+    queries_pdf = generate_queries(12)
+    live = set(_doc_ids(corpus)) - expected
+    got = _topk(spark, d, queries_pdf)
+    assert not np.isin(got.doc_id.values, list(expected)).any()
+    exp = _live_oracle(corpus, live, queries_pdf)
+    assert (exp.doc_id.values == got.doc_id.values).all()
+    assert (abs(exp.score.values - got.score.values) <= 1e-6).all()
+
+    # the deleted term itself returns zero hits
+    gone = engine.score_topk(
+        spark, d,
+        spark.createDataFrame([("g", DELETE_QUERY, 10)],
+                              "query_id string, query_text string, k int"),
+        "wand",
+    )
+    assert gone.count() == 0
+
+    # compaction physically drops the postings: rank-identical to a
+    # fresh build over the reduced corpus
+    ib.compact_index(spark, d)
+    assert not os.path.exists(os.path.join(d, "tombstones"))
+    reduced = corpus[_doc_ids(corpus).isin(list(live))].reset_index(drop=True)
+    fresh = str(tmp_path / "fresh")
+    ib.build_index(spark, spark.createDataFrame(reduced), fresh,
+                   n_shards=4, block_size=16)
+    got_c = _topk(spark, d, queries_pdf)
+    got_f = _topk(spark, fresh, queries_pdf)
+    assert (got_c.doc_id.values == got_f.doc_id.values).all()
+    assert (abs(got_c.score.values - got_f.score.values) <= 1e-9).all()
+
+
+def test_delete_by_query_no_match_writes_nothing(spark, tmp_path):
+    corpus = generate_pandas(7, 20)
+    d = str(tmp_path / "idx")
+    ib.build_index(spark, spark.createDataFrame(corpus), d,
+                   n_shards=2, block_size=16)
+    assert delete_by_query(spark, d, _qdf(spark, "zzqxvnotaterm")) == 0
+    assert not os.path.exists(os.path.join(d, "tombstones"))
+
+
+def test_delete_by_query_merges_runs(spark, tmp_path):
+    """Consecutive doc_ids collapse into ranges: deleting a term every
+    turn of a conversation holds must write far fewer ranges than docs."""
+    corpus = generate_pandas(3, 60)
+    # plant a token in EVERY turn of conversations 10..19 -> doc_id runs
+    serials = corpus.conv_id.str.slice(5).astype(int)
+    mask = serials.between(10, 19)
+    corpus.loc[mask, "text"] = corpus.loc[mask, "text"] + " plantedruntok"
+    d = str(tmp_path / "idx")
+    ib.build_index(spark, spark.createDataFrame(corpus), d,
+                   n_shards=4, block_size=16)
+    n = delete_by_query(spark, d, _qdf(spark, "plantedruntok"))
+    assert n == int(mask.sum())
+    ranges = spark.read.parquet(os.path.join(d, "tombstones")).toPandas()
+    assert (ranges.end - ranges.start).sum() == n
+    # 10 conversations -> ~10 runs (+ a few partition-boundary splits),
+    # never one range per doc
+    assert len(ranges) <= 10 + 32

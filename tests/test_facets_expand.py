@@ -304,3 +304,57 @@ def test_sort_topk_ascending_and_empty(spark, corpus):
     m = _match_set(pdf, "error")
     want = pdf[pdf.doc_id.isin(m)].sort_values(["ts", "doc_id"]).head(4)
     assert list(got.sort_values("rank").doc_id) == list(want.doc_id)
+
+
+def _jlh_oracle(pdf, match, field, size=10):
+    sub = pdf[pdf.doc_id.isin(match)]
+    fg = sub.groupby(field).size()
+    fg_total = int(fg.sum())
+    bg = pdf.groupby(field).size()
+    bg_total = len(pdf)
+    rows = []
+    for v, fgc in fg.items():
+        fg_rate = fgc / fg_total
+        bg_rate = int(bg[v]) / float(bg_total)
+        if fg_rate > bg_rate:
+            score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+            rows.append((str(v), int(fgc), int(bg[v]), score))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return rows[:size]
+
+
+def test_significant_terms_jlh_exact(spark, corpus):
+    d, pdf = corpus
+    pdf = pdf.copy()
+    # a field correlated with matching: buckets skewed by text length
+    pdf["bucket"] = (pdf.text.str.len() % 7).astype(str)
+    q = spark.createDataFrame(
+        [("q1", "error timeout"), ("q2", "zzabsent")],
+        "query_id string, query_text string",
+    )
+    docs_df = spark.createDataFrame(pdf[["doc_id", "bucket"]])
+    got = (
+        facets.significant_terms(spark, d, q, docs_df, "bucket", size=5)
+        .toPandas()
+    )
+    assert (got.query_id == "q1").all()  # no-match query yields nothing
+    g = got.sort_values(["score", "value"], ascending=[False, True])
+    exp = _jlh_oracle(pdf, _match_set(pdf, "error timeout"), "bucket", size=5)
+    assert list(zip(g.value, g.fg_count, g.bg_count)) == [
+        (v, f, b) for v, f, b, _ in exp
+    ]
+    assert np.allclose(g.score.values, [s for *_, s in exp], atol=1e-12)
+
+
+def test_significant_terms_positive_only(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame(
+        [("q1", "error")], "query_id string, query_text string"
+    )
+    docs_df = spark.createDataFrame(pdf[["doc_id", "role"]])
+    got = facets.significant_terms(spark, d, q, docs_df, "role").toPandas()
+    m = _match_set(pdf, "error")
+    fg_total = len(pdf[pdf.doc_id.isin(m)])
+    for _, r in got.iterrows():
+        assert r.fg_count / fg_total > r.bg_count / len(pdf)
+        assert r.score > 0

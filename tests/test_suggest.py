@@ -1,0 +1,107 @@
+"""Term suggester ("did you mean") vs a brute-force oracle.
+
+Pins the DirectSpellChecker-style contract of query/suggest.py: for a
+misspelled token, candidates within max_edits sharing the prefix,
+ranked (distance ASC, df DESC, term ASC) capped at size; and the
+three suggest_modes (missing / popular / always).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index import layout
+from data_prepper_spark.query.suggest import suggest_terms
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _oracle(dict_pdf, token, max_edits=2, prefix_length=1, size=5,
+            suggest_mode="missing", present_df=0):
+    cands = []
+    for term, df in zip(dict_pdf.term, dict_pdf.df):
+        if term == token:
+            continue
+        if prefix_length and not term.startswith(token[:prefix_length]):
+            continue
+        d = _lev(term, token)
+        if d > max_edits:
+            continue
+        if suggest_mode == "popular" and df <= present_df:
+            continue
+        cands.append((d, -int(df), term))
+    cands.sort()
+    return [(t, d, -ndf) for d, ndf, t in cands[:size]]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    corpus = generate_pandas(0, 80)
+    d = str(tmp_path_factory.mktemp("idx_sug"))
+    ib.build_index(spark, spark.createDataFrame(corpus), d,
+                   n_shards=4, block_size=16)
+    dict_pdf = spark.read.parquet(layout.resolve(d, "dictionary")).toPandas()
+    return d, dict_pdf
+
+
+def test_missing_mode_matches_oracle(spark, idx):
+    d, dict_pdf = idx
+    # misspell a real, reasonably common vocabulary word
+    vocab = dict_pdf.sort_values("df", ascending=False)
+    word = next(w for w in vocab.term if len(w) >= 6)
+    typo = word[:2] + word[3:]  # one deletion -> distance 1 from word
+    got = (suggest_terms(spark, d, typo).toPandas()
+           .sort_values("option_rank").reset_index(drop=True))
+    exp = _oracle(dict_pdf, typo)
+    assert list(zip(got.suggestion, got.distance, got.df)) == exp
+    assert word in set(got.suggestion)
+    assert list(got.option_rank) == list(range(1, len(exp) + 1))
+
+
+def test_missing_mode_skips_present_tokens(spark, idx):
+    d, dict_pdf = idx
+    word = dict_pdf.term.iloc[0]
+    assert suggest_terms(spark, d, word).count() == 0
+
+
+def test_always_mode_suggests_for_present_tokens(spark, idx):
+    d, dict_pdf = idx
+    word = next(w for w in dict_pdf.term if len(w) >= 6)
+    got = (suggest_terms(spark, d, word, suggest_mode="always").toPandas()
+           .sort_values("option_rank").reset_index(drop=True))
+    exp = _oracle(dict_pdf, word, suggest_mode="always")
+    assert list(zip(got.suggestion, got.distance, got.df)) == exp
+
+
+def test_popular_mode_out_dfs_the_input(spark, idx):
+    d, dict_pdf = idx
+    by_df = dict_pdf.sort_values("df")
+    word = next(w for w in by_df.term if len(w) >= 6)
+    my_df = int(dict_pdf.set_index("term").df[word])
+    got = suggest_terms(spark, d, word, suggest_mode="popular").toPandas()
+    assert (got.df > my_df).all()
+    exp = _oracle(dict_pdf, word, suggest_mode="popular", present_df=my_df)
+    got = got.sort_values("option_rank").reset_index(drop=True)
+    assert list(zip(got.suggestion, got.distance, got.df)) == exp
+
+
+def test_min_word_length_and_batch(spark, idx):
+    d, dict_pdf = idx
+    vocab = dict_pdf.sort_values("df", ascending=False)
+    w1 = next(w for w in vocab.term if len(w) >= 6)
+    typo = w1[:-1] + ("x" if w1[-1] != "x" else "q")
+    got = suggest_terms(spark, d, f"abc {typo}").toPandas()
+    # 'abc' < min_word_length=4 -> no rows for it
+    assert set(got.token) <= {typo}
