@@ -98,6 +98,19 @@ def cmd_query(args) -> int:
                               "doc_id": r["doc_id"],
                               "score": round(r["score"], 6)}))
         return 0
+    if getattr(args, "query_string", None):
+        from data_prepper_spark.query.query_string import query_string_topk
+
+        qdf = spark.createDataFrame(
+            [("q0", args.query_string, args.k)],
+            "query_id string, query_string string, k int",
+        )
+        res = query_string_topk(spark, args.index, qdf)
+        for r in res.orderBy("query_id", "rank").collect():
+            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+                              "doc_id": r["doc_id"],
+                              "score": round(r["score"], 6)}))
+        return 0
     if args.like:
         from data_prepper_spark.query import expand as ex
 
@@ -480,6 +493,11 @@ def cmd_facet(args) -> int:
         res = facets.significant_terms(
             spark, args.index, q, docs, args.field[0], size=args.size
         )
+    elif args.kind == "percentiles":
+        res = facets.percentiles_facet(
+            spark, args.index, q, docs, args.field[0],
+            approximate=args.approximate,
+        )
     else:
         res = facets.stats_facet(spark, args.index, q, docs, args.field)
     for r in res.orderBy(*[c for c in ("field", "bucket") if c in res.columns]).collect():
@@ -545,6 +563,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--like", default=None,
                    help="more_like_this: find docs similar to this text "
                         "(tf-idf term selection + bool should, msm 30%%)")
+    q.add_argument("--query-string", default=None,
+                   help='Lucene query_string syntax: +must -not AND/OR/'
+                        'NOT (a OR b) groups, "quoted phrase"')
     q.add_argument("--must-group", action="append", default=[],
                    help="conjunctive OR-group: terms in one flag are "
                         "OR'd, repeated flags AND'd — '(a OR b) AND "
@@ -700,8 +721,11 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--query", required=True)
     fc.add_argument("--kind",
                     choices=["terms", "date_histogram", "stats",
-                             "significant"],
+                             "significant", "percentiles"],
                     default="terms")
+    fc.add_argument("--approximate", action="store_true",
+                    help="percentiles: GK sketch (bounded memory; the "
+                         "t-digest trade OpenSearch itself makes)")
     fc.add_argument("--field", action="append", required=True,
                     help="facet field (repeatable; date_histogram uses "
                          "the first)")

@@ -241,6 +241,57 @@ def stats_facet(
     )
 
 
+def percentiles_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    percents: tuple = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+    approximate: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The OpenSearch `percentiles` aggregation over a query's match
+    set -> (query_id, percent, value), default percents matching the
+    API's [1, 5, 25, 50, 75, 95, 99].
+
+    Two modes, one plan shape (match set -> column-pruned corpus join
+    -> ONE agg producing an array, exploded to rows):
+
+    - exact (default): Spark `percentile` with linear interpolation —
+      bit-identical to DuckDB's quantile_cont, so oracle-checkable.
+      Buffers each query's matched values on one reducer: right for
+      facet-sized match sets, wrong for a hot query at 100 TB.
+    - approximate=True: `percentile_approx` (Greenwald-Khanna sketch,
+      bounded memory at any scale) — the same trade OpenSearch itself
+      makes (its percentiles agg is t-digest, i.e. approximate by
+      default); rank error bounded by 1/accuracy, mergeable map-side.
+    """
+    m = match_docs(spark, index_dir, queries)
+    joined = m.join(docs.select("doc_id", field), "doc_id")
+    plist = ", ".join(f"{p / 100.0!r}" for p in percents)
+    fn = (
+        f"percentile_approx({field}, array({plist}), {int(accuracy)})"
+        if approximate else f"percentile({field}, array({plist}))"
+    )
+    agg = joined.groupBy("query_id").agg(
+        F.expr(fn).alias("vals")
+    )
+    pcts = F.array(*[F.lit(float(p)) for p in percents])
+    return (
+        agg.select(
+            "query_id",
+            F.explode(F.arrays_zip(pcts.alias("percent"),
+                                   F.col("vals").alias("value"))).alias("z"),
+        )
+        .select(
+            "query_id",
+            F.col("z.percent").alias("percent"),
+            F.col("z.value").cast("double").alias("value"),
+        )
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

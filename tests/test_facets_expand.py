@@ -358,3 +358,53 @@ def test_significant_terms_positive_only(spark, corpus):
     for _, r in got.iterrows():
         assert r.fg_count / fg_total > r.bg_count / len(pdf)
         assert r.score > 0
+
+
+def test_percentiles_facet_exact_matches_numpy_and_duckdb(spark, corpus):
+    import duckdb
+
+    d, pdf = corpus
+    pdf = pdf.copy()
+    pdf["v"] = pdf.text.str.len().astype(float)
+    q = spark.createDataFrame(
+        [("q1", "error")], "query_id string, query_text string"
+    )
+    docs_df = spark.createDataFrame(pdf[["doc_id", "v"]])
+    got = (
+        facets.percentiles_facet(spark, d, q, docs_df, "v")
+        .toPandas().sort_values("percent").reset_index(drop=True)
+    )
+    m = _match_set(pdf, "error")
+    vals = pdf[pdf.doc_id.isin(m)].v.to_numpy()
+    pcts = [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+    exp = np.percentile(vals, pcts, method="linear")
+    assert np.allclose(got.value.values, exp, atol=1e-9)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    for p, g in zip(pcts, got.value.values):
+        dd = con.execute(
+            f"SELECT quantile_cont(v, {p / 100.0}) FROM t"
+        ).fetchone()[0]
+        assert abs(dd - g) <= 1e-9
+
+
+def test_percentiles_facet_approximate_close(spark, corpus):
+    d, pdf = corpus
+    pdf = pdf.copy()
+    pdf["v"] = pdf.text.str.len().astype(float)
+    q = spark.createDataFrame(
+        [("q1", "error")], "query_id string, query_text string"
+    )
+    docs_df = spark.createDataFrame(pdf[["doc_id", "v"]])
+    exact = (
+        facets.percentiles_facet(spark, d, q, docs_df, "v")
+        .toPandas().sort_values("percent").value.values
+    )
+    approx = (
+        facets.percentiles_facet(spark, d, q, docs_df, "v",
+                                 approximate=True)
+        .toPandas().sort_values("percent").value.values
+    )
+    # GK sketch at accuracy=10000 on a few hundred values is near-exact
+    spread = exact.max() - exact.min() or 1.0
+    assert (abs(approx - exact) <= 0.05 * spread + 1e-9).all()

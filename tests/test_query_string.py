@@ -1,0 +1,106 @@
+"""query_string parser + lowering: parse table, e2e kernel equivalence,
+loud rejection of the unsupported corners (mixed phrase, NOT-group,
+AND inside a group, unclosed paren)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.query_string import (
+    QueryStringError, parse_query_string, query_string_topk,
+)
+
+CASES = [
+    ("error timeout",
+     {"must": [], "should": ["error", "timeout"], "must_not": [], "groups": []}),
+    ("+error timeout",
+     {"must": ["error"], "should": ["timeout"], "must_not": [], "groups": []}),
+    ("error AND timeout",
+     {"must": ["error", "timeout"], "should": [], "must_not": [], "groups": []}),
+    ("error OR timeout",
+     {"must": [], "should": ["error", "timeout"], "must_not": [], "groups": []}),
+    ("error -crash",
+     {"must": [], "should": ["error"], "must_not": ["crash"], "groups": []}),
+    ("error NOT crash",
+     {"must": [], "should": ["error"], "must_not": ["crash"], "groups": []}),
+    ("error AND (retry OR panic)",
+     {"must": ["error"], "should": [], "must_not": [],
+      "groups": [["retry", "panic"]]}),
+    ("error AND timeout OR retry",
+     {"must": ["error", "timeout"], "should": ["retry"], "must_not": [],
+      "groups": []}),
+]
+
+
+@pytest.mark.parametrize("qs,want", CASES)
+def test_parse_table(qs, want):
+    got = parse_query_string(qs)
+    assert got["kind"] == "bool"
+    for k, v in want.items():
+        assert got[k] == v, (qs, k)
+
+
+def test_parse_phrase():
+    assert parse_query_string('"error handling"') == {
+        "kind": "phrase", "phrase": "error handling"}
+
+
+@pytest.mark.parametrize("bad", [
+    '"a phrase" extra', "error AND (a AND b)", "(unclosed",
+    "NOT (a OR b)", "(a b)",
+])
+def test_rejects_unsupported(bad):
+    with pytest.raises(QueryStringError):
+        parse_query_string(bad)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    pdf = generate_pandas(0, 80)
+    d = str(tmp_path_factory.mktemp("qs") / "idx")
+    ib.build_index(spark, spark.createDataFrame(pdf), d,
+                   n_shards=4, block_size=16)
+    return d
+
+
+def _pdf(df):
+    return (df.toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True))
+
+
+def test_lowering_matches_bool_kernel(spark, idx):
+    qs = spark.createDataFrame(
+        [("q1", "error AND timeout -crash", 10),
+         ("q2", "retry panic", 10),
+         ("q3", "deploy AND (retry OR panic)", 10)],
+        "query_id string, query_string string, k int",
+    )
+    got = _pdf(query_string_topk(spark, idx, qs))
+    bq = spark.createDataFrame(
+        [("q1", "error timeout", "", "crash", 0, 10, ""),
+         ("q2", "", "retry panic", "", 1, 10, ""),
+         ("q3", "deploy", "", "", 0, 10, "retry panic")],
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match int, k int, must_groups string",
+    )
+    exp = _pdf(engine.bool_topk(spark, idx, bq))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_lowering_matches_phrase_kernel_and_mixes(spark, idx):
+    qs = spark.createDataFrame(
+        [("p1", '"error handling"', 5), ("b1", "error AND timeout", 5)],
+        "query_id string, query_string string, k int",
+    )
+    got = _pdf(query_string_topk(spark, idx, qs))
+    exp_p = _pdf(engine.phrase_topk(
+        spark, idx,
+        spark.createDataFrame([("p1", "error handling", 5)],
+                              "query_id string, query_text string, k int")))
+    g1 = got[got.query_id == "p1"].reset_index(drop=True)
+    pd.testing.assert_frame_equal(g1, exp_p)
+    assert (got.query_id == "b1").any()
