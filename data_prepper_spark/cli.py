@@ -354,41 +354,33 @@ def cmd_export(args) -> int:
     docs for reprocessing): match set from the query engine joined back
     to the corpus parquet, written distributed (never collected). With
     no --query, exports the whole corpus minus tombstoned docs."""
-    from pyspark.sql import functions as F
+    from data_prepper_spark.index.reindex import live_docs
 
     spark = _get_spark(args)
     docs = spark.read.parquet(args.docs)
-    if args.query:
-        from data_prepper_spark.query.facets import match_docs
-
-        q = spark.createDataFrame(
-            [("q", args.query)], "query_id string, query_text string"
-        )
-        m = match_docs(spark, args.index, q).select("doc_id").distinct()
-        out = docs.join(m, "doc_id")
-    else:
-        from data_prepper_spark.index import tombstones as tb
-        from data_prepper_spark.query.engine import load_stats
-
-        out = docs
-        tomb = tb.load_tombstones(spark, args.index)
-        if tomb is not None:
-            # liveDocs of the NEWEST segment: true deletes apply to every
-            # segment incl. the current one; upsert tombstones stop at
-            # the old generation, so replacement rows stay exported
-            cur = int(load_stats(args.index).get("snapshot_id", 0))
-            rng = tomb.for_seg(cur)
-            if rng is not None:
-                # ranges are driver-small: compile to one boolean Column
-                cond = F.lit(False)
-                for a, b in zip(*[list(map(int, x)) for x in rng]):
-                    cond = cond | (
-                        (F.col("doc_id") >= a) & (F.col("doc_id") < b)
-                    )
-                out = docs.filter(~cond)
+    out = live_docs(spark, args.index, docs, query=args.query or None)
     out.write.mode(args.mode).parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"exported_rows": n, "out": args.out}))
+    return 0
+
+
+def cmd_reindex(args) -> int:
+    """_reindex: rebuild the source index's live docs (optionally
+    query-filtered) into a new index with new settings — analyzer
+    migration, reshard, positions toggle. doc_ids are preserved."""
+    from data_prepper_spark.index.reindex import reindex
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.docs)
+    stats = reindex(
+        spark, args.index, docs, args.dest, query=args.query or None,
+        n_shards=args.shards, block_size=args.block_size,
+        tokenizer=args.tokenizer,
+        positions=(None if args.positions == "keep"
+                   else args.positions == "on"),
+    )
+    print(json.dumps(stats))
     return 0
 
 
@@ -668,6 +660,24 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--mode", default="overwrite")
     ex.add_argument("--local-cores", type=int, default=None)
     ex.set_defaults(fn=cmd_export)
+
+    ri = sub.add_parser(
+        "reindex", help="_reindex: rebuild live (or matching) docs into "
+        "a new index with new settings (analyzer/shards/positions)")
+    ri.add_argument("--index", required=True, help="source index")
+    ri.add_argument("--docs", required=True,
+                    help="corpus parquet with doc_id + text")
+    ri.add_argument("--dest", required=True, help="destination index dir")
+    ri.add_argument("--query", default=None,
+                    help="copy only docs matching this query")
+    ri.add_argument("--shards", type=int, default=None)
+    ri.add_argument("--block-size", type=int, default=None)
+    ri.add_argument("--tokenizer", choices=["ascii", "unicode"],
+                    default=None, help="analyzer migration target")
+    ri.add_argument("--positions", choices=["keep", "on", "off"],
+                    default="keep")
+    ri.add_argument("--local-cores", type=int, default=None)
+    ri.set_defaults(fn=cmd_reindex)
 
     ci = sub.add_parser(
         "check-index", help="verify index integrity (Lucene CheckIndex "
