@@ -334,6 +334,33 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_rank_eval(args) -> int:
+    """_rank_eval: precision/recall@k, MRR, NDCG@k of the engine's
+    top-k against a rated (query_id, doc_id, rating) parquet."""
+    from data_prepper_spark.query.rank_eval import rank_eval
+
+    spark = _get_spark(args)
+    qrows = [(q["query_id"], q["query_text"], int(q.get("k", args.k)))
+             for q in json.load(open(args.queries_json))]
+    qdf = spark.createDataFrame(
+        qrows, "query_id string, query_text string, k int")
+    ratings = spark.read.parquet(args.ratings)
+    res = rank_eval(spark, args.index, qdf, ratings,
+                    relevant_rating_threshold=args.threshold)
+    rows = res.orderBy("query_id").collect()
+    for r in rows:
+        print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                          for k, v in r.asDict().items()}))
+    if rows:
+        import statistics as st
+
+        print(json.dumps({"mean": {
+            m: round(st.mean(r[m] for r in rows), 6)
+            for m in ("precision_at_k", "recall_at_k", "mrr", "ndcg_at_k")
+        }}))
+    return 0
+
+
 def cmd_redact(args) -> int:
     """PII redaction over a document parquet (emails, phones, SSNs,
     card numbers, IPs, AWS keys -> typed tokens; per-kind counts)."""
@@ -635,6 +662,20 @@ def main(argv: list[str] | None = None) -> int:
                     default="missing")
     sg.add_argument("--local-cores", type=int, default=None)
     sg.set_defaults(fn=cmd_suggest)
+
+    rv = sub.add_parser(
+        "rank-eval", help="_rank_eval: precision/recall@k, MRR, NDCG@k "
+        "against rated (query_id, doc_id, rating) docs")
+    rv.add_argument("--index", required=True)
+    rv.add_argument("--queries-json", required=True,
+                    help='[{"query_id", "query_text", "k"?}, ...]')
+    rv.add_argument("--ratings", required=True,
+                    help="parquet with query_id, doc_id, rating")
+    rv.add_argument("--k", type=int, default=10)
+    rv.add_argument("--threshold", type=int, default=1,
+                    help="relevant_rating_threshold")
+    rv.add_argument("--local-cores", type=int, default=None)
+    rv.set_defaults(fn=cmd_rank_eval)
 
     rd = sub.add_parser(
         "redact", help="PII redaction over a documents parquet "

@@ -1,0 +1,103 @@
+"""_rank_eval metrics vs a pure-python oracle over the same hits."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.rank_eval import rank_eval
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    pdf = generate_pandas(0, 80)
+    d = str(tmp_path_factory.mktemp("re") / "idx")
+    ib.build_index(spark, spark.createDataFrame(pdf), d,
+                   n_shards=4, block_size=16)
+    return d
+
+
+def _oracle(hits: pd.DataFrame, ratings: dict, k: int, thr: int = 1):
+    """hits: rank-ordered doc_ids for ONE query; ratings: doc_id->rating."""
+    docs = list(hits.doc_id)
+    rel = [d for d in docs if ratings.get(d, 0) >= thr]
+    total_rel = sum(1 for v in ratings.values() if v >= thr)
+    precision = len(rel) / len(docs) if docs else 0.0
+    recall = len(rel) / total_rel if total_rel else 0.0
+    mrr = 0.0
+    for i, d in enumerate(docs, 1):
+        if ratings.get(d, 0) >= thr:
+            mrr = 1.0 / i
+            break
+    dcg = sum((2.0 ** ratings.get(d, 0) - 1) / math.log2(i + 1)
+              for i, d in enumerate(docs, 1))
+    ideal = sorted(ratings.values(), reverse=True)[:k]
+    idcg = sum((2.0 ** v - 1) / math.log2(i + 1)
+               for i, v in enumerate(ideal, 1))
+    ndcg = dcg / idcg if idcg > 0 else 0.0
+    return precision, recall, mrr, ndcg
+
+
+def test_rank_eval_matches_oracle(spark, idx):
+    k = 6
+    qpdf = generate_queries(6)
+    qpdf["k"] = k
+    qdf = spark.createDataFrame(qpdf)
+    hits = (engine.score_topk(spark, idx, qdf, "wand").toPandas()
+            .sort_values(["query_id", "rank"]))
+
+    # rate: top hit 3, third 2, fifth 1, plus one unretrieved doc rated 2
+    rows = []
+    for qid, g in hits.groupby("query_id"):
+        docs = list(g.doc_id)
+        if len(docs) >= 5:
+            rows += [(qid, docs[0], 3), (qid, docs[2], 2), (qid, docs[4], 1)]
+        elif docs:
+            rows += [(qid, docs[0], 3)]
+        rows.append((qid, 999_999_999_999, 2))  # relevant but never retrieved
+    rdf = spark.createDataFrame(rows, "query_id string, doc_id long, rating int")
+
+    got = (rank_eval(spark, idx, qdf, rdf).toPandas()
+           .set_index("query_id").sort_index())
+    ratings_by_q: dict[str, dict[int, int]] = {}
+    for qid, d, r in rows:
+        ratings_by_q.setdefault(qid, {})[d] = r
+    for qid, g in hits.groupby("query_id"):
+        p, r, m, n = _oracle(g, ratings_by_q[qid], k)
+        row = got.loc[qid]
+        assert abs(row.precision_at_k - p) <= 1e-12, qid
+        assert abs(row.recall_at_k - r) <= 1e-12, qid
+        assert abs(row.mrr - m) <= 1e-12, qid
+        assert abs(row.ndcg_at_k - n) <= 1e-12, qid
+        assert row.total_relevant == sum(
+            1 for v in ratings_by_q[qid].values() if v >= 1)
+
+
+def test_rank_eval_perfect_and_unrated(spark, idx):
+    k = 4
+    qpdf = generate_queries(2)
+    qpdf["k"] = k
+    qdf = spark.createDataFrame(qpdf)
+    hits = (engine.score_topk(spark, idx, qdf, "wand").toPandas()
+            .sort_values(["query_id", "rank"]))
+    qids = list(qpdf.query_id)
+    # query 0: ratings == exactly its top-k, descending -> all metrics 1
+    g0 = hits[hits.query_id == qids[0]]
+    rows = [(qids[0], int(d), 4 - i) for i, d in enumerate(g0.doc_id[:k])]
+    # query 1: no ratings at all
+    rdf = spark.createDataFrame(rows, "query_id string, doc_id long, rating int")
+    got = (rank_eval(spark, idx, qdf, rdf).toPandas()
+           .set_index("query_id"))
+    r0 = got.loc[qids[0]]
+    assert r0.precision_at_k == 1.0 and r0.recall_at_k == 1.0
+    assert r0.mrr == 1.0 and abs(r0.ndcg_at_k - 1.0) <= 1e-12
+    r1 = got.loc[qids[1]]
+    assert (r1.precision_at_k, r1.recall_at_k, r1.mrr, r1.ndcg_at_k) == (
+        0.0, 0.0, 0.0, 0.0)
+    assert r1.total_relevant == 0
