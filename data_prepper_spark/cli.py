@@ -147,7 +147,15 @@ def cmd_query(args) -> int:
             args.filter,
         )
     elif args.phrase:
+        if getattr(args, "slop", 0):
+            from pyspark.sql import functions as _F
+
+            qdf = qdf.withColumn("slop", _F.lit(int(args.slop)))
         res = engine.phrase_topk(spark, args.index, qdf)
+    elif getattr(args, "phrase_prefix", False):
+        from data_prepper_spark.query.expand import match_phrase_prefix_topk
+
+        res = match_phrase_prefix_topk(spark, args.index, qdf)
     elif "," in args.index:
         # alias search: comma-separated member indexes, union-corpus
         # statistics (rank-identical to a single union index)
@@ -572,6 +580,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--algo", default="bmx", choices=["bmx", "wand", "exhaustive"])
     q.add_argument("--phrase", action="store_true",
                    help="match_phrase: consecutive tokens in order")
+    q.add_argument("--slop", type=int, default=0,
+                   help="match_phrase slop: each term may move up to N "
+                        "positions (L-inf; Lucene counts total moves)")
+    q.add_argument("--phrase-prefix", action="store_true",
+                   help="match_phrase_prefix: last token is a prefix "
+                        "(search-as-you-type)")
     q.add_argument("--collapse", action="store_true",
                    help="one best hit per conversation (OpenSearch "
                         "collapse on conv); top-k conversations")

@@ -462,7 +462,19 @@ def _phrase_kernel(avgdl: float, n_docs: int, tomb=None):
     standard BM25 sum over the phrase's DISTINCT terms (OpenSearch's
     match_phrase = position filter + BM25-weighted phrase clause; we
     score the matched docs with the same per-term sum as `match` so
-    scores stay oracle-reproducible) in sorted-term order."""
+    scores stay oracle-reproducible) in sorted-term order.
+
+    slop > 0 (match_phrase's slop parameter): constraint i accepts
+    pos = p + i + j for any |j| <= slop, i.e. each term may move up to
+    `slop` positions from its in-order offset, implemented by
+    expanding every constraint's key set over j in [-slop, slop]
+    before the same intersections. Documented divergence from Lucene's
+    SloppyPhraseMatcher: Lucene's slop is the TOTAL move count (L1),
+    ours is per-term (L-infinity) — e.g. a transposition costs Lucene
+    2 but matches here at slop 1; "a x b" matches "a b"~1 in both.
+    Repeated-term phrases can additionally let one occurrence satisfy
+    two offsets under slop (Lucene special-cases repeats); slop=0 is
+    exact and unchanged."""
     from data_prepper_spark.index import codec
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -480,6 +492,7 @@ def _phrase_kernel(avgdl: float, n_docs: int, tomb=None):
                 ent = queries.setdefault(
                     q["query_id"],
                     {"k": int(q["k"]), "n_terms": int(q["n_terms"]),
+                     "slop": int(q["slop"]) if "slop" in q else 0,
                      "constraints": []},
                 )
                 for off in q["offsets"]:
@@ -529,9 +542,22 @@ def _phrase_kernel(avgdl: float, n_docs: int, tomb=None):
                 local = np.repeat(
                     np.arange(len(cand), dtype=np.int64), d["tfs"][pidx]
                 )
-                adj = occ_sel - off
-                ok = adj >= 0
-                ck = local[ok] * _POS_STRIDE + adj[ok]
+                slop = ent["slop"]
+                if slop == 0:
+                    adj = occ_sel - off
+                    ok = adj >= 0
+                    ck = local[ok] * _POS_STRIDE + adj[ok]
+                else:
+                    # L-inf slop: a start p is witnessed by this
+                    # constraint if some occurrence sits within slop of
+                    # p + off -> expand keys over j in [-slop, slop]
+                    parts = []
+                    for j in range(-slop, slop + 1):
+                        adj = occ_sel - off - j
+                        ok = adj >= 0
+                        parts.append(local[ok] * _POS_STRIDE + adj[ok])
+                    ck = np.unique(np.concatenate(parts)) if parts else \
+                        np.empty(0, np.int64)
                 keys = ck if keys is None else np.intersect1d(
                     keys, ck, assume_unique=True
                 )
@@ -585,9 +611,14 @@ def phrase_topk(
             "(store_positions=False) — cannot serve match_phrase"
         )
     mode = stats.get("tokenizer", "ascii")
+    slop_col = (
+        F.coalesce(F.col("slop"), F.lit(0)).cast("int")
+        if "slop" in queries.columns else F.lit(0)
+    )
     qterms = queries.select(
         "query_id",
         "k",
+        slop_col.alias("slop"),
         F.posexplode(tokens_col("query_text", mode)).alias("ord", "term"),
     )
     qcnt = qterms.groupBy("query_id").agg(
@@ -595,12 +626,12 @@ def phrase_topk(
     )
     per_tq = (
         qterms.join(qcnt, "query_id")
-        .groupBy("term", "query_id", "k", "n_terms")
+        .groupBy("term", "query_id", "k", "n_terms", "slop")
         .agg(F.sort_array(F.collect_list("ord")).alias("offsets"))
     )
     qmap = per_tq.groupBy("term").agg(
         F.collect_list(
-            F.struct("query_id", "k", "n_terms", "offsets")
+            F.struct("query_id", "k", "n_terms", "slop", "offsets")
         ).alias("queries")
     )
     terms = [r["term"] for r in qmap.select("term").collect()]

@@ -25,7 +25,7 @@ minimum_should_match=1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_prepper_spark.index import layout
@@ -112,6 +112,91 @@ def expand_topk(
         "minimum_should_match int, k int",
     )
     return engine.bool_topk(spark, index_dir, bq)
+
+
+_SEP = "\x1f"
+
+
+def match_phrase_prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """OpenSearch `match_phrase_prefix` (the search-as-you-type query):
+    the LAST token of query_text is a prefix; docs matching the phrase
+    with ANY dictionary completion of it qualify. queries(query_id,
+    query_text, k) -> (query_id, rank, doc_id, score).
+
+    Plan: expand every query's prefix in ONE dictionary pass (same
+    when()-disjunction as expand_topk, capped per query at
+    max_expansions by df DESC, term ASC — the API's expansion order),
+    run ONE phrase batch over all (query, completion) pairs, then keep
+    each doc's best-scoring completion and re-rank. Per-variant top-k
+    suffices for global top-k: a doc in the global top-k is within its
+    best variant's top-k (every doc above it there is above it
+    globally too).
+
+    Documented divergence: OpenSearch scores the whole construct as a
+    MultiPhraseQuery (one weight for the position-OR); here each
+    completion scores as its own match_phrase and a doc keeps the max
+    — the scoring_boolean-style rewrite used across this module."""
+    from data_prepper_spark.index.tokenizer import tokenize
+    from data_prepper_spark.query.engine import load_stats, phrase_topk
+
+    mode = load_stats(index_dir).get("tokenizer", "ascii")
+    rows = queries.select("query_id", "query_text", "k").collect()
+    parsed = []
+    for r in rows:
+        toks = tokenize(r["query_text"], mode=mode)
+        if toks:
+            parsed.append((r["query_id"], toks[:-1], toks[-1], int(r["k"])))
+    empty = spark.createDataFrame(
+        [], "query_id string, rank long, doc_id long, score double"
+    )
+    if not parsed:
+        return empty
+
+    d = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
+    matches = F.array_compact(F.array(*[
+        F.when(F.col("term").startswith(pref), F.lit(qid))
+        for qid, _, pref, _ in parsed
+    ]))
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    exp = (
+        d.select("term", "df", F.explode(matches).alias("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expansions)
+        .select("query_id", "term")
+        .collect()
+    )
+    variants: dict[str, list[str]] = {}
+    for r in exp:
+        variants.setdefault(r["query_id"], []).append(r["term"])
+    prows = []
+    for qid, lead, _, k in parsed:
+        for i, v in enumerate(variants.get(qid, [])):
+            prows.append((f"{qid}{_SEP}{i}", " ".join(lead + [v]), k))
+    if not prows:
+        return empty
+    pq = spark.createDataFrame(
+        prows, "query_id string, query_text string, k int")
+    hits = phrase_topk(spark, index_dir, pq)
+    best = (
+        hits.withColumn(
+            "query_id", F.substring_index("query_id", _SEP, 1))
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("score").alias("score"))
+    )
+    ks = queries.select("query_id", F.col("k").cast("int").alias("k"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        best.join(F.broadcast(ks), "query_id")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
 
 
 def synonym_topk(

@@ -1,0 +1,154 @@
+"""match_phrase slop + match_phrase_prefix vs brute-force oracles.
+
+Slop semantics under test are the engine's documented L-infinity
+contract (each term may move up to `slop` positions from its in-order
+offset, common start p >= 0) — the oracle implements exactly that
+definition over the tokenized corpus, so any drift in the kernel's
+key expansion fails loudly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index import layout
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE as STRIDE
+from data_prepper_spark.query.expand import match_phrase_prefix_topk
+
+N_CONVS = 60
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    pdf = generate_pandas(0, N_CONVS).copy()
+    # plant controlled sequences (terms absent from the vocabulary)
+    pdf.loc[0, "text"] = pdf.loc[0, "text"] + " qalpha qbeta tail"
+    pdf.loc[1, "text"] = pdf.loc[1, "text"] + " qalpha gap qbeta tail"
+    pdf.loc[2, "text"] = pdf.loc[2, "text"] + " qbeta qalpha tail"
+    pdf.loc[3, "text"] = pdf.loc[3, "text"] + " qalpha one two qbeta"
+    d = str(tmp_path_factory.mktemp("slop") / "idx")
+    ib.build_index(spark, spark.createDataFrame(pdf), d,
+                   n_shards=4, block_size=16)
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * STRIDE + pdf.turn_idx
+    )
+    return d, pdf
+
+
+def _slop_match(tokens: list[str], qterms: list[str], slop: int) -> bool:
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        pos.setdefault(t, []).append(i)
+    if any(t not in pos for t in qterms):
+        return False
+    for p in range(0, len(tokens) + slop + 1):
+        if all(any(abs(o - (p + i)) <= slop for o in pos[t])
+               for i, t in enumerate(qterms)):
+            return True
+    return False
+
+
+def _phrase_q(spark, qtext, k, slop):
+    return spark.createDataFrame(
+        [("q", qtext, k, slop)],
+        "query_id string, query_text string, k int, slop int",
+    )
+
+
+@pytest.mark.parametrize("slop", [0, 1, 2])
+def test_slop_matches_bruteforce(spark, corpus, slop):
+    d, pdf = corpus
+    qtext = "qalpha qbeta"
+    qterms = tokenize(qtext)
+    got = engine.phrase_topk(
+        spark, d, _phrase_q(spark, qtext, len(pdf), slop)
+    ).toPandas().sort_values("rank")
+    want = {
+        int(i) for i, t in zip(pdf.doc_id, pdf.text)
+        if _slop_match(tokenize(t), qterms, slop)
+    }
+    assert set(got.doc_id) == want
+    # scores = plain BM25 over the distinct terms (slop never rescores)
+    idx = oracle.build_index(list(zip(pdf.doc_id, pdf.text)))
+    exp = {doc: s for doc, s in oracle.score_query(idx, qtext, k=len(pdf))
+           if doc in want}
+    for _, r in got.iterrows():
+        assert abs(exp[r.doc_id] - r.score) <= 1e-6
+
+
+def test_slop_widening(spark, corpus):
+    d, pdf = corpus
+    ids = [int(pdf.doc_id[i]) for i in range(4)]
+    by_slop = {}
+    for slop in (0, 1, 2):
+        got = engine.phrase_topk(
+            spark, d, _phrase_q(spark, "qalpha qbeta", 50, slop)
+        ).toPandas()
+        by_slop[slop] = set(got.doc_id)
+    # exact: only the adjacent planting
+    assert by_slop[0] == {ids[0]}
+    # slop 1 under L-inf: one-gap, transposition (Lucene would need 2),
+    # and even the two-gap planting (both terms move 1 toward each
+    # other — total spread 2*slop, the documented divergence from
+    # Lucene's L1 move count)
+    assert by_slop[1] == {ids[0], ids[1], ids[2], ids[3]}
+    assert by_slop[2] == {ids[0], ids[1], ids[2], ids[3]}
+    # absent slop column == slop 0
+    q0 = spark.createDataFrame([("q", "qalpha qbeta", 50)],
+                               "query_id string, query_text string, k int")
+    assert set(engine.phrase_topk(spark, d, q0).toPandas().doc_id) \
+        == by_slop[0]
+
+
+def _phrase_exact(tokens: list[str], qterms: list[str]) -> bool:
+    n = len(qterms)
+    return any(tokens[p:p + n] == qterms
+               for p in range(len(tokens) - n + 1))
+
+
+def test_match_phrase_prefix_matches_bruteforce(spark, corpus):
+    import duckdb  # noqa: F401  (parity of expansion order is pinned below)
+
+    d, pdf = corpus
+    qtext = "qalpha q"   # last token 'q' is the prefix
+    k = 30
+    got = match_phrase_prefix_topk(
+        spark, d,
+        spark.createDataFrame([("q", qtext, k)],
+                              "query_id string, query_text string, k int"),
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+
+    dict_pdf = spark.read.parquet(layout.resolve(d, "dictionary")).toPandas()
+    cands = (dict_pdf[dict_pdf.term.str.startswith("q")]
+             .sort_values(["df", "term"], ascending=[False, True])
+             .term.head(50))
+    idx = oracle.build_index(list(zip(pdf.doc_id, pdf.text)))
+    best: dict[int, float] = {}
+    for v in cands:
+        qterms = ["qalpha", v]
+        scores = dict(oracle.score_query(idx, " ".join(qterms), k=len(pdf)))
+        for doc, toks in zip(pdf.doc_id, pdf.text.map(tokenize)):
+            if _phrase_exact(toks, qterms):
+                s = scores[int(doc)]
+                best[int(doc)] = max(best.get(int(doc), -1.0), s)
+    exp = sorted(best.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert list(got.doc_id) == [d_ for d_, _ in exp]
+    assert np.allclose(got.score.values, [s for _, s in exp], atol=1e-6)
+
+
+def test_match_phrase_prefix_single_token(spark, corpus):
+    d, pdf = corpus
+    got = match_phrase_prefix_topk(
+        spark, d,
+        spark.createDataFrame([("q", "qalp", 10)],
+                              "query_id string, query_text string, k int"),
+    ).toPandas()
+    # 'qalp' completes to qalpha only -> its four planted docs
+    assert set(got.doc_id) == {int(pdf.doc_id[i]) for i in range(4)}
