@@ -360,22 +360,64 @@ SELECT * FROM ranked UNION ALL SELECT * FROM franked
 """
 
 
+_SUGGEST_TYPOS = "erorr tiemout"  # absent from the synthetic vocabulary
+
+
 def q_index_dictionary(spark, sf_dir):
     """Global dictionary (term -> df) of the compressed index — verifies
-    the SPIMI build + shard merge end-to-end against plain SQL."""
+    the SPIMI build + shard merge end-to-end against plain SQL — PLUS
+    the term suggester's ("did you mean", query/suggest.py) options for
+    two misspelled tokens, served from that same dictionary
+    (DirectSpellChecker contract: distance ASC, df DESC, term ASC,
+    shared first letter, max_edits 2, size 5). Harmonized rows:
+    dictionary rows carry kind='dict', suggester rows kind='suggest'
+    with the probe token / distance / option_rank filled."""
     from data_prepper_spark.index import layout
+    from data_prepper_spark.query.suggest import suggest_terms
 
     d = _built_index(spark, sf_dir)
-    return (
+    dic = (
         spark.read.parquet(layout.resolve(d, "dictionary"))
-        .select("term", F.col("df").cast("long").alias("df"))
+        .select(
+            "term", F.col("df").cast("long").alias("df"),
+            F.lit("dict").alias("kind"), F.lit("").alias("token"),
+            F.lit(0).cast("int").alias("distance"),
+            F.lit(0).cast("int").alias("option_rank"),
+        )
     )
+    sg = suggest_terms(spark, d, _SUGGEST_TYPOS, size=5).select(
+        F.col("suggestion").alias("term"),
+        F.col("df").cast("long").alias("df"),
+        F.lit("suggest").alias("kind"), "token",
+        F.col("distance").cast("int").alias("distance"),
+        F.col("option_rank").cast("int").alias("option_rank"),
+    )
+    return dic.unionByName(sg)
 
 
 _DICT_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, unnest({D_TOKS.format(c='text')}) AS term FROM documents)
-SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+  SELECT doc_id, unnest({D_TOKS.format(c='text')}) AS term FROM documents),
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+typos(token) AS (VALUES {", ".join(f"('{t}')" for t in _SUGGEST_TYPOS.split())}),
+sugg AS (
+  SELECT typos.token, dict.term AS suggestion, dict.df,
+         levenshtein(dict.term, typos.token)::INT AS distance
+  FROM dict, typos
+  WHERE substr(dict.term, 1, 1) = substr(typos.token, 1, 1)
+    AND dict.term <> typos.token
+    AND levenshtein(dict.term, typos.token) <= 2),
+ranked AS (
+  SELECT suggestion AS term, df, 'suggest' AS kind, token, distance,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY distance, df DESC, suggestion)::INT
+           AS option_rank
+  FROM sugg)
+SELECT term, df, 'dict' AS kind, '' AS token, 0::INT AS distance,
+       0::INT AS option_rank FROM dict
+UNION ALL
+SELECT * FROM ranked WHERE option_rank <= 5
 """
 
 
@@ -853,6 +895,7 @@ def q_text_analysis(spark, sf_dir):
     times). The `lined` derivation (' the ' -> newline, identical
     replace() in Spark and DuckDB) gives the single-line synthetic
     docs a multi-line shape so the line-level signals execute."""
+    from data_prepper_spark.text import pii as tp
     from data_prepper_spark.text import quality as tq
 
     df = _docs(spark, sf_dir)
@@ -862,6 +905,10 @@ def q_text_analysis(spark, sf_dir):
     df = ta.fingerprint(df, "text")
     df = df.withColumn("lined", F.replace("text", F.lit(" the "), F.lit("\n")))
     df = tq.gopher_signals(df, "lined")
+    # PII scrub pass (text/pii.py), same single-scan projection: the
+    # per-kind hit counts and the redacted length are pure Column
+    # chains, oracle-replicated by the identical nested regexp chain
+    df = df.withColumn("pii", tp.pii_counts("text"))
     return df.select(
         "doc_id", "lang_pred", "quality",
         F.col("n_tokens").cast("long").alias("n_tokens"), "fingerprint",
@@ -870,6 +917,8 @@ def q_text_analysis(spark, sf_dir):
         "top_2gram_char_frac", "top_3gram_char_frac", "symbol_word_ratio",
         "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
         "gopher_keep",
+        *[F.col(f"pii.{k}").alias(f"pii_{k}") for k, _, _ in tp.PII_PATTERNS],
+        F.length(tp.redact("text")).cast("long").alias("n_redacted_chars"),
     )
 
 
@@ -1648,6 +1697,42 @@ FROM m JOIN hits ON m.doc_id = hits.doc_id
 """
 
 
+def _pii_oracle_splice(sql: str) -> str:
+    """Fold the PII scrub columns into the text_analysis oracle: the
+    same ordered-claim chain text/pii.py computes (each kind counts on
+    the text AFTER earlier kinds were redacted), emitted as nested
+    regexp_replace/regexp_extract_all — byte-level identical to the
+    Spark Column chain (tests/test_pii.py pins the three-way parity)."""
+    from data_prepper_spark.text.pii import PII_PATTERNS
+
+    expr = "text"
+    cols = []
+    for name, pat, tok in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        cols.append(
+            f"len(regexp_extract_all({expr}, '{p}'))::INT AS pii_{name}"
+        )
+        expr = f"regexp_replace({expr}, '{p}', '{tok}', 'g')"
+    cols.append(f"length({expr})::BIGINT AS n_redacted_chars")
+    cte = "pii AS (\n  SELECT doc_id, " + ",\n         ".join(cols) \
+        + "\n  FROM documents),\nhits AS ("
+    sql = sql.replace("hits AS (", cte, 1)
+    sel = ", ".join(
+        [f"pii.pii_{name}" for name, _, _ in PII_PATTERNS]
+        + ["pii.n_redacted_chars"]
+    )
+    return sql.replace(
+        "FROM m JOIN hits ON m.doc_id = hits.doc_id",
+        f",\n       {sel}\n"
+        "FROM m JOIN pii ON m.doc_id = pii.doc_id\n"
+        "       JOIN hits ON m.doc_id = hits.doc_id",
+        1,
+    )
+
+
+ORACLE["text_analysis"] = _pii_oracle_splice(ORACLE["text_analysis"])
+
+
 # EXACTLY 50 queries: the driver's correctness gate runs the FIRST 50
 # entries of this dict (CORRECTNESS_r01.json held precisely the first 50
 # of round 1's 65, so 15 registered operators went unverified). Round 2
@@ -1804,20 +1889,36 @@ def _search_after_oracle_sql() -> str:
 # --------------------------------------------------- terms facet slot
 
 def q_terms_facet(spark, sf_dir):
-    """Terms-facet aggregation over each BM25 query's MATCH SET (the
-    OpenSearch `aggs.terms` surface next to search): top-5 values of
-    `lang` and `source` among docs matching any query term, counted
-    exactly — kernel emits the match set, corpus join is
-    column-pruned, agg is two-phase (query/facets.py)."""
+    """Terms-facet + significant_terms aggregations over each BM25
+    query's MATCH SET in ONE slot (the OpenSearch `aggs` surface next
+    to search): top-5 values of `lang` and `source` among matching
+    docs counted exactly, plus the JLH-scored significant `lang`
+    buckets (what is UNUSUALLY frequent in the match set vs the
+    corpus, query/facets.py::significant_terms). Harmonized schema
+    (query_id, agg, value, count, score): terms rows carry score 0.0,
+    significant rows carry fg_count as count — no nulls, so the
+    cross-engine hash is dtype-stable."""
     from data_prepper_spark.query import facets
 
     d = _built_index(spark, sf_dir)
     qdf = spark.createDataFrame(
         [(q, t) for q, t in BM25_QUERIES], "query_id string, query_text string"
     )
-    return facets.terms_facet(
+    tf = facets.terms_facet(
         spark, d, qdf, _docs(spark, sf_dir), ["lang", "source"], size=5
-    ).select("query_id", "field", "value", F.col("count").cast("long").alias("count"))
+    ).select(
+        "query_id",
+        F.concat(F.lit("terms:"), F.col("field")).alias("agg"),
+        "value", F.col("count").cast("long").alias("count"),
+        F.lit(0.0).alias("score"),
+    )
+    sg = facets.significant_terms(
+        spark, d, qdf, _docs(spark, sf_dir), "lang", size=5
+    ).select(
+        "query_id", F.lit("significant:lang").alias("agg"), "value",
+        F.col("fg_count").cast("long").alias("count"), "score",
+    )
+    return tf.unionByName(sg)
 
 
 def _terms_facet_oracle_sql() -> str:
@@ -1835,10 +1936,27 @@ stacked AS (
   UNION ALL
   SELECT query_id, 'source' AS field, source AS value FROM j),
 counts AS (SELECT query_id, field, value, count(*)::BIGINT AS count
-           FROM stacked GROUP BY 1, 2, 3)
-SELECT query_id, field, value, count FROM counts
-QUALIFY row_number() OVER (PARTITION BY query_id, field
-                           ORDER BY count DESC, value) <= 5
+           FROM stacked GROUP BY 1, 2, 3),
+tf AS (SELECT query_id, 'terms:' || field AS agg, value, count,
+              0.0 AS score FROM counts
+       QUALIFY row_number() OVER (PARTITION BY query_id, field
+                                  ORDER BY count DESC, value) <= 5),
+fg AS (SELECT m.query_id, d.lang AS value, count(*)::BIGINT AS fg_count
+       FROM m JOIN documents d USING (doc_id) GROUP BY 1, 2),
+fgt AS (SELECT query_id, sum(fg_count) AS fg_total FROM fg GROUP BY 1),
+bg AS (SELECT lang AS value, count(*)::BIGINT AS bg_count
+       FROM documents GROUP BY 1),
+bgt AS (SELECT count(*)::DOUBLE AS bg_total FROM documents),
+rates AS (SELECT fg.query_id, fg.value, fg.fg_count,
+                 fg.fg_count / fgt.fg_total AS fgr,
+                 bg.bg_count / bgt.bg_total AS bgr
+          FROM fg JOIN fgt USING (query_id) JOIN bg USING (value), bgt),
+sig AS (SELECT query_id, 'significant:lang' AS agg, value,
+               fg_count AS count, (fgr - bgr) * (fgr / bgr) AS score
+        FROM rates WHERE fgr > bgr
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, value) <= 5)
+SELECT * FROM tf UNION ALL SELECT * FROM sig
 """
 
 
