@@ -150,6 +150,11 @@ def run_suite(
             )
             timed("query_phrase", lambda: engine.phrase_topk(
                 spark, idx_dir, phr).count(), reps=2)
+            # sloppy phrase (session-2 surface): same kernel, key sets
+            # expanded 3x (slop=1) — times the honest expansion cost
+            phr_slop = phr.withColumn("slop", F.lit(1))
+            timed("query_slop", lambda: engine.phrase_topk(
+                spark, idx_dir, phr_slop).count(), reps=2)
         booldf = spark.createDataFrame(
             [("b1", "error timeout", "", "", 0, 10),
              ("b2", "", "error timeout retry deploy", "", 2, 10),
@@ -254,6 +259,12 @@ def run_suite(
     from data_prepper_spark.text import quality as tq
 
     timed("quality_signals", lambda: tq.gopher_signals(
+        E._docs(spark, sf_dir), "text").count(), reps=2)
+    # PII scrub pass (session-2): six regexp_replace/count chains in
+    # one projection — times the regex cost of the corpus scrub
+    from data_prepper_spark.text import pii as tp
+
+    timed("pii_redact", lambda: tp.redact_documents(
         E._docs(spark, sf_dir), "text").count(), reps=2)
     timed("dedup_substring", lambda: ss.remove_duplicate_substrings(
         E._docs(spark, sf_dir), "text", "doc_id", k=20).count(), reps=2)
