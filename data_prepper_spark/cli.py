@@ -26,6 +26,15 @@ import sys
 import time
 
 
+def _analyzer_spec(s: str) -> str:
+    """argparse type for analyzer specs ('<mode>[+stop][+stem]'):
+    validates eagerly so a typo fails at parse time, not mid-build."""
+    from data_prepper_spark.index.tokenizer import parse_analyzer
+
+    parse_analyzer(s)
+    return s
+
+
 def _get_spark(args):
     from pyspark.sql import SparkSession
 
@@ -68,6 +77,7 @@ def cmd_build_index(args) -> int:
         resume=args.resume,
         snapshot_id=args.snapshot_id or 0,
         incremental=args.incremental,
+        tokenizer=args.tokenizer,
     )
     wall = time.monotonic() - t0
     out = dict(stats, wall_sec=round(wall, 2),
@@ -569,6 +579,9 @@ def main(argv: list[str] | None = None) -> int:
                         "snapshot (snapshots-between CDC); stats are merged")
     b.add_argument("--snapshot-id", type=int, default=0)
     b.add_argument("--synthetic-convs", type=int, default=1000)
+    b.add_argument("--tokenizer", type=_analyzer_spec, default="ascii",
+                   help="analyzer spec: ascii|unicode with optional "
+                        "+stop / +stem filters, e.g. 'unicode+stop+stem'")
     b.add_argument("--local-cores", type=int, default=None)
     b.set_defaults(fn=cmd_build_index)
 
@@ -727,8 +740,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="copy only docs matching this query")
     ri.add_argument("--shards", type=int, default=None)
     ri.add_argument("--block-size", type=int, default=None)
-    ri.add_argument("--tokenizer", choices=["ascii", "unicode"],
-                    default=None, help="analyzer migration target")
+    ri.add_argument("--tokenizer", type=_analyzer_spec, default=None,
+                    help="analyzer migration target (spec: "
+                         "ascii|unicode[+stop][+stem])")
     ri.add_argument("--positions", choices=["keep", "on", "off"],
                     default="keep")
     ri.add_argument("--local-cores", type=int, default=None)

@@ -909,6 +909,19 @@ def q_text_analysis(spark, sf_dir):
     # per-kind hit counts and the redacted length are pure Column
     # chains, oracle-replicated by the identical nested regexp chain
     df = df.withColumn("pii", tp.pii_counts("text"))
+    # analyzer filter chain (index/tokenizer.py '+stop+stem'): the SAME
+    # chain the fulltext index applies, here as the pure-SQL form so the
+    # DuckDB oracle checks it token-for-token (kernel parity with this
+    # SQL is pinned by tests/test_analyzer_filters.py)
+    from data_prepper_spark.index.tokenizer import spark_tokenize_sql
+
+    analyzed = spark_tokenize_sql("text", "ascii+stop+stem")
+    df = df.withColumn(
+        "n_analyzed_tokens", F.expr(f"size({analyzed})").cast("long")
+    ).withColumn(
+        "n_analyzed_terms",
+        F.expr(f"size(array_distinct({analyzed}))").cast("long"),
+    )
     return df.select(
         "doc_id", "lang_pred", "quality",
         F.col("n_tokens").cast("long").alias("n_tokens"), "fingerprint",
@@ -919,6 +932,7 @@ def q_text_analysis(spark, sf_dir):
         "gopher_keep",
         *[F.col(f"pii.{k}").alias(f"pii_{k}") for k, _, _ in tp.PII_PATTERNS],
         F.length(tp.redact("text")).cast("long").alias("n_redacted_chars"),
+        "n_analyzed_tokens", "n_analyzed_terms",
     )
 
 
@@ -1599,6 +1613,12 @@ def _stoplist_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in ta.STOPWORDS[lang]) + "]"
 
 
+def _analyzed_toks_sql() -> str:
+    from data_prepper_spark.index.tokenizer import duckdb_tokenize_sql
+
+    return duckdb_tokenize_sql("text", "ascii+stop+stem")
+
+
 ORACLE["text_analysis"] = f"""
 WITH t AS (
   SELECT doc_id, text, {D_TOKS.format(c='text')} AS toks, length(text) AS n_chars,
@@ -1671,7 +1691,9 @@ m AS (
          len(list_filter(toks, x -> list_contains({_stoplist_sql('en')}, x))) AS stop_hits,
          n_chars::DOUBLE / greatest(len(toks), 1) AS mean_wlen,
          len(toks)::BIGINT AS n_tokens,
-         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+         len({_analyzed_toks_sql()})::BIGINT AS n_analyzed_tokens,
+         len(list_distinct({_analyzed_toks_sql()}))::BIGINT AS n_analyzed_terms
   FROM t)
 SELECT m.doc_id,
        CASE WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
@@ -1691,7 +1713,8 @@ SELECT m.doc_id,
         AND gq.ellipsis_line_frac < 0.3 AND gq.alpha_word_frac >= 0.8
         AND gq.dup_line_frac < 0.3
         AND (gq.n_words < 50 OR (gq.top_2gram_char_frac < 0.2
-                                 AND gq.top_3gram_char_frac < 0.18))) AS gopher_keep
+                                 AND gq.top_3gram_char_frac < 0.18))) AS gopher_keep,
+       m.n_analyzed_tokens, m.n_analyzed_terms
 FROM m JOIN hits ON m.doc_id = hits.doc_id
        JOIN gq ON m.doc_id = gq.doc_id
 """

@@ -53,6 +53,8 @@ from pyspark.sql import functions as F
 from data_prepper_spark.index import codec, layout
 from data_prepper_spark.index.tokenizer import (
     decode_term_bytes,
+    parse_analyzer,
+    spark_tokenize_sql,
     token_spans,
 )
 from data_prepper_spark.query.bm25_df import (
@@ -292,15 +294,20 @@ def compute_stats(
     regexp_count — identical to size(filter(split(...))) for the shared
     tokenizer's pattern but without materializing a token array per row,
     which at profile time was ~25% of build wall clock in allocation +
-    memory traffic."""
-    row = (
-        df_docs.select(
-            F.expr(
-                f"regexp_count(lower({text_col}), '[a-z0-9]+')"
-                if tokenizer != "unicode" else
-                f"regexp_count(lower({text_col}), '[\\\\p{{L}}\\\\p{{N}}]+')"
-            ).alias("dl")
+    memory traffic. A '+stop' analyzer changes dl (stopwords don't
+    count), so that case pays for the materialized filtered array;
+    '+stem' never changes token COUNT and keeps the fast path."""
+    base, stop, _stem = parse_analyzer(tokenizer)
+    dl_sql = (
+        f"size({spark_tokenize_sql(text_col, base + '+stop')})"
+        if stop else (
+            f"regexp_count(lower({text_col}), '[a-z0-9]+')"
+            if base != "unicode" else
+            f"regexp_count(lower({text_col}), '[\\\\p{{L}}\\\\p{{N}}]+')"
         )
+    )
+    row = (
+        df_docs.select(F.expr(dl_sql).alias("dl"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )

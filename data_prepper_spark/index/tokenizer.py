@@ -40,13 +40,89 @@ _NON_TOKEN_1CH = re.compile(r"[^\w\x00]|_", re.UNICODE)
 
 MODES = ("ascii", "unicode")
 
+# ---------------------------------------------------------------------------
+# Analyzer filter chain (round 4): the per-index `tokenizer` string may
+# carry filter suffixes — "<mode>[+stop][+stem]", e.g. "ascii+stop+stem".
+# Filters run in fixed order: stopword removal FIRST (on the surface
+# token), then stemming — the same order as Lucene's `english` analyzer
+# (StopFilter before the stemmer). Positions are post-filter consecutive
+# (we do NOT keep Lucene's position-increment gaps across removed
+# stopwords; both the index and every query path share this convention,
+# and the divergence is documented here).
+#
+# - stop: Lucene's ENGLISH_STOP_WORDS_SET (33 words, public constant in
+#   org.apache.lucene.analysis.en.EnglishAnalyzer).
+# - stem: Lucene's EnglishMinimalStemmer (plural-only stemming,
+#   org.apache.lucene.analysis.en.EnglishMinimalStemFilter): strip a
+#   trailing 's' unless preceded by 'u'/'s'; 'ies' -> 'y' unless
+#   preceded by 'a'/'e' ('queries' -> 'query', but 'aliases' keeps
+#   shape via the e-branch); 'es' after i/a/o/e kept as-is when the
+#   ies-rule did not fire ('goes', 'does').
+#
+# Both filters are expressible IDENTICALLY in Spark SQL, DuckDB SQL and
+# Python (filter/transform lambdas + CASE), so the cross-engine oracle
+# contract of the base tokenizer extends to the full chain.
+# ---------------------------------------------------------------------------
+
+ENGLISH_STOP_WORDS = frozenset((
+    "a an and are as at be but by for if in into is it no not of on "
+    "or such that the their then there these they this to was will with"
+).split())
+# stopword bytes grouped by byte length, for the span-level vectorized
+# filter (fixed-width 'S<L>' views + np.isin, zero per-token objects)
+_STOP_BYLEN: dict[int, np.ndarray] = {}
+for _w in sorted(ENGLISH_STOP_WORDS):
+    _STOP_BYLEN.setdefault(len(_w), []).append(_w.encode())
+_STOP_BYLEN = {
+    L: np.array(ws, dtype=f"S{L}") for L, ws in _STOP_BYLEN.items()
+}
+
+FILTERS = ("stop", "stem")
+
+
+def parse_analyzer(spec: str) -> tuple[str, bool, bool]:
+    """'<mode>[+stop][+stem]' -> (base_mode, use_stop, use_stem)."""
+    parts = (spec or "ascii").split("+")
+    base = parts[0] or "ascii"
+    if base not in MODES:
+        raise ValueError(f"unknown tokenizer mode {base!r} (of {spec!r})")
+    extras = parts[1:]
+    for e in extras:
+        if e not in FILTERS:
+            raise ValueError(f"unknown analyzer filter {e!r} (of {spec!r})")
+    return base, "stop" in extras, "stem" in extras
+
+
+def stem_minimal_english(s: str) -> str:
+    """Plural-only English stemmer (Lucene EnglishMinimalStemmer)."""
+    n = len(s)
+    if n < 3 or s[-1] != "s":
+        return s
+    c2 = s[-2]
+    if c2 == "u" or c2 == "s":
+        return s
+    if c2 == "e":
+        if n > 3 and s[-3] == "i" and s[-4] not in "ae":
+            return s[:-3] + "y"
+        if s[-3] in "iaoe":
+            return s
+        return s[:-1]
+    return s[:-1]
+
 
 def tokenize(text: str, mode: str = "ascii") -> list[str]:
-    """Pure-Python tokenizer (oracle + UDF kernel share this)."""
+    """Pure-Python tokenizer (oracle + UDF kernel share this). ``mode``
+    is the full analyzer spec ('<mode>[+stop][+stem]')."""
     if not text:
         return []
-    rx = _TOKEN_RE_UNI if mode == "unicode" else _TOKEN_RE
-    return rx.findall(text.lower())
+    base, stop, stem = parse_analyzer(mode)
+    rx = _TOKEN_RE_UNI if base == "unicode" else _TOKEN_RE
+    toks = rx.findall(text.lower())
+    if stop:
+        toks = [t for t in toks if t not in ENGLISH_STOP_WORDS]
+    if stem:
+        toks = [stem_minimal_english(t) for t in toks]
+    return toks
 
 
 # ---------------------------------------------------------------------------
@@ -109,21 +185,109 @@ def _spans_from_buffer(
     return arr, starts, ends, tok_doc, dls
 
 
+def _filter_stop_spans(
+    arr: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+    tok_doc: np.ndarray, dls: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Drop stopword spans (vectorized: per-byte-length 'S<L>' views +
+    np.isin). dls shrink with the dropped tokens, so downstream position
+    assignment is post-filter consecutive by construction."""
+    lens = ends - starts
+    drop = np.zeros(len(starts), dtype=bool)
+    for L, words in _STOP_BYLEN.items():
+        sel = np.flatnonzero(lens == L)
+        if not len(sel):
+            continue
+        gathered = np.ascontiguousarray(
+            arr[starts[sel][:, None] + np.arange(L)]
+        ).view(f"S{L}").ravel()
+        drop[sel[np.isin(gathered, words)]] = True
+    if not drop.any():
+        return starts, ends, tok_doc, dls
+    dls = dls - np.bincount(tok_doc[drop], minlength=len(dls))
+    keep = ~drop
+    return starts[keep], ends[keep], tok_doc[keep], dls
+
+
+_IAOE = np.frombuffer(b"aeio", dtype=np.uint8)
+
+
+def _stem_spans(
+    arr: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized EnglishMinimalStemmer over byte spans: trailing-'s'
+    strip moves `ends` back one byte (bytes unchanged); the 'ies'->'y'
+    rewrite mutates a COPY of the buffer. Correct for multi-byte UTF-8
+    tokens too: the s/u/e/i/a/o comparisons are against single ASCII
+    bytes, and a multi-byte char's final byte is a continuation byte
+    (>= 0x80) which can never equal one — exactly matching the char
+    comparison in `stem_minimal_english`. Only the LENGTH guards are
+    char-semantic, so char counts are derived from continuation bytes
+    when the buffer is not pure ASCII."""
+    if not len(starts):
+        return arr, ends
+    lens = ends - starts
+    if len(arr) and arr.max() >= 0x80:
+        cont = ((arr & 0xC0) == 0x80).astype(np.int64)
+        ccum = np.concatenate(([0], np.cumsum(cont)))
+        nchars = lens - (ccum[ends] - ccum[starts])
+    else:
+        nchars = lens
+    cand = (nchars >= 3) & (arr[ends - 1] == ord("s"))
+    if not cand.any():
+        return arr, ends
+    c2 = arr[np.maximum(ends - 2, 0)]
+    cand &= (c2 != ord("u")) & (c2 != ord("s"))
+    c3 = arr[np.maximum(ends - 3, 0)]
+    e_case = cand & (c2 == ord("e"))
+    c4 = arr[np.maximum(ends - 4, 0)]
+    ies = (
+        e_case & (nchars > 3) & (c3 == ord("i"))
+        & (c4 != ord("a")) & (c4 != ord("e"))
+    )
+    keep = e_case & ~ies & np.isin(c3, _IAOE)
+    strip1 = cand & ~ies & ~keep
+    new_ends = ends.copy()
+    new_ends[strip1] -= 1
+    if ies.any():
+        arr = arr.copy()
+        arr[ends[ies] - 3] = ord("y")
+        new_ends[ies] = ends[ies] - 2
+    return arr, new_ends
+
+
 def token_spans(
     texts: pd.Series, mode: str = "ascii",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Whole-column span scan. Returns (arr, starts, ends, tok_doc, dls):
+    """Whole-column span scan. ``mode`` is the full analyzer spec
+    ('<mode>[+stop][+stem]'). Returns (arr, starts, ends, tok_doc, dls):
       arr      uint8[total_bytes]  lowercased utf-8 buffer (docs joined by NUL)
       starts   int64[n_tokens]     token start offsets into arr
       ends     int64[n_tokens]     token end offsets (exclusive)
       tok_doc  int64[n_tokens]     input-row index per token (doc-major order)
-      dls      int64[n_docs]       token count per input row
+      dls      int64[n_docs]       token count per input row (post-filter)
 
     Unicode mode adds ONE regex pass (the length-preserving 1:1
     non-token -> space substitution over the whole joined buffer) and
     then runs the identical numpy byte machinery; spans may contain
     multi-byte UTF-8 sequences, decoded only for the few UNIQUE terms.
+    Filters run span-level: stop drops spans (and their dl counts)
+    BEFORE stem rewrites ends — same order as `tokenize`.
     """
+    base, stop, stem = parse_analyzer(mode)
+    arr, starts, ends, tok_doc, dls = _token_spans_base(texts, base)
+    if stop and len(starts):
+        starts, ends, tok_doc, dls = _filter_stop_spans(
+            arr, starts, ends, tok_doc, dls
+        )
+    if stem:
+        arr, ends = _stem_spans(arr, starts, ends)
+    return arr, starts, ends, tok_doc, dls
+
+
+def _token_spans_base(
+    texts: pd.Series, mode: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     n_docs = len(texts)
     empty = (
         np.empty(0, np.uint8), np.empty(0, np.int64), np.empty(0, np.int64),
@@ -175,7 +339,9 @@ def token_spans(
 def decode_term_bytes(parts: list[np.ndarray], mode: str) -> np.ndarray:
     """fixed-width 'S' byte arrays -> one U-dtype string array. ASCII
     mode is a free astype; unicode mode decodes UTF-8 per UNIQUE term
-    (the only place per-term Python strings are ever created)."""
+    (the only place per-term Python strings are ever created). ``mode``
+    may be a full analyzer spec; only the base mode matters here."""
+    mode = parse_analyzer(mode)[0]
     if mode == "unicode":
         out = [x.decode("utf-8") for p in parts for x in p.tolist()]
         return np.array(out, dtype="U") if out else np.empty(0, "U1")
@@ -238,11 +404,41 @@ DUCKDB_TOKENIZE_SQL_UNI = (
 )
 
 
+# analyzer filters as SQL, valid verbatim in BOTH Spark SQL and DuckDB
+# (1-based char-semantic substr/length, higher-order-function lambdas):
+# stop is a NOT IN filter, stem is the EnglishMinimalStemmer as a CASE.
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+_STEM_SQL = (
+    "CASE"
+    " WHEN length({x}) < 3 OR substr({x}, length({x}), 1) <> 's' THEN {x}"
+    " WHEN substr({x}, length({x}) - 1, 1) IN ('u', 's') THEN {x}"
+    " WHEN substr({x}, length({x}) - 1, 1) = 'e' THEN (CASE"
+    " WHEN length({x}) > 3 AND substr({x}, length({x}) - 2, 1) = 'i'"
+    " AND substr({x}, length({x}) - 3, 1) NOT IN ('a', 'e')"
+    " THEN concat(substr({x}, 1, length({x}) - 3), 'y')"
+    " WHEN substr({x}, length({x}) - 2, 1) IN ('i', 'a', 'o', 'e') THEN {x}"
+    " ELSE substr({x}, 1, length({x}) - 1) END)"
+    " ELSE substr({x}, 1, length({x}) - 1) END"
+)
+
+
 def spark_tokenize_sql(col: str, mode: str = "ascii") -> str:
-    t = SPARK_TOKENIZE_SQL_UNI if mode == "unicode" else SPARK_TOKENIZE_SQL
-    return t.format(col=col)
+    base, stop, stem = parse_analyzer(mode)
+    t = SPARK_TOKENIZE_SQL_UNI if base == "unicode" else SPARK_TOKENIZE_SQL
+    sql = t.format(col=col)
+    if stop:
+        sql = f"filter({sql}, x -> x NOT IN ({_STOP_SQL}))"
+    if stem:
+        sql = f"transform({sql}, x -> {_STEM_SQL.format(x='x')})"
+    return sql
 
 
 def duckdb_tokenize_sql(col: str, mode: str = "ascii") -> str:
-    t = DUCKDB_TOKENIZE_SQL_UNI if mode == "unicode" else DUCKDB_TOKENIZE_SQL
-    return t.format(col=col)
+    base, stop, stem = parse_analyzer(mode)
+    t = DUCKDB_TOKENIZE_SQL_UNI if base == "unicode" else DUCKDB_TOKENIZE_SQL
+    sql = t.format(col=col)
+    if stop:
+        sql = f"list_filter({sql}, x -> x NOT IN ({_STOP_SQL}))"
+    if stem:
+        sql = f"list_transform({sql}, x -> {_STEM_SQL.format(x='x')})"
+    return sql

@@ -21,19 +21,54 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_prepper_spark.index.tokenizer import (
+    parse_analyzer,
+    stem_minimal_english,
+)
 from data_prepper_spark.query.bm25_df import tokens_col
 
 DEFAULT_FRAGMENT_SIZE = 100  # chars, the plain highlighter's default
 
 
-def _term_regex(terms: tuple[str, ...], mode: str = "ascii") -> re.Pattern:
+class _AnalyzedMatcher:
+    """finditer/sub over SURFACE tokens whose ANALYZED form is a query
+    term — the Lucene highlighter's re-analyze-the-document approach,
+    needed once the index analyzer stems ('apple' must highlight
+    'Apples'). Duck-types the two re.Pattern methods `_fragment` uses."""
+
+    def __init__(self, terms: tuple[str, ...], base: str):
+        self.terms = frozenset(terms)
+        self.rx = (
+            re.compile(r"[^\W_]+", re.UNICODE) if base == "unicode"
+            else re.compile(r"[a-z0-9]+", re.IGNORECASE)
+        )
+
+    def _hit(self, m: re.Match) -> bool:
+        return stem_minimal_english(m.group(0).lower()) in self.terms
+
+    def finditer(self, text: str):
+        return (m for m in self.rx.finditer(text) if self._hit(m))
+
+    def sub(self, repl, text: str) -> str:
+        return self.rx.sub(
+            lambda m: repl(m) if self._hit(m) else m.group(0), text
+        )
+
+
+def _term_regex(terms: tuple[str, ...], mode: str = "ascii"):
     """Case-insensitive match of any term at tokenizer boundaries: ascii
     tokens are [a-z0-9]+ runs, so boundaries are non-alphanumerics (NOT
     \\b, which treats '_' as a word char); unicode tokens bound on
-    anything outside \\p{L}\\p{N} ([^\\W_] in Python)."""
+    anything outside \\p{L}\\p{N} ([^\\W_] in Python). ``mode`` is the
+    index's analyzer spec: '+stop' needs nothing here (query terms are
+    already post-stop, stopword surface tokens simply never match), but
+    '+stem' switches to re-analyzing surface tokens."""
+    base, _stop, stem = parse_analyzer(mode)
+    if stem:
+        return _AnalyzedMatcher(terms, base)
     alts = "|".join(sorted((re.escape(t) for t in terms), key=len,
                            reverse=True))
-    if mode == "unicode":
+    if base == "unicode":
         return re.compile(
             rf"(?<![^\W_])({alts})(?![^\W_])", re.IGNORECASE | re.UNICODE
         )

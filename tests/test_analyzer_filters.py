@@ -1,0 +1,217 @@
+"""Analyzer filter chain ('<mode>[+stop][+stem]') — round 4.
+
+The reference delegates analysis to OpenSearch index mappings, where
+`english`-style analyzers chain a StopFilter and a stemmer after the
+tokenizer (reference: data-prepper-plugins/opensearch/.../
+OpenSearchSink.java ships raw text; the analyzer is index config).
+Pins (a) the scalar stemmer against algorithm-golden cases, (b)
+frame==scalar identity for every spec (incl. multi-byte char-length
+edges), (c) cross-engine agreement (Python / Spark SQL / DuckDB),
+(d) end-to-end rank identity of a '+stop+stem' compressed index vs the
+Python oracle, (e) phrase positions are post-stop consecutive, and
+(f) highlight re-analyzes surface tokens under '+stem'.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import (
+    ENGLISH_STOP_WORDS,
+    duckdb_tokenize_sql,
+    parse_analyzer,
+    spark_tokenize_sql,
+    stem_minimal_english,
+    tokenize,
+    tokenize_frame,
+)
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+from data_prepper_spark.query.highlight import highlight_topk
+
+SPECS = [
+    "ascii", "unicode", "ascii+stop", "ascii+stem", "ascii+stop+stem",
+    "unicode+stop", "unicode+stem", "unicode+stop+stem",
+]
+
+TEXTS = [
+    "The quick brown foxes jumped over their lazy dogs",
+    "Queries and aliases; This is IT: buses, gases, eyes!",
+    "Ça va? Les médias françaises — русские тексты, 検索クエリーs",
+    "", "a an the of to was will with", "æs ås quería niños",
+    "goes does dies ties menus bus miss cookies babies 99s",
+]
+
+# EnglishMinimalStemmer is deliberately crude — 'gas'->'ga' and
+# 'foxes'->'foxe' are the ALGORITHM's outputs (plural-only heuristic),
+# not bugs; recall matters, surface forms don't survive indexing anyway.
+STEM_GOLDEN = {
+    "dogs": "dog", "queries": "query", "goes": "goes", "does": "does",
+    "apples": "apple", "ties": "ty", "dies": "dy", "eyes": "eye",
+    "axes": "axe", "bus": "bus", "gas": "ga", "this": "thi",
+    "miss": "miss", "menus": "menus", "s": "s", "as": "as", "its": "it",
+    "aliases": "aliase", "cookies": "cooky", "babies": "baby",
+    "99s": "99", "has": "ha", "houses": "house",
+}
+
+
+def test_parse_analyzer():
+    assert parse_analyzer("ascii") == ("ascii", False, False)
+    assert parse_analyzer("unicode+stop+stem") == ("unicode", True, True)
+    assert parse_analyzer("ascii+stem") == ("ascii", False, True)
+    with pytest.raises(ValueError):
+        parse_analyzer("porter")
+    with pytest.raises(ValueError):
+        parse_analyzer("ascii+snowball")
+
+
+def test_stem_golden():
+    for w, want in STEM_GOLDEN.items():
+        assert stem_minimal_english(w) == want, w
+
+
+def test_stopwords_are_lucene_33():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert "the" in ENGLISH_STOP_WORDS and "will" in ENGLISH_STOP_WORDS
+
+
+@pytest.mark.parametrize("spec", SPECS)
+def test_frame_matches_scalar(spec):
+    texts = pd.Series(TEXTS + [None, "   "])
+    codes, uniq, dls = tokenize_frame(texts, spec)
+    toks = uniq[codes] if len(codes) else np.empty(0, "U1")
+    off = np.concatenate(([0], np.cumsum(dls)))
+    for i, t in enumerate(texts):
+        got = list(toks[off[i]:off[i + 1]])
+        assert got == tokenize(t or "", spec), (spec, t)
+
+
+def test_cross_engine_agreement(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    sdf = spark.createDataFrame([(t,) for t in TEXTS], "t string")
+    for spec in SPECS:
+        spark_out = [
+            r[0] for r in sdf.selectExpr(
+                spark_tokenize_sql("t", spec) + " AS toks").collect()
+        ]
+        for t, sp in zip(TEXTS, spark_out):
+            py = tokenize(t, spec)
+            du = con.execute(
+                f"SELECT {duckdb_tokenize_sql('t', spec)} "
+                "FROM (SELECT ? AS t)", [t],
+            ).fetchone()[0]
+            assert py == sp == du, (spec, t, py, sp, du)
+
+
+DOCS = [
+    (0, "The user's queries failed with timeout errors in the batches"),
+    (1, "a query failed: timeout error on batch retry"),
+    (2, "dogs and cats are such good pets, they will sit with you"),
+    (3, "the dog sat on the mat; these cats sat too"),
+    (4, "kernel panics traced to memory errors, not timeouts"),
+]
+QUERIES = [
+    ("q1", "the query timeout errors", 4),
+    ("q2", "dog sits with cat", 4),
+    ("q3", "memory error", 3),
+]
+
+
+@pytest.fixture(scope="module")
+def stem_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stemidx") / "idx")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"conv-{i}" for i, _ in DOCS],
+            "turn_idx": [0] * len(DOCS),
+            "text": [t for _, t in DOCS],
+        }
+    )
+    stats = ib.build_index(
+        spark, spark.createDataFrame(pdf), d,
+        n_shards=2, block_size=4, tokenizer="ascii+stop+stem",
+    )
+    assert stats["tokenizer"] == "ascii+stop+stem"
+    # avgdl is POST-stop: doc 0 has 10 tokens raw, 3 stopwords ('the',
+    # 'with', 'in', 'the') -> compute_stats must agree with tokenize()
+    want_avgdl = float(np.mean(
+        [len(tokenize(t, "ascii+stop+stem")) for _, t in DOCS]
+    ))
+    assert abs(stats["avgdl"] - want_avgdl) < 1e-9
+    return d
+
+
+@pytest.mark.parametrize("algo", ["wand", "bmx", "exhaustive"])
+def test_stem_index_rank_identity(spark, stem_index, algo):
+    idx = oracle.build_index(DOCS, mode="ascii+stop+stem")
+    want = pd.DataFrame(oracle.score_queries(idx, QUERIES)).sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    qdf = spark.createDataFrame(
+        QUERIES, "query_id string, query_text string, k int"
+    )
+    got = (
+        engine.score_topk(spark, stem_index, qdf, algo)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got["doc_id"] = got.doc_id // DOC_ID_STRIDE
+    assert len(got) == len(want)
+    assert (got.query_id.values == want.query_id.values).all()
+    assert (got.doc_id.values == want.doc_id.values).all()
+    assert np.allclose(got.score.values, want.score.values, atol=1e-9)
+
+
+def test_stem_recall(spark, stem_index):
+    """The point of stemming: 'dog sits' (singular/verb forms) finds the
+    plural docs, and stopwords neither match nor score."""
+    qdf = spark.createDataFrame(
+        [("r", "dog sits", 5)], "query_id string, query_text string, k int"
+    )
+    got = engine.score_topk(spark, stem_index, qdf, "wand").toPandas()
+    assert set(got.doc_id // DOC_ID_STRIDE) == {2, 3}
+
+
+def test_phrase_positions_post_stop(spark, stem_index):
+    """Positions are post-filter consecutive: 'queries failed' is a
+    phrase match in doc 0 even though 'the ... with' stopwords were
+    interleaved in other docs' gaps; and a stopword-laden query phrase
+    matches its stopword-free indexed form."""
+    qdf = spark.createDataFrame(
+        [
+            ("p1", "the queries failed", 5),   # -> [query, failed]
+            ("p2", "dog sat on the mat", 5),   # -> [dog, sat, mat]
+            ("p3", "failed queries", 5),       # reversed: no match
+        ],
+        "query_id string, query_text string, k int",
+    )
+    got = engine.phrase_topk(spark, stem_index, qdf).toPandas()
+    by_q = {q: set(g.doc_id // DOC_ID_STRIDE) for q, g in got.groupby("query_id")}
+    assert by_q.get("p1") == {0, 1}   # doc1: 'query failed' literal
+    assert by_q.get("p2") == {3}
+    assert "p3" not in by_q
+
+
+def test_highlight_reanalyzes_surface_tokens(spark, stem_index):
+    """'+stem' highlight: query term 'query' must wrap the SURFACE word
+    'queries' (Lucene re-analyzes the stored text)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [DOCS[0][1]]})
+    )
+    results = spark.createDataFrame(
+        [("q1", 0, 1, 1.0)], "query_id string, doc_id long, rank int, score double"
+    )
+    queries = spark.createDataFrame(
+        [("q1", "user queries timed out")], "query_id string, query_text string"
+    )
+    out = highlight_topk(
+        docs, results, queries, mode="ascii+stop+stem"
+    ).toPandas()
+    frag = out.fragment.iloc[0]
+    assert "<em>queries</em>" in frag
+    assert "<em>user's</em>" not in frag and "<em>user</em>" in frag
+    assert "<em>The</em>" not in frag  # stopword never highlighted
