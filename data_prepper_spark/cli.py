@@ -86,6 +86,20 @@ def cmd_build_index(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """OpenSearch `_analyze` analog — JVM-free (pure-Python analyzer):
+    text in, analyzed tokens with surface offsets + index positions out."""
+    from data_prepper_spark.index.tokenizer import analyze
+
+    spec = args.tokenizer
+    if args.index:
+        stats_path = os.path.join(args.index, "stats.json")
+        spec = json.load(open(stats_path)).get("tokenizer", "ascii")
+    text = args.text if args.text is not None else sys.stdin.read()
+    print(json.dumps({"analyzer": spec, "tokens": analyze(text, spec)}))
+    return 0
+
+
 def cmd_query(args) -> int:
     from data_prepper_spark.query import engine
 
@@ -145,6 +159,14 @@ def cmd_query(args) -> int:
               file=sys.stderr)
         return 2
     qdf = spark.createDataFrame(rows, "query_id string, query_text string, k int")
+    if getattr(args, "count", False):
+        # OpenSearch _count / track_total_hits: exact live-doc match
+        # totals instead of a ranked page
+        res = engine.count_matches(spark, args.index, qdf)
+        for r in res.orderBy("query_id").collect():
+            print(json.dumps({"query_id": r["query_id"],
+                              "total_hits": r["total_hits"]}))
+        return 0
     if args.filter:
         # filter context: bool {must: match, filter: attrs} — needs the
         # corpus for the attribute columns (--docs)
@@ -585,6 +607,18 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--local-cores", type=int, default=None)
     b.set_defaults(fn=cmd_build_index)
 
+    an = sub.add_parser(
+        "analyze", help="OpenSearch _analyze analog: text -> analyzed "
+        "tokens with offsets/positions (no Spark session needed)")
+    an.add_argument("--text", default=None,
+                    help="text to analyze (default: read stdin)")
+    an.add_argument("--tokenizer", type=_analyzer_spec, default="ascii",
+                    help="analyzer spec (ascii|unicode[+stop][+stem])")
+    an.add_argument("--index", default=None,
+                    help="read the analyzer spec from this local index's "
+                         "stats.json instead")
+    an.set_defaults(fn=cmd_analyze)
+
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--index", required=True)
     q.add_argument("--query", help="single query text")
@@ -625,6 +659,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--docs", default=None,
                    help="corpus parquet with doc_id + filter columns "
                         "(required with --filter / --fetch)")
+    q.add_argument("--count", action="store_true",
+                   help="OpenSearch _count: print exact per-query live "
+                        "match totals instead of a ranked page")
     q.add_argument("--fetch", action="store_true",
                    help="join results back to --docs and print stored "
                         "fields with each hit (the _search source role; "

@@ -53,10 +53,16 @@ def _emb(spark, sf_dir):
 
 # ------------------------------------------------------------ BM25 SQL
 
-def _bm25_oracle_sql() -> str:
+def _bm25_oracle_sql(total_hits: bool = False) -> str:
     vals = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
     toks = D_TOKS.format(c="text")
     qtoks = D_TOKS.format(c="query_text")
+    # track_total_hits: the window count runs over the FULL match set
+    # (QUALIFY filters after window evaluation in DuckDB)
+    th_sel = (
+        ",\n       count(*) OVER (PARTITION BY query_id) AS total_hits"
+        if total_hits else ""
+    )
     return f"""
 WITH queries(query_id, query_text) AS (VALUES {vals}),
 tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -80,7 +86,7 @@ scored AS (
 SELECT query_id, doc_id,
        round(score, 4) AS score_r,
        row_number() OVER (PARTITION BY query_id
-                          ORDER BY round(score, 4) DESC, doc_id) AS rank
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank{th_sel}
 FROM scored
 QUALIFY rank <= {BM25_K}
 """
@@ -134,10 +140,16 @@ def _built_index(spark, sf_dir) -> str:
 
 
 def q_wand_topk(spark, sf_dir):
-    """BM25 top-k via the compressed SPIMI index + block-max WAND."""
+    """BM25 top-k via the compressed SPIMI index + block-max WAND, plus
+    the OpenSearch `track_total_hits: true` column: every result row
+    carries the EXACT live match total for its query (engine.
+    count_matches — the gaps-only counting scatter; oracle-checked as a
+    window count over the match set)."""
     d = _built_index(spark, sf_dir)
-    raw = engine.score_topk(spark, d, _bm25_queries_df(spark), algo="wand")
-    return _rounded_rank(raw)
+    qdf = _bm25_queries_df(spark)
+    raw = engine.score_topk(spark, d, qdf, algo="wand")
+    counts = engine.count_matches(spark, d, qdf)
+    return _rounded_rank(raw).join(counts, "query_id")
 
 
 # fixed phrase query set over the `documents` vocabulary (each phrase is
@@ -1385,7 +1397,7 @@ WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}
 
 ORACLE: dict[str, str | None] = {
     "bm25_topk": _bm25_oracle_sql(),
-    "wand_topk": _bm25_oracle_sql(),
+    "wand_topk": _bm25_oracle_sql(total_hits=True),
     "index_dictionary": _DICT_SQL,
     "mutate_entries": """
         SELECT event_id, user_id, event_type, event_type AS etype_copy FROM events""",

@@ -384,6 +384,37 @@ def tokenize_frame(
     return codes, decode_term_bytes(uniq_parts, mode), dls
 
 
+_SURFACE_RE_ASCII = re.compile(r"[a-z0-9]+", re.IGNORECASE)
+
+
+def analyze(text: str, mode: str = "ascii") -> list[dict]:
+    """OpenSearch `_analyze` API analog: text -> [{token, start_offset,
+    end_offset, position}]. Offsets are char spans of the SURFACE token
+    in the original text (the convention Lucene token streams emit);
+    `token` is the post-filter (stemmed) index form; positions are the
+    post-stop consecutive positions the index stores. Surface spans are
+    found case-insensitively on the ORIGINAL text (same convention as
+    query/highlight.py), so full-casefold edge codepoints (U+0130,
+    U+212A) can tokenize slightly differently than `tokenize` — which
+    lowercases first; documented, driver-side-only divergence."""
+    base, stop, stem = parse_analyzer(mode)
+    rx = _TOKEN_RE_UNI if base == "unicode" else _SURFACE_RE_ASCII
+    out: list[dict] = []
+    pos = 0
+    for m in rx.finditer(text or ""):
+        tok = m.group(0).lower()
+        if stop and tok in ENGLISH_STOP_WORDS:
+            continue
+        if stem:
+            tok = stem_minimal_english(tok)
+        out.append(
+            {"token": tok, "start_offset": m.start(),
+             "end_offset": m.end(), "position": pos}
+        )
+        pos += 1
+    return out
+
+
 def term_freqs(text: str) -> Counter:
     return Counter(tokenize(text))
 

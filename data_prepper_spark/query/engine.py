@@ -352,6 +352,104 @@ def score_topk(
     )
 
 
+# -------------------------------------------------- _count / total hits
+
+def _count_kernel(tomb=None):
+    """Per-shard exact match counting: decode ONLY the gaps stream of
+    each term (no tfs/dls/poss/max_partial ever reach the scan), union
+    doc ids per query, count live docs."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from data_prepper_spark.index import codec
+
+        term_docs: dict[str, np.ndarray] = {}
+        qmap: dict[str, list[str]] = {}
+        for term, tg in pdf.groupby("term", sort=False):
+            parts, segs = [], []
+            for g, first, seg in zip(tg["gaps"], tg["first_doc"], tg["seg"]):
+                d = codec.delta_decode(bytes(g), base=int(first))
+                parts.append(d)
+                segs.append(np.full(len(d), int(seg), np.int64))
+            docs = np.concatenate(parts)
+            if tomb is not None:
+                mask = tombstones.deleted_mask_per_seg(
+                    docs, np.concatenate(segs), tomb
+                )
+                docs = docs[~mask]
+            term_docs[term] = docs
+            for q in tg["queries"].iloc[0]:
+                qmap.setdefault(q["query_id"], []).append(term)
+        rows_q, rows_n = [], []
+        for qid, ts in qmap.items():
+            # one term's docs are already unique (per-seg doc-sorted,
+            # segments disjoint); multi-term unions via np.unique
+            n = (
+                len(term_docs[ts[0]]) if len(ts) == 1
+                else len(np.unique(np.concatenate([term_docs[t] for t in ts])))
+            )
+            rows_q.append(qid)
+            rows_n.append(n)
+        return pd.DataFrame(
+            {"query_id": rows_q,
+             "total_hits": np.array(rows_n, dtype=np.int64)}
+        )
+
+    return run
+
+
+def count_matches(
+    spark: SparkSession, index_dir: str, queries: DataFrame,
+) -> DataFrame:
+    """OpenSearch `_count` / `track_total_hits: true`: the EXACT number
+    of live documents matching at least one analyzed query term (match-
+    query semantics — the same candidate set the exhaustive scorer
+    ranks, which block-max pruning deliberately never enumerates).
+    queries(query_id, query_text) -> (query_id, total_hits).
+
+    Plan: the score_topk scatter minus everything scoring needs — no
+    dictionary join (no idf), ReadSchema is (term, gaps, first_doc)
+    plus keys, so the count costs one pruned scan of the SMALLEST
+    posting stream. A doc lives in exactly one shard, so the global
+    total is a plain sum of per-shard distinct counts; absent-term
+    queries zero-fill via the left join."""
+    stats = load_stats(index_dir)
+    mode = stats.get("tokenizer", "ascii")
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
+    )
+    qmap = qterms.groupBy("term").agg(
+        F.collect_list(F.struct("query_id")).alias("queries")
+    )
+    terms = [r["term"] for r in qmap.select("term").collect()]
+    blocks_path = layout.resolve(index_dir, "blocks")
+    local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
+    base = queries.select("query_id").distinct()
+    if not terms or local_missing:
+        return base.select(
+            "query_id", F.lit(0).cast("long").alias("total_hits")
+        )
+    blocks = spark.read.parquet(blocks_path)
+    if "seg" not in blocks.columns:
+        blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
+    needed = (
+        blocks.select("shard", "seg", "term", "block_ord", "first_doc", "gaps")
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qmap), "term")
+    )
+    per_shard = needed.groupBy("shard").applyInPandas(
+        _count_kernel(tomb=tombstones.load_tombstones(spark, index_dir)),
+        schema="query_id string, total_hits long",
+    )
+    counts = per_shard.groupBy("query_id").agg(
+        F.sum("total_hits").alias("total_hits")
+    )
+    return base.join(counts, "query_id", "left").select(
+        "query_id",
+        F.coalesce("total_hits", F.lit(0)).cast("long").alias("total_hits"),
+    )
+
+
 # ---------------------------------------------------------- match_phrase
 
 def _decode_term_runs(

@@ -1,0 +1,172 @@
+"""OpenSearch `_count` (track_total_hits) + `_analyze` analogs.
+
+The reference's indexes are consumed through these two APIs daily:
+_count for exact match totals (top-k pruning deliberately never
+enumerates the full match set), _analyze to debug what an index's
+analyzer does to a given text. Pins count_matches against a pandas
+brute force (incl. tombstones, multi-segment, absent-term zero fill)
+and analyze() against tokenize() + surface offsets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import analyze, tokenize
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    vocab = ["error", "timeout", "retry", "kernel", "panic", "query",
+             "slow", "scan", "disk", "cache"]
+    rows = []
+    for i in range(120):
+        words = rng.choice(vocab, size=rng.integers(3, 9))
+        rows.append((f"conv-{i}", 0, " ".join(words)))
+    return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+
+
+@pytest.fixture(scope="module")
+def cidx(spark, tmp_path_factory, corpus):
+    d = str(tmp_path_factory.mktemp("cntidx") / "idx")
+    ib.build_index(
+        spark, spark.createDataFrame(corpus), d, n_shards=4, block_size=8,
+    )
+    return d
+
+
+QUERIES = [
+    ("c1", "error timeout"),
+    ("c2", "kernel"),
+    ("c3", "zzz absent"),
+    ("c4", "error error retry"),   # duplicate term must not double-count
+    ("c5", "slow scan disk cache panic"),
+]
+
+
+def _brute_counts(corpus, queries, dropped=frozenset()):
+    want = {}
+    for qid, qtext in queries:
+        terms = set(tokenize(qtext))
+        n = 0
+        for i, t in enumerate(corpus["text"]):
+            if i in dropped:
+                continue
+            if terms & set(tokenize(t)):
+                n += 1
+        want[qid] = n
+    return want
+
+
+def test_count_matches_brute(spark, cidx, corpus):
+    qdf = spark.createDataFrame(QUERIES, "query_id string, query_text string")
+    got = {
+        r["query_id"]: r["total_hits"]
+        for r in engine.count_matches(spark, cidx, qdf).collect()
+    }
+    want = _brute_counts(corpus, QUERIES)
+    assert got == want
+    assert got["c3"] == 0  # absent-term zero fill
+    assert len(got) == len(QUERIES)
+
+
+def test_count_matches_multi_segment(spark, tmp_path, corpus):
+    """Counts stay exact when docs arrive as incremental segments (a
+    doc's postings live in exactly one segment; unions span segments)."""
+    d = str(tmp_path / "segidx")
+    half = len(corpus) // 2
+    ib.build_index(
+        spark, spark.createDataFrame(corpus.iloc[:half]), d,
+        n_shards=4, block_size=8,
+    )
+    ib.build_index(
+        spark, spark.createDataFrame(corpus.iloc[half:]), d,
+        n_shards=4, block_size=8, incremental=True, snapshot_id=1,
+    )
+    qdf = spark.createDataFrame(QUERIES, "query_id string, query_text string")
+    got = {
+        r["query_id"]: r["total_hits"]
+        for r in engine.count_matches(spark, d, qdf).collect()
+    }
+    assert got == _brute_counts(corpus, QUERIES)
+
+
+def test_count_matches_after_delete(spark, tmp_path, corpus):
+    """Tombstoned conversations leave the totals (live docs only, the
+    OpenSearch _count contract)."""
+    from data_prepper_spark.index import tombstones as tb
+
+    d = str(tmp_path / "delidx")
+    ib.build_index(
+        spark, spark.createDataFrame(corpus), d, n_shards=4, block_size=8,
+    )
+    tb.delete_conversations(spark, d, [3, 7, 11])
+    qdf = spark.createDataFrame(QUERIES, "query_id string, query_text string")
+    got = {
+        r["query_id"]: r["total_hits"]
+        for r in engine.count_matches(spark, d, qdf).collect()
+    }
+    assert got == _brute_counts(corpus, QUERIES, dropped={3, 7, 11})
+
+
+def test_count_consistent_with_exhaustive(spark, cidx):
+    """total_hits == number of rows exhaustive scoring returns at k=all
+    (same candidate definition)."""
+    qdf = spark.createDataFrame(
+        [(q, t, 10_000) for q, t in QUERIES[:2]],
+        "query_id string, query_text string, k int",
+    )
+    full = engine.score_topk(spark, cidx, qdf, "exhaustive").toPandas()
+    counts = {
+        r["query_id"]: r["total_hits"]
+        for r in engine.count_matches(
+            spark, cidx, qdf.select("query_id", "query_text")
+        ).collect()
+    }
+    got = full.groupby("query_id").size().to_dict()
+    assert got == counts
+
+
+# ------------------------------------------------------------- _analyze
+
+def test_analyze_matches_tokenize():
+    texts = [
+        "The quick brown foxes JUMPED over their lazy dogs!",
+        "a an the of", "", "errors: timeouts — retries",
+    ]
+    for spec in ["ascii", "ascii+stop", "ascii+stop+stem", "unicode+stem"]:
+        for t in texts:
+            toks = [e["token"] for e in analyze(t, spec)]
+            assert toks == tokenize(t, spec), (spec, t)
+
+
+def test_analyze_offsets_and_positions():
+    out = analyze("The Queries failed; retry-Queue", "ascii+stop+stem")
+    # 'the' dropped, positions consecutive from 0, offsets are SURFACE
+    # char spans (stemmed token, unstemmed span)
+    assert [e["token"] for e in out] == ["query", "failed", "retry", "queue"]
+    assert [e["position"] for e in out] == [0, 1, 2, 3]
+    text = "The Queries failed; retry-Queue"
+    assert text[out[0]["start_offset"]:out[0]["end_offset"]] == "Queries"
+    assert text[out[3]["start_offset"]:out[3]["end_offset"]] == "Queue"
+
+
+def test_analyze_cli_jvm_free(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "data_prepper_spark", "analyze",
+         "--text", "The dogs and cats", "--tokenizer", "ascii+stop+stem"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    payload = json.loads(r.stdout)
+    assert [e["token"] for e in payload["tokens"]] == ["dog", "cat"]

@@ -117,3 +117,19 @@ def test_multi_index_scan_pruning(spark, corpus_and_index, tmp_path):
     for line in plan.splitlines():
         if "ReadSchema" in line and "gaps" in line:
             assert "poss" not in line, line
+
+
+def test_count_matches_scan_pruning(spark, corpus_and_index):
+    """_count (EXPLAIN.md §17): the counting scatter reads ONLY the
+    gaps stream + keys — tfs/dls/poss/max_partial never reach the
+    blocks scan, and the term In-filter is pushed down."""
+    _, d = corpus_and_index
+    qdf = spark.createDataFrame(
+        [("q", "error timeout")], "query_id string, query_text string",
+    )
+    plan = _physical(engine.count_matches(spark, d, qdf))
+    assert "PushedFilters: [In(term" in plan
+    for line in plan.splitlines():
+        if "FileScan" in line and "gaps" in line:
+            for col in ("tfs", "dls", "poss", "max_partial"):
+                assert col not in line, (col, line)
