@@ -203,7 +203,34 @@ def run_suite(
         # exhaustive scoring per shard + exact group merge)
         timed("query_collapse", lambda: engine.score_topk(
             spark, idx_dir, hl_q, collapse=True).count(), reps=2)
+        # _count / track_total_hits (session 2): the gaps-only scatter
+        # over the full 100-query set — the cheapest full-match-set op
+        timed("query_count", lambda: engine.count_matches(
+            spark, idx_dir, qdf.select("query_id", "query_text")
+        ).count(), reps=2)
         docs_df.unpersist()
+
+        # --- multi_match (session 2): per-field sub-indexes (text +
+        # sparse tool), dis_max combine. fields_build is the honest
+        # price of indexing BOTH fields (~ index_build + the small tool
+        # index); single-shot like index_build (page-cache fairness).
+        from data_prepper_spark.query.multimatch import (
+            build_fields_index, multi_match_topk,
+        )
+
+        mm_dir = tempfile.mkdtemp(prefix="bench_mmidx_")
+        try:
+            timed("fields_build", lambda: build_fields_index(
+                spark, corpus.select("conv_id", "turn_idx", "text", "tool"),
+                mm_dir, ["text", "tool"], n_shards=n_shards, block_size=128,
+            ))
+            mm_q = qdf.limit(20).select("query_id", "query_text", "k")
+            timed("query_multimatch", lambda: multi_match_topk(
+                spark, mm_dir, mm_q, fields=["text", "tool^2"],
+                tie_breaker=0.3,
+            ).count(), reps=2)
+        finally:
+            shutil.rmtree(mm_dir, ignore_errors=True)
 
         # --- index size + unicode-mode deltas (extras only, not e2e):
         # same corpus built with tokenizer='unicode' — the honest cost

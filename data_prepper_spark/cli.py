@@ -68,6 +68,19 @@ def cmd_build_index(args) -> int:
     else:
         df = spark.read.parquet(args.input)
     t0 = time.monotonic()
+    if getattr(args, "field_cols", None):
+        from data_prepper_spark.query.multimatch import build_fields_index
+
+        fields = [f.strip() for f in args.field_cols.split(",")]
+        man = build_fields_index(
+            spark, df, args.index, fields,
+            n_shards=args.shards, block_size=args.block_size,
+            tokenizer=args.tokenizer,
+        )
+        n_docs = df.count()
+        wall = time.monotonic() - t0
+        print(json.dumps(dict(man, n_docs=n_docs, wall_sec=round(wall, 2))))
+        return 0
     stats = ib.build_index(
         spark,
         df,
@@ -159,6 +172,20 @@ def cmd_query(args) -> int:
               file=sys.stderr)
         return 2
     qdf = spark.createDataFrame(rows, "query_id string, query_text string, k int")
+    if getattr(args, "fields", None):
+        # multi_match over a fields index (best_fields / most_fields)
+        from data_prepper_spark.query.multimatch import multi_match_topk
+
+        res = multi_match_topk(
+            spark, args.index, qdf,
+            fields=[f.strip() for f in args.fields.split(",")],
+            mm_type=args.mm_type, tie_breaker=args.tie_breaker,
+        )
+        for r in res.orderBy("query_id", "rank").collect():
+            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+                              "doc_id": r["doc_id"],
+                              "score": round(r["score"], 6)}))
+        return 0
     if getattr(args, "count", False):
         # OpenSearch _count / track_total_hits: exact live-doc match
         # totals instead of a ranked page
@@ -604,6 +631,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--tokenizer", type=_analyzer_spec, default="ascii",
                    help="analyzer spec: ascii|unicode with optional "
                         "+stop / +stem filters, e.g. 'unicode+stop+stem'")
+    b.add_argument("--field-cols", default=None,
+                   help="comma-separated text columns: build a per-field "
+                        "multi_match index (<index>/fields/<f>) instead "
+                        "of a single-field one")
     b.add_argument("--local-cores", type=int, default=None)
     b.set_defaults(fn=cmd_build_index)
 
@@ -659,6 +690,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--docs", default=None,
                    help="corpus parquet with doc_id + filter columns "
                         "(required with --filter / --fetch)")
+    q.add_argument("--fields", default=None,
+                   help="multi_match fields over a fields index, e.g. "
+                        "'text,tool^2'")
+    q.add_argument("--mm-type", default="best_fields",
+                   choices=["best_fields", "most_fields"])
+    q.add_argument("--tie-breaker", type=float, default=0.0)
     q.add_argument("--count", action="store_true",
                    help="OpenSearch _count: print exact per-query live "
                         "match totals instead of a ranked page")

@@ -162,6 +162,56 @@ PHRASE_QUERIES = [
 ]
 
 
+MM_QUERIES = [
+    ("mm1", "spark join src5"),
+    ("mm2", "slow query fr"),
+    ("mm3", "src11 hash"),
+    ("mm4", "zz absent zzz"),
+]
+MM_TIE = 0.3
+_MM_INDEX_CACHE: dict[str, str] = {}
+
+
+def _mm_docs(spark, sf_dir):
+    """documents + a second analyzed field synthesized deterministically
+    (meta = 'sourceN lang'), so the multi-field index has real per-field
+    postings to combine."""
+    return _docs(spark, sf_dir).withColumn(
+        "meta", F.concat_ws(" ", "source", "lang")
+    )
+
+
+def _mm_index(spark, sf_dir) -> str:
+    from data_prepper_spark.query.multimatch import build_fields_index
+
+    if sf_dir not in _MM_INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="dps_mmidx_")
+        build_fields_index(
+            spark, _mm_docs(spark, sf_dir).select("doc_id", "text", "meta"),
+            d, ["text", "meta"], n_shards=8, block_size=128,
+        )
+        _MM_INDEX_CACHE[sf_dir] = d
+    return _MM_INDEX_CACHE[sf_dir]
+
+
+def q_multi_match(spark, sf_dir):
+    """OpenSearch multi_match best_fields over per-field sub-indexes
+    (query/multimatch.py): fields text + meta^2, tie_breaker 0.3 —
+    dis_max of per-field BM25 (each field has its OWN df/avgdl/n_docs,
+    Lucene per-field statistics) plus tie_breaker times the rest."""
+    from data_prepper_spark.query.multimatch import multi_match_topk
+
+    d = _mm_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(q, t, BM25_K * 2) for q, t in MM_QUERIES],
+        "query_id string, query_text string, k int",
+    )
+    raw = multi_match_topk(
+        spark, d, qdf, fields=["text", "meta^2"], tie_breaker=MM_TIE,
+    )
+    return _rounded_rank(raw)
+
+
 def q_phrase_topk(spark, sf_dir):
     """match_phrase over the compressed index's position stream: exact
     consecutive-token filter + BM25 ranking (the reference serves this
@@ -731,23 +781,31 @@ def q_flatten(spark, sf_dir):
 # ------------------------------------------------------------- aggregate
 
 def q_aggregate_count(spark, sf_dir):
-    out = ops.aggregate_count(
-        _events(spark, sf_dir), ["event_type"], count_key="n",
-        unique_keys=["user_id"],
+    """count (+unique_keys) AND its 1-hour-windowed variant in ONE slot
+    (session-2 consolidation — frees a gate slot for multi_match, the
+    same pattern as the r4 event_id-keyed merges): windowed rows join
+    the per-type totals on event_type, both halves oracle-checked."""
+    ev = _events(spark, sf_dir)
+    tot = ops.aggregate_count(
+        ev, ["event_type"], count_key="n", unique_keys=["user_id"],
     )
-    return out.select("event_type", F.col("n").cast("long").alias("n"),
-                      F.col("unique_count").cast("long").alias("unique_count"))
-
-
-def q_aggregate_count_windowed(spark, sf_dir):
-    out = ops.aggregate_count(
-        _events(spark, sf_dir), ["event_type"], count_key="n",
-        ts_col="ts", group_duration="1 hour",
+    win = ops.aggregate_count(
+        ev, ["event_type"], count_key="n", ts_col="ts",
+        group_duration="1 hour",
     )
-    return out.select(
-        "event_type",
-        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
-        F.col("n").cast("long").alias("n"),
+    return (
+        win.select(
+            "event_type",
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            F.col("n").cast("long").alias("n_w"),
+        )
+        .join(
+            tot.select(
+                "event_type", F.col("n").cast("long").alias("n_total"),
+                F.col("unique_count").cast("long").alias("unique_count"),
+            ),
+            "event_type",
+        )
     )
 
 
@@ -1501,13 +1559,17 @@ ORACLE: dict[str, str | None] = {
                  ELSE 'kv' END AS detected_format
         FROM events""",
     "aggregate_count": """
-        SELECT event_type, count(*)::BIGINT AS n,
-               count(DISTINCT user_id)::BIGINT AS unique_count
-        FROM events GROUP BY event_type""",
-    "aggregate_count_windowed": """
-        SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
-               count(*)::BIGINT AS n
-        FROM events GROUP BY 1, 2""",
+        WITH tot AS (
+          SELECT event_type, count(*)::BIGINT AS n_total,
+                 count(DISTINCT user_id)::BIGINT AS unique_count
+          FROM events GROUP BY 1),
+        win AS (
+          SELECT event_type,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+                 count(*)::BIGINT AS n_w
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, wstart, n_w, n_total, unique_count
+        FROM win JOIN tot USING (event_type)""",
     "aggregate_histogram": """
         SELECT event_type,
                least(greatest(floor(value / 10.0), 0), 9)::BIGINT AS bucket,
@@ -1619,6 +1681,64 @@ ORACLE: dict[str, str | None] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name""",
 }
+
+
+def _mm_field_ctes(p: str, col: str, boost: float) -> str:
+    """Per-field BM25 scored CTE chain (prefix `p`): per-field tf/dl/
+    df/n_docs/avgdl over docs HAVING the field — Lucene per-field
+    statistics, the same numbers the field's sub-index stores."""
+    toks = D_TOKS.format(c=col)
+    return f"""
+{p}tokd AS (SELECT doc_id, {toks} AS toks FROM src
+            WHERE {col} IS NOT NULL AND length({col}) > 0),
+{p}toks AS (SELECT doc_id, unnest(toks) AS term FROM {p}tokd),
+{p}tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {p}toks GROUP BY 1, 2),
+{p}dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM {p}tokd),
+{p}stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM {p}dl),
+{p}dft AS (SELECT term, count(*)::DOUBLE AS df FROM {p}tf GROUP BY 1),
+{p}scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         {boost} * SUM(ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qt
+  JOIN {p}tf tf USING (term)
+  JOIN {p}dft dft USING (term)
+  JOIN {p}dl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN {p}stats s
+  GROUP BY 1, 2)"""
+
+
+def _mm_oracle_sql() -> str:
+    """multi_match best_fields oracle: two per-field BM25 chains, FULL
+    OUTER JOIN, dis_max + tie_breaker combine — mirrors
+    query/multimatch.py field-for-field (BM25 scores are strictly
+    positive, so coalesce-to-0 + greatest is an exact dis_max)."""
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in MM_QUERIES)
+    qtoks = D_TOKS.format(c="query_text")
+    return f"""
+WITH queries(query_id, query_text) AS (VALUES {vals}),
+src AS (SELECT doc_id, text, concat(source, ' ', lang) AS meta FROM documents),
+qt AS (SELECT DISTINCT query_id, unnest(list_distinct({qtoks})) AS term FROM queries),
+{_mm_field_ctes('t_', 'text', 1.0)},
+{_mm_field_ctes('m_', 'meta', 2.0)},
+u AS (
+  SELECT query_id, doc_id,
+         coalesce(t.score, 0) AS st, coalesce(m.score, 0) AS sm
+  FROM t_scored t FULL OUTER JOIN m_scored m USING (query_id, doc_id))
+SELECT query_id, doc_id,
+       round(greatest(st, sm) + {MM_TIE} * (st + sm - greatest(st, sm)), 4)
+         AS score_r,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(greatest(st, sm) + {MM_TIE}
+                                         * (st + sm - greatest(st, sm)), 4)
+                                   DESC, doc_id) AS rank
+FROM u
+QUALIFY rank <= {BM25_K}
+"""
+
+
+ORACLE["multi_match"] = _mm_oracle_sql()
 
 
 def _stoplist_sql(lang: str) -> str:
@@ -2102,8 +2222,8 @@ QUERIES = {
     "expand_queries": q_expand_queries,
 
     "parse_xml_ion": q_parse_xml_ion,
-    "aggregate_count": q_aggregate_count,
-    "aggregate_count_windowed": q_aggregate_count_windowed,
+    "aggregate_count": q_aggregate_count,  # incl. windowed variant (r4 merge)
+    "multi_match": q_multi_match,
     "aggregate_histogram": q_aggregate_histogram,
     "aggregate_append_putall": q_aggregate_append_putall,
     "remove_duplicates": q_remove_duplicates,

@@ -1,0 +1,282 @@
+"""multi_match over per-field sub-indexes (best_fields / most_fields).
+
+The reference's documents land in OpenSearch with MULTIPLE analyzed
+fields (the sink ships whole events — OpenSearchSink.java:132-141 —
+and the index mapping analyzes each text field separately); consumers
+query them with `multi_match` ("query": ..., "fields": ["text",
+"tool^2"]). Lucene keeps per-field postings with per-field statistics
+(df, norms); best_fields is a dis_max over the per-field BM25 scores
+(+ tie_breaker * sum of the rest), most_fields sums them.
+
+Here the same shape, Spark-first:
+
+- `build_fields_index` assigns doc_ids ONCE on the parent frame, then
+  builds one ordinary SPIMI sub-index per field under
+  <dir>/fields/<f> — each with its OWN n_docs/avgdl/df (only docs
+  that HAVE the field count, Lucene's per-field statistics), all
+  sharing the doc_id space and the conv_id shard map, so one doc's
+  postings across fields are CO-LOCATED in the same shard number.
+- `multi_match_topk` runs ONE kernel exchange over the union of the
+  per-field block scans (each keeping its own term In-filter
+  pushdown + per-field dictionary df). Because shard maps align, the
+  per-shard kernel holds every field's scores for its docs and can
+  combine them EXACTLY — per (query, field) exhaustive BM25 (float-
+  identical to score_topk on that field alone), then dis_max/sum per
+  doc, then the boundary-exact per-shard top-k; the global merge is
+  the same bounded k*n_shards row_number as score_topk.
+
+Scale: one scatter-gather; block rows scanned once per (field, term);
+no corpus scan; per-shard combine is numpy over already-local arrays.
+The union scan grows linearly with the number of QUERIED fields —
+exactly OpenSearch's multi_match cost model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index import layout, tombstones
+from data_prepper_spark.query import wand as wand_mod
+from data_prepper_spark.query.bm25_df import tokens_col
+from data_prepper_spark.query.engine import _KERNEL_OUT, _NsCache, load_stats
+
+__all__ = ["build_fields_index", "multi_match_topk", "parse_field_specs"]
+
+_FIELD_BOOST_RE = re.compile(r"^(.*?)(?:\^([0-9]+(?:\.[0-9]+)?))?$")
+
+
+def parse_field_specs(specs: list[str]) -> list[tuple[str, float]]:
+    """["text", "tool^2"] -> [("text", 1.0), ("tool", 2.0)]."""
+    out = []
+    for s in specs:
+        m = _FIELD_BOOST_RE.match(s.strip())
+        out.append((m.group(1), float(m.group(2) or 1.0)))
+    return out
+
+
+def build_fields_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    fields: list[str],
+    n_shards: int = 32,
+    block_size: int = 128,
+    tokenizer: str = "ascii",
+    store_positions: bool = False,
+) -> dict:
+    """One SPIMI sub-index per field under <index_dir>/fields/<f>.
+
+    doc_ids are assigned ONCE on the parent frame (arith packing or the
+    persisted convmap at the PARENT dir — shared, so ids align across
+    fields even when some rows lack a field), and each sub-index keeps
+    conv_id so the shard map is identical everywhere. Per-field corpus
+    stats count only docs that HAVE the field (Lucene per-field norms).
+    """
+    from data_prepper_spark.index.build import (
+        _assign_doc_ids_convmap,
+        build_index,
+        conv_scheme_arith_ok,
+    )
+    from data_prepper_spark.query.bm25_df import assign_doc_ids
+
+    missing = [f for f in fields if f not in transcripts.columns]
+    if missing:
+        raise ValueError(f"fields {missing} not in input columns")
+    os.makedirs(index_dir, exist_ok=True)
+    if "doc_id" in transcripts.columns:
+        assigned = transcripts
+    elif conv_scheme_arith_ok(transcripts):
+        assigned = assign_doc_ids(transcripts)
+    else:
+        assigned = _assign_doc_ids_convmap(spark, transcripts, index_dir)
+    keys = ["doc_id"] + (["conv_id"] if "conv_id" in assigned.columns else [])
+    for f in fields:
+        sub = (
+            assigned.select(*keys, F.col(f).alias("text"))
+            .filter(F.col(f).isNotNull() & (F.length(f) > 0))
+        )
+        build_index(
+            spark, sub, os.path.join(index_dir, "fields", f),
+            n_shards=n_shards, block_size=block_size, tokenizer=tokenizer,
+            store_positions=store_positions, assign_ids=False,
+        )
+    manifest = {
+        "fields": list(fields), "n_shards": n_shards, "tokenizer": tokenizer,
+    }
+    layout.publish_file(
+        os.path.join(index_dir, "fields.json"), json.dumps(manifest)
+    )
+    return manifest
+
+
+def _mm_kernel(field_conf: dict, mm_type: str, tie_breaker: float):
+    """Per-shard multi_match: exact per-(query, field) exhaustive BM25
+    (same sorted-term accumulation as score_topk — float identity per
+    field), field-boost scale, dis_max/sum combine, boundary-exact
+    top-k. field_conf: field -> dict(n_docs, avgdl, boost, tomb, ns)."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        caches = {
+            f: _NsCache((c["ns"], shard)) for f, c in field_conf.items()
+        }
+        # (field, term) -> [cursors]; qid -> (k, {field: [cursors]})
+        queries: dict[str, list] = {}
+        for (field, term), tg in pdf.groupby(["field", "term"], sort=True):
+            conf = field_conf[field]
+            df_t = int(tg["df"].iloc[0])
+            idf = float(np.log(
+                1.0 + (conf["n_docs"] - df_t + 0.5) / (df_t + 0.5)
+            ))
+            tomb = conf["tomb"]
+            cursors = []
+            for seg, g in tg.groupby("seg", sort=True):
+                g = g.sort_values("block_ord")
+                cursors.append(wand_mod.TermCursor(
+                    term=term, seg=int(seg), avgdl=conf["avgdl"],
+                    cache=caches[field], boost=1.0,
+                    tomb=(tomb.for_seg(int(seg)) if tomb is not None else None),
+                    idf=idf,
+                    firsts=g["first_doc"].to_numpy(np.int64),
+                    lasts=g["last_doc"].to_numpy(np.int64),
+                    maxps=g["max_partial"].to_numpy(np.float64),
+                    gaps=list(g["gaps"]),
+                    tfs=list(g["tfs"]),
+                    dls=list(g["dls"]),
+                ))
+            for q in tg["queries"].iloc[0]:
+                ent = queries.setdefault(q["query_id"], [int(q["k"]), {}])
+                ent[1].setdefault(field, []).extend(cursors)
+
+        out_q, out_d, out_s = [], [], []
+        for qid, (k, by_field) in queries.items():
+            per_field: list[tuple[np.ndarray, np.ndarray]] = []
+            for field, cursors in by_field.items():
+                docs, scores = wand_mod._exhaustive_scores(cursors)
+                if len(docs):
+                    per_field.append(
+                        (docs, scores * field_conf[field]["boost"])
+                    )
+            if not per_field:
+                continue
+            all_docs = (
+                per_field[0][0] if len(per_field) == 1
+                else np.unique(np.concatenate([d for d, _ in per_field]))
+            )
+            S = np.zeros((len(per_field), len(all_docs)), dtype=np.float64)
+            for i, (docs, scores) in enumerate(per_field):
+                S[i, np.searchsorted(all_docs, docs)] = scores
+            if mm_type == "most_fields":
+                combined = S.sum(axis=0)
+            else:  # best_fields (dis_max + tie_breaker)
+                best = S.max(axis=0)
+                combined = best + tie_breaker * (S.sum(axis=0) - best)
+            # boundary-exact per-shard cut (ties at the kth score broken
+            # by doc_id — same contract as exhaustive_topk)
+            if len(all_docs) <= k:
+                order = np.lexsort((all_docs, -combined))[:k]
+            else:
+                kth = np.partition(combined, len(combined) - k)[
+                    len(combined) - k]
+                cand = np.flatnonzero(combined >= kth)
+                order = cand[np.lexsort((all_docs[cand], -combined[cand]))][:k]
+            out_q += [qid] * len(order)
+            out_d += list(all_docs[order])
+            out_s += list(combined[order])
+        return pd.DataFrame(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s}
+        )
+
+    return run
+
+
+def multi_match_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    fields: list[str] | None = None,
+    mm_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """queries(query_id, query_text, k) -> (query_id, rank, doc_id,
+    score) over a fields index. `fields` are "name" or "name^boost"
+    specs (default: every indexed field, boost 1)."""
+    if mm_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"unknown multi_match type {mm_type!r}")
+    manifest = json.load(open(os.path.join(index_dir, "fields.json")))
+    mode = manifest.get("tokenizer", "ascii")
+    specs = (
+        parse_field_specs(fields) if fields
+        else [(f, 1.0) for f in manifest["fields"]]
+    )
+    unknown = [f for f, _ in specs if f not in manifest["fields"]]
+    if unknown:
+        raise ValueError(
+            f"fields {unknown} not in index (has {manifest['fields']})"
+        )
+    queries = queries.select("query_id", "query_text", "k")
+    qterms = queries.select(
+        "query_id", "k",
+        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
+    )
+    qmap = qterms.groupBy("term").agg(
+        F.collect_list(F.struct("query_id", "k")).alias("queries")
+    )
+    terms = [r["term"] for r in qmap.select("term").collect()]
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id string, rank long, doc_id long, score double"
+        )
+
+    field_conf: dict[str, dict] = {}
+    needed = None
+    for field, boost in specs:
+        d = os.path.join(index_dir, "fields", field)
+        stats = load_stats(d)
+        tomb = tombstones.load_tombstones(spark, d)
+        field_conf[field] = {
+            "n_docs": int(stats["n_docs"]),
+            "avgdl": float(stats["avgdl"]),
+            "boost": float(boost),
+            "tomb": tomb,
+            "ns": (os.path.abspath(d), stats["n_docs"],
+                   round(stats["avgdl"], 9), tombstones.fingerprint(tomb)),
+        }
+        dict_slice = (
+            spark.read.parquet(layout.resolve(d, "dictionary"))
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+        )
+        blocks = spark.read.parquet(layout.resolve(d, "blocks"))
+        if "seg" not in blocks.columns:
+            blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
+        nf = (
+            blocks.select(
+                "shard", "seg", "term", "block_ord", "first_doc", "last_doc",
+                "gaps", "tfs", "dls", "max_partial",
+            )
+            .filter(F.col("term").isin(terms))
+            .join(F.broadcast(qmap), "term")
+            .join(F.broadcast(dict_slice), "term")
+            .withColumn("field", F.lit(field))
+        )
+        needed = nf if needed is None else needed.unionByName(nf)
+
+    per_shard = needed.groupBy("shard").applyInPandas(
+        _mm_kernel(field_conf, mm_type, float(tie_breaker)),
+        schema=_KERNEL_OUT,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.join(F.broadcast(queries.select("query_id", "k")), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

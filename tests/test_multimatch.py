@@ -1,0 +1,180 @@
+"""multi_match over per-field sub-indexes (best_fields / most_fields).
+
+Pins (a) float-identity of single-field multi_match vs score_topk on
+that field's index, (b) both combine types + tie_breaker + field
+boosts against a pure-Python oracle (per-field oracle BM25, numpy
+combine), (c) per-field statistics (docs missing a field don't count
+in that field's n_docs/avgdl), (d) spec validation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.multimatch import (
+    build_fields_index,
+    multi_match_topk,
+    parse_field_specs,
+)
+
+FIELDS = ["text", "tool"]
+
+DOCS = [
+    # (conv serial, text, tool) — tool sparse (None = field absent)
+    (0, "timeout error in the search request handler", "search_api"),
+    (1, "user asked about slow queries and timeouts", None),
+    (2, "retry logic for the bulk indexing path", "bulk_indexer"),
+    (3, "error error error cascading failures", "search_api"),
+    (4, "completely unrelated cooking recipe content", None),
+    (5, "search relevance tuning notes", "search_tuner"),
+]
+QUERIES = [
+    ("m1", "search error", 6),
+    ("m2", "timeout", 6),
+    ("m3", "search_api bulk", 6),
+    ("m4", "zzz nothing", 6),
+]
+
+
+def _docs_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"conv-{i}" for i, _, _ in DOCS],
+            "turn_idx": [0] * len(DOCS),
+            "text": [t for _, t, _ in DOCS],
+            "tool": [tl for _, _, tl in DOCS],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mmidx") / "idx")
+    man = build_fields_index(
+        spark, _docs_df(spark), d, FIELDS, n_shards=3, block_size=4,
+    )
+    assert man["fields"] == FIELDS
+    return d
+
+
+def _field_scores(field_vals, queries):
+    """Python oracle: field -> {query_id: {doc_serial: score}}."""
+    from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+    docs = [
+        (i * DOC_ID_STRIDE, v) for (i, *_), v in zip(DOCS, field_vals)
+        if v  # per-field stats over docs HAVING the field
+    ]
+    idx = oracle.build_index(docs)
+    out: dict[str, dict[int, float]] = {}
+    for qid, qtext, _ in queries:
+        rows = oracle.score_queries(idx, [(qid, qtext, 10_000)])
+        out[qid] = {r["doc_id"]: r["score"] for r in rows}
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle_scores():
+    return {
+        "text": _field_scores([t for _, t, _ in DOCS], QUERIES),
+        "tool": _field_scores([tl for _, _, tl in DOCS], QUERIES),
+    }
+
+
+def _oracle_mm(oracle_scores, boosts, mm_type, tie_breaker=0.0):
+    want: dict[str, dict[int, float]] = {}
+    for qid, _, _ in QUERIES:
+        per_doc: dict[int, list[float]] = {}
+        for f, b in boosts.items():
+            for d, s in oracle_scores[f][qid].items():
+                per_doc.setdefault(d, []).append(s * b)
+        combo = {}
+        for d, ss in per_doc.items():
+            if mm_type == "most_fields":
+                combo[d] = sum(ss)
+            else:
+                combo[d] = max(ss) + tie_breaker * (sum(ss) - max(ss))
+        want[qid] = combo
+    return want
+
+
+def _got(spark, fidx, **kw):
+    qdf = spark.createDataFrame(
+        QUERIES, "query_id string, query_text string, k int"
+    )
+    return multi_match_topk(spark, fidx, qdf, **kw).toPandas()
+
+
+def _check(got, want):
+    for qid, g in got.groupby("query_id"):
+        w = sorted(
+            want[qid].items(), key=lambda kv: (-round(kv[1], 12), kv[0])
+        )
+        assert list(g.sort_values("rank").doc_id) == [d for d, _ in w], qid
+        assert np.allclose(
+            g.sort_values("rank").score.values,
+            [s for _, s in w], atol=1e-9,
+        ), qid
+    assert set(got.query_id) == {q for q, _, _ in QUERIES if want[q]}
+
+
+def test_best_fields_matches_oracle(spark, fidx, oracle_scores):
+    got = _got(spark, fidx)  # default: all fields, boost 1, best_fields
+    _check(got, _oracle_mm(oracle_scores, {"text": 1.0, "tool": 1.0},
+                           "best_fields"))
+
+
+def test_most_fields_matches_oracle(spark, fidx, oracle_scores):
+    got = _got(spark, fidx, mm_type="most_fields")
+    _check(got, _oracle_mm(oracle_scores, {"text": 1.0, "tool": 1.0},
+                           "most_fields"))
+
+
+def test_boost_and_tie_breaker(spark, fidx, oracle_scores):
+    got = _got(spark, fidx, fields=["text", "tool^2.5"], tie_breaker=0.3)
+    _check(got, _oracle_mm(oracle_scores, {"text": 1.0, "tool": 2.5},
+                           "best_fields", tie_breaker=0.3))
+
+
+def test_single_field_float_identity(spark, fidx):
+    """multi_match(["text"]) is the SAME float scores as score_topk on
+    the text sub-index (shared accumulation order)."""
+    import os
+
+    qdf = spark.createDataFrame(
+        QUERIES, "query_id string, query_text string, k int"
+    )
+    mm = multi_match_topk(spark, fidx, qdf, fields=["text"]).toPandas()
+    single = engine.score_topk(
+        spark, os.path.join(fidx, "fields", "text"), qdf, "exhaustive"
+    ).toPandas()
+    mm = mm.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    single = single.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (mm.doc_id.values == single.doc_id.values).all()
+    assert (mm.score.values == single.score.values).all()  # exact floats
+
+
+def test_per_field_stats(spark, fidx):
+    """tool's n_docs counts only docs HAVING tool (Lucene per-field
+    statistics)."""
+    import os
+
+    s = engine.load_stats(os.path.join(fidx, "fields", "tool"))
+    assert s["n_docs"] == sum(1 for _, _, tl in DOCS if tl)
+
+
+def test_field_spec_validation(spark, fidx):
+    assert parse_field_specs(["a", "b^2", "c^0.5"]) == [
+        ("a", 1.0), ("b", 2.0), ("c", 0.5)]
+    qdf = spark.createDataFrame(
+        [("q", "x", 3)], "query_id string, query_text string, k int"
+    )
+    with pytest.raises(ValueError):
+        multi_match_topk(spark, fidx, qdf, fields=["nope"])
+    with pytest.raises(ValueError):
+        multi_match_topk(spark, fidx, qdf, mm_type="cross_fields")
