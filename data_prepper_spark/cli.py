@@ -123,10 +123,10 @@ def cmd_query(args) -> int:
         # conjunctive OR-groups: each flag's terms are OR'd, groups AND'd)
         qdf = spark.createDataFrame(
             [("q0", args.must or "", args.should or "", args.must_not or "",
-              args.minimum_should_match, args.k,
+              str(args.minimum_should_match), args.k,
               " | ".join(args.must_group))],
             "query_id string, must string, should string, must_not string, "
-            "minimum_should_match int, k int, must_groups string",
+            "minimum_should_match string, k int, must_groups string",
         )
         res = engine.bool_topk(spark, args.index, qdf)
         rows_out = res.orderBy("query_id", "rank").collect()
@@ -670,7 +670,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--must", help="bool query: AND terms")
     q.add_argument("--should", help="bool query: OR terms")
     q.add_argument("--must-not", help="bool query: excluded terms")
-    q.add_argument("--minimum-should-match", type=int, default=0)
+    q.add_argument("--minimum-should-match", default="0",
+                   help="int, negative int, 'N%%', '-N%%', or 'n<spec' "
+                        "conditional chains (OpenSearch spec syntax)")
     q.add_argument("--like", default=None,
                    help="more_like_this: find docs similar to this text "
                         "(tf-idf term selection + bool should, msm 30%%)")

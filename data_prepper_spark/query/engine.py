@@ -937,6 +937,39 @@ def _bool_kernel(avgdl: float, n_docs: int, tomb=None):
     return run
 
 
+def calculate_min_should_match(optional_count: int, spec) -> int:
+    """OpenSearch/Lucene minimum_should_match spec resolution
+    (org.opensearch.common.lucene.search.Queries.calculateMinShouldMatch
+    — public algorithm, reimplemented): positive int (fixed), negative
+    int (clauses minus n), 'N%' (truncating percentage of clauses),
+    '-N%' (all but that percentage), and space-separated conditional
+    chains 'n<spec' (applies spec only when more than n optional
+    clauses; below the smallest n, ALL clauses are required)."""
+    if spec is None:
+        return 0
+    s = str(spec).strip()
+    if not s:
+        return 0
+    result = optional_count
+    if "<" in s:
+        for tok in s.split(" "):
+            if not tok:
+                continue
+            upper_s, _, sub = tok.partition("<")
+            if optional_count <= int(upper_s):
+                return max(result, 0)
+            result = calculate_min_should_match(optional_count, sub)
+        return max(result, 0)
+    if s.endswith("%"):
+        pct = int(s[:-1])
+        calc = optional_count * pct / 100.0
+        result = optional_count + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = int(s)
+        result = optional_count + calc if calc < 0 else calc
+    return max(result, 0)
+
+
 def bool_topk(
     spark: SparkSession,
     index_dir: str,
@@ -999,12 +1032,33 @@ def bool_topk(
         F.countDistinct(F.when(F.col("role").startswith("group"),
                                F.col("role"))).alias("n_groups"),
     )
-    qterms = qterms.join(counts, "query_id").withColumn(
-        "msm",
-        F.when(F.col("msm_raw") > 0, F.col("msm_raw")).otherwise(
-            F.when((F.col("n_must") == 0) & (F.col("n_should") > 0), F.lit(1))
-            .otherwise(F.lit(0))
-        ),
+    # minimum_should_match may be an int OR an OpenSearch spec string
+    # ('-2', '75%', '-25%', '3<90%' chains). Resolution needs n_should
+    # per query, so resolve DRIVER-side via the faithful Lucene
+    # algorithm (bool queries are driver-literal in every caller; the
+    # collect is n_queries rows) and broadcast the effective value
+    # back. Absent/zero specs keep the OpenSearch default: 1 when the
+    # query is should-only, else 0 (a should-only resolved-0 spec also
+    # falls back to 1 — match-set-identical, since candidates hold >=1
+    # term by construction).
+    specs = {
+        r["query_id"]: r["spec"]
+        for r in queries.select(
+            "query_id",
+            F.col("minimum_should_match").cast("string").alias("spec"),
+        ).collect()
+    }
+    eff = []
+    for r in counts.collect():
+        e = calculate_min_should_match(
+            int(r["n_should"]), specs.get(r["query_id"])
+        )
+        if e <= 0:
+            e = 1 if (r["n_must"] == 0 and r["n_should"] > 0) else 0
+        eff.append((r["query_id"], e))
+    msm_df = spark.createDataFrame(eff, "query_id string, msm int")
+    qterms = (
+        qterms.join(counts, "query_id").join(F.broadcast(msm_df), "query_id")
     )
     per_tq = qterms.groupBy(
         "term", "query_id", "k", "msm", "n_must", "n_groups"

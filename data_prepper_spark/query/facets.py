@@ -361,64 +361,13 @@ def significant_terms(
 def count_matches(
     spark: SparkSession, index_dir: str, queries: DataFrame,
 ) -> DataFrame:
-    """-> (query_id, n): the OpenSearch `_count` API role — how many
-    docs match each query, WITHOUT materializing the match set: each
-    shard's kernel emits one (query_id, count) row (shards are
-    doc-disjoint so per-shard counts sum exactly); only counts cross
-    the exchange, never doc_ids. Queries with no indexed term count 0."""
-    stats = load_stats(index_dir)
-    mode = stats.get("tokenizer", "ascii")
-    qterms = queries.select(
-        "query_id",
-        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
-    )
-    qmap = qterms.groupBy("term").agg(
-        F.collect_list(F.struct("query_id")).alias("queries")
-    )
-    terms = [r["term"] for r in qmap.select("term").collect()]
-    blocks_path = layout.resolve(index_dir, "blocks")
-    local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
-    zeros = queries.select("query_id").distinct().withColumn(
-        "n", F.lit(0).cast("long")
-    )
-    if not terms or local_missing:
-        return zeros
-    blocks = spark.read.parquet(blocks_path)
-    if "seg" not in blocks.columns:
-        blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
-    needed = (
-        blocks.select(
-            "shard", "seg", "term", "block_ord", "first_doc",
-            "gaps", "tfs", "dls",
-        )
-        .filter(F.col("term").isin(terms))
-        .join(F.broadcast(qmap), "term")
-    )
-    tomb = tombstones.load_tombstones(spark, index_dir)
+    """-> (query_id, n): the OpenSearch `_count` API role. Since
+    session 2 this delegates to `engine.count_matches` (the gaps-only
+    scatter: tfs/dls never reach the blocks scan — plan-pinned by
+    test_plan_shape.py), keeping this module's historical (query_id,
+    n) column contract."""
+    from data_prepper_spark.query.engine import count_matches as _cm
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded: dict[str, np.ndarray] = {}
-        qs: dict[str, list[str]] = {}
-        for term, tg in pdf.groupby("term", sort=True):
-            decoded[term] = _decode_term_runs(
-                tg.sort_values(["seg", "block_ord"]), tomb=tomb,
-                need_positions=False,
-            )["docs"]
-            for q in tg["queries"].iloc[0]:
-                qs.setdefault(q["query_id"], []).append(term)
-        rows = [
-            (qid, int(len(np.unique(np.concatenate(
-                [decoded[t] for t in ts])))))
-            for qid, ts in qs.items()
-        ]
-        return pd.DataFrame(rows, columns=["query_id", "n"])
-
-    per_shard = needed.groupBy("shard").applyInPandas(
-        kernel, schema="query_id string, n long"
-    )
-    counted = per_shard.groupBy("query_id").agg(F.sum("n").alias("n"))
-    # queries whose terms are all absent still report 0
-    return (
-        zeros.join(counted.withColumnRenamed("n", "_n"), "query_id", "left")
-        .select("query_id", F.coalesce("_n", "n").alias("n"))
+    return _cm(spark, index_dir, queries).withColumnRenamed(
+        "total_hits", "n"
     )

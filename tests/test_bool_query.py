@@ -225,3 +225,60 @@ def test_bool_or_groups_randomized_batch(spark, corpus_and_index):
         assert list(sub.doc_id.astype(int)) == [w[0] for w in want], qid
         assert np.allclose(list(sub.score), [w[1] for w in want],
                            atol=1e-9), qid
+
+
+# ---------------------------------------------- minimum_should_match specs
+
+def test_calculate_min_should_match_lucene_golden():
+    """Golden cases from the Lucene/Solr spec documentation."""
+    calc = engine.calculate_min_should_match
+    assert calc(4, 3) == 3
+    assert calc(4, "3") == 3
+    assert calc(4, "-1") == 3
+    assert calc(4, "-5") == 0          # floor at 0
+    assert calc(4, "75%") == 3
+    assert calc(4, "-25%") == 3
+    assert calc(3, "75%") == 2         # truncates, never rounds up
+    assert calc(5, "-25%") == 4        # 5 + int(-1.25) = 4
+    assert calc(10, "9") == 9
+    # conditional chain '2<-25% 9<-3': <=2 -> all; 3..9 -> -25%; >9 -> -3
+    spec = "2<-25% 9<-3"
+    assert calc(2, spec) == 2          # all required
+    assert calc(1, spec) == 1
+    assert calc(8, spec) == 6          # 8 + int(-2.0)
+    assert calc(12, spec) == 9         # 12 - 3
+    assert calc(4, "3<90%") == 3       # int(3.6)
+    assert calc(3, "3<90%") == 3       # all required at the bound
+    assert calc(0, "75%") == 0
+    assert calc(4, None) == 0 and calc(4, "") == 0
+
+
+def _run_bool_spec(spark, d, spec, should, k=12):
+    qdf = spark.createDataFrame(
+        [("qs", "", " ".join(should), "", spec, k)],
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match string, k int",
+    )
+    out = engine.bool_topk(spark, d, qdf).toPandas()
+    return list(zip(out.doc_id.astype(int), out.score))
+
+
+@pytest.mark.parametrize("spec", ["75%", "-25%", "2", "-1", "2<-25%"])
+def test_msm_spec_matches_brute(spark, corpus_and_index, spec):
+    pdf, d = corpus_and_index
+    should = ["error", "timeout", "retry", "deploy"]
+    eff = engine.calculate_min_should_match(len(should), spec)
+    want = _brute_bool(pdf, [], should, [], max(eff, 1), 12)
+    got = _run_bool_spec(spark, d, spec, should)
+    assert [g[0] for g in got] == [w[0] for w in want], spec
+    assert np.allclose([g[1] for g in got], [w[1] for w in want], atol=1e-9)
+
+
+def test_msm_int_column_still_works(spark, corpus_and_index):
+    """Backward compat: an int-typed minimum_should_match column
+    resolves identically to its string form."""
+    pdf, d = corpus_and_index
+    should = ["error", "timeout", "retry"]
+    want = _brute_bool(pdf, [], should, [], 2, 10)
+    got = _run_bool(spark, d, "qi", [], should, [], 2, 10)
+    assert [g[0] for g in got] == [w[0] for w in want]
