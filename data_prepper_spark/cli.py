@@ -113,6 +113,36 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_percolate(args) -> int:
+    """Reverse search: stored queries (JSON list of {query_id, must,
+    should, must_not, minimum_should_match}) x docs parquet ->
+    (doc_id, query_id) match pairs."""
+    from data_prepper_spark.query.percolate import percolate
+
+    spark = _get_spark(args)
+    stored = json.load(open(args.queries))
+    qdf = spark.createDataFrame(
+        [(q["query_id"], q.get("must", ""), q.get("should", ""),
+          q.get("must_not", ""), str(q.get("minimum_should_match", "")))
+         for q in stored],
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match string",
+    )
+    docs = spark.read.parquet(args.docs)
+    out = percolate(
+        spark, qdf, docs, text_col=args.text_col, id_col=args.id_col,
+        mode=args.tokenizer,
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"matches": out.count(), "output": args.output}))
+    else:
+        for r in out.orderBy("doc_id", "query_id").limit(args.limit).collect():
+            print(json.dumps({"doc_id": r["doc_id"],
+                              "query_id": r["query_id"]}))
+    return 0
+
+
 def cmd_query(args) -> int:
     from data_prepper_spark.query import engine
 
@@ -649,6 +679,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="read the analyzer spec from this local index's "
                          "stats.json instead")
     an.set_defaults(fn=cmd_analyze)
+
+    pc = sub.add_parser(
+        "percolate", help="reverse search: stored queries x docs parquet "
+        "-> (doc_id, query_id) matches")
+    pc.add_argument("--queries", required=True,
+                    help="JSON file: [{query_id, must, should, must_not, "
+                         "minimum_should_match}]")
+    pc.add_argument("--docs", required=True, help="documents parquet")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--tokenizer", type=_analyzer_spec, default="ascii")
+    pc.add_argument("--output", default=None,
+                    help="write matches as parquet instead of printing")
+    pc.add_argument("--limit", type=int, default=100)
+    pc.add_argument("--local-cores", type=int, default=None)
+    pc.set_defaults(fn=cmd_percolate)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--index", required=True)

@@ -1,0 +1,133 @@
+"""Percolator: match INCOMING documents against STORED queries.
+
+The reverse of search — OpenSearch's `percolate` query (the reference's
+deployments drive alerting/routing with it: register queries once,
+stream documents through, get (document, matching query) pairs out).
+Stored queries here are the engine's bool form: must / should /
+must_not term clauses + a minimum_should_match spec.
+
+Spark-first plan (scale: millions of docs/sec against thousands of
+stored queries):
+- the stored-query term table is BROADCAST (queries are small by
+  construction — they are human-registered alerts);
+- the document side explodes to DISTINCT (doc_id, term) rows and
+  broadcast-joins query terms — the corpus is never shuffled;
+- per-(doc, query) clause hits aggregate with map-side combine; the
+  only exchange carries MATCHED (doc, query) candidate pairs, not
+  documents;
+- must_not is decided in the same aggregation (a must_not hit zeroes
+  the pair), so no anti-join pass;
+- minimum_should_match specs resolve driver-side per stored query
+  (engine.calculate_min_should_match — the Lucene algorithm).
+
+Filter-context semantics (OpenSearch percolate returns constant-score
+matches by default); `percolate` returns one row per (doc_id,
+query_id) match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_prepper_spark.query.bm25_df import tokens_col
+from data_prepper_spark.query.engine import calculate_min_should_match
+
+__all__ = ["percolate"]
+
+
+def percolate(
+    spark: SparkSession,
+    stored_queries: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "ascii",
+) -> DataFrame:
+    """stored_queries(query_id, must, should, must_not[,
+    minimum_should_match]) x docs(id_col, text_col) ->
+    (doc_id, query_id) match pairs.
+
+    A doc matches a query iff it holds ALL must terms, NONE of the
+    must_not terms, and >= minimum_should_match distinct should terms
+    (spec strings allowed; default: 1 when the query is should-only,
+    else 0) — engine.bool_topk's candidate rule, evaluated from the
+    document side."""
+    has_msm = "minimum_should_match" in stored_queries.columns
+    q = stored_queries.select(
+        "query_id", "must", "should", "must_not",
+        (F.col("minimum_should_match").cast("string") if has_msm
+         else F.lit(None).cast("string")).alias("msm_spec"),
+    )
+    parts = []
+    for role in ("must", "should", "must_not"):
+        parts.append(
+            q.select(
+                "query_id",
+                F.explode(F.array_distinct(tokens_col(role, mode)))
+                .alias("term"),
+            ).withColumn("role", F.lit(role))
+        )
+    qterms = parts[0]
+    for p in parts[1:]:
+        qterms = qterms.unionByName(p)
+
+    # per-query clause counts + driver-side msm resolution (the stored
+    # query set is driver-registered and small — the collect is
+    # n_queries rows)
+    meta_rows = (
+        qterms.groupBy("query_id").agg(
+            F.countDistinct(F.when(F.col("role") == "must", F.col("term")))
+            .alias("n_must"),
+            F.countDistinct(F.when(F.col("role") == "should", F.col("term")))
+            .alias("n_should"),
+        ).join(q.select("query_id", "msm_spec"), "query_id")
+        .collect()
+    )
+    meta = []
+    for r in meta_rows:
+        eff = calculate_min_should_match(int(r["n_should"]), r["msm_spec"])
+        if eff <= 0:
+            eff = 1 if (r["n_must"] == 0 and r["n_should"] > 0) else 0
+        meta.append((r["query_id"], int(r["n_must"]), eff))
+    if not meta:
+        return spark.createDataFrame([], "doc_id long, query_id string")
+    # a stored query with NO positive clause (pure must_not / empty)
+    # matches almost every doc — that is a corpus anti-join, not a
+    # percolation; refuse loudly instead of silently returning nothing
+    bad = [qid for qid, n_must, msm in meta
+           if n_must == 0 and msm == 0]
+    if bad:
+        raise ValueError(
+            f"stored queries {bad} have no positive (must/should) clause "
+            "— percolation needs at least one"
+        )
+    meta_df = spark.createDataFrame(
+        meta, "query_id string, n_must int, msm int"
+    )
+
+    doc_terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(text_col, mode))).alias("term"),
+    )
+    hits = (
+        doc_terms.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(
+            F.countDistinct(F.when(F.col("role") == "must", F.col("term")))
+            .alias("must_hit"),
+            F.countDistinct(F.when(F.col("role") == "should", F.col("term")))
+            .alias("should_hit"),
+            F.count(F.when(F.col("role") == "must_not", F.lit(1)))
+            .alias("not_hit"),
+        )
+    )
+    return (
+        hits.join(F.broadcast(meta_df), "query_id")
+        .filter(
+            (F.col("must_hit") == F.col("n_must"))
+            & (F.col("should_hit") >= F.col("msm"))
+            & (F.col("not_hit") == 0)
+        )
+        .select("doc_id", "query_id")
+    )

@@ -1,0 +1,106 @@
+"""Percolator (reverse search) vs a brute-force pandas evaluator.
+
+Pins the bool candidate rule evaluated from the document side: all
+must, none must_not, >= minimum_should_match distinct should (incl.
+spec strings), the should-only default of 1, and the loud refusal of
+positive-clause-free queries.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query.engine import calculate_min_should_match
+from data_prepper_spark.query.percolate import percolate
+
+DOCS = [
+    (0, "error timeout in the search handler"),
+    (1, "retry after timeout then success"),
+    (2, "deploy went fine no problems"),
+    (3, "error retry error retry cascade"),
+    (4, "search handler deployed with retry budget"),
+    (5, "totally unrelated cooking text"),
+]
+
+# (query_id, must, should, must_not, msm_spec)
+STORED = [
+    ("alert_err_timeout", "error timeout", "", "", None),
+    ("any_retry_deploy", "", "retry deploy", "", None),
+    ("two_of_three", "", "error timeout retry", "", "2"),
+    ("pct", "", "error timeout retry search", "", "50%"),
+    ("not_cooking", "handler", "", "cooking", None),
+    ("msm_neg", "", "error timeout retry search", "", "-25%"),
+]
+
+
+def _brute():
+    toks = {i: set(tokenize(t)) for i, t in DOCS}
+    want = set()
+    for qid, must, should, must_not, spec in STORED:
+        m, s, n = (set(tokenize(x)) for x in (must, should, must_not))
+        eff = calculate_min_should_match(len(s), spec)
+        if eff <= 0:
+            eff = 1 if (not m and s) else 0
+        for i, tk in toks.items():
+            if m - tk:
+                continue
+            if n & tk:
+                continue
+            if len(s & tk) < eff:
+                continue
+            want.add((i, qid))
+    return want
+
+
+def test_percolate_matches_brute(spark):
+    qdf = spark.createDataFrame(
+        STORED,
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match string",
+    )
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(spark, qdf, ddf).collect()
+    }
+    assert got == _brute()
+    # spot-check the semantics actually bit
+    assert (0, "alert_err_timeout") in got
+    assert (1, "alert_err_timeout") not in got      # must: both needed
+    assert (4, "not_cooking") in got
+    assert (5, "not_cooking") not in got            # must_not excluded
+
+
+def test_percolate_no_msm_column(spark):
+    qdf = spark.createDataFrame(
+        [("q", "error", "", "")],
+        "query_id string, must string, should string, must_not string",
+    )
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"] for r in percolate(spark, qdf, ddf).collect()}
+    assert got == {0, 3}
+
+
+def test_percolate_rejects_positive_free(spark):
+    qdf = spark.createDataFrame(
+        [("bad", "", "", "cooking")],
+        "query_id string, must string, should string, must_not string",
+    )
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="bad"):
+        percolate(spark, qdf, ddf)
+
+
+def test_percolate_plan_no_doc_shuffle(spark):
+    """The corpus side must reach the join WITHOUT an exchange (the
+    query table broadcasts); only matched pairs shuffle for the agg."""
+    qdf = spark.createDataFrame(
+        STORED,
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match string",
+    )
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = percolate(spark, qdf, ddf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
