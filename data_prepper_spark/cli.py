@@ -113,6 +113,29 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_termvectors(args) -> int:
+    """OpenSearch _termvectors analog: per-(doc, term) term_freq,
+    positions, offsets + index doc_freq, analyzed with the index's
+    pinned spec (re-analysis of the stored field)."""
+    from data_prepper_spark.query.termvectors import term_vectors
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.docs)
+    out = term_vectors(
+        spark, args.index, docs, [int(d) for d in args.doc_ids],
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    for r in out.orderBy("doc_id", "term").collect():
+        print(json.dumps({
+            "doc_id": r["doc_id"], "term": r["term"],
+            "term_freq": r["term_freq"], "doc_freq": r["doc_freq"],
+            "positions": list(r["positions"]),
+            "offsets": [[int(s), int(e)] for s, e in
+                        zip(r["start_offsets"], r["end_offsets"])],
+        }))
+    return 0
+
+
 def cmd_percolate(args) -> int:
     """Reverse search: stored queries (JSON list of {query_id, must,
     should, must_not, minimum_should_match}) x docs parquet ->
@@ -679,6 +702,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="read the analyzer spec from this local index's "
                          "stats.json instead")
     an.set_defaults(fn=cmd_analyze)
+
+    tvp = sub.add_parser(
+        "termvectors", help="per-(doc, term) term_freq/positions/offsets "
+        "+ index doc_freq (_termvectors analog)")
+    tvp.add_argument("--index", required=True)
+    tvp.add_argument("--docs", required=True, help="corpus parquet")
+    tvp.add_argument("--doc-ids", nargs="+", required=True)
+    tvp.add_argument("--text-col", default="text")
+    tvp.add_argument("--id-col", default="doc_id")
+    tvp.add_argument("--local-cores", type=int, default=None)
+    tvp.set_defaults(fn=cmd_termvectors)
 
     pc = sub.add_parser(
         "percolate", help="reverse search: stored queries x docs parquet "

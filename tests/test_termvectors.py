@@ -1,0 +1,70 @@
+"""_termvectors: re-analysis term vectors + dictionary doc_freq."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import analyze, tokenize
+from data_prepper_spark.query.termvectors import term_vectors
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "quick errors repeat: errors errors again"),
+    (2, "unrelated content entirely"),
+]
+
+
+@pytest.fixture(scope="module")
+def tv_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tvidx") / "idx")
+    pdf = pd.DataFrame(
+        {"doc_id": [i for i, _ in DOCS], "text": [t for _, t in DOCS]}
+    )
+    ib.build_index(
+        spark, spark.createDataFrame(pdf), d, n_shards=2, block_size=8,
+        assign_ids=False, tokenizer="ascii+stop+stem",
+    )
+    return d, spark.createDataFrame(pdf)
+
+
+def test_term_vectors_match_analyze(spark, tv_index):
+    d, docs = tv_index
+    out = term_vectors(spark, d, docs, [0, 1]).toPandas()
+    assert set(out.doc_id) == {0, 1}
+    for did in (0, 1):
+        text = dict(DOCS)[did]
+        want: dict[str, list[int]] = {}
+        for e in analyze(text, "ascii+stop+stem"):
+            want.setdefault(e["token"], []).append(e["position"])
+        sub = out[out.doc_id == did].set_index("term")
+        assert set(sub.index) == set(want)
+        for term, pos in want.items():
+            row = sub.loc[term]
+            assert row.term_freq == len(pos)
+            assert list(row.positions) == pos
+            # offsets point at the surface token
+            for s, e_ in zip(row.start_offsets, row.end_offsets):
+                assert tokenize(text[s:e_], "ascii+stop+stem")[0] == term
+
+
+def test_term_vectors_doc_freq(spark, tv_index):
+    d, docs = tv_index
+    out = term_vectors(spark, d, docs, [1]).toPandas().set_index("term")
+    # 'quick' appears in docs 0 and 1; 'error' (stemmed) only in doc 1
+    assert out.loc["quick"].doc_freq == 2
+    assert out.loc["error"].doc_freq == 1
+    assert out.loc["error"].term_freq == 3
+
+
+def test_term_vectors_no_stats(spark, tv_index):
+    d, docs = tv_index
+    out = term_vectors(spark, d, docs, [0], with_stats=False)
+    assert "doc_freq" not in out.columns
+    assert out.count() > 0
+
+
+def test_term_vectors_empty_request(spark, tv_index):
+    d, docs = tv_index
+    assert term_vectors(spark, d, docs, []).count() == 0
