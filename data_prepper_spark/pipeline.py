@@ -84,6 +84,13 @@ PROCESSORS = {
     "percent_sampler": ops.percent_sampler,
     "rate_limiter": ops.rate_limiter,
     "tail_sampler": ops.tail_sampler,
+    # percolator as a processor (alerting/routing: tag each event with
+    # the stored queries it matches; row-local evaluation -> zero
+    # exchanges, streaming-safe) — lazy import to keep pipeline.py on
+    # the bench scaling run's safe-to-edit list
+    "percolate": (lambda df, **kw: __import__(
+        "data_prepper_spark.query.percolate", fromlist=["percolate_tag"]
+    ).percolate_tag(df, **kw)),
     # test-utility processors (common/.../DelayProcessor.java:27): noop
     # passes through; delay is meaningless in a batch plan (there is no
     # per-event thread to sleep) and is accepted as a no-op for YAML

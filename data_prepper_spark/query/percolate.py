@@ -27,13 +27,19 @@ query_id) match.
 
 from __future__ import annotations
 
+import json
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
+from data_prepper_spark.index.tokenizer import tokenize
 from data_prepper_spark.query.bm25_df import tokens_col
 from data_prepper_spark.query.engine import calculate_min_should_match
 
-__all__ = ["percolate"]
+__all__ = ["percolate", "percolate_tag"]
 
 
 def percolate(
@@ -131,3 +137,80 @@ def percolate(
         )
         .select("doc_id", "query_id")
     )
+
+
+# ------------------------------------------------------ processor form
+
+def _compile_stored(stored: list[dict], mode: str):
+    """[{query_id, must, should, must_not, minimum_should_match}] ->
+    [(query_id, must_set, should_set, not_set, effective_msm)]."""
+    compiled = []
+    bad = []
+    for q in stored:
+        m = frozenset(tokenize(q.get("must") or "", mode))
+        s = frozenset(tokenize(q.get("should") or "", mode))
+        n = frozenset(tokenize(q.get("must_not") or "", mode))
+        eff = calculate_min_should_match(
+            len(s), q.get("minimum_should_match")
+        )
+        if eff <= 0:
+            eff = 1 if (not m and s) else 0
+        if not m and eff == 0:
+            bad.append(q["query_id"])
+        compiled.append((q["query_id"], m, s, n, eff))
+    if bad:
+        raise ValueError(
+            f"stored queries {bad} have no positive (must/should) clause "
+            "— percolation needs at least one"
+        )
+    return compiled
+
+
+def percolate_tag(
+    df: DataFrame,
+    queries_file: str | None = None,
+    queries: list[dict] | None = None,
+    text_key: str = "message",
+    target: str = "percolated_queries",
+    tokenizer: str = "ascii",
+    drop_unmatched: bool = False,
+) -> DataFrame:
+    """Pipeline-processor form of the percolator: annotate every event
+    with the sorted list of stored query_ids it matches (`target`
+    array<string> column; empty array when none).
+
+    Evaluation is ROW-LOCAL — the compiled stored-query set ships in
+    the task closure and each event's token set is tested against it
+    in-place (Lucene's percolator does the same per-document
+    MemoryIndex evaluation). Zero exchanges, so unlike the join form
+    above this is STREAMING-SAFE (plain mapInPandas on a readStream) —
+    the alerting deployment shape: register queries once, stream
+    events through, route on the tag. Scales to thousands of stored
+    queries per task; for millions, use `percolate` (broadcast-join
+    form) in batch.
+    """
+    stored = queries if queries is not None else json.load(open(queries_file))
+    compiled = _compile_stored(stored, tokenizer)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(target, ArrayType(StringType()))]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            tags = []
+            for t in b[text_key]:
+                tk = set(tokenize(t or "", tokenizer))
+                tags.append(sorted(
+                    qid for qid, m, s, n, eff in compiled
+                    if not (m - tk) and not (n & tk) and len(s & tk) >= eff
+                ))
+            out = b[cols].copy()
+            out[target] = tags
+            yield out
+
+    out = df.mapInPandas(kernel, schema=out_schema)
+    if drop_unmatched:
+        out = out.filter(F.size(target) > 0)
+    return out

@@ -104,3 +104,87 @@ def test_percolate_plan_no_doc_shuffle(spark):
     ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
     plan = percolate(spark, qdf, ddf)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------- processor form
+
+def test_percolate_tag_agrees_with_join_form(spark):
+    from data_prepper_spark.query.percolate import percolate_tag
+
+    stored = [
+        {"query_id": q, "must": m, "should": s, "must_not": n,
+         "minimum_should_match": spec}
+        for q, m, s, n, spec in STORED
+    ]
+    ddf = spark.createDataFrame(DOCS, "doc_id long, message string")
+    out = percolate_tag(spark.createDataFrame(DOCS, "doc_id long, message string"),
+                        queries=stored).toPandas()
+    got = {(r.doc_id, q) for _, r in out.iterrows()
+           for q in r.percolated_queries}
+    assert got == _brute()
+    # unmatched docs carry an EMPTY array, not null
+    assert all(isinstance(list(r), list) for r in out.percolated_queries)
+    assert set(out.doc_id) == {i for i, _ in DOCS}
+
+
+def test_percolate_tag_streaming(spark, tmp_path):
+    """The row-local form runs inside a real readStream (the alerting
+    shape); the join form cannot (stream self-join + agg)."""
+    import json as _json
+
+    from data_prepper_spark.query.percolate import percolate_tag
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(
+        _json.dumps({"doc_id": i, "message": t}) for i, t in DOCS))
+    stream = (
+        spark.readStream.schema("doc_id long, message string")
+        .json(str(src))
+    )
+    tagged = percolate_tag(
+        stream,
+        queries=[{"query_id": "alert", "must": "error timeout"}],
+        drop_unmatched=True,
+    )
+    q = (
+        tagged.writeStream.format("memory").queryName("perc_mem")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM perc_mem").collect()
+    assert {r["doc_id"] for r in rows} == {0}
+    assert rows[0]["percolated_queries"] == ["alert"]
+
+
+def test_percolate_yaml_pipeline(spark, tmp_path):
+    """percolate as a YAML processor: tag + drop_unmatched route."""
+    import json as _json
+
+    from data_prepper_spark import pipeline as pl
+
+    qf = tmp_path / "stored.json"
+    qf.write_text(_json.dumps(
+        [{"query_id": "err", "must": "error"}]))
+    src = tmp_path / "events.json"
+    src.write_text("\n".join(
+        _json.dumps({"doc_id": i, "message": t}) for i, t in DOCS))
+    out_dir = tmp_path / "out"
+    yaml_cfg = f"""
+alerts:
+  source:
+    json:
+      path: "{src}"
+      schema: "doc_id long, message string"
+  processor:
+    - percolate:
+        queries_file: "{qf}"
+        drop_unmatched: true
+  sink:
+    - json:
+        path: "{out_dir}"
+"""
+    pl.run_pipelines(spark, pl.load_yaml(yaml_cfg))
+    got = spark.read.json(str(out_dir)).collect()
+    assert {r["doc_id"] for r in got} == {0, 3}
