@@ -247,7 +247,19 @@ def cmd_query(args) -> int:
             print(json.dumps({"query_id": r["query_id"],
                               "total_hits": r["total_hits"]}))
         return 0
-    if args.filter:
+    if getattr(args, "function_score", None):
+        # function_score: BM25 x doc-attribute factor (recency/
+        # popularity boosting), optional filter context
+        if not args.docs:
+            print("--function-score needs --docs (corpus parquet with "
+                  "doc_id + factor columns)", file=sys.stderr)
+            return 2
+        res = engine.function_score_topk(
+            spark, args.index, qdf, spark.read.parquet(args.docs),
+            args.function_score, boost_mode=args.boost_mode,
+            filter_expr=args.filter or None,
+        )
+    elif args.filter:
         # filter context: bool {must: match, filter: attrs} — needs the
         # corpus for the attribute columns (--docs)
         if not args.docs:
@@ -772,6 +784,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--docs", default=None,
                    help="corpus parquet with doc_id + filter columns "
                         "(required with --filter / --fetch)")
+    q.add_argument("--function-score", default=None,
+                   help="Spark SQL double expression over --docs columns "
+                        "(field_value_factor role), e.g. '1.0+log1p(value)'")
+    q.add_argument("--boost-mode", default="multiply",
+                   choices=["multiply", "sum", "replace"])
     q.add_argument("--fields", default=None,
                    help="multi_match fields over a fields index, e.g. "
                         "'text,tool^2'")

@@ -1195,6 +1195,7 @@ def _filtered_kernel(avgdl: float, n_docs: int, tomb=None):
 
 def sharded_docs(
     spark: SparkSession, index_dir: str, docs: DataFrame, stats: dict,
+    carry: tuple = (),
 ) -> DataFrame:
     """(shard, doc_id) for corpus rows — MUST mirror build_index's
     assignment (index/build.py: xxhash64(conv_id) % n_shards). The
@@ -1226,15 +1227,15 @@ def sharded_docs(
                 "(routing by doc_id would silently drop results)"
             )
         out = docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"), "conv_id"
+            F.col("doc_id").cast("long").alias("doc_id"), "conv_id", *carry
         )
         base = F.col("conv_id")
         return out.select(
             F.pmod(F.xxhash64(base), F.lit(n_shards)).cast("int")
             .alias("shard"),
-            "doc_id",
+            "doc_id", *carry,
         )
-    out = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    out = docs.select(F.col("doc_id").cast("long").alias("doc_id"), *carry)
     if scheme == "arith":
         base = F.concat(
             F.lit("conv-"),
@@ -1251,7 +1252,7 @@ def sharded_docs(
         base = F.col("doc_id").cast("string")
     return out.select(
         F.pmod(F.xxhash64(base), F.lit(n_shards)).cast("int").alias("shard"),
-        "doc_id",
+        "doc_id", *carry,
     )
 
 
@@ -1328,6 +1329,174 @@ def filtered_topk(
         .cogroup(allowed.groupBy("shard"))
         .applyInPandas(
             _filtered_kernel(stats["avgdl"], stats["n_docs"], tomb=tomb),
+            schema=_KERNEL_OUT,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.join(F.broadcast(queries.select("query_id", "k")), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _function_score_kernel(avgdl: float, n_docs: int, boost_mode: str,
+                           tomb=None):
+    """Per-shard function_score: BM25 over the match set, then each
+    candidate's precomputed factor (a doc-attribute expression, shipped
+    as the cogroup right side) combines per boost_mode BEFORE the
+    top-k heap — OpenSearch function_score semantics (the function
+    changes ranking, so it must precede the cut)."""
+    from data_prepper_spark.index import codec
+
+    def run(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        r_docs = right["doc_id"].to_numpy(np.int64)
+        r_fac = right["factor"].to_numpy(np.float64)
+        allowed, first = np.unique(r_docs, return_index=True)
+        fac = r_fac[first]
+        block_cache: dict = {}
+        queries: dict[str, dict] = {}
+        decoded: dict[str, dict | None] = {}
+        idfs: dict[str, float] = {}
+        for term, tg in left.groupby("term", sort=True):
+            df_t = int(tg["df"].iloc[0])
+            idfs[term] = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+            decoded[term] = _pruned_runs(
+                tg.sort_values(["seg", "block_ord"]), allowed, tomb,
+                False, block_cache, term,
+            )
+            for q in tg["queries"].iloc[0]:
+                ent = queries.setdefault(
+                    q["query_id"], {"k": int(q["k"]), "terms": set()}
+                )
+                ent["terms"].add(term)
+
+        out_q, out_d, out_s = [], [], []
+        for qid, ent in queries.items():
+            terms = sorted(ent["terms"])
+            matched = [
+                decoded[t]["docs"] for t in terms
+                if decoded[t] is not None and len(decoded[t]["docs"])
+            ]
+            if not matched:
+                continue
+            cand = np.intersect1d(
+                np.unique(np.concatenate(matched)), allowed,
+                assume_unique=True,
+            )
+            if not len(cand):
+                continue
+            scores = np.zeros(len(cand), dtype=np.float64)
+            for t in terms:
+                d = decoded[t]
+                if d is None or not len(d["docs"]):
+                    continue
+                di = np.clip(np.searchsorted(d["docs"], cand), 0,
+                             len(d["docs"]) - 1)
+                has = d["docs"][di] == cand
+                part = idfs[t] * codec.bm25_partial(
+                    d["tfs"][di], d["dls"][di], avgdl
+                )
+                scores += np.where(has, part, 0.0)
+            live = scores > 0.0
+            cand, scores = cand[live], scores[live]
+            if not len(cand):
+                continue
+            cf = fac[np.searchsorted(allowed, cand)]
+            if boost_mode == "multiply":
+                scores = scores * cf
+            elif boost_mode == "sum":
+                scores = scores + cf
+            else:  # replace — query matches, function alone ranks
+                scores = cf
+            k = ent["k"]
+            if len(cand) > k:
+                kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                keep = np.flatnonzero(scores >= kth)
+                keep = keep[np.lexsort((cand[keep], -scores[keep]))][:k]
+            else:
+                keep = np.lexsort((cand, -scores))
+            out_q += [qid] * len(keep)
+            out_d += list(cand[keep])
+            out_s += list(scores[keep])
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return run
+
+
+def function_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    factor_expr: str,
+    boost_mode: str = "multiply",
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """OpenSearch `function_score` (field_value_factor / script_score
+    role): rank the match set by BM25 combined with a document-
+    attribute expression — the standard recency/popularity boost.
+
+    `factor_expr` is a Spark SQL double expression over docs' columns
+    (e.g. "1.0 + log1p(value)"); `boost_mode` multiply | sum | replace
+    (how the function combines with the query score — OpenSearch's
+    boost_mode); optional `filter_expr` restricts candidates first
+    (filter context, no score contribution).
+
+    Plan: the factor computes IN THE CORPUS SCAN (narrow projection:
+    id + factor; text never leaves the scan), co-shuffles with the
+    filtered_topk machinery on the index's shard key, and the kernel
+    combines per candidate BEFORE the heap — per-shard top-k stays
+    exact because the final score is known shard-locally. Factors for
+    100 TB corpora stream as (shard, doc_id, double) — never
+    collected or broadcast."""
+    if boost_mode not in ("multiply", "sum", "replace"):
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    stats = load_stats(index_dir)
+    mode = stats.get("tokenizer", "ascii")
+    queries = queries.select("query_id", "query_text", "k")
+    qterms = queries.select(
+        "query_id", "k",
+        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
+    )
+    qmap = qterms.groupBy("term").agg(
+        F.collect_list(F.struct("query_id", "k")).alias("queries")
+    )
+    terms = [r["term"] for r in qmap.select("term").collect()]
+    blocks_path = layout.resolve(index_dir, "blocks")
+    local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
+    if not terms or local_missing:
+        return spark.createDataFrame(
+            [], "query_id string, rank long, doc_id long, score double"
+        )
+    src = docs.filter(F.expr(filter_expr)) if filter_expr else docs
+    src = src.withColumn("factor", F.expr(factor_expr).cast("double"))
+    allowed = sharded_docs(spark, index_dir, src, stats, carry=("factor",))
+    dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
+    dict_slice = dictionary.filter(F.col("term").isin(terms))
+    blocks = spark.read.parquet(blocks_path)
+    if "seg" not in blocks.columns:
+        blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
+    needed = (
+        blocks.select(
+            "shard", "seg", "term", "block_ord", "first_doc", "last_doc",
+            "gaps", "tfs", "dls",
+        )
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qmap), "term")
+        .join(F.broadcast(dict_slice), "term")
+    )
+    tomb = tombstones.load_tombstones(spark, index_dir)
+    per_shard = (
+        needed.groupBy("shard")
+        .cogroup(allowed.groupBy("shard"))
+        .applyInPandas(
+            _function_score_kernel(
+                stats["avgdl"], stats["n_docs"], boost_mode, tomb=tomb,
+            ),
             schema=_KERNEL_OUT,
         )
     )

@@ -1,0 +1,132 @@
+"""function_score (field_value_factor role) vs a brute-force scorer.
+
+Pins all three boost_modes, the filter+function combination, and that
+the factor participates BEFORE the top-k cut (a low-BM25 doc with a
+huge factor must outrank a high-BM25 doc at k=1 under multiply).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import engine
+
+DOCS = [
+    # (doc_id, text, pop)
+    (0, "error timeout error retry", 1.0),
+    (1, "error", 50.0),
+    (2, "timeout retry timeout", 5.0),
+    (3, "unrelated content here", 1000.0),
+    (4, "error timeout", 0.0),
+]
+QUERIES = [("f1", "error timeout", 5), ("f2", "retry", 3)]
+
+
+@pytest.fixture(scope="module")
+def fs_setup(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fsidx") / "idx")
+    pdf = pd.DataFrame(DOCS, columns=["doc_id", "text", "pop"])
+    ib.build_index(
+        spark, spark.createDataFrame(pdf[["doc_id", "text"]]), d,
+        n_shards=2, block_size=4, assign_ids=False,
+    )
+    return d, spark.createDataFrame(pdf)
+
+
+def _brute(boost_mode, factor_fn, filt=None, k_override=None):
+    toks = [tokenize(t) for _, t, _ in DOCS]
+    n_docs = len(toks)
+    avgdl = float(np.mean([len(t) for t in toks]))
+    tf = [pd.Series(t).value_counts() for t in toks]
+    df_map: dict[str, int] = {}
+    for c in tf:
+        for t in c.index:
+            df_map[t] = df_map.get(t, 0) + 1
+    out = {}
+    for qid, qtext, k in QUERIES:
+        k = k_override or k
+        rows = []
+        for (did, text, pop), c in zip(DOCS, tf):
+            if filt and not filt(pop):
+                continue
+            s = 0.0
+            for t in sorted(set(tokenize(qtext))):
+                if t not in c.index:
+                    continue
+                idf = np.log(1.0 + (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5))
+                f = float(c[t])
+                dl = len(tokenize(text))
+                s += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            if s <= 0:
+                continue
+            fac = factor_fn(pop)
+            final = (s * fac if boost_mode == "multiply"
+                     else s + fac if boost_mode == "sum" else fac)
+            rows.append((did, final))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        out[qid] = rows[:k]
+    return out
+
+
+def _got(spark, d, docs, **kw):
+    qdf = spark.createDataFrame(
+        QUERIES, "query_id string, query_text string, k int"
+    )
+    out = engine.function_score_topk(spark, d, qdf, docs, **kw).toPandas()
+    return {
+        qid: list(zip(g.sort_values("rank").doc_id.astype(int),
+                      g.sort_values("rank").score))
+        for qid, g in out.groupby("query_id")
+    }
+
+
+@pytest.mark.parametrize("boost_mode", ["multiply", "sum", "replace"])
+def test_function_score_modes(spark, fs_setup, boost_mode):
+    d, docs = fs_setup
+    got = _got(spark, d, docs, factor_expr="1.0 + log1p(pop)",
+               boost_mode=boost_mode)
+    want = _brute(boost_mode, lambda p: 1.0 + math.log1p(p))
+    assert set(got) == set(want)
+    for qid in want:
+        assert [g[0] for g in got[qid]] == [w[0] for w in want[qid]], qid
+        assert np.allclose([g[1] for g in got[qid]],
+                           [w[1] for w in want[qid]], atol=1e-9), qid
+
+
+def test_function_score_with_filter(spark, fs_setup):
+    d, docs = fs_setup
+    got = _got(spark, d, docs, factor_expr="1.0 + log1p(pop)",
+               filter_expr="pop >= 1.0")
+    want = _brute("multiply", lambda p: 1.0 + math.log1p(p),
+                  filt=lambda p: p >= 1.0)
+    for qid in want:
+        assert [g[0] for g in got[qid]] == [w[0] for w in want[qid]], qid
+
+
+def test_factor_applies_before_cut(spark, fs_setup):
+    """doc 1 ('error', huge pop) must beat doc 0 (better BM25) at k=1
+    under multiply — proving the function precedes the heap."""
+    d, docs = fs_setup
+    qdf = spark.createDataFrame(
+        [("top", "error", 1)], "query_id string, query_text string, k int"
+    )
+    out = engine.function_score_topk(
+        spark, d, qdf, docs, factor_expr="pop", boost_mode="multiply",
+    ).toPandas()
+    assert list(out.doc_id) == [1]
+
+
+def test_bad_boost_mode(spark, fs_setup):
+    d, docs = fs_setup
+    qdf = spark.createDataFrame(
+        [("x", "error", 1)], "query_id string, query_text string, k int"
+    )
+    with pytest.raises(ValueError):
+        engine.function_score_topk(spark, d, qdf, docs, "pop",
+                                   boost_mode="avg")
