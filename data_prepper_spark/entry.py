@@ -1192,6 +1192,72 @@ def q_list_map_roundtrip(spark, sf_dir):
     )
 
 
+def q_list_map_event_json(spark, sf_dir):
+    """list_to_map/map_to_list + the event_json codec round-trip in ONE
+    slot (session-2 consolidation, same join-merge pattern as the r4
+    event_id-keyed merges — frees a gate slot for `percolate`): both
+    surfaces joined on event_id, each half still hash-checked."""
+    return q_list_map_roundtrip(spark, sf_dir).join(
+        q_event_json_roundtrip(spark, sf_dir), "event_id"
+    )
+
+
+def q_route_drop(spark, sf_dir):
+    """routing + drop_events in ONE slot (frees a gate slot for
+    `function_score`): route covers every event; the drop_events half
+    LEFT-joins (dropped events carry null kept_* columns — the filter
+    semantics stay visible in the hash)."""
+    kept = (
+        q_drop_events(spark, sf_dir)
+        .withColumnRenamed("event_type", "kept_type")
+        .withColumnRenamed("value", "kept_value")
+    )
+    return q_route_first(spark, sf_dir).join(kept, "event_id", "left")
+
+
+PERC_STORED = [
+    # (query_id, must, should, must_not, msm spec) — documents vocab
+    ("perc_must2", "slow query", "", "", None),
+    ("perc_any2of3", "", "scan hash join", "", "2"),
+    ("perc_pct", "", "slow query scan table", "", "50%"),
+    ("perc_not", "table", "", "hash", None),
+]
+
+
+def q_percolate(spark, sf_dir):
+    """Percolator (join form) over the documents table: the stored
+    bool queries above, msm specs included — (doc_id, query_id)
+    match pairs, oracle-replicated as the same explode/join/group in
+    DuckDB."""
+    from data_prepper_spark.query.percolate import percolate
+
+    qdf = spark.createDataFrame(
+        PERC_STORED,
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match string",
+    )
+    return percolate(spark, qdf, _docs(spark, sf_dir))
+
+
+FS_FACTOR = "1.0 + ln(1.0 + n_chars / 100.0)"
+
+
+def q_function_score(spark, sf_dir):
+    """function_score (field_value_factor): BM25 over the SPIMI index
+    x a length-derived factor computed in the corpus scan, combined
+    BEFORE the per-shard heap (boost_mode=multiply)."""
+    d = _built_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(f"fs_{q}", t, BM25_K * 2) for q, t in BM25_QUERIES],
+        "query_id string, query_text string, k int",
+    )
+    raw = engine.function_score_topk(
+        spark, d, qdf, _docs(spark, sf_dir), FS_FACTOR,
+        boost_mode="multiply",
+    )
+    return _rounded_rank(raw)
+
+
 def q_service_map(spark, sf_dir):
     """service-map edges over events: event_type transitions per user
     session ordered by (ts, event_id)."""
@@ -1466,15 +1532,19 @@ ORACLE: dict[str, str | None] = {
     "rename_convert": """
         SELECT event_id, round(value, 6) AS amount, user_id::VARCHAR AS user_id
         FROM events""",
-    "drop_events": """
-        SELECT event_id, event_type, round(value, 6) AS value FROM events
-        WHERE NOT (event_type = 'error' OR value < 5.0)""",
     "route_first": """
-        SELECT event_id,
-               CASE WHEN event_type = 'error' THEN 'errors'
-                    WHEN value >= 50.0 THEN 'big'
-                    ELSE '_default' END AS route
-        FROM events""",
+        WITH r AS (
+          SELECT event_id,
+                 CASE WHEN event_type = 'error' THEN 'errors'
+                      WHEN value >= 50.0 THEN 'big'
+                      ELSE '_default' END AS route
+          FROM events),
+        d AS (
+          SELECT event_id, event_type AS kept_type,
+                 round(value, 6) AS kept_value FROM events
+          WHERE NOT (event_type = 'error' OR value < 5.0))
+        SELECT r.event_id, r.route, d.kept_type, d.kept_value
+        FROM r LEFT JOIN d USING (event_id)""",
     "expression_filter": """
         SELECT event_id, event_type, round(value, 6) AS value FROM events
         WHERE (event_type IN ('click', 'view') AND value > 40.0)
@@ -1739,6 +1809,92 @@ QUALIFY rank <= {BM25_K}
 
 
 ORACLE["multi_match"] = _mm_oracle_sql()
+
+
+def _perc_oracle_sql() -> str:
+    """Percolate oracle: the same explode/join/group the engine runs,
+    with each stored query's EFFECTIVE minimum_should_match resolved to
+    a literal at oracle-build time (the Lucene spec algorithm is
+    python-side in both engines, so the SQL sees only the int)."""
+    from data_prepper_spark.index.tokenizer import tokenize as _tok
+    from data_prepper_spark.query.engine import calculate_min_should_match
+
+    rows = []
+    for qid, m, s, n, spec in PERC_STORED:
+        ns = len(set(_tok(s)))
+        eff = calculate_min_should_match(ns, spec)
+        if eff <= 0:
+            eff = 1 if (not _tok(m) and ns) else 0
+        rows.append(f"('{qid}', '{m}', '{s}', '{n}', {eff})")
+    vals = ", ".join(rows)
+    tm, ts, tn = (D_TOKS.format(c=c) for c in ("must", "should", "must_not"))
+    ttext = D_TOKS.format(c="text")
+    return f"""
+WITH stored(query_id, must, should, must_not, eff) AS (VALUES {vals}),
+qt AS (
+  SELECT query_id, unnest(list_distinct({tm})) AS term, 'must' AS role
+  FROM stored
+  UNION ALL
+  SELECT query_id, unnest(list_distinct({ts})), 'should' FROM stored
+  UNION ALL
+  SELECT query_id, unnest(list_distinct({tn})), 'must_not' FROM stored),
+meta AS (
+  SELECT query_id,
+         count(DISTINCT CASE WHEN role = 'must' THEN term END) AS n_must
+  FROM qt GROUP BY 1),
+dt AS (SELECT doc_id, unnest(list_distinct({ttext})) AS term FROM documents),
+hits AS (
+  SELECT doc_id, query_id,
+         count(DISTINCT CASE WHEN role = 'must' THEN term END) AS must_hit,
+         count(DISTINCT CASE WHEN role = 'should' THEN term END) AS should_hit,
+         count(CASE WHEN role = 'must_not' THEN 1 END) AS not_hit
+  FROM dt JOIN qt USING (term) GROUP BY 1, 2)
+SELECT doc_id, query_id
+FROM hits JOIN meta USING (query_id) JOIN stored USING (query_id)
+WHERE must_hit = n_must AND should_hit >= eff AND not_hit = 0
+"""
+
+
+ORACLE["percolate"] = _perc_oracle_sql()
+
+
+def _fs_oracle_sql() -> str:
+    """function_score oracle: the bm25 chain x the SAME factor
+    expression (valid verbatim in DuckDB), boost_mode=multiply."""
+    vals = ", ".join(f"('fs_{q}', '{t}')" for q, t in BM25_QUERIES)
+    toks = D_TOKS.format(c="text")
+    qtoks = D_TOKS.format(c="query_text")
+    return f"""
+WITH queries(query_id, query_text) AS (VALUES {vals}),
+tokd AS (SELECT doc_id, {toks} AS toks, n_chars FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM tokd),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tokd),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT DISTINCT query_id, unnest(list_distinct({qtoks})) AS term FROM queries),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ) * any_value(({FS_FACTOR})) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN tokd ON tokd.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       round(score, 4) AS score_r,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {BM25_K}
+"""
+
+
+ORACLE["function_score"] = _fs_oracle_sql()
 
 
 def _stoplist_sql(lang: str) -> str:
@@ -2201,8 +2357,8 @@ QUERIES = {
     "mutate_entries": q_mutate_entries,
     "add_entries": q_add_entries,
     "rename_convert": q_rename_convert,
-    "drop_events": q_drop_events,
-    "route_first": q_route_first,
+    "route_first": q_route_drop,  # incl. drop_events (session-2 merge)
+    "percolate": q_percolate,
     "expression_filter": q_expression_filter,
     "cidr_route": q_cidr_route,
     "phrase_topk": q_phrase_topk,
@@ -2240,8 +2396,8 @@ QUERIES = {
     "user_agent": q_user_agent,
     "geoip_enrich": q_geoip_enrich,
     "service_map": q_service_map,
-    "list_map_roundtrip": q_list_map_roundtrip,
-    "event_json_roundtrip": q_event_json_roundtrip,
+    "list_map_roundtrip": q_list_map_event_json,  # incl. event_json (merge)
+    "function_score": q_function_score,
     "anomaly_detect": q_anomaly_detect,
     "dlq_parse_failures": q_dlq_parse_failures,
     "ann_topk": q_ann_topk,
@@ -2249,14 +2405,18 @@ QUERIES = {
 }
 assert len(QUERIES) == 50, f"driver gate caps at 50 queries, have {len(QUERIES)}"
 
-ORACLE["event_json_roundtrip"] = """
-SELECT event_id, user_id, event_type, round(value, 6) AS value,
-       't1' AS tags
-FROM events"""
 ORACLE["list_map_roundtrip"] = """
-SELECT event_id, user_id::VARCHAR AS uid, event_type AS et,
-       'u' AS k, user_id::VARCHAR AS v
-FROM events"""
+WITH lm AS (
+  SELECT event_id, user_id::VARCHAR AS uid, event_type AS et,
+         'u' AS k, user_id::VARCHAR AS v
+  FROM events),
+ej AS (
+  SELECT event_id, user_id, event_type, round(value, 6) AS value,
+         't1' AS tags
+  FROM events)
+SELECT lm.event_id, lm.uid, lm.et, lm.k, lm.v,
+       ej.user_id, ej.event_type, ej.value, ej.tags
+FROM lm JOIN ej USING (event_id)"""
 ORACLE["service_map"] = """
 WITH hops AS (
   SELECT user_id,
