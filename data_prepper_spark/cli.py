@@ -793,7 +793,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="multi_match fields over a fields index, e.g. "
                         "'text,tool^2'")
     q.add_argument("--mm-type", default="best_fields",
-                   choices=["best_fields", "most_fields"])
+                   choices=["best_fields", "most_fields", "cross_fields"])
     q.add_argument("--tie-breaker", type=float, default=0.0)
     q.add_argument("--count", action="store_true",
                    help="OpenSearch _count: print exact per-query live "

@@ -116,7 +116,8 @@ def build_fields_index(
     return manifest
 
 
-def _mm_kernel(field_conf: dict, mm_type: str, tie_breaker: float):
+def _mm_kernel(field_conf: dict, mm_type: str, tie_breaker: float,
+               blend: dict | None = None):
     """Per-shard multi_match: exact per-(query, field) exhaustive BM25
     (same sorted-term accumulation as score_topk — float identity per
     field), field-boost scale, dis_max/sum combine, boundary-exact
@@ -124,22 +125,51 @@ def _mm_kernel(field_conf: dict, mm_type: str, tie_breaker: float):
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
+        xf = mm_type == "cross_fields"
         caches = {
-            f: _NsCache((c["ns"], shard)) for f, c in field_conf.items()
+            f: _NsCache(((c["ns"], "xf") if xf else c["ns"], shard))
+            for f, c in field_conf.items()
         }
-        # (field, term) -> [cursors]; qid -> (k, {field: [cursors]})
+        # pass 1: collect per-(field, term) block groups + per-field df
+        # (cross_fields needs ALL fields' dfs for a term before any idf
+        # is fixed); pass 2 constructs cursors with the mode's idf
+        groups: dict[tuple[str, str], pd.DataFrame] = {}
+        dfs: dict[str, dict[str, int]] = {}
         queries: dict[str, list] = {}
         for (field, term), tg in pdf.groupby(["field", "term"], sort=True):
+            groups[(field, term)] = tg
+            dfs.setdefault(term, {})[field] = int(tg["df"].iloc[0])
+            for q in tg["queries"].iloc[0]:
+                ent = queries.setdefault(q["query_id"], [int(q["k"]), {}])
+                ent[1].setdefault(term, set()).add(field)
+
+        def idf_for(field: str, term: str) -> float:
+            if xf:
+                # blended statistics (BlendedTermQuery role): ONE idf
+                # per term across fields — df = max over queried
+                # fields, n_docs likewise. The blend map is DRIVER-
+                # computed from the GLOBAL dictionaries (a shard may
+                # hold only one field's postings for a term; blending
+                # from shard-local rows would skew its idf).
+                df_t, nd = blend[term]
+            else:
+                df_t = dfs[term][field]
+                nd = field_conf[field]["n_docs"]
+            return float(np.log(1.0 + (nd - df_t + 0.5) / (df_t + 0.5)))
+
+        cursor_memo: dict[tuple[str, str], list] = {}
+
+        def cursors_for(field: str, term: str) -> list:
+            got = cursor_memo.get((field, term))
+            if got is not None:
+                return got
             conf = field_conf[field]
-            df_t = int(tg["df"].iloc[0])
-            idf = float(np.log(
-                1.0 + (conf["n_docs"] - df_t + 0.5) / (df_t + 0.5)
-            ))
             tomb = conf["tomb"]
-            cursors = []
-            for seg, g in tg.groupby("seg", sort=True):
+            idf = idf_for(field, term)
+            cur = []
+            for seg, g in groups[(field, term)].groupby("seg", sort=True):
                 g = g.sort_values("block_ord")
-                cursors.append(wand_mod.TermCursor(
+                cur.append(wand_mod.TermCursor(
                     term=term, seg=int(seg), avgdl=conf["avgdl"],
                     cache=caches[field], boost=1.0,
                     tomb=(tomb.for_seg(int(seg)) if tomb is not None else None),
@@ -151,33 +181,73 @@ def _mm_kernel(field_conf: dict, mm_type: str, tie_breaker: float):
                     tfs=list(g["tfs"]),
                     dls=list(g["dls"]),
                 ))
-            for q in tg["queries"].iloc[0]:
-                ent = queries.setdefault(q["query_id"], [int(q["k"]), {}])
-                ent[1].setdefault(field, []).extend(cursors)
+            cursor_memo[(field, term)] = cur
+            return cur
 
         out_q, out_d, out_s = [], [], []
-        for qid, (k, by_field) in queries.items():
-            per_field: list[tuple[np.ndarray, np.ndarray]] = []
-            for field, cursors in by_field.items():
-                docs, scores = wand_mod._exhaustive_scores(cursors)
-                if len(docs):
-                    per_field.append(
-                        (docs, scores * field_conf[field]["boost"])
+        for qid, (k, term_fields) in queries.items():
+            if xf:
+                # term-centric: per term, dismax the per-field scores
+                # (blended idf), then SUM terms per doc
+                tparts: list[tuple[np.ndarray, np.ndarray]] = []
+                for term in sorted(term_fields):
+                    per_field = []
+                    for field in sorted(term_fields[term]):
+                        docs, sc = wand_mod._exhaustive_scores(
+                            cursors_for(field, term))
+                        if len(docs):
+                            per_field.append(
+                                (docs, sc * field_conf[field]["boost"]))
+                    if not per_field:
+                        continue
+                    t_docs = (
+                        per_field[0][0] if len(per_field) == 1
+                        else np.unique(np.concatenate(
+                            [d for d, _ in per_field]))
                     )
-            if not per_field:
-                continue
-            all_docs = (
-                per_field[0][0] if len(per_field) == 1
-                else np.unique(np.concatenate([d for d, _ in per_field]))
-            )
-            S = np.zeros((len(per_field), len(all_docs)), dtype=np.float64)
-            for i, (docs, scores) in enumerate(per_field):
-                S[i, np.searchsorted(all_docs, docs)] = scores
-            if mm_type == "most_fields":
-                combined = S.sum(axis=0)
-            else:  # best_fields (dis_max + tie_breaker)
-                best = S.max(axis=0)
-                combined = best + tie_breaker * (S.sum(axis=0) - best)
+                    S = np.zeros((len(per_field), len(t_docs)))
+                    for i, (docs, sc) in enumerate(per_field):
+                        S[i, np.searchsorted(t_docs, docs)] = sc
+                    best = S.max(axis=0)
+                    tparts.append(
+                        (t_docs, best + tie_breaker * (S.sum(axis=0) - best)))
+                if not tparts:
+                    continue
+                all_docs = (
+                    tparts[0][0] if len(tparts) == 1
+                    else np.unique(np.concatenate([d for d, _ in tparts]))
+                )
+                combined = np.zeros(len(all_docs), dtype=np.float64)
+                for docs, sc in tparts:
+                    combined[np.searchsorted(all_docs, docs)] += sc
+            else:
+                per_field = []
+                for field in sorted(
+                    {f for fs in term_fields.values() for f in fs}
+                ):
+                    cursors = [
+                        c for term, fs in term_fields.items() if field in fs
+                        for c in cursors_for(field, term)
+                    ]
+                    docs, scores = wand_mod._exhaustive_scores(cursors)
+                    if len(docs):
+                        per_field.append(
+                            (docs, scores * field_conf[field]["boost"])
+                        )
+                if not per_field:
+                    continue
+                all_docs = (
+                    per_field[0][0] if len(per_field) == 1
+                    else np.unique(np.concatenate([d for d, _ in per_field]))
+                )
+                S = np.zeros((len(per_field), len(all_docs)), dtype=np.float64)
+                for i, (docs, scores) in enumerate(per_field):
+                    S[i, np.searchsorted(all_docs, docs)] = scores
+                if mm_type == "most_fields":
+                    combined = S.sum(axis=0)
+                else:  # best_fields (dis_max + tie_breaker)
+                    best = S.max(axis=0)
+                    combined = best + tie_breaker * (S.sum(axis=0) - best)
             # boundary-exact per-shard cut (ties at the kth score broken
             # by doc_id — same contract as exhaustive_topk)
             if len(all_docs) <= k:
@@ -207,8 +277,13 @@ def multi_match_topk(
 ) -> DataFrame:
     """queries(query_id, query_text, k) -> (query_id, rank, doc_id,
     score) over a fields index. `fields` are "name" or "name^boost"
-    specs (default: every indexed field, boost 1)."""
-    if mm_type not in ("best_fields", "most_fields"):
+    specs (default: every indexed field, boost 1). mm_type:
+    best_fields (per-FIELD dismax + tie_breaker), most_fields
+    (per-field sum), cross_fields (term-centric: per TERM the
+    per-field scores dismax under ONE blended idf — df and n_docs
+    maxed across the queried fields, the BlendedTermQuery role — then
+    terms sum per doc)."""
+    if mm_type not in ("best_fields", "most_fields", "cross_fields"):
         raise ValueError(f"unknown multi_match type {mm_type!r}")
     manifest = json.load(open(os.path.join(index_dir, "fields.json")))
     mode = manifest.get("tokenizer", "ascii")
@@ -236,6 +311,7 @@ def multi_match_topk(
         )
 
     field_conf: dict[str, dict] = {}
+    blend: dict[str, tuple] = {}
     needed = None
     for field, boost in specs:
         d = os.path.join(index_dir, "fields", field)
@@ -254,6 +330,15 @@ def multi_match_topk(
             .filter(F.col("term").isin(terms))
             .select("term", "df")
         )
+        if mm_type == "cross_fields":
+            for r in dict_slice.groupBy("term").agg(
+                F.sum("df").alias("df")
+            ).collect():
+                cur = blend.get(r["term"], (0, 0))
+                blend[r["term"]] = (
+                    max(cur[0], int(r["df"])),
+                    max(cur[1], int(stats["n_docs"])),
+                )
         blocks = spark.read.parquet(layout.resolve(d, "blocks"))
         if "seg" not in blocks.columns:
             blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
@@ -270,7 +355,7 @@ def multi_match_topk(
         needed = nf if needed is None else needed.unionByName(nf)
 
     per_shard = needed.groupBy("shard").applyInPandas(
-        _mm_kernel(field_conf, mm_type, float(tie_breaker)),
+        _mm_kernel(field_conf, mm_type, float(tie_breaker), blend=blend),
         schema=_KERNEL_OUT,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

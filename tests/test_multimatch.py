@@ -177,4 +177,78 @@ def test_field_spec_validation(spark, fidx):
     with pytest.raises(ValueError):
         multi_match_topk(spark, fidx, qdf, fields=["nope"])
     with pytest.raises(ValueError):
-        multi_match_topk(spark, fidx, qdf, mm_type="cross_fields")
+        multi_match_topk(spark, fidx, qdf, mm_type="phrase_fields")
+
+
+def test_cross_fields_matches_oracle(spark, fidx, oracle_scores):
+    """cross_fields: per TERM, per-field BM25 under ONE blended idf
+    (df/n_docs maxed across fields) dismaxed, then terms summed.
+    Brute-forced here from raw tf/dl (the per-field oracle scores
+    can't be reused — the idf differs)."""
+    import math
+
+    from data_prepper_spark.index.tokenizer import tokenize
+    from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+    field_vals = {"text": [t for _, t, _ in DOCS],
+                  "tool": [tl for _, _, tl in DOCS]}
+    boosts = {"text": 1.0, "tool": 2.0}
+    tie = 0.25
+    # per-field stats over docs HAVING the field
+    stats = {}
+    for f, vals in field_vals.items():
+        toks = [tokenize(v) for v in vals if v]
+        stats[f] = (len(toks), sum(len(t) for t in toks) / len(toks))
+    want: dict[str, dict[int, float]] = {}
+    for qid, qtext, _ in QUERIES:
+        per_doc: dict[int, float] = {}
+        for term in sorted(set(tokenize(qtext))):
+            dfs = {
+                f: sum(1 for v in vals if v and term in tokenize(v))
+                for f, vals in field_vals.items()
+            }
+            dfs = {f: d for f, d in dfs.items() if d}
+            if not dfs:
+                continue
+            df_b = max(dfs.values())
+            nd_b = max(stats[f][0] for f in dfs)
+            idf = math.log(1.0 + (nd_b - df_b + 0.5) / (df_b + 0.5))
+            t_scores: dict[int, list[float]] = {}
+            for f, vals in field_vals.items():
+                if f not in dfs:
+                    continue
+                _, avgdl = stats[f]
+                for (i, *_), v in zip(DOCS, vals):
+                    if not v:
+                        continue
+                    tks = tokenize(v)
+                    tf = tks.count(term)
+                    if not tf:
+                        continue
+                    part = idf * (tf * 2.2) / (
+                        tf + 1.2 * (0.25 + 0.75 * len(tks) / avgdl))
+                    t_scores.setdefault(i * DOC_ID_STRIDE, []).append(
+                        part * boosts[f])
+            for d, ss in t_scores.items():
+                per_doc[d] = per_doc.get(d, 0.0) + (
+                    max(ss) + tie * (sum(ss) - max(ss)))
+        want[qid] = per_doc
+    got = _got(spark, fidx, fields=["text", "tool^2"],
+               mm_type="cross_fields", tie_breaker=tie)
+    _check(got, want)
+
+
+def test_cross_fields_single_field_is_best_fields(spark, fidx):
+    """With one field, cross_fields degenerates to best_fields
+    (blended stats == the field's stats)."""
+    qdf = spark.createDataFrame(
+        QUERIES, "query_id string, query_text string, k int"
+    )
+    a = multi_match_topk(spark, fidx, qdf, fields=["text"],
+                         mm_type="cross_fields").toPandas()
+    b = multi_match_topk(spark, fidx, qdf, fields=["text"],
+                         mm_type="best_fields").toPandas()
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (a.doc_id.values == b.doc_id.values).all()
+    assert (a.score.values == b.score.values).all()
