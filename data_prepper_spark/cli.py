@@ -247,7 +247,19 @@ def cmd_query(args) -> int:
             print(json.dumps({"query_id": r["query_id"],
                               "total_hits": r["total_hits"]}))
         return 0
-    if getattr(args, "function_score", None):
+    if getattr(args, "rescore", None):
+        # two-pass rescore: cheap primary -> window re-ranked by the
+        # rescore query (Lucene QueryRescorer combine semantics)
+        from pyspark.sql import functions as _F
+
+        from data_prepper_spark.query.rescore import rescore_topk
+
+        rq = qdf.withColumn("rescore_text", _F.lit(args.rescore))
+        res = rescore_topk(
+            spark, args.index, rq, window_size=args.rescore_window,
+            score_mode=args.score_mode,
+        ).select("query_id", "rank", "doc_id", "score")
+    elif getattr(args, "function_score", None):
         # function_score: BM25 x doc-attribute factor (recency/
         # popularity boosting), optional filter context
         if not args.docs:
@@ -784,6 +796,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--docs", default=None,
                    help="corpus parquet with doc_id + filter columns "
                         "(required with --filter / --fetch)")
+    q.add_argument("--rescore", default=None,
+                   help="rescore query text: re-rank the top window "
+                        "(Lucene QueryRescorer semantics)")
+    q.add_argument("--rescore-window", type=int, default=50)
+    q.add_argument("--score-mode", default="total",
+                   choices=["total", "multiply", "avg", "max", "min"])
     q.add_argument("--function-score", default=None,
                    help="Spark SQL double expression over --docs columns "
                         "(field_value_factor role), e.g. '1.0+log1p(value)'")

@@ -1,0 +1,108 @@
+"""rescore vs a brute-force two-pass scorer (Lucene QueryRescorer
+combine semantics: non-matching window docs keep primary*query_weight).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+from data_prepper_spark.query.rescore import rescore_topk
+
+QUERIES = [
+    ("r1", "error timeout", "retry deploy", 5),
+    ("r2", "deploy", "error", 5),
+]
+WINDOW = 20
+QW, RW = 0.7, 1.3
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("rescidx"))
+    pdf = generate_pandas(0, 300)
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    ib.build_index(
+        spark, spark.createDataFrame(pdf[["doc_id", "text"]]), d,
+        n_shards=4, block_size=32, assign_ids=False,
+    )
+    idx = oracle.build_index(list(zip(pdf.doc_id, pdf.text)))
+    return d, idx
+
+
+def _brute(idx, score_mode):
+    want = {}
+    for qid, qtext, rtext, k in QUERIES:
+        prim = oracle.score_queries(idx, [(qid, qtext, WINDOW)])
+        # secondary: oracle scores of the rescore query over ALL docs,
+        # looked up per window doc
+        sec_all = {
+            r["doc_id"]: r["score"]
+            for r in oracle.score_queries(idx, [(qid, rtext, 10 ** 9)])
+        }
+        rows = []
+        for r in prim:
+            p = r["score"] * QW
+            if r["doc_id"] in sec_all:
+                s = sec_all[r["doc_id"]] * RW
+                c = {"total": p + s, "multiply": p * s, "avg": (p + s) / 2,
+                     "max": max(p, s), "min": min(p, s)}[score_mode]
+            else:
+                c = p
+            rows.append((r["doc_id"], c))
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        want[qid] = rows[:k]
+    return want
+
+
+@pytest.mark.parametrize("score_mode", ["total", "multiply", "avg", "max", "min"])
+def test_rescore_matches_brute(spark, setup, score_mode):
+    d, idx = setup
+    qdf = spark.createDataFrame(
+        QUERIES,
+        "query_id string, query_text string, rescore_text string, k int",
+    )
+    got = rescore_topk(
+        spark, d, qdf, window_size=WINDOW, query_weight=QW,
+        rescore_query_weight=RW, score_mode=score_mode,
+    ).toPandas()
+    want = _brute(idx, score_mode)
+    for qid, g in got.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g.doc_id) == [d_ for d_, _ in want[qid]], (score_mode, qid)
+        assert np.allclose(g.score.values, [s for _, s in want[qid]],
+                           atol=1e-9)
+
+
+def test_rescore_window_guard(spark, setup):
+    d, _ = setup
+    qdf = spark.createDataFrame(
+        [("x", "error", "retry", 99)],
+        "query_id string, query_text string, rescore_text string, k int",
+    )
+    with pytest.raises(ValueError, match="window_size"):
+        rescore_topk(spark, d, qdf, window_size=10)
+
+
+def test_rescore_changes_order(spark, setup):
+    """Sanity: the rescore query actually reorders (a doc strong on
+    'retry deploy' climbs)."""
+    d, idx = setup
+    qdf = spark.createDataFrame(
+        [QUERIES[0]],
+        "query_id string, query_text string, rescore_text string, k int",
+    )
+    plain = [r["doc_id"] for r in oracle.score_queries(
+        idx, [("r1", "error timeout", 5)])]
+    resc = rescore_topk(
+        spark, d, qdf, window_size=WINDOW, query_weight=QW,
+        rescore_query_weight=RW,
+    ).toPandas().sort_values("rank")
+    assert list(resc.doc_id) != plain  # reordering happened
