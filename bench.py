@@ -251,6 +251,13 @@ def run_suite(
                     _dir_bytes(uni_dir) / n_turns, 1)
             finally:
                 shutil.rmtree(uni_dir, ignore_errors=True)
+        # NOTE: no '+stop+stem' analyzer build entry — the synthetic
+        # transcript vocabulary contains ZERO English stopwords and no
+        # plural forms (measured: 0.0% of tokens), so the delta would
+        # read as "analyzer is free" when on real English text it
+        # shrinks the index (stopword postings are the largest, most
+        # skewed lists). The chain's correctness is pinned by
+        # tests/test_analyzer_filters.py instead.
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(idx_dir2, ignore_errors=True)

@@ -1435,6 +1435,7 @@ def function_score_topk(
     factor_expr: str,
     boost_mode: str = "multiply",
     filter_expr: str | None = None,
+    missing: float = 1.0,
 ) -> DataFrame:
     """OpenSearch `function_score` (field_value_factor / script_score
     role): rank the match set by BM25 combined with a document-
@@ -1473,7 +1474,14 @@ def function_score_topk(
             [], "query_id string, rank long, doc_id long, score double"
         )
     src = docs.filter(F.expr(filter_expr)) if filter_expr else docs
-    src = src.withColumn("factor", F.expr(factor_expr).cast("double"))
+    # `missing` (OpenSearch field_value_factor's missing param): a null
+    # factor — null attribute, null-propagating expression — would
+    # otherwise NaN-poison every score it touches in the kernel
+    src = src.withColumn(
+        "factor",
+        F.coalesce(F.expr(factor_expr).cast("double"),
+                   F.lit(float(missing))),
+    )
     allowed = sharded_docs(spark, index_dir, src, stats, carry=("factor",))
     dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
     dict_slice = dictionary.filter(F.col("term").isin(terms))

@@ -130,3 +130,21 @@ def test_bad_boost_mode(spark, fs_setup):
     with pytest.raises(ValueError):
         engine.function_score_topk(spark, d, qdf, docs, "pop",
                                    boost_mode="avg")
+
+
+def test_missing_factor_defaults(spark, fs_setup, tmp_path):
+    """Null attributes take the `missing` value instead of NaN-poisoning
+    scores (OpenSearch field_value_factor missing param)."""
+    d, _ = fs_setup
+    pdf = pd.DataFrame(DOCS, columns=["doc_id", "text", "pop"])
+    pdf.loc[pdf.doc_id == 0, "pop"] = None
+    docs = spark.createDataFrame(pdf)
+    qdf = spark.createDataFrame(
+        [("m", "error timeout", 5)],
+        "query_id string, query_text string, k int",
+    )
+    out = engine.function_score_topk(
+        spark, d, qdf, docs, "pop", boost_mode="multiply", missing=2.0,
+    ).toPandas()
+    assert not out.score.isna().any()
+    assert 0 in set(out.doc_id)  # the null-pop doc survives with factor 2
