@@ -633,6 +633,25 @@ def cmd_check_index(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_snapshot(args) -> int:
+    """_snapshot API role: create/restore/list/delete incremental
+    content-addressed snapshots of an index directory (JVM-free —
+    driver-side file ops over the live commit point)."""
+    from data_prepper_spark.index import backup
+
+    if args.action == "create":
+        print(json.dumps(backup.create_snapshot(
+            args.index, args.repo, args.name)))
+    elif args.action == "restore":
+        print(json.dumps(backup.restore_snapshot(
+            args.repo, args.name, args.index)))
+    elif args.action == "delete":
+        print(json.dumps(backup.delete_snapshot(args.repo, args.name)))
+    else:
+        print(json.dumps(backup.list_snapshots(args.repo)))
+    return 0
+
+
 def cmd_facet(args) -> int:
     """Aggregations over a query's match set (the OpenSearch `aggs`
     surface next to search): terms (top values per field),
@@ -661,9 +680,53 @@ def cmd_facet(args) -> int:
             spark, args.index, q, docs, args.field[0],
             approximate=args.approximate,
         )
+    elif args.kind == "cardinality":
+        from data_prepper_spark.query import aggs
+
+        res = aggs.cardinality_facet(
+            spark, args.index, q, docs, args.field,
+            approximate=args.approximate,
+        )
+    elif args.kind == "histogram":
+        from data_prepper_spark.query import aggs
+
+        res = aggs.histogram_facet(
+            spark, args.index, q, docs, args.field[0],
+            interval=args.interval,
+        )
+    elif args.kind == "range":
+        from data_prepper_spark.query import aggs
+
+        def _edge(s):
+            return None if s == "*" else float(s)
+
+        ranges = [
+            (_edge(lo), _edge(hi))
+            for r in (args.range or [])
+            for lo, hi in [r.split(":", 1)]
+        ]
+        res = aggs.range_facet(
+            spark, args.index, q, docs, args.field[0], ranges
+        )
+    elif args.kind == "top_hits":
+        from data_prepper_spark.query import aggs
+
+        res = aggs.top_hits_facet(
+            spark, args.index, q, docs, args.field[0], args.sort_field,
+            size=args.size, ascending=args.ascending,
+        )
+    elif args.kind == "terms_stats":
+        from data_prepper_spark.query import aggs
+
+        res = aggs.terms_stats_facet(
+            spark, args.index, q, docs, args.field[0], args.sort_field,
+            size=args.size,
+        )
     else:
         res = facets.stats_facet(spark, args.index, q, docs, args.field)
-    for r in res.orderBy(*[c for c in ("field", "bucket") if c in res.columns]).collect():
+    order = [c for c in ("field", "bucket", "key", "value", "rank")
+             if c in res.columns]
+    for r in res.orderBy(*order).collect():
         print(json.dumps(
             {k: (str(v) if k == "bucket" else v) for k, v in r.asDict().items()}
         ))
@@ -946,6 +1009,19 @@ def main(argv: list[str] | None = None) -> int:
     ci.add_argument("--local-cores", type=int, default=None)
     ci.set_defaults(fn=cmd_check_index)
 
+    sn = sub.add_parser(
+        "snapshot", help="_snapshot role: incremental content-addressed "
+        "backup/restore of an index directory")
+    sn.add_argument("action",
+                    choices=["create", "restore", "list", "delete"])
+    sn.add_argument("--repo", required=True,
+                    help="snapshot repository directory")
+    sn.add_argument("--index",
+                    help="index dir (source for create, target for "
+                         "restore)")
+    sn.add_argument("--name", help="snapshot name")
+    sn.set_defaults(fn=cmd_snapshot)
+
     dp = sub.add_parser(
         "dedup", help="near-dup clustering: MinHash-LSH pairs -> connected "
         "components -> cluster assignment (or --drop-dups to keep only "
@@ -991,11 +1067,23 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--query", required=True)
     fc.add_argument("--kind",
                     choices=["terms", "date_histogram", "stats",
-                             "significant", "percentiles"],
+                             "significant", "percentiles", "cardinality",
+                             "histogram", "range", "top_hits",
+                             "terms_stats"],
                     default="terms")
     fc.add_argument("--approximate", action="store_true",
-                    help="percentiles: GK sketch (bounded memory; the "
-                         "t-digest trade OpenSearch itself makes)")
+                    help="percentiles: GK sketch; cardinality: HLL++ "
+                         "(bounded memory; the sketch trade OpenSearch "
+                         "itself makes)")
+    fc.add_argument("--interval", type=float, default=100.0,
+                    help="histogram bucket width")
+    fc.add_argument("--range", action="append",
+                    help="range bucket 'from:to', * = open end "
+                         "(repeatable)")
+    fc.add_argument("--sort-field",
+                    help="top_hits sort / terms_stats metric field")
+    fc.add_argument("--ascending", action="store_true",
+                    help="top_hits: sort ascending")
     fc.add_argument("--field", action="append", required=True,
                     help="facet field (repeatable; date_histogram uses "
                          "the first)")

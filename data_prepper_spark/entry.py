@@ -2200,23 +2200,28 @@ def _search_after_oracle_sql() -> str:
 # --------------------------------------------------- terms facet slot
 
 def q_terms_facet(spark, sf_dir):
-    """Terms-facet + significant_terms aggregations over each BM25
-    query's MATCH SET in ONE slot (the OpenSearch `aggs` surface next
-    to search): top-5 values of `lang` and `source` among matching
-    docs counted exactly, plus the JLH-scored significant `lang`
-    buckets (what is UNUSUALLY frequent in the match set vs the
-    corpus, query/facets.py::significant_terms). Harmonized schema
-    (query_id, agg, value, count, score): terms rows carry score 0.0,
-    significant rows carry fg_count as count — no nulls, so the
-    cross-engine hash is dtype-stable."""
-    from data_prepper_spark.query import facets
+    """The full aggregation family over each BM25 query's MATCH SET in
+    ONE slot (the OpenSearch `aggs` surface next to search): terms
+    (top-5 `lang`/`source` counted exactly), significant_terms (JLH
+    `lang` buckets), and — session 3 — cardinality (distinct `source` /
+    `n_chars`), range + histogram buckets over `n_chars`, nested
+    terms->stats (`source` buckets with avg(n_chars) as score; integer
+    sums are exact in double so the division is order-independent and
+    hash-stable), and top_hits (2 best docs per `lang` by n_chars desc,
+    rank as count, n_chars as score). Harmonized schema
+    (query_id, agg, value, count, score) with no nulls, so the
+    cross-engine hash is dtype-stable. The match kernel runs ONCE and
+    is persisted; every agg branch reuses it."""
+    from data_prepper_spark.query import aggs, facets
 
     d = _built_index(spark, sf_dir)
     qdf = spark.createDataFrame(
         [(q, t) for q, t in BM25_QUERIES], "query_id string, query_text string"
     )
+    docs = _docs(spark, sf_dir)
+    m = facets.match_docs(spark, d, qdf).persist()
     tf = facets.terms_facet(
-        spark, d, qdf, _docs(spark, sf_dir), ["lang", "source"], size=5
+        spark, d, qdf, docs, ["lang", "source"], size=5, match=m
     ).select(
         "query_id",
         F.concat(F.lit("terms:"), F.col("field")).alias("agg"),
@@ -2224,12 +2229,53 @@ def q_terms_facet(spark, sf_dir):
         F.lit(0.0).alias("score"),
     )
     sg = facets.significant_terms(
-        spark, d, qdf, _docs(spark, sf_dir), "lang", size=5
+        spark, d, qdf, docs, "lang", size=5, match=m
     ).select(
         "query_id", F.lit("significant:lang").alias("agg"), "value",
         F.col("fg_count").cast("long").alias("count"), "score",
     )
-    return tf.unionByName(sg)
+    cd = aggs.cardinality_facet(
+        spark, d, qdf, docs, ["source", "n_chars"], match=m
+    ).select(
+        "query_id",
+        F.concat(F.lit("cardinality:"), F.col("field")).alias("agg"),
+        F.lit("*").alias("value"),
+        F.col("cardinality").cast("long").alias("count"),
+        F.lit(0.0).alias("score"),
+    )
+    rg = aggs.range_facet(
+        spark, d, qdf, docs, "n_chars",
+        [(None, 100.0), (100.0, 300.0), (300.0, None)], match=m,
+    ).select(
+        "query_id", F.lit("range:n_chars").alias("agg"),
+        F.col("key").alias("value"), "count", F.lit(0.0).alias("score"),
+    )
+    hg = aggs.histogram_facet(
+        spark, d, qdf, docs, "n_chars", interval=100.0, match=m
+    ).select(
+        "query_id", F.lit("histogram:n_chars").alias("agg"),
+        F.col("bucket").cast("string").alias("value"), "count",
+        F.lit(0.0).alias("score"),
+    )
+    ts = aggs.terms_stats_facet(
+        spark, d, qdf, docs, "source", "n_chars", size=3, match=m
+    ).select(
+        "query_id", F.lit("terms_stats:source/n_chars").alias("agg"),
+        "value", "count", F.col("avg").alias("score"),
+    )
+    th = aggs.top_hits_facet(
+        spark, d, qdf, docs, "lang", "n_chars", size=2, match=m
+    ).select(
+        "query_id", F.lit("top_hits:lang").alias("agg"),
+        F.concat("value", F.lit(":"), F.col("doc_id").cast("string"))
+        .alias("value"),
+        F.col("rank").cast("long").alias("count"),
+        F.col("n_chars").cast("double").alias("score"),
+    )
+    out = tf
+    for part in (sg, cd, rg, hg, ts, th):
+        out = out.unionByName(part)
+    return out
 
 
 def _terms_facet_oracle_sql() -> str:
@@ -2266,8 +2312,53 @@ sig AS (SELECT query_id, 'significant:lang' AS agg, value,
                fg_count AS count, (fgr - bgr) * (fgr / bgr) AS score
         FROM rates WHERE fgr > bgr
         QUALIFY row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, value) <= 5)
+                                   ORDER BY score DESC, value) <= 5),
+mj AS (SELECT m.query_id, d.source, d.lang, d.doc_id,
+              d.n_chars::DOUBLE AS v
+       FROM m JOIN documents d USING (doc_id)),
+card AS (
+  SELECT query_id, 'cardinality:source' AS agg, '*' AS value,
+         count(DISTINCT source)::BIGINT AS count, 0.0 AS score
+  FROM mj GROUP BY 1
+  UNION ALL
+  SELECT query_id, 'cardinality:n_chars', '*',
+         count(DISTINCT v)::BIGINT, 0.0 FROM mj GROUP BY 1),
+rng AS (
+  SELECT query_id, 'range:n_chars' AS agg, '*-100.0' AS value,
+         sum(CASE WHEN v < 100.0 THEN 1 ELSE 0 END)::BIGINT AS count,
+         0.0 AS score FROM mj GROUP BY 1
+  UNION ALL
+  SELECT query_id, 'range:n_chars', '100.0-300.0',
+         sum(CASE WHEN v >= 100.0 AND v < 300.0 THEN 1 ELSE 0 END)::BIGINT,
+         0.0 FROM mj GROUP BY 1
+  UNION ALL
+  SELECT query_id, 'range:n_chars', '300.0-*',
+         sum(CASE WHEN v >= 300.0 THEN 1 ELSE 0 END)::BIGINT,
+         0.0 FROM mj GROUP BY 1),
+hist AS (
+  SELECT query_id, 'histogram:n_chars' AS agg,
+         CAST(floor(v / 100.0) * 100.0 AS VARCHAR) AS value,
+         count(*)::BIGINT AS count, 0.0 AS score
+  FROM mj GROUP BY 1, 3),
+tst AS (
+  SELECT query_id, 'terms_stats:source/n_chars' AS agg,
+         source AS value, count(*)::BIGINT AS count,
+         avg(v) AS score
+  FROM mj GROUP BY 1, 3
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY count DESC, value) <= 3),
+thr AS (
+  SELECT query_id, lang, doc_id, v,
+         row_number() OVER (PARTITION BY query_id, lang
+                            ORDER BY v DESC, doc_id) AS rn
+  FROM mj QUALIFY rn <= 2),
+th AS (SELECT query_id, 'top_hits:lang' AS agg,
+              lang || ':' || CAST(doc_id AS VARCHAR) AS value,
+              rn::BIGINT AS count, v AS score FROM thr)
 SELECT * FROM tf UNION ALL SELECT * FROM sig
+UNION ALL SELECT * FROM card UNION ALL SELECT * FROM rng
+UNION ALL SELECT * FROM hist UNION ALL SELECT * FROM tst
+UNION ALL SELECT * FROM th
 """
 
 

@@ -1,0 +1,158 @@
+"""Snapshot / restore for index directories — the `_snapshot` API role
+(register repository, create snapshot, restore) that every OpenSearch
+cluster behind the reference's sink relies on for backup and
+index-migration (reference deployments snapshot the indexes the
+opensearch sink writes, OpenSearchSink.java:132-141).
+
+Repository layout (content-addressed, incremental — the same idea as
+OpenSearch's segment-granularity incremental snapshots):
+
+    repo/
+      blobs/<md5>-<size>      immutable content-addressed copies
+      snapshots/<name>.json   manifest: relpath -> (blob, size, md5)
+
+Index segments, posting blocks, and versioned artifacts are immutable
+files, so a re-snapshot after incremental appends copies ONLY the new
+segments' files; everything already in `blobs/` is skipped by digest.
+Superseded artifact versions (dirs whose pointer has moved on) are
+excluded, so a snapshot captures exactly the live commit point.
+
+Scale note: this runs driver-side file copies, which is right for the
+metadata-sized artifacts (manifest, stats, dictionary pointer) and for
+the local/test case. On an object store the same manifest scheme maps
+to server-side copies (S3 CopyObject per new blob) — no byte ever
+flows through the driver; the manifest stays a tiny JSON PUT.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from data_prepper_spark.index import layout
+
+
+def _md5(path: str, chunk: int = 1 << 20) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def _live_files(index_dir: str) -> list[str]:
+    """Relpaths of the index's live commit point: every file except
+    artifact versions superseded by their pointer."""
+    live_versions: dict[str, int] = {}
+    for entry in os.listdir(index_dir):
+        if entry.endswith(".ptr"):
+            name = entry[:-4]
+            live_versions[name] = layout.current_version(index_dir, name)
+    out = []
+    for root, _dirs, files in os.walk(index_dir):
+        rel_root = os.path.relpath(root, index_dir)
+        top = rel_root.split(os.sep, 1)[0]
+        if "__v" in top:
+            name, _, v = top.rpartition("__v")
+            if live_versions.get(name) != int(v):
+                continue  # superseded version — not part of the commit
+        for f in files:
+            rel = os.path.normpath(os.path.join(rel_root, f))
+            out.append(rel)
+    return sorted(out)
+
+
+def create_snapshot(index_dir: str, repo_dir: str, name: str) -> dict:
+    """Snapshot the index's live commit point into the repository.
+    Returns {'name', 'files', 'new_blobs', 'bytes'} — `new_blobs`
+    counts files actually copied (incremental re-snapshots copy only
+    what changed)."""
+    blobs = os.path.join(repo_dir, "blobs")
+    snaps = os.path.join(repo_dir, "snapshots")
+    os.makedirs(blobs, exist_ok=True)
+    os.makedirs(snaps, exist_ok=True)
+    man_path = os.path.join(snaps, f"{name}.json")
+    if os.path.exists(man_path):
+        raise FileExistsError(f"snapshot {name!r} already exists")
+    manifest, new_blobs, total = {}, 0, 0
+    for rel in _live_files(index_dir):
+        src = os.path.join(index_dir, rel)
+        size = os.path.getsize(src)
+        digest = _md5(src)
+        blob = f"{digest}-{size}"
+        dst = os.path.join(blobs, blob)
+        if not os.path.exists(dst):
+            tmp = dst + ".tmp"
+            shutil.copyfile(src, tmp)
+            os.rename(tmp, dst)
+            new_blobs += 1
+        manifest[rel] = {"blob": blob, "size": size, "md5": digest}
+        total += size
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "files": manifest}, f, indent=0)
+    os.rename(tmp, man_path)
+    return {"name": name, "files": len(manifest),
+            "new_blobs": new_blobs, "bytes": total}
+
+
+def list_snapshots(repo_dir: str) -> list[dict]:
+    snaps = os.path.join(repo_dir, "snapshots")
+    out = []
+    for f in sorted(os.listdir(snaps)) if os.path.isdir(snaps) else []:
+        if f.endswith(".json"):
+            with open(os.path.join(snaps, f)) as fh:
+                m = json.load(fh)
+            out.append({
+                "name": m["name"],
+                "files": len(m["files"]),
+                "bytes": sum(v["size"] for v in m["files"].values()),
+            })
+    return out
+
+
+def restore_snapshot(repo_dir: str, name: str, target_dir: str) -> dict:
+    """Materialize snapshot `name` into a fresh index directory,
+    verifying every blob's digest (a bit-rotted repository fails loud,
+    never restores silently corrupt postings)."""
+    man_path = os.path.join(repo_dir, "snapshots", f"{name}.json")
+    with open(man_path) as f:
+        manifest = json.load(f)["files"]
+    if os.path.exists(target_dir) and os.listdir(target_dir):
+        raise FileExistsError(f"restore target {target_dir!r} not empty")
+    os.makedirs(target_dir, exist_ok=True)
+    for rel, meta in manifest.items():
+        src = os.path.join(repo_dir, "blobs", meta["blob"])
+        if _md5(src) != meta["md5"]:
+            raise IOError(f"blob {meta['blob']} fails digest check")
+        dst = os.path.join(target_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+    return {"name": name, "files": len(manifest)}
+
+
+def delete_snapshot(repo_dir: str, name: str, gc: bool = True) -> dict:
+    """Drop a snapshot manifest; with gc=True also remove blobs no
+    remaining snapshot references (OpenSearch's snapshot-delete
+    semantics — shared segments survive for the snapshots still
+    holding them)."""
+    man_path = os.path.join(repo_dir, "snapshots", f"{name}.json")
+    os.remove(man_path)
+    removed = 0
+    if gc:
+        keep = set()
+        for s in list_snapshots(repo_dir):
+            with open(os.path.join(repo_dir, "snapshots",
+                                   f"{s['name']}.json")) as f:
+                keep |= {v["blob"] for v in json.load(f)["files"].values()}
+        blob_dir = os.path.join(repo_dir, "blobs")
+        for b in os.listdir(blob_dir):
+            if b not in keep and not b.endswith(".tmp"):
+                os.remove(os.path.join(blob_dir, b))
+                removed += 1
+    return {"deleted": name, "blobs_removed": removed}

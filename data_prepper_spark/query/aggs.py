@@ -1,0 +1,249 @@
+"""The rest of the OpenSearch aggregation family over a query's match
+set — `cardinality`, `range`, `histogram`, `top_hits`, and a nested
+bucket->metric composition (`terms` with a `stats` sub-aggregation).
+Together with query/facets.py (terms, date_histogram, stats,
+percentiles, significant_terms) this covers the aggs a consumer of the
+reference's indexes (docs shipped via the opensearch sink,
+OpenSearchSink.java:132-141) uses daily.
+
+All five ride the same scale-shape as facets.terms_facet:
+
+    per-shard match kernel (term In-filter pushed to the blocks scan)
+      -> distributed (query_id, doc_id) rows, never collected
+      -> column-pruned corpus join on doc_id
+      -> two-phase aggregation whose OUTPUT is bounded (buckets /
+         k-per-bucket / one row per query), regardless of corpus size
+
+so a hot query's match set spreads over every reducer and nothing
+about the corpus lands on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_prepper_spark.query.facets import match_docs
+
+
+def cardinality_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    fields: list[str],
+    approximate: bool = False,
+    rsd: float = 0.05,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `cardinality` aggregation: number of DISTINCT
+    values of each field among a query's matching docs ->
+    (query_id, field, cardinality).
+
+    Two modes, mirroring the API itself (OpenSearch's cardinality agg
+    is HyperLogLog++ and therefore approximate by contract):
+
+    - exact (default): count(DISTINCT field) — oracle-checkable
+      against DuckDB bit-for-bit. Spark runs it as a two-phase
+      expand+agg; per-field distinct sets shuffle, which is fine for
+      facetable fields and wrong for a near-unique field at 100 TB.
+    - approximate=True: `approx_count_distinct` — the SAME HLL++
+      sketch OpenSearch uses, relative error `rsd`, fixed sketch
+      memory per (query, field), mergeable map-side. This is the
+      100 TB path; accuracy is pinned by pytest, not the SQL oracle.
+    """
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(docs.select("doc_id", *fields), "doc_id")
+    fn = (lambda c: F.approx_count_distinct(c, rsd)) if approximate \
+        else F.countDistinct
+    stacked = joined.select(
+        "query_id",
+        F.explode(
+            F.create_map(*[
+                x for f in fields
+                for x in (F.lit(f), F.col(f).cast("string"))
+            ])
+        ).alias("field", "value"),
+    )
+    return stacked.groupBy("query_id", "field").agg(
+        fn("value").alias("cardinality")
+    )
+
+
+def range_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    ranges: list[tuple[float | None, float | None]],
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `range` aggregation -> (query_id, key, count).
+
+    OpenSearch bucket semantics: `from` inclusive, `to` exclusive,
+    either end open (None); buckets may overlap and a doc counts in
+    every bucket it falls in; empty buckets are returned with count 0.
+    Keys follow the API's default `from-to` form with `*` for open
+    ends. One conditional-sum pass produces ALL buckets in a single
+    two-phase agg — no explode, no per-bucket scan."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(docs.select("doc_id", F.col(field).cast("double")
+                                .alias("_v")), "doc_id")
+
+    def key(lo, hi):
+        return (f"{'*' if lo is None else float(lo)}"
+                f"-{'*' if hi is None else float(hi)}")
+
+    aggs = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("_v") >= float(lo))
+        if hi is not None:
+            cond = cond & (F.col("_v") < float(hi))
+        # keys like '*-30.0' contain dots F.col would parse as struct
+        # access, so agg under positional names and explode to keys
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+            .alias(f"_r{i}")
+        )
+    counted = joined.groupBy("query_id").agg(*aggs)
+    return counted.select(
+        "query_id",
+        F.explode(
+            F.create_map(*[
+                x for i, (lo, hi) in enumerate(ranges)
+                for x in (F.lit(key(lo, hi)), F.col(f"_r{i}"))
+            ])
+        ).alias("key", "count"),
+    )
+
+
+def histogram_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    interval: float,
+    min_doc_count: int = 1,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch numeric `histogram` aggregation ->
+    (query_id, bucket, count): fixed-interval buckets keyed by
+    floor(value / interval) * interval, exactly the API's bucket rule.
+    Double math throughout so Spark and DuckDB produce bit-identical
+    bucket keys. Buckets below `min_doc_count` are dropped (API
+    default 0 returns empties only within the seen range — we keep the
+    simpler >=1 default; pass 0 via the caller's own densify if
+    needed). Output is bounded by value-range / interval."""
+    if interval <= 0:
+        raise ValueError("interval must be > 0")
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(docs.select("doc_id", F.col(field).cast("double")
+                                .alias("_v")), "doc_id")
+    bucket = (F.floor(F.col("_v") / F.lit(float(interval)))
+              * F.lit(float(interval))).cast("double")
+    out = joined.groupBy("query_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    if min_doc_count > 0:
+        out = out.filter(F.col("count") >= min_doc_count)
+    return out
+
+
+def top_hits_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    bucket_field: str,
+    sort_col: str,
+    size: int = 3,
+    ascending: bool = False,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `top_hits` sub-aggregation under a `terms`
+    bucket: for each (query, bucket-field value), the `size` best
+    matching docs by a sort attribute ->
+    (query_id, value, rank, doc_id, <sort_col>).
+
+    Top-k per bucket runs TWO-PHASE like facets.sort_topk: a partial
+    top-k per (query, bucket, input-partition) via a
+    spark_partition_id window first — a hot bucket never funnels its
+    whole match set through one reducer — then the exact global merge
+    over the <= size * n_partitions survivors. Ties break on doc_id
+    ascending, so ranks are deterministic and oracle-checkable."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select("doc_id", F.col(bucket_field).cast("string")
+                    .alias("value"), sort_col),
+        "doc_id",
+    )
+    order = [
+        F.asc(sort_col) if ascending else F.desc(sort_col),
+        F.asc("doc_id"),
+    ]
+    w_part = Window.partitionBy("query_id", "value", "_pid").orderBy(*order)
+    survivors = (
+        joined.withColumn("_pid", F.spark_partition_id())
+        .withColumn("r", F.row_number().over(w_part))
+        .filter(F.col("r") <= size)
+        .drop("r", "_pid")
+    )
+    w = Window.partitionBy("query_id", "value").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select("query_id", "value", "rank", "doc_id", sort_col)
+    )
+
+
+def terms_stats_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    bucket_field: str,
+    metric_field: str,
+    size: int = 10,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """Nested aggregation — a `terms` bucket agg with a `stats` metric
+    sub-aggregation (the everyday OpenSearch composition
+    `aggs: {by: {terms: ..., aggs: {m: {stats: ...}}}}`) ->
+    (query_id, value, count, min, max, avg, sum), top `size` buckets
+    per query by (count desc, value asc), the terms-agg order.
+
+    The nesting costs nothing extra at scale: bucket key and metric
+    ride the SAME two-phase agg (partial min/max/sum/count map-side),
+    one shuffle total, output bounded by size * n_queries."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select(
+            "doc_id",
+            F.col(bucket_field).cast("string").alias("value"),
+            F.col(metric_field).cast("double").alias("_m"),
+        ),
+        "doc_id",
+    )
+    agg = joined.groupBy("query_id", "value").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min("_m").alias("min"),
+        F.max("_m").alias("max"),
+        F.avg("_m").alias("avg"),
+        F.sum("_m").alias("sum"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("count"),
+                                               F.asc("value"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= size)
+        .select("query_id", "value", "count", "min", "max", "avg", "sum")
+    )

@@ -107,6 +107,7 @@ def sort_topk(
     sort_col: str,
     ascending: bool = True,
     fields: list[str] | None = None,
+    match: DataFrame | None = None,
 ) -> DataFrame:
     """OpenSearch `sort` parameter: top-k of the MATCH SET ordered by a
     document attribute instead of BM25 (scores are skipped entirely,
@@ -122,7 +123,8 @@ def sort_topk(
     global top-k over the <= k * n_partitions survivors — the same
     shard-then-merge shape OpenSearch uses for sorted search."""
     fields = fields or []
-    m = match_docs(spark, index_dir, queries)
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
     proj = docs.select("doc_id", sort_col, *fields)
     joined = (
         m.join(proj, "doc_id")
@@ -154,11 +156,13 @@ def terms_facet(
     docs: DataFrame,
     fields: list[str],
     size: int = 10,
+    match: DataFrame | None = None,
 ) -> DataFrame:
     """-> (query_id, field, value, count): for each query, the top
     `size` values of each facet field among MATCHING docs, ordered by
     count desc then value asc (OpenSearch terms-agg tie-break)."""
-    m = match_docs(spark, index_dir, queries)
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
     slim = docs.select("doc_id", *fields)
     joined = m.join(slim, "doc_id")
     stacked = joined.select(
@@ -190,6 +194,7 @@ def date_histogram(
     docs: DataFrame,
     ts_col: str,
     unit: str = "hour",
+    match: DataFrame | None = None,
 ) -> DataFrame:
     """-> (query_id, bucket timestamp, count): the OpenSearch
     `date_histogram` agg over a query's match set, with fixed calendar
@@ -197,7 +202,8 @@ def date_histogram(
     terms_facet: kernel match set, column-pruned corpus join, two-phase
     count agg; bucket count is bounded by time range / unit, so the
     final agg output is tiny regardless of corpus size."""
-    m = match_docs(spark, index_dir, queries)
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
     joined = m.join(docs.select("doc_id", ts_col), "doc_id")
     return (
         joined.groupBy(
@@ -213,6 +219,7 @@ def stats_facet(
     queries: DataFrame,
     docs: DataFrame,
     fields: list[str],
+    match: DataFrame | None = None,
 ) -> DataFrame:
     """-> (query_id, field, count, min, max, avg, sum): the OpenSearch
     `stats` aggregation over a query's match set — the third agg of the
@@ -220,7 +227,8 @@ def stats_facet(
     numeric field). Same scale shape as terms_facet: distributed match
     set, column-pruned corpus join, ONE two-phase agg producing a
     bounded (n_queries x n_fields) result regardless of corpus size."""
-    m = match_docs(spark, index_dir, queries)
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
     slim = docs.select("doc_id", *fields)
     joined = m.join(slim, "doc_id")
     stacked = joined.select(
@@ -250,6 +258,7 @@ def percentiles_facet(
     percents: tuple = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
     approximate: bool = False,
     accuracy: int = 10000,
+    match: DataFrame | None = None,
 ) -> DataFrame:
     """The OpenSearch `percentiles` aggregation over a query's match
     set -> (query_id, percent, value), default percents matching the
@@ -267,7 +276,8 @@ def percentiles_facet(
       makes (its percentiles agg is t-digest, i.e. approximate by
       default); rank error bounded by 1/accuracy, mergeable map-side.
     """
-    m = match_docs(spark, index_dir, queries)
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
     joined = m.join(docs.select("doc_id", field), "doc_id")
     plist = ", ".join(f"{p / 100.0!r}" for p in percents)
     fn = (
@@ -299,6 +309,7 @@ def significant_terms(
     docs: DataFrame,
     field: str,
     size: int = 10,
+    match: DataFrame | None = None,
 ) -> DataFrame:
     """The OpenSearch `significant_terms` aggregation: field values
     UNUSUALLY frequent in a query's match set relative to the whole
@@ -320,7 +331,8 @@ def significant_terms(
     on value (broadcast-sized for any facetable field). Nothing about
     the corpus is collected; doubles are IEEE-identical in Spark and
     DuckDB so the score itself is oracle-checkable."""
-    m = match_docs(spark, index_dir, queries)
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
     slim = docs.select("doc_id", F.col(field).cast("string").alias("value"))
     fg = (
         m.join(slim, "doc_id")

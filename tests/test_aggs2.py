@@ -1,0 +1,175 @@
+"""cardinality / range / histogram / top_hits / nested terms+stats
+aggregations (query/aggs.py) — exact semantics vs a pandas oracle over
+the brute-force match set, HLL accuracy, OpenSearch bucket-edge rules."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import aggs
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+N_CONVS = 100
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    pdf = generate_pandas(0, N_CONVS)
+    d = str(tmp_path_factory.mktemp("ag") / "idx")
+    ib.build_index(spark, spark.createDataFrame(pdf), d, n_shards=4,
+                   block_size=16)
+    pdf = pdf.copy()
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    return d, pdf
+
+
+def _match_set(pdf: pd.DataFrame, qtext: str) -> set[int]:
+    terms = set(tokenize(qtext))
+    hit = pdf.text.map(lambda t: bool(terms & set(tokenize(t))))
+    return set(pdf.doc_id[hit])
+
+
+_Q = "query_id string, query_text string"
+
+
+def test_cardinality_exact(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame(
+        [("q1", "error handling"), ("q2", "zzabsent")], _Q
+    )
+    docs = spark.createDataFrame(pdf[["doc_id", "role", "n_chars"]])
+    got = aggs.cardinality_facet(
+        spark, d, q, docs, ["role", "n_chars"]
+    ).toPandas()
+    assert (got.query_id == "q1").all()  # no-match query yields nothing
+    sub = pdf[pdf.doc_id.isin(_match_set(pdf, "error handling"))]
+    g = got.set_index("field")["cardinality"]
+    assert int(g["role"]) == sub.role.nunique()
+    assert int(g["n_chars"]) == sub.n_chars.nunique()
+
+
+def test_cardinality_hll_close(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error timeout retry")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "n_chars"]])
+    exact = int(
+        aggs.cardinality_facet(spark, d, q, docs, ["n_chars"])
+        .toPandas().cardinality.iloc[0]
+    )
+    approx = int(
+        aggs.cardinality_facet(spark, d, q, docs, ["n_chars"],
+                               approximate=True, rsd=0.02)
+        .toPandas().cardinality.iloc[0]
+    )
+    assert abs(approx - exact) <= max(3, 0.1 * exact)
+
+
+def test_range_facet_edges_and_empty_buckets(spark, corpus):
+    """from inclusive, to exclusive, open ends, overlap allowed, empty
+    buckets present with count 0 — the OpenSearch range-agg contract."""
+    d, pdf = corpus
+    sub = pdf[pdf.doc_id.isin(_match_set(pdf, "error"))]
+    lo = float(sub.n_chars.min())
+    q = spark.createDataFrame([("q1", "error")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "n_chars"]])
+    ranges = [(None, lo), (lo, lo + 1), (lo, None), (1e9, None)]
+    got = (
+        aggs.range_facet(spark, d, q, docs, "n_chars", ranges)
+        .toPandas().set_index("key")["count"]
+    )
+    v = sub.n_chars.astype(float)
+    assert int(got[f"*-{lo}"]) == int((v < lo).sum()) == 0
+    assert int(got[f"{lo}-{lo + 1.0}"]) == int(((v >= lo) & (v < lo + 1)).sum())
+    assert int(got[f"{lo}-*"]) == len(v)           # overlapping bucket
+    assert int(got["1000000000.0-*"]) == 0         # empty bucket kept
+
+
+def test_histogram_facet_bucket_rule(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error handling")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "n_chars"]])
+    got = (
+        aggs.histogram_facet(spark, d, q, docs, "n_chars", interval=50.0)
+        .toPandas().set_index("bucket")["count"].sort_index()
+    )
+    sub = pdf[pdf.doc_id.isin(_match_set(pdf, "error handling"))]
+    want = (
+        (np.floor(sub.n_chars.astype(float) / 50.0) * 50.0)
+        .value_counts().sort_index()
+    )
+    assert list(got.index) == list(want.index)
+    assert list(got.values) == list(want.values)
+    with pytest.raises(ValueError):
+        aggs.histogram_facet(spark, d, q, docs, "n_chars", interval=0)
+
+
+def test_top_hits_per_bucket(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame(
+        [("q1", "error timeout"), ("q2", "deploy")], _Q
+    )
+    docs = spark.createDataFrame(pdf[["doc_id", "role", "n_chars"]])
+    got = aggs.top_hits_facet(
+        spark, d, q, docs, "role", "n_chars", size=3
+    ).toPandas()
+    for qid, qtext in [("q1", "error timeout"), ("q2", "deploy")]:
+        sub = pdf[pdf.doc_id.isin(_match_set(pdf, qtext))]
+        for role, rsub in sub.groupby("role"):
+            want = rsub.sort_values(
+                ["n_chars", "doc_id"], ascending=[False, True]
+            ).head(3)
+            g = got[(got.query_id == qid) & (got.value == role)]
+            g = g.sort_values("rank")
+            assert list(g.doc_id) == list(want.doc_id)
+            assert list(g["rank"]) == list(range(1, len(want) + 1))
+            assert list(g.n_chars) == list(want.n_chars)
+
+
+def test_top_hits_ascending(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "role", "n_chars"]])
+    got = aggs.top_hits_facet(
+        spark, d, q, docs, "role", "n_chars", size=2, ascending=True
+    ).toPandas()
+    sub = pdf[pdf.doc_id.isin(_match_set(pdf, "error"))]
+    for role, rsub in sub.groupby("role"):
+        want = rsub.sort_values(["n_chars", "doc_id"]).head(2)
+        g = got[got.value == role].sort_values("rank")
+        assert list(g.doc_id) == list(want.doc_id)
+
+
+def test_terms_stats_nested(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error handling")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "role", "n_chars"]])
+    got = aggs.terms_stats_facet(
+        spark, d, q, docs, "role", "n_chars", size=2
+    ).toPandas()
+    sub = pdf[pdf.doc_id.isin(_match_set(pdf, "error handling"))]
+    want = (
+        sub.groupby("role").n_chars
+        .agg(["count", "min", "max", "mean", "sum"])
+        .sort_values(["count"], ascending=False)
+    )
+    # top-2 buckets by (count desc, value asc)
+    order = sorted(
+        want.itertuples(), key=lambda r: (-r.count, r.Index)
+    )[:2]
+    g = got.sort_values(["count", "value"],
+                        ascending=[False, True]).reset_index(drop=True)
+    assert list(g.value) == [r.Index for r in order]
+    for i, r in enumerate(order):
+        assert int(g.loc[i, "count"]) == int(r.count)
+        assert g.loc[i, "min"] == float(r.min)
+        assert g.loc[i, "max"] == float(r.max)
+        assert abs(g.loc[i, "avg"] - float(r.mean)) < 1e-9
+        assert abs(g.loc[i, "sum"] - float(r.sum)) < 1e-6
