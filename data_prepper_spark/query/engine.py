@@ -35,6 +35,7 @@ from data_prepper_spark.index import layout, tombstones
 from data_prepper_spark.query import wand as wand_mod
 from data_prepper_spark.index.tokenizer import spark_tokenize_sql
 from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE, tokens_col
+from data_prepper_spark.query.exchange import spread_by_shard
 
 _KERNEL_OUT = "query_id string, doc_id long, score double"
 
@@ -300,7 +301,7 @@ def score_topk(
     )
     ub_scale = max(1.0, stats["avgdl"] / stats.get("avgdl_min", stats["avgdl"]))
     tomb = tombstones.load_tombstones(spark, index_dir)
-    per_shard = needed.groupBy("shard").applyInPandas(
+    per_shard = spread_by_shard(needed).groupBy("shard").applyInPandas(
         _shard_kernel(
             stats["avgdl"], stats["n_docs"], algo, ub_scale,
             # the ns pins idf/avgdl/liveDocs inputs: cached partials
@@ -437,7 +438,7 @@ def count_matches(
         .filter(F.col("term").isin(terms))
         .join(F.broadcast(qmap), "term")
     )
-    per_shard = needed.groupBy("shard").applyInPandas(
+    per_shard = spread_by_shard(needed).groupBy("shard").applyInPandas(
         _count_kernel(tomb=tombstones.load_tombstones(spark, index_dir)),
         schema="query_id string, total_hits long",
     )
@@ -751,7 +752,7 @@ def phrase_topk(
         .join(F.broadcast(qmap), "term")
         .join(F.broadcast(dict_slice), "term")
     )
-    per_shard = needed.groupBy("shard").applyInPandas(
+    per_shard = spread_by_shard(needed).groupBy("shard").applyInPandas(
         _phrase_kernel(
             stats["avgdl"], stats["n_docs"],
             tomb=tombstones.load_tombstones(spark, index_dir),
@@ -1089,7 +1090,7 @@ def bool_topk(
         .join(F.broadcast(qmap), "term")
         .join(F.broadcast(dict_slice), "term")
     )
-    per_shard = needed.groupBy("shard").applyInPandas(
+    per_shard = spread_by_shard(needed).groupBy("shard").applyInPandas(
         _bool_kernel(
             stats["avgdl"], stats["n_docs"],
             tomb=tombstones.load_tombstones(spark, index_dir),
@@ -1325,8 +1326,8 @@ def filtered_topk(
     )
     tomb = tombstones.load_tombstones(spark, index_dir)
     per_shard = (
-        needed.groupBy("shard")
-        .cogroup(allowed.groupBy("shard"))
+        spread_by_shard(needed).groupBy("shard")
+        .cogroup(spread_by_shard(allowed).groupBy("shard"))
         .applyInPandas(
             _filtered_kernel(stats["avgdl"], stats["n_docs"], tomb=tomb),
             schema=_KERNEL_OUT,
@@ -1499,8 +1500,8 @@ def function_score_topk(
     )
     tomb = tombstones.load_tombstones(spark, index_dir)
     per_shard = (
-        needed.groupBy("shard")
-        .cogroup(allowed.groupBy("shard"))
+        spread_by_shard(needed).groupBy("shard")
+        .cogroup(spread_by_shard(allowed).groupBy("shard"))
         .applyInPandas(
             _function_score_kernel(
                 stats["avgdl"], stats["n_docs"], boost_mode, tomb=tomb,

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from data_prepper_spark.index import layout, tombstones
 from data_prepper_spark.query import engine
 from data_prepper_spark.query.bm25_df import B, K1
+from data_prepper_spark.query.exchange import spread_by_shard
 
 _OUT = (
     "query_id string, doc_id long, term string, tf int, dl int, df long, "
@@ -129,7 +130,7 @@ def explain_hits(
         .join(F.broadcast(dict_slice), "term")
     )
     tomb = tombstones.load_tombstones(spark, index_dir)
-    out = needed.groupBy("shard").applyInPandas(
+    out = spread_by_shard(needed).groupBy("shard").applyInPandas(
         _explain_kernel(stats["avgdl"], stats["n_docs"], tomb), schema=_OUT
     )
     return out.orderBy("query_id", "doc_id", "term")

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from data_prepper_spark.index import layout, tombstones
 from data_prepper_spark.query.bm25_df import tokens_col
 from data_prepper_spark.query.engine import _decode_term_runs, load_stats
+from data_prepper_spark.query.exchange import spread_by_shard
 
 _MATCH_OUT = "query_id string, doc_id long"
 
@@ -94,7 +95,7 @@ def match_docs(
         .join(F.broadcast(qmap), "term")
     )
     tomb = tombstones.load_tombstones(spark, index_dir)
-    return needed.groupBy("shard").applyInPandas(
+    return spread_by_shard(needed).groupBy("shard").applyInPandas(
         _match_kernel(tomb=tomb), schema=_MATCH_OUT
     )
 

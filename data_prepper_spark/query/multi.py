@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from data_prepper_spark.index import layout, tombstones
 from data_prepper_spark.query.bm25_df import tokens_col
 from data_prepper_spark.query.engine import _KERNEL_OUT, _shard_kernel, load_stats
+from data_prepper_spark.query.exchange import spread_by_shard
 
 __all__ = ["multi_index_topk"]
 
@@ -120,7 +121,7 @@ def multi_index_topk(
         )
         # one kernel pass per member index: shard keys stay per-index
         # (same exchange class as score_topk), union stats injected
-        res = needed.groupBy("shard").applyInPandas(
+        res = spread_by_shard(needed).groupBy("shard").applyInPandas(
             _shard_kernel(
                 avgdl, n_docs, algo, ub_scale,
                 cache_ns=(os.path.abspath(d), "multi", n_docs,

@@ -46,6 +46,7 @@ from data_prepper_spark.index import layout, tombstones
 from data_prepper_spark.query import wand as wand_mod
 from data_prepper_spark.query.bm25_df import tokens_col
 from data_prepper_spark.query.engine import _KERNEL_OUT, _NsCache, load_stats
+from data_prepper_spark.query.exchange import spread_by_shard
 
 __all__ = ["build_fields_index", "multi_match_topk", "parse_field_specs"]
 
@@ -354,7 +355,7 @@ def multi_match_topk(
         )
         needed = nf if needed is None else needed.unionByName(nf)
 
-    per_shard = needed.groupBy("shard").applyInPandas(
+    per_shard = spread_by_shard(needed).groupBy("shard").applyInPandas(
         _mm_kernel(field_conf, mm_type, float(tie_breaker), blend=blend),
         schema=_KERNEL_OUT,
     )
