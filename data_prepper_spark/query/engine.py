@@ -33,8 +33,8 @@ from pyspark.sql import functions as F
 
 from data_prepper_spark.index import layout, tombstones
 from data_prepper_spark.query import wand as wand_mod
-from data_prepper_spark.index.tokenizer import spark_tokenize_sql
-from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE, tokens_col
+from data_prepper_spark.query import prep
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
 from data_prepper_spark.query.exchange import spread_by_shard
 
 _KERNEL_OUT = "query_id string, doc_id long, score double"
@@ -182,39 +182,11 @@ def _shard_kernel(
     return run
 
 
-def parse_query_terms(
-    queries: DataFrame, mode: str, carry: list[str] | None = None
-) -> DataFrame:
-    """query_text -> one row per (query_id, term) with its boost.
-
-    Query-time boosts ("error^2 timeout"): each whitespace unit may
-    carry a ^boost suffix applying to every term the unit tokenizes
-    to; plain text parses to boost 1.0 everywhere (identical plan and
-    cache behavior to the pre-boost engine). Duplicate terms keep the
-    max boost (array_distinct dedup semantics, oracle-matched).
-    ``carry`` columns pass through the explode/groupBy unchanged."""
-    carry = carry or []
-    unit = F.explode(F.split("query_text", r"\s+")).alias("unit")
-    units = queries.select("query_id", *carry, unit)
-    units = units.select(
-        "query_id", *carry,
-        F.coalesce(
-            F.nullif(
-                F.regexp_extract("unit", r"\^([0-9]+(?:\.[0-9]+)?)$", 1),
-                F.lit(""),
-            ).cast("double"),
-            F.lit(1.0),
-        ).alias("boost"),
-        F.explode(
-            F.array_distinct(
-                F.expr(spark_tokenize_sql(
-                    r"regexp_replace(unit, '\\^[0-9.]+$', '')", mode))
-            )
-        ).alias("term"),
-    )
-    return units.groupBy("query_id", *carry, "term").agg(
-        F.max("boost").alias("boost")
-    )
+# Query prep (tokenize + per-term query map) is DRIVER-SIDE Python —
+# query/prep.py. The round-3 tokenize-in-SQL prep cost 3-4 driver-
+# blocking jobs per call (profiled: ~80% of bool_topk latency at
+# sf0.01); its expressions live on as the semantic pin in
+# tests/test_prep_equivalence.py.
 
 
 def score_topk(
@@ -253,23 +225,16 @@ def score_topk(
               F.lit(None).cast("long").alias("after_doc")]
     )
     queries = queries.select("query_id", "query_text", "k", *cursor_cols)
-    qterms = parse_query_terms(
-        queries, mode, carry=["k", "after_score", "after_doc"]
-    )
     # one row per term carrying its interested queries — block rows are
-    # NOT replicated per query through the shuffle
-    qmap = qterms.groupBy("term").agg(
-        F.collect_list(
-            F.struct("query_id", "k", "after_score", "after_doc", "boost")
-        ).alias("queries")
-    )
-    # The distinct query-term set is tiny and driver-known (the queries
-    # ARE a driver-side input), so materialize it and push an In-filter
-    # into BOTH parquet scans: a broadcast join alone would decompress
-    # every block row of every term before filtering, while
-    # `term IN (...)` reaches the scan (PushedFilters) and prunes row
-    # groups via the per-shard term sort order.
-    terms = [r["term"] for r in qmap.select("term").collect()]
+    # NOT replicated per query through the shuffle. The distinct
+    # query-term set is tiny and driver-known (the queries ARE a
+    # driver-side input), so the qmap builds in Python and the term set
+    # pushes as an In-filter into BOTH parquet scans: a broadcast join
+    # alone would decompress every block row of every term before
+    # filtering, while `term IN (...)` reaches the scan (PushedFilters)
+    # and prunes row groups via the per-shard term sort order.
+    per_term = prep.score_entries(prep.collect_rows(queries), mode)
+    terms = sorted(per_term)
     blocks_path = layout.resolve(index_dir, "blocks")
     local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
     if not terms or local_missing:
@@ -282,6 +247,7 @@ def score_topk(
             + ("conv long, " if collapse else "")
             + "doc_id long, score double",
         )
+    qmap = prep.qmap_df(spark, per_term, prep.SCORE_FIELDS)
     dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
     dict_slice = dictionary.filter(F.col("term").isin(terms))
     blocks = spark.read.parquet(blocks_path)
@@ -415,14 +381,10 @@ def count_matches(
     queries zero-fill via the left join."""
     stats = load_stats(index_dir)
     mode = stats.get("tokenizer", "ascii")
-    qterms = queries.select(
-        "query_id",
-        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
+    per_term = prep.count_entries(
+        prep.collect_rows(queries, "query_id", "query_text"), mode
     )
-    qmap = qterms.groupBy("term").agg(
-        F.collect_list(F.struct("query_id")).alias("queries")
-    )
-    terms = [r["term"] for r in qmap.select("term").collect()]
+    terms = sorted(per_term)
     blocks_path = layout.resolve(index_dir, "blocks")
     local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
     base = queries.select("query_id").distinct()
@@ -430,6 +392,7 @@ def count_matches(
         return base.select(
             "query_id", F.lit(0).cast("long").alias("total_hits")
         )
+    qmap = prep.qmap_df(spark, per_term, prep.COUNT_FIELDS)
     blocks = spark.read.parquet(blocks_path)
     if "seg" not in blocks.columns:
         blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
@@ -710,36 +673,15 @@ def phrase_topk(
             "(store_positions=False) — cannot serve match_phrase"
         )
     mode = stats.get("tokenizer", "ascii")
-    slop_col = (
-        F.coalesce(F.col("slop"), F.lit(0)).cast("int")
-        if "slop" in queries.columns else F.lit(0)
-    )
-    qterms = queries.select(
-        "query_id",
-        "k",
-        slop_col.alias("slop"),
-        F.posexplode(tokens_col("query_text", mode)).alias("ord", "term"),
-    )
-    qcnt = qterms.groupBy("query_id").agg(
-        F.countDistinct("term").alias("n_terms")
-    )
-    per_tq = (
-        qterms.join(qcnt, "query_id")
-        .groupBy("term", "query_id", "k", "n_terms", "slop")
-        .agg(F.sort_array(F.collect_list("ord")).alias("offsets"))
-    )
-    qmap = per_tq.groupBy("term").agg(
-        F.collect_list(
-            F.struct("query_id", "k", "n_terms", "slop", "offsets")
-        ).alias("queries")
-    )
-    terms = [r["term"] for r in qmap.select("term").collect()]
+    per_term = prep.phrase_entries(prep.collect_rows(queries), mode)
+    terms = sorted(per_term)
     blocks_path = layout.resolve(index_dir, "blocks")
     local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
     if not terms or local_missing:
         return spark.createDataFrame(
             [], "query_id string, rank long, doc_id long, score double"
         )
+    qmap = prep.qmap_df(spark, per_term, prep.PHRASE_FIELDS)
     dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
     dict_slice = dictionary.filter(F.col("term").isin(terms))
     blocks = spark.read.parquet(blocks_path)
@@ -990,92 +932,20 @@ def bool_topk(
     over per-shard winners."""
     stats = load_stats(index_dir)
     mode = stats.get("tokenizer", "ascii")
-    parts = []
-    for role, col in (("must", "must"), ("should", "should"),
-                      ("must_not", "must_not")):
-        parts.append(
-            queries.select(
-                "query_id", "k",
-                F.col("minimum_should_match").alias("msm_raw"),
-                F.explode(F.array_distinct(tokens_col(col, mode))).alias("term"),
-            ).withColumn("role", F.lit(role))
-        )
-    if "must_groups" in queries.columns:
-        # conjunctive OR-groups: 'a b | c d' = (a OR b) AND (c OR d)
-        # (Lucene nested bool / the synonym-expansion shape); each group
-        # becomes role 'group<i>' — doc must hold >=1 term of each
-        grp = (
-            queries.select(
-                "query_id", "k",
-                F.col("minimum_should_match").alias("msm_raw"),
-                F.posexplode(
-                    F.split(F.coalesce(F.col("must_groups"), F.lit("")), r"\|")
-                ).alias("gidx", "gtext"),
-            )
-            .filter(F.trim("gtext") != "")
-            .select(
-                "query_id", "k", "msm_raw",
-                F.explode(F.array_distinct(
-                    tokens_col("gtext", mode))).alias("term"),
-                F.concat(F.lit("group"), F.col("gidx").cast("string"))
-                .alias("role"),
-            )
-        )
-        parts.append(grp.select(*parts[0].columns))
-    qterms = parts[0]
-    for p in parts[1:]:
-        qterms = qterms.unionByName(p)
-    counts = qterms.groupBy("query_id").agg(
-        F.countDistinct(F.when(F.col("role") == "must", F.col("term")))
-        .alias("n_must"),
-        F.countDistinct(F.when(F.col("role") == "should", F.col("term")))
-        .alias("n_should"),
-        F.countDistinct(F.when(F.col("role").startswith("group"),
-                               F.col("role"))).alias("n_groups"),
-    )
-    # minimum_should_match may be an int OR an OpenSearch spec string
-    # ('-2', '75%', '-25%', '3<90%' chains). Resolution needs n_should
-    # per query, so resolve DRIVER-side via the faithful Lucene
-    # algorithm (bool queries are driver-literal in every caller; the
-    # collect is n_queries rows) and broadcast the effective value
-    # back. Absent/zero specs keep the OpenSearch default: 1 when the
-    # query is should-only, else 0 (a should-only resolved-0 spec also
-    # falls back to 1 — match-set-identical, since candidates hold >=1
-    # term by construction).
-    specs = {
-        r["query_id"]: r["spec"]
-        for r in queries.select(
-            "query_id",
-            F.col("minimum_should_match").cast("string").alias("spec"),
-        ).collect()
-    }
-    eff = []
-    for r in counts.collect():
-        e = calculate_min_should_match(
-            int(r["n_should"]), specs.get(r["query_id"])
-        )
-        if e <= 0:
-            e = 1 if (r["n_must"] == 0 and r["n_should"] > 0) else 0
-        eff.append((r["query_id"], e))
-    msm_df = spark.createDataFrame(eff, "query_id string, msm int")
-    qterms = (
-        qterms.join(counts, "query_id").join(F.broadcast(msm_df), "query_id")
-    )
-    per_tq = qterms.groupBy(
-        "term", "query_id", "k", "msm", "n_must", "n_groups"
-    ).agg(F.collect_set("role").alias("roles"))
-    qmap = per_tq.groupBy("term").agg(
-        F.collect_list(
-            F.struct("query_id", "k", "msm", "n_must", "n_groups", "roles")
-        ).alias("queries")
-    )
-    terms = [r["term"] for r in qmap.select("term").collect()]
+    # clause tokenize + role/arity bookkeeping + minimum_should_match
+    # spec resolution (Lucene calculateMinShouldMatch) all run driver-
+    # side — bool queries are driver-literal in every caller, and the
+    # retired SQL prep here cost THREE blocking jobs per call
+    # (prep.bool_entries; conjunctive OR-groups ride `must_groups`)
+    per_term = prep.bool_entries(prep.collect_rows(queries), mode)
+    terms = sorted(per_term)
     blocks_path = layout.resolve(index_dir, "blocks")
     local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
     if not terms or local_missing:
         return spark.createDataFrame(
             [], "query_id string, rank long, doc_id long, score double"
         )
+    qmap = prep.qmap_df(spark, per_term, prep.BOOL_FIELDS)
     dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
     dict_slice = dictionary.filter(F.col("term").isin(terms))
     blocks = spark.read.parquet(blocks_path)
@@ -1293,20 +1163,15 @@ def filtered_topk(
     mode = stats.get("tokenizer", "ascii")
     n_shards = int(stats["n_shards"])
     queries = queries.select("query_id", "query_text", "k")
-    qterms = queries.select(
-        "query_id", "k",
-        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
-    )
-    qmap = qterms.groupBy("term").agg(
-        F.collect_list(F.struct("query_id", "k")).alias("queries")
-    )
-    terms = [r["term"] for r in qmap.select("term").collect()]
+    per_term = prep.simple_entries(prep.collect_rows(queries), mode)
+    terms = sorted(per_term)
     blocks_path = layout.resolve(index_dir, "blocks")
     local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
     if not terms or local_missing:
         return spark.createDataFrame(
             [], "query_id string, rank long, doc_id long, score double"
         )
+    qmap = prep.qmap_df(spark, per_term, prep.SIMPLE_FIELDS)
     allowed = sharded_docs(
         spark, index_dir, docs.filter(F.expr(filter_expr)), stats
     )
@@ -1460,20 +1325,15 @@ def function_score_topk(
     stats = load_stats(index_dir)
     mode = stats.get("tokenizer", "ascii")
     queries = queries.select("query_id", "query_text", "k")
-    qterms = queries.select(
-        "query_id", "k",
-        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
-    )
-    qmap = qterms.groupBy("term").agg(
-        F.collect_list(F.struct("query_id", "k")).alias("queries")
-    )
-    terms = [r["term"] for r in qmap.select("term").collect()]
+    per_term = prep.simple_entries(prep.collect_rows(queries), mode)
+    terms = sorted(per_term)
     blocks_path = layout.resolve(index_dir, "blocks")
     local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
     if not terms or local_missing:
         return spark.createDataFrame(
             [], "query_id string, rank long, doc_id long, score double"
         )
+    qmap = prep.qmap_df(spark, per_term, prep.SIMPLE_FIELDS)
     src = docs.filter(F.expr(filter_expr)) if filter_expr else docs
     # `missing` (OpenSearch field_value_factor's missing param): a null
     # factor — null attribute, null-propagating expression — would

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_prepper_spark.index import layout, tombstones
-from data_prepper_spark.query import engine
+from data_prepper_spark.query import engine, prep
 from data_prepper_spark.query.bm25_df import B, K1
 from data_prepper_spark.query.exchange import spread_by_shard
 
@@ -97,24 +97,23 @@ def explain_hits(
     targets: dict[str, list[int]] = {}
     for r in pairs:
         targets.setdefault(r["query_id"], []).append(int(r["doc_id"]))
-    qterms = engine.parse_query_terms(
-        queries.filter(F.col("query_id").isin(list(targets) or ["-"])), mode
-    )
-    tgt_df = spark.createDataFrame(
-        [(q, sorted(ds)) for q, ds in targets.items()],
-        "query_id string, targets array<long>",
-    )
-    qmap = (
-        qterms.join(tgt_df, "query_id")
-        .groupBy("term")
-        .agg(F.collect_list(F.struct("query_id", "boost", "targets")).alias("queries"))
-    )
-    terms = [r["term"] for r in qmap.select("term").collect()]
+    per_term: dict[str, list[tuple]] = {}
+    for q in prep.collect_rows(queries, "query_id", "query_text"):
+        if q["query_id"] not in targets:
+            continue
+        tgt = sorted(targets[q["query_id"]])
+        for t, b in prep.boosted_terms(q["query_text"], mode).items():
+            per_term.setdefault(t, []).append((q["query_id"], b, tgt))
+    terms = sorted(per_term)
     blocks_path = layout.resolve(index_dir, "blocks")
     if not terms or not targets or (
         "://" not in index_dir and not os.path.exists(blocks_path)
     ):
         return spark.createDataFrame([], _OUT)
+    qmap = prep.qmap_df(
+        spark, per_term,
+        "query_id:string,boost:double,targets:array<bigint>",
+    )
     dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
     dict_slice = dictionary.filter(F.col("term").isin(terms))
     blocks = spark.read.parquet(blocks_path)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_prepper_spark.index import layout, tombstones
-from data_prepper_spark.query.bm25_df import tokens_col
+from data_prepper_spark.query import prep
 from data_prepper_spark.query.engine import _decode_term_runs, load_stats
 from data_prepper_spark.query.exchange import spread_by_shard
 
@@ -71,18 +71,15 @@ def match_docs(
     parquet scans, one kernel exchange, positions column never read."""
     stats = load_stats(index_dir)
     mode = stats.get("tokenizer", "ascii")
-    qterms = queries.select(
-        "query_id",
-        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
+    per_term = prep.count_entries(
+        prep.collect_rows(queries, "query_id", "query_text"), mode
     )
-    qmap = qterms.groupBy("term").agg(
-        F.collect_list(F.struct("query_id")).alias("queries")
-    )
-    terms = [r["term"] for r in qmap.select("term").collect()]
+    terms = sorted(per_term)
     blocks_path = layout.resolve(index_dir, "blocks")
     local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
     if not terms or local_missing:
         return spark.createDataFrame([], _MATCH_OUT)
+    qmap = prep.qmap_df(spark, per_term, prep.COUNT_FIELDS)
     blocks = spark.read.parquet(blocks_path)
     if "seg" not in blocks.columns:
         blocks = blocks.withColumn("seg", F.lit(0).cast("long"))

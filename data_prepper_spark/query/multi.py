@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_prepper_spark.index import layout, tombstones
-from data_prepper_spark.query.bm25_df import tokens_col
+from data_prepper_spark.query import prep
 from data_prepper_spark.query.engine import _KERNEL_OUT, _shard_kernel, load_stats
 from data_prepper_spark.query.exchange import spread_by_shard
 
@@ -64,25 +64,18 @@ def multi_index_topk(
         if n_docs else 0.0
     )
 
-    queries = queries.select(
-        "query_id", "query_text", "k",
-        F.lit(None).cast("double").alias("after_score"),
-        F.lit(None).cast("long").alias("after_doc"),
+    # driver-side prep (query/prep.py) — score_entries, so query-time
+    # term boosts ('error^2') work identically on alias search
+    per_term = prep.score_entries(
+        prep.collect_rows(queries.select("query_id", "query_text", "k")),
+        mode,
     )
-    qterms = queries.select(
-        "query_id", "k", "after_score", "after_doc",
-        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
-    )
-    qmap = qterms.groupBy("term").agg(
-        F.collect_list(
-            F.struct("query_id", "k", "after_score", "after_doc")
-        ).alias("queries")
-    )
-    terms = [r["term"] for r in qmap.select("term").collect()]
+    terms = sorted(per_term)
     if not terms:
         return spark.createDataFrame(
             [], "query_id string, rank long, index int, doc_id long, score double"
         )
+    qmap = prep.qmap_df(spark, per_term, prep.SCORE_FIELDS)
 
     # union df across member dictionaries (driver-known term set -> the
     # slices are tiny; re-aggregated df feeds the kernel's idf)

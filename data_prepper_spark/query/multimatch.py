@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from data_prepper_spark.index import layout, tombstones
 from data_prepper_spark.query import wand as wand_mod
-from data_prepper_spark.query.bm25_df import tokens_col
+from data_prepper_spark.query import prep
 from data_prepper_spark.query.engine import _KERNEL_OUT, _NsCache, load_stats
 from data_prepper_spark.query.exchange import spread_by_shard
 
@@ -298,18 +298,13 @@ def multi_match_topk(
             f"fields {unknown} not in index (has {manifest['fields']})"
         )
     queries = queries.select("query_id", "query_text", "k")
-    qterms = queries.select(
-        "query_id", "k",
-        F.explode(F.array_distinct(tokens_col("query_text", mode))).alias("term"),
-    )
-    qmap = qterms.groupBy("term").agg(
-        F.collect_list(F.struct("query_id", "k")).alias("queries")
-    )
-    terms = [r["term"] for r in qmap.select("term").collect()]
+    per_term = prep.simple_entries(prep.collect_rows(queries), mode)
+    terms = sorted(per_term)
     if not terms:
         return spark.createDataFrame(
             [], "query_id string, rank long, doc_id long, score double"
         )
+    qmap = prep.qmap_df(spark, per_term, prep.SIMPLE_FIELDS)
 
     field_conf: dict[str, dict] = {}
     blend: dict[str, tuple] = {}
