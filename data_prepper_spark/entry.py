@@ -287,6 +287,15 @@ FILTERED_QUERIES = [
      "source IN ('src1', 'src2', 'src3')"),
 ]
 
+# boosting queries consolidated into the same slot (OpenSearch
+# `boosting: {positive, negative, negative_boost}` — docs matching the
+# negative clause are DEMOTED by the factor, not excluded).
+# (query_id, positive, negative, negative_boost)
+BOOSTING_QUERIES = [
+    ("x1", "slow query", "scan", 0.3),
+    ("x2", "table index", "slow error", 0.5),
+]
+
 
 def q_bool_topk(spark, sf_dir):
     """bool-query top-k over the compressed index: must AND / should OR
@@ -296,7 +305,10 @@ def q_bool_topk(spark, sf_dir):
     everyday `bool: {must, filter}` shape every consumer of the
     reference's indexes runs, OpenSearchSink.java:132-141). Filtered
     candidates flow corpus-scan (pushed filter) -> shard-keyed cogroup
-    with the posting blocks — never collect()ed or broadcast."""
+    with the posting blocks — never collect()ed or broadcast. PLUS
+    boosting queries (x1/x2: OpenSearch `boosting` — negative-clause
+    docs demoted by negative_boost in the shard kernel before the
+    heap, never excluded)."""
     d = _built_index(spark, sf_dir)
     qdf = spark.createDataFrame(
         [(q, m, s, n, msm, BM25_K * 2) for q, m, s, n, msm in BOOL_QUERIES],
@@ -311,6 +323,12 @@ def q_bool_topk(spark, sf_dir):
             "query_id string, query_text string, k int",
         )
         out = out.unionByName(engine.filtered_topk(spark, d, fq, docs, filt))
+    bq = spark.createDataFrame(
+        [(q, p, n, nb, BM25_K * 2) for q, p, n, nb in BOOSTING_QUERIES],
+        "query_id string, positive string, negative string, "
+        "negative_boost double, k int",
+    )
+    out = out.unionByName(engine.boosting_topk(spark, d, bq))
     return _rounded_rank(out)
 
 
@@ -322,6 +340,9 @@ def _bool_oracle_sql() -> str:
     toks = D_TOKS.format(c="text")
     fvals = ", ".join(
         f"('{q}', '{t}')" for q, t, _, _ in FILTERED_QUERIES
+    )
+    bvals = ", ".join(
+        f"('{q}', '{p}', '{n}', {nb})" for q, p, n, nb in BOOSTING_QUERIES
     )
     fqtoks = D_TOKS.format(c="query_text")
     fallowed = "\n  UNION ALL\n  ".join(
@@ -417,8 +438,44 @@ franked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 4) DESC, doc_id) AS rank
   FROM fscored
+  QUALIFY rank <= {BM25_K}),
+-- boosting queries (x*): positive match BM25-scored, docs also holding
+-- any negative term demoted by negative_boost (never excluded)
+bqueries(query_id, positive, negative, nb) AS (VALUES {bvals}),
+bpt AS (SELECT query_id,
+               unnest(list_distinct(string_split(positive, ' '))) AS term
+        FROM bqueries),
+bnt AS (SELECT query_id,
+               unnest(list_distinct(string_split(negative, ' '))) AS term
+        FROM bqueries),
+bscored AS (
+  SELECT bpt.query_id, tf.doc_id,
+         SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM bpt
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2),
+bneg AS (SELECT DISTINCT bnt.query_id, tf.doc_id
+         FROM bnt JOIN tf USING (term)),
+branked AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score * CASE WHEN n.doc_id IS NOT NULL THEN q.nb
+                              ELSE 1 END, 4) AS score_r,
+         row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY round(s.score * CASE WHEN n.doc_id IS NOT NULL
+                                           THEN q.nb ELSE 1 END, 4) DESC,
+                      s.doc_id) AS rank
+  FROM bscored s
+  JOIN bqueries q ON q.query_id = s.query_id
+  LEFT JOIN bneg n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
   QUALIFY rank <= {BM25_K})
 SELECT * FROM ranked UNION ALL SELECT * FROM franked
+UNION ALL SELECT * FROM branked
 """
 
 

@@ -740,13 +740,15 @@ def _bool_kernel(avgdl: float, n_docs: int, tomb=None):
             idfs[term] = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
             groups[term] = tg.sort_values(["seg", "block_ord"])
             for q in tg["queries"].iloc[0]:
+                nb = q.get("neg_boost") if hasattr(q, "get") else None
                 ent = queries.setdefault(
                     q["query_id"],
                     {"k": int(q["k"]), "msm": int(q["msm"]),
                      "n_must": int(q["n_must"]),
                      "n_groups": int(q["n_groups"]) if "n_groups" in q else 0,
+                     "neg_boost": (float(nb) if nb is not None else None),
                      "must": set(), "should": set(), "must_not": set(),
-                     "groups": {}},
+                     "negative": set(), "groups": {}},
                 )
                 for role in q["roles"]:
                     if role.startswith("group"):
@@ -865,6 +867,27 @@ def _bool_kernel(avgdl: float, n_docs: int, tomb=None):
                     d["tfs"][di], d["dls"][di], avgdl
                 )
                 scores += np.where(has, part, 0.0)
+            # boosting-query demotion (OpenSearch `boosting`): docs
+            # holding any negative term keep matching but their FINAL
+            # score is scaled by negative_boost BEFORE the shard heap —
+            # per-shard top-k stays exact because the final score is
+            # known shard-locally. Negative postings decode pruned to
+            # the candidate set (a hot negative term never fully
+            # decodes).
+            if ent["negative"] and ent["neg_boost"] is not None:
+                demote = np.zeros(len(cand), dtype=bool)
+                for t in sorted(ent["negative"],
+                                key=lambda t: (dfs[t], t)):
+                    r = decoded.get(t)
+                    if r is None:
+                        r = _runs(t, cand)
+                    if r is None or not len(r["docs"]):
+                        continue
+                    ni = np.clip(np.searchsorted(r["docs"], cand), 0,
+                                 len(r["docs"]) - 1)
+                    demote |= r["docs"][ni] == cand
+                scores = np.where(demote, scores * ent["neg_boost"],
+                                  scores)
             k = ent["k"]
             if len(cand) > k:
                 kth = np.partition(scores, len(scores) - k)[len(scores) - k]
@@ -974,6 +997,36 @@ def bool_topk(
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def boosting_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+) -> DataFrame:
+    """OpenSearch `boosting` query: queries(query_id, positive,
+    negative, negative_boost, k) -> (query_id, rank, doc_id, score).
+
+    Docs matching the positive clause rank by BM25; those ALSO holding
+    any negative term stay in the result but have their score
+    multiplied by negative_boost (0 <= nb < 1) — demotion, not
+    exclusion (the must_not contrast). The reference's deployments use
+    this to bury, e.g., auto-generated turns without hiding them.
+
+    Thin rewrite into the bool machinery: positive = should clause
+    (match semantics, msm 1), negative = the demotion clause the bool
+    kernel applies before its shard-local heap — exact global top-k."""
+    bq = queries.select(
+        "query_id",
+        F.lit("").alias("must"),
+        F.col("positive").alias("should"),
+        F.lit("").alias("must_not"),
+        F.lit(0).alias("minimum_should_match"),
+        "k",
+        F.col("negative"),
+        F.col("negative_boost"),
+    )
+    return bool_topk(spark, index_dir, bq)
 
 
 # ------------------------------------------------------------ filter context

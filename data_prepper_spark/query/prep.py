@@ -158,12 +158,12 @@ def phrase_entries(rows: Iterable[dict], mode: str) -> dict[str, list[tuple]]:
 
 BOOL_FIELDS = (
     "query_id:string,k:bigint,msm:int,n_must:bigint,n_groups:bigint,"
-    "roles:array<string>"
+    "roles:array<string>,neg_boost:double"
 )
 
 
 def bool_entries(rows: Iterable[dict], mode: str) -> dict[str, list[tuple]]:
-    """bool_topk: (query_id, k, msm, n_must, n_groups, roles).
+    """bool_topk: (query_id, k, msm, n_must, n_groups, roles, neg_boost).
 
     minimum_should_match may be an int or an OpenSearch spec string
     ('-2', '75%', '3<90%' chains) — resolved with the faithful Lucene
@@ -172,7 +172,14 @@ def bool_entries(rows: Iterable[dict], mode: str) -> dict[str, list[tuple]]:
     0). Conjunctive OR-groups ride the optional `must_groups` column
     ('a b | c d'); each non-empty group becomes role 'group<i>' with
     i = the group's ORIGINAL index in the split (the SQL posexplode
-    numbering, which kept empties in the count)."""
+    numbering, which kept empties in the count).
+
+    Boosting-query demotion (OpenSearch `boosting: {positive, negative,
+    negative_boost}`) rides the optional `negative` clause column:
+    matching docs that also hold ANY negative term keep matching but
+    have their final score multiplied by `negative_boost` (default 0.5;
+    the OpenSearch param is mandatory, 0 <= nb < 1). Negative terms
+    contribute no score and never exclude (unlike must_not)."""
     from data_prepper_spark.query.engine import calculate_min_should_match
 
     per_term: dict[str, list[tuple]] = {}
@@ -180,11 +187,15 @@ def bool_entries(rows: Iterable[dict], mode: str) -> dict[str, list[tuple]]:
         qid, k = r["query_id"], int(r["k"])
         roles_by_term: dict[str, set] = {}
         clause_terms: dict[str, list[str]] = {}
-        for role in ("must", "should", "must_not"):
+        for role in ("must", "should", "must_not", "negative"):
             ts = list(dict.fromkeys(tokenize(r.get(role) or "", mode=mode)))
             clause_terms[role] = ts
             for t in ts:
                 roles_by_term.setdefault(t, set()).add(role)
+        neg_boost = None
+        if clause_terms["negative"]:
+            nb = r.get("negative_boost")
+            neg_boost = float(nb) if nb is not None else 0.5
         n_groups = 0
         if "must_groups" in r:
             for gidx, gtext in enumerate(
@@ -207,6 +218,6 @@ def bool_entries(rows: Iterable[dict], mode: str) -> dict[str, list[tuple]]:
             eff = 1 if (n_must == 0 and n_should > 0) else 0
         for t, roles in roles_by_term.items():
             per_term.setdefault(t, []).append(
-                (qid, k, eff, n_must, n_groups, sorted(roles))
+                (qid, k, eff, n_must, n_groups, sorted(roles), neg_boost)
             )
     return per_term

@@ -1,0 +1,121 @@
+"""OpenSearch `boosting` query: positive match demoted (not excluded)
+by negative_boost when the doc also matches the negative clause —
+verified against a brute-force pandas scorer sharing the oracle BM25
+math. The reference serves this through OpenSearch over the docs its
+sink ships (OpenSearchSink.java:132-141)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+
+@pytest.fixture(scope="module")
+def corpus_and_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("boost_idx"))
+    pdf = generate_pandas(0, 400)
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    sdf = spark.createDataFrame(pdf[["doc_id", "text"]])
+    ib.build_index(spark, sdf, d, n_shards=4, block_size=64, assign_ids=False)
+    return pdf, d
+
+
+def _brute_boosting(pdf, positive, negative, nb, k):
+    toks = [tokenize(t) for t in pdf.text]
+    n_docs = len(toks)
+    avgdl = float(np.mean([len(t) for t in toks]))
+    tf = [pd.Series(t).value_counts() for t in toks]
+    df_map: dict[str, int] = {}
+    for c in tf:
+        for term in c.index:
+            df_map[term] = df_map.get(term, 0) + 1
+    rows = []
+    for i, c in enumerate(tf):
+        if not any(p in c.index for p in positive):
+            continue
+        dl = len(toks[i])
+        score = 0.0
+        for t in sorted(set(positive)):
+            if t not in c.index:
+                continue
+            dft = df_map[t]
+            idf = np.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+            f = float(c[t])
+            score += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        if any(t in c.index for t in negative):
+            score *= nb
+        rows.append((int(pdf.doc_id.iloc[i]), score))
+    rows.sort(key=lambda r: (-round(r[1], 9), r[0]))
+    return rows[:k]
+
+
+CASES = [
+    ("error timeout", "retry", 0.3),
+    ("slow query scan", "deploy login", 0.5),
+    ("error", "error", 0.2),          # negative == positive: all demoted
+    ("table index", "zzabsent", 0.4),  # negative term not in corpus
+    ("cache", "timeout", 0.0),         # nb=0: demoted to score 0, kept
+]
+
+
+def test_boosting_matches_bruteforce(spark, corpus_and_index):
+    pdf, d = corpus_and_index
+    qdf = spark.createDataFrame(
+        [(f"q{i}", pos, neg, nb, 12) for i, (pos, neg, nb) in
+         enumerate(CASES)],
+        "query_id string, positive string, negative string, "
+        "negative_boost double, k int",
+    )
+    got = engine.boosting_topk(spark, d, qdf).toPandas()
+    for i, (pos, neg, nb) in enumerate(CASES):
+        exp = _brute_boosting(
+            pdf, tokenize(pos), tokenize(neg), nb, 12)
+        g = got[got.query_id == f"q{i}"].sort_values("rank")
+        assert list(g.doc_id) == [d_ for d_, _ in exp], f"case {i}"
+        np.testing.assert_allclose(
+            list(g.score), [s for _, s in exp], rtol=1e-9)
+
+
+def test_boosting_demotes_not_excludes(spark, corpus_and_index):
+    """A demoted doc must still be reachable (rank > undemoted ties),
+    and with nb high enough to not change order, results equal plain
+    should-match."""
+    pdf, d = corpus_and_index
+    qdf = spark.createDataFrame(
+        [("b", "error timeout", "retry", 1.0, 10)],
+        "query_id string, positive string, negative string, "
+        "negative_boost double, k int",
+    )
+    boosted = engine.boosting_topk(spark, d, qdf).toPandas()
+    plain = engine.bool_topk(
+        spark, d,
+        spark.createDataFrame(
+            [("b", "", "error timeout", "", 0, 10)],
+            "query_id string, must string, should string, must_not "
+            "string, minimum_should_match int, k int",
+        ),
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        boosted.sort_values("rank").reset_index(drop=True),
+        plain.sort_values("rank").reset_index(drop=True),
+    )
+
+
+def test_bool_without_negative_unchanged(spark, corpus_and_index):
+    """The new struct field must not disturb plain bool queries."""
+    pdf, d = corpus_and_index
+    qdf = spark.createDataFrame(
+        [("p", "error", "query scan", "", 0, 8)],
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match int, k int",
+    )
+    out = engine.bool_topk(spark, d, qdf).toPandas()
+    assert len(out) > 0
+    assert list(out.columns) == ["query_id", "rank", "doc_id", "score"]

@@ -212,7 +212,12 @@ def test_bool_prep_matches_sql(spark):
         )
     got = {}
     for t, es in prep.bool_entries(rows, mode).items():
-        got[t] = {(q, k, m, nm, ng, tuple(ro)) for q, k, m, nm, ng, ro in es}
+        # no `negative` clause in this batch -> neg_boost is always None
+        assert all(nb is None for *_, nb in es)
+        got[t] = {
+            (q, k, m, nm, ng, tuple(ro))
+            for q, k, m, nm, ng, ro, _nb in es
+        }
     assert got == sql
 
 
