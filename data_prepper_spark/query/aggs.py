@@ -247,3 +247,63 @@ def terms_stats_facet(
         .filter(F.col("rn") <= size)
         .select("query_id", "value", "count", "min", "max", "avg", "sum")
     )
+
+
+def composite_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    sources: list[str],
+    size: int = 10,
+    after: dict | None = None,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `composite` aggregation: pages through ALL
+    buckets of a multi-source group-by in ascending composite-key
+    order, `size` buckets per page, resuming from `after` (the key of
+    the last bucket of the previous page — strictly-after semantics,
+    like search_after for aggregations). -> (query_id, <source
+    columns as strings>, count), ordered by the composite key.
+
+    Unlike `terms` (top-N by count, silently truncated), composite is
+    the EXHAUSTIVE-export agg: repeated calls with the returned cursor
+    enumerate every bucket exactly once — the OpenSearch-documented way
+    to page a high-cardinality aggregation, and the reason it exists.
+
+    Scale shape: the bucket counts come from the same two-phase
+    map-side-combinable agg as terms_facet (one shuffle, partial
+    counts); the `after` cursor prunes buckets BEFORE the per-query
+    ordering window, so page N+1 sorts only the remaining keys. The
+    per-query row_number window concentrates one query's surviving
+    buckets on one reducer — bounded by the key space, not the corpus,
+    and exactly the contract OpenSearch's own coordinator node has."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    key_cols = [F.col(s).cast("string").alias(s) for s in sources]
+    joined = m.join(docs.select("doc_id", *key_cols), "doc_id")
+    # docs missing any source value form no bucket — the OpenSearch
+    # default (missing_bucket: false)
+    joined = joined.na.drop(subset=list(sources))
+    buckets = joined.groupBy("query_id", *sources).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    if after:
+        # lexicographic strictly-after on the composite key:
+        # (s1 > a1) OR (s1 = a1 AND s2 > a2) OR ...
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for s in sources:
+            a = F.lit(str(after[s]))
+            cond = cond | (eq & (F.col(s) > a))
+            eq = eq & (F.col(s) == a)
+        buckets = buckets.filter(cond)
+    w = Window.partitionBy("query_id").orderBy(
+        *[F.asc(s) for s in sources]
+    )
+    return (
+        buckets.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= size)
+        .select("query_id", *sources, "count")
+        .orderBy("query_id", *sources)
+    )

@@ -173,3 +173,58 @@ def test_terms_stats_nested(spark, corpus):
         assert g.loc[i, "max"] == float(r.max)
         assert abs(g.loc[i, "avg"] - float(r.mean)) < 1e-9
         assert abs(g.loc[i, "sum"] - float(r.sum)) < 1e-6
+
+
+def test_composite_pages_enumerate_all_buckets(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error timeout")], _Q)
+    docs = spark.createDataFrame(
+        pdf[["doc_id", "role", "tool"]].where(pd.notna(pdf), None))
+    # pandas oracle: all (role, tool) buckets of the match set,
+    # missing_bucket=false (rows with null tool form no bucket)
+    mset = _match_set(pdf, "error timeout")
+    sub = pdf[pdf.doc_id.isin(mset)][["role", "tool"]].dropna()
+    exp = (
+        sub.groupby(["role", "tool"]).size().reset_index(name="count")
+        .sort_values(["role", "tool"]).reset_index(drop=True)
+    )
+    # page through with size=3
+    pages, after, seen = [], None, 0
+    for _ in range(50):
+        page = aggs.composite_facet(
+            spark, d, q, docs, ["role", "tool"], size=3, after=after
+        ).toPandas()
+        if page.empty:
+            break
+        assert len(page) <= 3
+        pages.append(page)
+        last = page.iloc[-1]
+        after = {"role": last["role"], "tool": last["tool"]}
+        seen += len(page)
+    got = (
+        pd.concat(pages, ignore_index=True)
+        .sort_values(["role", "tool"]).reset_index(drop=True)
+    )
+    assert seen == len(exp)  # every bucket exactly once, no dupes
+    pd.testing.assert_frame_equal(
+        got[["role", "tool", "count"]],
+        exp.astype({"count": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_composite_single_page_equals_full_groupby(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "role"]])
+    got = aggs.composite_facet(
+        spark, d, q, docs, ["role"], size=100).toPandas()
+    mset = _match_set(pdf, "error")
+    exp = (
+        pdf[pdf.doc_id.isin(mset)].groupby("role").size()
+        .reset_index(name="count").sort_values("role")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["role", "count"]].reset_index(drop=True), exp,
+        check_dtype=False)
