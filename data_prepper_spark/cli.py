@@ -170,6 +170,21 @@ def cmd_query(args) -> int:
     from data_prepper_spark.query import engine
 
     spark = _get_spark(args)
+    if getattr(args, "positive", None):
+        # boosting query: positive match, --negative docs demoted by
+        # --negative-boost (never excluded)
+        qdf = spark.createDataFrame(
+            [("q0", args.positive, args.negative or "",
+              float(args.negative_boost), args.k)],
+            "query_id string, positive string, negative string, "
+            "negative_boost double, k int",
+        )
+        res = engine.boosting_topk(spark, args.index, qdf)
+        for r in res.orderBy("query_id", "rank").collect():
+            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+                              "doc_id": r["doc_id"],
+                              "score": round(r["score"], 6)}))
+        return 0
     if args.must or args.should or args.must_not or args.must_group:
         # bool query mode (OpenSearch bool: must AND / should OR with
         # minimum_should_match / must_not exclusion; --must-group adds
@@ -288,10 +303,24 @@ def cmd_query(args) -> int:
 
             qdf = qdf.withColumn("slop", _F.lit(int(args.slop)))
         res = engine.phrase_topk(spark, args.index, qdf)
+    elif getattr(args, "span_near", False):
+        # span_near: all terms within a window (width - n <= slop),
+        # --unordered drops the clause-order requirement
+        from pyspark.sql import functions as _F
+
+        from data_prepper_spark.query.span import span_near_topk
+
+        sq = qdf.withColumn("slop", _F.lit(int(args.slop))).withColumn(
+            "in_order", _F.lit(not args.unordered))
+        res = span_near_topk(spark, args.index, sq)
     elif getattr(args, "phrase_prefix", False):
         from data_prepper_spark.query.expand import match_phrase_prefix_topk
 
         res = match_phrase_prefix_topk(spark, args.index, qdf)
+    elif getattr(args, "bool_prefix", False):
+        from data_prepper_spark.query.expand import match_bool_prefix_topk
+
+        res = match_bool_prefix_topk(spark, args.index, qdf)
     elif "," in args.index:
         # alias search: comma-separated member indexes, union-corpus
         # statistics (rank-identical to a single union index)
@@ -831,9 +860,24 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--phrase-prefix", action="store_true",
                    help="match_phrase_prefix: last token is a prefix "
                         "(search-as-you-type)")
+    q.add_argument("--bool-prefix", action="store_true",
+                   help="match_bool_prefix: terms anywhere in any "
+                        "order, last token a prefix")
+    q.add_argument("--span-near", action="store_true",
+                   help="span_near: all terms within a window "
+                        "(width - n_terms <= --slop), in clause order "
+                        "unless --unordered")
+    q.add_argument("--unordered", action="store_true",
+                   help="span_near in_order=false")
     q.add_argument("--collapse", action="store_true",
                    help="one best hit per conversation (OpenSearch "
                         "collapse on conv); top-k conversations")
+    q.add_argument("--positive", default=None,
+                   help="boosting query: positive (match) terms")
+    q.add_argument("--negative", default=None,
+                   help="boosting query: docs holding these terms are "
+                        "demoted by --negative-boost, not excluded")
+    q.add_argument("--negative-boost", type=float, default=0.5)
     q.add_argument("--must", help="bool query: AND terms")
     q.add_argument("--should", help="bool query: OR terms")
     q.add_argument("--must-not", help="bool query: excluded terms")

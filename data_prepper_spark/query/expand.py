@@ -310,3 +310,72 @@ def more_like_this_topk(
         "minimum_should_match int, k int",
     )
     return engine.bool_topk(spark, index_dir, bq)
+
+
+def match_bool_prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """OpenSearch `match_bool_prefix`: every token is a bool SHOULD
+    term query except the LAST, which matches as a prefix — unlike
+    match_phrase_prefix the tokens may appear anywhere, in any order
+    (it is the search-as-you-type query WITHOUT position constraints).
+    queries(query_id, query_text, k) -> (query_id, rank, doc_id,
+    score).
+
+    Composition: the last token's prefix expands against the term-
+    sorted dictionary in ONE pass (StringStartsWith pushed to the
+    scan, capped at max_expansions by df DESC / term ASC), expansions
+    join the earlier tokens as should terms, and the whole batch runs
+    as ONE bool query (msm=1 — the OpenSearch default operator OR).
+    Scoring is the module's scoring_boolean rewrite: BM25 over the
+    distinct terms present (Lucene blends the prefix's expansions
+    through a SynonymQuery max-df weight; documented divergence, same
+    policy as expand_topk/synonym_topk)."""
+    from data_prepper_spark.index.tokenizer import tokenize
+    from data_prepper_spark.query.engine import load_stats
+
+    mode = load_stats(index_dir).get("tokenizer", "ascii")
+    rows = queries.select("query_id", "query_text", "k").collect()
+    parsed = []
+    for r in rows:
+        toks = tokenize(r["query_text"], mode=mode)
+        if toks:
+            parsed.append((r["query_id"], toks[:-1], toks[-1], int(r["k"])))
+    empty = spark.createDataFrame(
+        [], "query_id string, rank long, doc_id long, score double"
+    )
+    if not parsed:
+        return empty
+    d = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
+    matches = F.array_compact(F.array(*[
+        F.when(F.col("term").startswith(pref), F.lit(qid))
+        for qid, _, pref, _ in parsed
+    ]))
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    exp = (
+        d.select("term", "df", F.explode(matches).alias("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expansions)
+        .select("query_id", "term")
+        .collect()
+    )
+    expansions: dict[str, list[str]] = {}
+    for r in exp:
+        expansions.setdefault(r["query_id"], []).append(r["term"])
+    brows = []
+    for qid, lead, _, k in parsed:
+        should = list(dict.fromkeys(lead + sorted(expansions.get(qid, []))))
+        if not should:
+            continue
+        brows.append((qid, "", " ".join(should), "", 1, k))
+    if not brows:
+        return empty
+    bq = spark.createDataFrame(
+        brows,
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match int, k int",
+    )
+    return engine.bool_topk(spark, index_dir, bq)

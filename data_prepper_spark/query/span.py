@@ -1,0 +1,266 @@
+"""span_near queries: ordered / unordered proximity over the position
+stream (Lucene SpanNearQuery — the reference serves these through
+OpenSearch's `span_near` over docs its sink ships,
+OpenSearchSink.java:132-141).
+
+Semantics (documented, oracle-pinned by tests/test_span.py):
+a doc matches when one occurrence of EACH clause term can be chosen
+such that the covering window satisfies `width - n_terms <= slop`
+(Lucene's matchWidth contract for single-term clauses), with
+
+- in_order=True: the chosen positions must be strictly increasing in
+  clause order;
+- in_order=False: any arrangement (the minimal covering window over
+  all terms decides).
+
+Divergence from Lucene, documented: duplicate clause terms are
+deduplicated (a query 'a b a' is served as clauses [a, b]); Lucene
+would demand two distinct occurrences of `a`.
+
+Scoring: BM25 over the distinct clause terms (the same
+scoring_boolean-style policy as match_phrase here — Lucene's
+SpanWeight sloppy-freq scoring is rank-similar but not equal; the
+tests pin OUR contract).
+
+Plan shape = phrase_topk's: clause-term In-filter pushed into the
+blocks scan (positions column read only here), candidates intersected
+RAREST-df-first with block-range pruning, per-shard exact top-k, one
+kernel exchange. The window check itself is a per-candidate-doc
+two-pointer / greedy-chain over that doc's few occurrences — candidate
+docs already contain ALL clause terms, so this loop is tiny relative
+to decode.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index import layout, tombstones
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import prep
+from data_prepper_spark.query.engine import (
+    _KERNEL_OUT,
+    _decode_term_runs,
+    _pruned_runs,
+    load_stats,
+)
+
+__all__ = ["span_near_topk"]
+
+SPAN_FIELDS = (
+    "query_id:string,k:bigint,n_terms:int,slop:int,in_order:boolean,"
+    "ord:int"
+)
+
+
+def _span_entries(rows, mode):
+    per_term: dict[str, list[tuple]] = {}
+    for r in rows:
+        toks = list(dict.fromkeys(tokenize(r.get("query_text") or "",
+                                           mode=mode)))
+        if not toks:
+            continue
+        qid, k = r["query_id"], int(r["k"])
+        slop = int(r.get("slop") or 0)
+        in_order = bool(r.get("in_order"))
+        for i, t in enumerate(toks):
+            per_term.setdefault(t, []).append(
+                (qid, k, len(toks), slop, in_order, i)
+            )
+    return per_term
+
+
+def _min_window_unordered(seqs: list[np.ndarray]) -> int:
+    """Smallest window [lo, hi] containing >=1 position from every
+    sequence -> its width hi-lo+1 (classic smallest-range two-pointer
+    over the label-merged position stream)."""
+    n = len(seqs)
+    pos = np.concatenate(seqs)
+    labels = np.concatenate(
+        [np.full(len(s), i, dtype=np.int64) for i, s in enumerate(seqs)]
+    )
+    order = np.argsort(pos, kind="stable")
+    pos, labels = pos[order], labels[order]
+    counts = np.zeros(n, dtype=np.int64)
+    have, lo, best = 0, 0, np.iinfo(np.int64).max
+    for hi in range(len(pos)):
+        c = labels[hi]
+        counts[c] += 1
+        if counts[c] == 1:
+            have += 1
+        while have == n:
+            best = min(best, int(pos[hi] - pos[lo] + 1))
+            cl = labels[lo]
+            counts[cl] -= 1
+            if counts[cl] == 0:
+                have -= 1
+            lo += 1
+    return best
+
+
+def _min_window_ordered(seqs: list[np.ndarray]) -> int:
+    """Smallest width of strictly-increasing positions p1<p2<...<pn,
+    one from each sequence IN CLAUSE ORDER (greedy next-smallest chain
+    from every start is minimal for that start)."""
+    best = np.iinfo(np.int64).max
+    for p in seqs[0]:
+        cur = int(p)
+        ok = True
+        for s in seqs[1:]:
+            j = int(np.searchsorted(s, cur, side="right"))
+            if j == len(s):
+                ok = False
+                break
+            cur = int(s[j])
+        if ok:
+            best = min(best, cur - int(p) + 1)
+    return best
+
+
+def _span_kernel(avgdl: float, n_docs: int, tomb=None):
+    from data_prepper_spark.index import codec
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        groups: dict[str, pd.DataFrame] = {}
+        dfs: dict[str, int] = {}
+        idfs: dict[str, float] = {}
+        queries: dict[str, dict] = {}
+        block_cache: dict = {}
+        for term, tg in pdf.groupby("term", sort=True):
+            df_t = int(tg["df"].iloc[0])
+            dfs[term] = df_t
+            idfs[term] = float(
+                np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+            groups[term] = tg.sort_values(["seg", "block_ord"])
+            for q in tg["queries"].iloc[0]:
+                ent = queries.setdefault(
+                    q["query_id"],
+                    {"k": int(q["k"]), "n_terms": int(q["n_terms"]),
+                     "slop": int(q["slop"]),
+                     "in_order": bool(q["in_order"]), "clauses": []},
+                )
+                ent["clauses"].append((int(q["ord"]), term))
+
+        out_q, out_d, out_s = [], [], []
+        for qid, ent in queries.items():
+            if len(ent["clauses"]) < ent["n_terms"]:
+                continue  # some clause term absent from this shard
+            terms_in_order = [t for _, t in sorted(ent["clauses"])]
+            # candidate docs contain ALL clause terms: rarest-df-first
+            # intersection with block-range pruning (phrase plan)
+            decoded: dict[str, dict] = {}
+            cand = None
+            for t in sorted(terms_in_order, key=lambda t: (dfs[t], t)):
+                if cand is None:
+                    runs = _decode_term_runs(
+                        groups[t], tomb, True, block_cache, t)
+                else:
+                    runs = _pruned_runs(
+                        groups[t], cand, tomb, True, block_cache, t)
+                if runs is None or not len(runs["docs"]):
+                    cand = np.empty(0, np.int64)
+                    break
+                decoded[t] = runs
+                cand = runs["docs"] if cand is None else np.intersect1d(
+                    cand, runs["docs"], assume_unique=True)
+                if not len(cand):
+                    break
+            if cand is None or not len(cand):
+                continue
+            n = ent["n_terms"]
+            width_cap = ent["slop"] + n
+            fn = (_min_window_ordered if ent["in_order"]
+                  else _min_window_unordered)
+            matched = []
+            for doc in cand:
+                seqs = []
+                for t in terms_in_order:
+                    d = decoded[t]
+                    pi = int(np.searchsorted(d["docs"], doc))
+                    seqs.append(d["pos"][d["occ"][pi]:d["occ"][pi + 1]])
+                if fn(seqs) <= width_cap:
+                    matched.append(doc)
+            if not matched:
+                continue
+            matched = np.asarray(matched, dtype=np.int64)
+            scores = np.zeros(len(matched), dtype=np.float64)
+            for t in sorted(set(terms_in_order)):
+                d = decoded[t]
+                mi = np.searchsorted(d["docs"], matched)
+                scores += idfs[t] * codec.bm25_partial(
+                    d["tfs"][mi], d["dls"][mi], avgdl)
+            k = ent["k"]
+            if len(matched) > k:
+                kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                keep = np.flatnonzero(scores >= kth)
+                keep = keep[np.lexsort((matched[keep], -scores[keep]))][:k]
+            else:
+                keep = np.lexsort((matched, -scores))
+            out_q += [qid] * len(keep)
+            out_d += list(matched[keep])
+            out_s += list(scores[keep])
+        return pd.DataFrame(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return run
+
+
+def span_near_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+) -> DataFrame:
+    """queries(query_id, query_text, slop, in_order, k) ->
+    (query_id, rank, doc_id, score). See module docstring."""
+    from data_prepper_spark.query.exchange import spread_by_shard
+
+    stats = load_stats(index_dir)
+    if not stats.get("positions", False):
+        raise ValueError(
+            f"index at {index_dir} was built without positions "
+            "(store_positions=False) — cannot serve span_near"
+        )
+    mode = stats.get("tokenizer", "ascii")
+    per_term = _span_entries(prep.collect_rows(queries), mode)
+    terms = sorted(per_term)
+    blocks_path = layout.resolve(index_dir, "blocks")
+    local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
+    if not terms or local_missing:
+        return spark.createDataFrame(
+            [], "query_id string, rank long, doc_id long, score double")
+    qmap = prep.qmap_df(spark, per_term, SPAN_FIELDS)
+    dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
+    dict_slice = dictionary.filter(F.col("term").isin(terms))
+    blocks = spark.read.parquet(blocks_path)
+    if "seg" not in blocks.columns:
+        blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
+    needed = (
+        blocks.select(
+            "shard", "seg", "term", "block_ord", "first_doc", "last_doc",
+            "gaps", "tfs", "dls", "poss",
+        )
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qmap), "term")
+        .join(F.broadcast(dict_slice), "term")
+    )
+    per_shard = spread_by_shard(needed).groupBy("shard").applyInPandas(
+        _span_kernel(
+            stats["avgdl"], stats["n_docs"],
+            tomb=tombstones.load_tombstones(spark, index_dir),
+        ),
+        schema=_KERNEL_OUT,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.join(
+            F.broadcast(queries.select("query_id", "k")), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

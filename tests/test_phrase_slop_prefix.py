@@ -152,3 +152,71 @@ def test_match_phrase_prefix_single_token(spark, corpus):
     ).toPandas()
     # 'qalp' completes to qalpha only -> its four planted docs
     assert set(got.doc_id) == {int(pdf.doc_id[i]) for i in range(4)}
+
+
+# ------------------------------------------------------- match_bool_prefix
+
+
+def _brute_bool_prefix(pdf, lead: list[str], prefix: str, k: int,
+                       expansions: list[str]):
+    """Doc matches if it holds ANY lead token or ANY expansion of the
+    prefix; BM25 sum over the distinct should-terms present."""
+    should = list(dict.fromkeys(lead + sorted(expansions)))
+    toks = [tokenize(t) for t in pdf.text]
+    n_docs = len(toks)
+    avgdl = float(np.mean([len(t) for t in toks]))
+    tf = [pd.Series(t).value_counts() for t in toks]
+    df_map: dict[str, int] = {}
+    for c in tf:
+        for term in c.index:
+            df_map[term] = df_map.get(term, 0) + 1
+    rows = []
+    for i, c in enumerate(tf):
+        present = [t for t in should if t in c.index]
+        if not present:
+            continue
+        dl = len(toks[i])
+        score = 0.0
+        for t in sorted(set(present)):
+            dft = df_map[t]
+            idf = np.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+            f = float(c[t])
+            score += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        rows.append((int(pdf.doc_id.iloc[i]), score))
+    rows.sort(key=lambda r: (-round(r[1], 9), r[0]))
+    return rows[:k]
+
+
+def test_match_bool_prefix_matches_bruteforce(spark, corpus):
+    from data_prepper_spark.query.expand import match_bool_prefix_topk
+
+    d, pdf = corpus
+    # expansions of 'qa' in the corpus dictionary (only planted terms)
+    all_terms = sorted({t for x in pdf.text for t in tokenize(x)})
+    expansions = [t for t in all_terms if t.startswith("qa")]
+    qdf = spark.createDataFrame(
+        [("m1", "tail qa", 15)],
+        "query_id string, query_text string, k int",
+    )
+    got = match_bool_prefix_topk(spark, d, qdf).toPandas()
+    got = got.sort_values("rank")
+    exp = _brute_bool_prefix(pdf, ["tail"], "qa", 15, expansions)
+    assert list(got.doc_id) == [d_ for d_, _ in exp]
+    np.testing.assert_allclose(list(got.score),
+                               [s for _, s in exp], rtol=1e-9)
+
+
+def test_match_bool_prefix_orderless(spark, corpus):
+    """Unlike match_phrase_prefix, token order and adjacency must not
+    matter: 'qbeta qa' must match the doc where qalpha precedes qbeta."""
+    from data_prepper_spark.query.expand import match_bool_prefix_topk
+
+    d, pdf = corpus
+    qdf = spark.createDataFrame(
+        [("m2", "qbeta qa", 20)],
+        "query_id string, query_text string, k int",
+    )
+    got = match_bool_prefix_topk(spark, d, qdf).toPandas()
+    # docs 0-3 all hold qalpha and/or qbeta in some order
+    for i in range(4):
+        assert int(pdf.doc_id.iloc[i]) in set(got.doc_id), i

@@ -1,0 +1,123 @@
+"""span_near (ordered/unordered proximity) vs a brute-force oracle
+implementing the module's documented window contract:
+width - n_terms <= slop over one chosen occurrence per clause term,
+strictly increasing in clause order when in_order."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE as STRIDE
+from data_prepper_spark.query.span import span_near_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    pdf = generate_pandas(0, 80).copy()
+    # controlled windows with vocabulary-absent terms
+    pdf.loc[0, "text"] += " salpha sbeta"                 # adjacent, in order
+    pdf.loc[1, "text"] += " sbeta salpha"                 # adjacent, reversed
+    pdf.loc[2, "text"] += " salpha x x x sbeta"           # gap 3, in order
+    pdf.loc[3, "text"] += " sbeta x salpha"               # gap 1, reversed
+    pdf.loc[4, "text"] += " salpha x sgamma x sbeta"      # 3-term window
+    d = str(tmp_path_factory.mktemp("span") / "idx")
+    ib.build_index(spark, spark.createDataFrame(pdf), d,
+                   n_shards=4, block_size=16)
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * STRIDE + pdf.turn_idx
+    )
+    return d, pdf
+
+
+def _brute_span(pdf, qterms, slop, in_order, k):
+    toks = [tokenize(t) for t in pdf.text]
+    n_docs = len(toks)
+    avgdl = float(np.mean([len(t) for t in toks]))
+    tf = [pd.Series(t).value_counts() for t in toks]
+    df_map: dict[str, int] = {}
+    for c in tf:
+        for term in c.index:
+            df_map[term] = df_map.get(term, 0) + 1
+    qterms = list(dict.fromkeys(qterms))
+    n = len(qterms)
+    rows = []
+    for i, tk in enumerate(toks):
+        pos = {t: [j for j, x in enumerate(tk) if x == t] for t in qterms}
+        if any(not pos[t] for t in qterms):
+            continue
+        best = None
+        if in_order:
+            for p in pos[qterms[0]]:
+                cur, ok = p, True
+                for t in qterms[1:]:
+                    nxt = [x for x in pos[t] if x > cur]
+                    if not nxt:
+                        ok = False
+                        break
+                    cur = nxt[0]
+                if ok:
+                    w = cur - p + 1
+                    best = w if best is None else min(best, w)
+        else:
+            import itertools
+            for combo in itertools.product(*[pos[t] for t in qterms]):
+                w = max(combo) - min(combo) + 1
+                best = w if best is None else min(best, w)
+        if best is None or best - n > slop:
+            continue
+        dl = len(tk)
+        score = 0.0
+        for t in sorted(set(qterms)):
+            dft = df_map[t]
+            idf = np.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+            f = float(tf[i][t])
+            score += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        rows.append((int(pdf.doc_id.iloc[i]), score))
+    rows.sort(key=lambda r: (-round(r[1], 9), r[0]))
+    return rows[:k]
+
+
+CASES = [
+    ("salpha sbeta", 0, True),    # only doc0 (adjacent in order)
+    ("salpha sbeta", 0, False),   # doc0 + doc1 (adjacent either order)
+    ("salpha sbeta", 3, True),    # doc0 + doc2
+    ("salpha sbeta", 3, False),   # docs 0,1,2,3 (+4: gap 3 unordered)
+    ("salpha sgamma sbeta", 2, True),   # doc4 window width 5 -> slop 2
+    ("salpha sgamma sbeta", 1, True),   # nothing
+    ("sbeta salpha", 1, False),   # unordered: clause order irrelevant
+    ("error timeout", 5, False),  # vocabulary terms, wide window
+]
+
+
+@pytest.mark.parametrize("qtext,slop,in_order", CASES)
+def test_span_near_matches_bruteforce(spark, corpus, qtext, slop, in_order):
+    d, pdf = corpus
+    qdf = spark.createDataFrame(
+        [("s1", qtext, slop, in_order, 15)],
+        "query_id string, query_text string, slop int, in_order boolean, "
+        "k int",
+    )
+    got = span_near_topk(spark, d, qdf).toPandas().sort_values("rank")
+    exp = _brute_span(pdf, tokenize(qtext), slop, in_order, 15)
+    assert list(got.doc_id) == [d_ for d_, _ in exp], (qtext, slop, in_order)
+    np.testing.assert_allclose(
+        list(got.score), [s for _, s in exp], rtol=1e-9)
+
+
+def test_span_near_requires_positions(spark, tmp_path):
+    pdf = generate_pandas(0, 10)
+    d = str(tmp_path / "npidx")
+    ib.build_index(spark, spark.createDataFrame(pdf), d, n_shards=2,
+                   block_size=16, store_positions=False)
+    qdf = spark.createDataFrame(
+        [("s1", "error timeout", 1, False, 5)],
+        "query_id string, query_text string, slop int, in_order boolean, "
+        "k int",
+    )
+    with pytest.raises(ValueError, match="positions"):
+        span_near_topk(spark, d, qdf)
