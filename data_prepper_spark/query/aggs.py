@@ -307,3 +307,111 @@ def composite_facet(
         .select("query_id", *sources, "count")
         .orderBy("query_id", *sources)
     )
+
+
+def filters_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    filters: dict[str, str],
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `filters` aggregation: one NAMED bucket per
+    caller-supplied predicate, counting the query's matching docs that
+    satisfy it -> (query_id, bucket, count). Buckets may overlap (a
+    doc can satisfy several predicates) and empty buckets are emitted
+    with count 0 — both OpenSearch contracts.
+
+    `filters` maps bucket name -> Spark SQL boolean expression over
+    docs' columns. All predicates evaluate in ONE pass over the joined
+    match set (a when()-guarded count per bucket inside a single
+    two-phase agg — no per-bucket scan, no shuffle growth with bucket
+    count)."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(docs, "doc_id")
+    aggs = [
+        F.sum(F.when(F.expr(expr), 1).otherwise(0)).alias(name)
+        for name, expr in filters.items()
+    ]
+    wide = joined.groupBy("query_id").agg(*aggs)
+    stacked = wide.select(
+        "query_id",
+        F.explode(
+            F.create_map(*[
+                x for name in filters
+                for x in (F.lit(name), F.col(name).cast("long"))
+            ])
+        ).alias("bucket", "count"),
+    )
+    return stacked.orderBy("query_id", "bucket")
+
+
+def matrix_stats_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    fields: list[str],
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `matrix_stats` aggregation: pairwise covariance
+    and Pearson correlation (plus per-field count/mean/variance) of
+    numeric fields over a query's matching docs ->
+    (query_id, field_a, field_b, count, mean_a, mean_b, covariance,
+    correlation), one row per unordered field pair incl. the diagonal.
+
+    OpenSearch computes population moments streamed per shard and
+    merged; Spark's covar_pop/corr are the same two-phase mergeable
+    moments — one shuffle, output bounded by n_fields^2 per query.
+    (Divergence, documented: OpenSearch drops docs missing ANY field
+    from the whole matrix; here each PAIR uses its own non-null rows —
+    the SQL covar/corr null contract, exact-checkable in DuckDB.)"""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select(
+            "doc_id",
+            *[F.col(f).cast("double").alias(f) for f in fields],
+        ),
+        "doc_id",
+    )
+    aggs = []
+    for i, a in enumerate(fields):
+        for b in fields[i:]:
+            tag = f"{a}\x1f{b}"
+            pair_n = F.count(
+                F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)
+            )
+            aggs += [
+                pair_n.alias(f"n\x00{tag}"),
+                F.covar_pop(a, b).alias(f"cov\x00{tag}"),
+                (F.corr(a, b) if a != b else F.lit(1.0))
+                .alias(f"cor\x00{tag}"),
+                F.avg(F.when(F.col(b).isNotNull(), F.col(a)))
+                .alias(f"ma\x00{tag}"),
+                F.avg(F.when(F.col(a).isNotNull(), F.col(b)))
+                .alias(f"mb\x00{tag}"),
+            ]
+    wide = joined.groupBy("query_id").agg(*aggs)
+    pairs = [(a, b) for i, a in enumerate(fields) for b in fields[i:]]
+    rows = []
+    for a, b in pairs:
+        tag = f"{a}\x1f{b}"
+        rows.append(
+            wide.select(
+                "query_id",
+                F.lit(a).alias("field_a"),
+                F.lit(b).alias("field_b"),
+                F.col(f"`n\x00{tag}`").alias("count"),
+                F.col(f"`ma\x00{tag}`").alias("mean_a"),
+                F.col(f"`mb\x00{tag}`").alias("mean_b"),
+                F.col(f"`cov\x00{tag}`").alias("covariance"),
+                F.col(f"`cor\x00{tag}`").alias("correlation"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("query_id", "field_a", "field_b")

@@ -228,3 +228,48 @@ def test_composite_single_page_equals_full_groupby(spark, corpus):
     pd.testing.assert_frame_equal(
         got[["role", "count"]].reset_index(drop=True), exp,
         check_dtype=False)
+
+
+def test_filters_facet_named_buckets(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error timeout")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "role", "n_chars"]])
+    got = aggs.filters_facet(
+        spark, d, q, docs,
+        {"users": "role = 'user'",
+         "long": "n_chars > 120",
+         "none": "n_chars < 0"},
+    ).toPandas().set_index("bucket")["count"].to_dict()
+    mset = _match_set(pdf, "error timeout")
+    sub = pdf[pdf.doc_id.isin(mset)]
+    assert got["users"] == int((sub.role == "user").sum())
+    assert got["long"] == int((sub.n_chars > 120).sum())
+    assert got["none"] == 0  # empty buckets emitted with count 0
+
+
+def test_matrix_stats_vs_numpy(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error")], _Q)
+    docs_pdf = pdf[["doc_id", "n_chars"]].copy()
+    docs_pdf["turnpos"] = pdf.turn_idx.astype("float64")
+    docs = spark.createDataFrame(docs_pdf)
+    got = aggs.matrix_stats_facet(
+        spark, d, q, docs, ["n_chars", "turnpos"]).toPandas()
+    mset = _match_set(pdf, "error")
+    sub = docs_pdf[docs_pdf.doc_id.isin(mset)]
+    a = sub.n_chars.to_numpy(dtype=float)
+    b = sub.turnpos.to_numpy(dtype=float)
+    row = got[(got.field_a == "n_chars") & (got.field_b == "turnpos")
+              ].iloc[0]
+    assert row["count"] == len(sub)
+    np.testing.assert_allclose(row["mean_a"], a.mean(), rtol=1e-12)
+    np.testing.assert_allclose(row["mean_b"], b.mean(), rtol=1e-12)
+    np.testing.assert_allclose(
+        row["covariance"], ((a - a.mean()) * (b - b.mean())).mean(),
+        rtol=1e-9)
+    np.testing.assert_allclose(
+        row["correlation"], np.corrcoef(a, b)[0, 1], rtol=1e-9)
+    diag = got[(got.field_a == "n_chars") & (got.field_b == "n_chars")
+               ].iloc[0]
+    np.testing.assert_allclose(diag["covariance"], a.var(), rtol=1e-9)
+    assert diag["correlation"] == 1.0
