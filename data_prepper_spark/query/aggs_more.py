@@ -1,0 +1,266 @@
+"""The long tail of the OpenSearch aggregation family —
+`rare_terms`, `multi_terms`, `adjacency_matrix`, `extended_stats`,
+`weighted_avg`, `value_count`, and the `sampler` /
+`diversified_sampler` bucket limiters. Together with query/facets.py,
+query/aggs.py and query/pipeline_aggs.py this completes the agg
+surface a consumer of the reference's indexes (docs shipped by the
+opensearch sink, OpenSearchSink.java:132-141) can reach.
+
+Same scale contract as query/aggs.py: the match set arrives as
+distributed (query_id, doc_id) rows from facets.match_docs (never
+collected), joins a column-pruned corpus projection, and every
+aggregation is two-phase with output bounded by bucket count — not
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_prepper_spark.query.facets import match_docs
+
+
+def rare_terms_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    max_doc_count: int = 1,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `rare_terms` aggregation: the INVERSE of terms —
+    buckets for values appearing in at most `max_doc_count` of the
+    query's matching docs, ordered count ASC then value ->
+    (query_id, value, count). The long-tail/anomaly view a plain terms
+    agg truncates away.
+
+    Divergence, documented: OpenSearch approximates with a CuckooFilter
+    (false-positive removals at huge cardinality); this is the exact
+    computation — same two-phase count agg as terms, plus a cheap
+    post-filter, so it stays oracle-checkable bit-for-bit."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select("doc_id", F.col(field).cast("string").alias("value")),
+        "doc_id",
+    ).na.drop(subset=["value"])
+    counts = joined.groupBy("query_id", "value").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    return (
+        counts.filter(F.col("count") <= max_doc_count)
+        .orderBy("query_id", F.asc("count"), F.asc("value"))
+    )
+
+
+def multi_terms_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    fields: list[str],
+    size: int = 10,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `multi_terms` aggregation: terms over a COMPOSITE
+    key (e.g. lang x source), top `size` buckets per query by
+    (count desc, key asc) -> (query_id, <field columns>, count).
+    Docs missing any key field form no bucket (the API contract).
+    One two-phase group-by on the tuple — no explode, no extra
+    shuffle vs plain terms."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    key_cols = [F.col(f).cast("string").alias(f) for f in fields]
+    joined = m.join(docs.select("doc_id", *key_cols), "doc_id") \
+        .na.drop(subset=list(fields))
+    buckets = joined.groupBy("query_id", *fields).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("count"), *[F.asc(f) for f in fields]
+    )
+    return (
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size)
+        .drop("_rn")
+    )
+
+
+def adjacency_matrix_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    filters: dict[str, str],
+    separator: str = "&",
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `adjacency_matrix` aggregation: named predicate
+    buckets PLUS every pairwise intersection ->
+    (query_id, key, count) with keys 'a', 'b', 'a&b' (pair keys join
+    the two names in sorted order with `separator`, the API rule).
+    Zero-doc buckets are omitted, also the API rule.
+
+    All singles and pairs evaluate in ONE pass over the joined match
+    set (a when()-guarded sum per cell in a single two-phase agg) —
+    n + n(n-1)/2 counters, no per-cell scan."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(docs, "doc_id")
+    names = sorted(filters)
+    cells: list[tuple[str, F.Column]] = []
+    flag = {n: F.expr(filters[n]) for n in names}
+    for i, a in enumerate(names):
+        cells.append((a, flag[a]))
+        for b in names[i + 1:]:
+            cells.append((f"{a}{separator}{b}", flag[a] & flag[b]))
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_c{i}")
+        for i, (_, cond) in enumerate(cells)
+    ]
+    wide = joined.groupBy("query_id").agg(*aggs)
+    stacked = wide.select(
+        "query_id",
+        F.explode(
+            F.create_map(*[
+                x for i, (key, _) in enumerate(cells)
+                for x in (F.lit(key), F.col(f"_c{i}"))
+            ])
+        ).alias("key", "count"),
+    )
+    return stacked.filter(F.col("count") > 0) \
+        .orderBy("query_id", "key")
+
+
+def extended_stats_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    sigma: float = 2.0,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `extended_stats` aggregation ->
+    (query_id, count, min, max, avg, sum, sum_of_squares, variance,
+    std_deviation, upper, lower): population moments (the API default)
+    plus the sigma std-deviation bounds. All two-phase mergeable
+    moments — identical merge shape to what each OpenSearch shard
+    streams to its coordinator."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select("doc_id", F.col(field).cast("double").alias("_v")),
+        "doc_id",
+    )
+    agg = joined.groupBy("query_id").agg(
+        F.count("_v").alias("count"),
+        F.min("_v").alias("min"),
+        F.max("_v").alias("max"),
+        F.avg("_v").alias("avg"),
+        F.sum("_v").alias("sum"),
+        F.sum(F.col("_v") * F.col("_v")).alias("sum_of_squares"),
+        F.var_pop("_v").alias("variance"),
+        F.stddev_pop("_v").alias("std_deviation"),
+    )
+    return agg.select(
+        "*",
+        (F.col("avg") + F.lit(sigma) * F.col("std_deviation"))
+        .alias("upper"),
+        (F.col("avg") - F.lit(sigma) * F.col("std_deviation"))
+        .alias("lower"),
+    )
+
+
+def weighted_avg_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    value_field: str,
+    weight_field: str,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `weighted_avg` aggregation ->
+    (query_id, weighted_avg): sum(v*w)/sum(w) over the match set,
+    skipping docs where either side is null (the API's default
+    missing-handling). One two-phase agg."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select(
+            "doc_id",
+            F.col(value_field).cast("double").alias("_v"),
+            F.col(weight_field).cast("double").alias("_w"),
+        ),
+        "doc_id",
+    ).na.drop(subset=["_v", "_w"])
+    return joined.groupBy("query_id").agg(
+        (F.sum(F.col("_v") * F.col("_w")) / F.sum("_w"))
+        .alias("weighted_avg")
+    )
+
+
+def value_count_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    fields: list[str],
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `value_count` aggregation -> (query_id, field,
+    value_count): number of NON-NULL values per field over the match
+    set (vs `cardinality`'s distinct count)."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(docs.select("doc_id", *fields), "doc_id")
+    aggs = [F.count(f).alias(f) for f in fields]
+    wide = joined.groupBy("query_id").agg(*aggs)
+    return wide.select(
+        "query_id",
+        F.explode(
+            F.create_map(*[
+                x for f in fields for x in (F.lit(f), F.col(f))
+            ])
+        ).alias("field", "value_count"),
+    )
+
+
+def diversified_sampler(
+    hits: DataFrame,
+    shard_size: int = 100,
+    field: str | None = None,
+    max_docs_per_value: int = 1,
+) -> DataFrame:
+    """The OpenSearch `sampler` / `diversified_sampler` bucket agg:
+    restrict downstream sub-aggregations to the `shard_size`
+    BEST-SCORING matches per query; the diversified form additionally
+    caps docs sharing one `field` value at `max_docs_per_value`
+    (de-biasing a sample dominated by one source/author).
+
+    Input is a SCORED hits frame (query_id, doc_id, score, <fields>) —
+    the output of the BM25 kernels — because sampling is score-driven
+    by contract. Two windows, both per-query and rank-bounded: the
+    diversity cap first (best docs win the per-value slots, ties to
+    doc_id asc), then the global sample cut. Downstream aggs take the
+    result via their `match=` parameter, so the whole family composes.
+    At scale both windows are per-query top-k merges over already-
+    bounded kernel output, not corpus scans."""
+    order = [F.desc("score"), F.asc("doc_id")]
+    out = hits
+    if field is not None:
+        wv = Window.partitionBy("query_id", field).orderBy(*order)
+        out = (
+            out.withColumn("_dv", F.row_number().over(wv))
+            .filter(F.col("_dv") <= max_docs_per_value)
+            .drop("_dv")
+        )
+    wq = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        out.withColumn("_rs", F.row_number().over(wq))
+        .filter(F.col("_rs") <= shard_size)
+        .drop("_rs")
+    )

@@ -1,0 +1,214 @@
+"""OpenSearch *pipeline* aggregations — second-order aggs that read a
+parent multi-bucket aggregation's buckets, not documents: `derivative`,
+`cumulative_sum`, `moving_fn`, `serial_diff`, `bucket_script`,
+`bucket_selector`, `bucket_sort`, plus the `min_doc_count: 0` bucket
+densify the date_histogram parent needs for them to be meaningful.
+
+Role parity: the reference ships documents into OpenSearch via the
+opensearch sink (`data-prepper-plugins/opensearch/.../OpenSearchSink
+.java:132-141`); dashboards over those indexes lean on date_histogram +
+derivative / cumulative_sum / moving averages for every rate-over-time
+panel. This module closes that half of the aggs surface next to
+query/facets.py (terms, date_histogram, stats, ...) and query/aggs.py
+(cardinality, range, histogram, ...).
+
+Contract (matches the OpenSearch API):
+- input is the PARENT's bucket frame: one row per (query_id, bucket),
+  `order_col` gives the bucket key (histogram key or date bucket; any
+  orderable type), metric columns ride alongside (`count`, ...).
+- pipeline values are computed per query_id in bucket-key order.
+- `derivative`/`serial_diff`/`moving_fn` emit NO row for buckets that
+  lack the required history (OpenSearch skips them) — callers that
+  need a dense frame densify first.
+
+Scale shape: every function here is a window over (query_id, bucket)
+rows — the PARENT's output, already bounded by bucket count (time
+range / interval), never by corpus size. The per-query window
+concentrates one query's buckets on one reducer, exactly the
+coordinator-node contract OpenSearch itself has for pipeline aggs.
+Nothing touches the index or the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(order_col: str):
+    return Window.partitionBy("query_id").orderBy(F.asc(order_col))
+
+
+def densify_buckets(
+    buckets: DataFrame,
+    order_col: str = "bucket",
+    value_col: str = "count",
+    step: str | float = None,
+) -> DataFrame:
+    """`min_doc_count: 0` for a histogram / date_histogram parent: fill
+    the gaps between each query's min and max bucket with zero-valued
+    buckets so pipeline aggs see a dense series (OpenSearch emits the
+    empties; a lag over a gapped series would silently diff across the
+    hole).
+
+    `step`: the parent's interval — a float for numeric histograms, or
+    a calendar unit string ('hour', 'day', ...) for date_histogram
+    parents. Uses one tiny per-query min/max agg + `sequence()` — the
+    dense frame is bounded by (range / interval) per query, never the
+    corpus."""
+    if step is None:
+        raise ValueError("step: pass the parent interval (float or unit)")
+    spine = buckets.groupBy("query_id").agg(
+        F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
+    )
+    if isinstance(step, str):
+        dense = spine.select(
+            "query_id",
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"interval 1 {step}"))
+            ).alias(order_col),
+        )
+    else:
+        # sequence() rejects fractional types: enumerate step indexes
+        # as integers and reconstruct lo + i*step (keys are floor-
+        # aligned multiples of the interval, so this is exact)
+        n = F.round(
+            (F.col("_hi").cast("double") - F.col("_lo").cast("double"))
+            / F.lit(float(step))
+        ).cast("long")
+        dense = spine.select(
+            "query_id", "_lo",
+            F.explode(F.sequence(F.lit(0).cast("long"), n)).alias("_i"),
+        ).select(
+            "query_id",
+            (F.col("_lo").cast("double")
+             + F.col("_i").cast("double") * F.lit(float(step)))
+            .alias(order_col),
+        )
+    out = dense.join(buckets, ["query_id", order_col], "left")
+    return out.fillna({value_col: 0})
+
+
+def derivative(
+    buckets: DataFrame,
+    order_col: str = "bucket",
+    value_col: str = "count",
+    out_col: str = "derivative",
+) -> DataFrame:
+    """`derivative`: bucket value minus the previous bucket's. The
+    first bucket of each query has no predecessor and is dropped
+    (OpenSearch emits no derivative for it)."""
+    prev = F.lag(value_col).over(_w(order_col))
+    return (
+        buckets.withColumn(out_col, F.col(value_col) - prev)
+        .filter(F.col(out_col).isNotNull())
+    )
+
+
+def cumulative_sum(
+    buckets: DataFrame,
+    order_col: str = "bucket",
+    value_col: str = "count",
+    out_col: str = "cumulative_sum",
+) -> DataFrame:
+    """`cumulative_sum`: running total of the metric in bucket order,
+    emitted for every bucket (the first one included — its sum is its
+    own value)."""
+    w = _w(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def moving_fn(
+    buckets: DataFrame,
+    window: int,
+    fn: str = "avg",
+    order_col: str = "bucket",
+    value_col: str = "count",
+    out_col: str = "moving_fn",
+    shift: int = 0,
+) -> DataFrame:
+    """`moving_fn` with the stock MovingFunctions (`avg`/`min`/`max`/
+    `sum`/`stddev`): slide a `window`-bucket frame over the series.
+    OpenSearch's default `shift: 0` places the frame on the `window`
+    buckets BEFORE the current one (exclusive); `shift: window` would
+    include the current bucket at the frame's right edge. Buckets whose
+    frame is entirely off the series' left edge emit no row."""
+    if window <= 0:
+        raise ValueError("window must be > 0")
+    if fn not in ("avg", "min", "max", "sum", "stddev"):
+        raise ValueError(f"unsupported moving fn {fn!r}")
+    hi = shift - 1            # shift=0 -> frame ends at previous bucket
+    lo = hi - (window - 1)
+    w = _w(order_col).rowsBetween(lo, hi)
+    col = F.col(value_col).cast("double")
+    expr = {
+        "avg": F.avg(col), "min": F.min(col), "max": F.max(col),
+        "sum": F.sum(col), "stddev": F.stddev_pop(col),
+    }[fn].over(w)
+    # a frame fully left of the series start has no rows -> null out
+    n_in_frame = F.count(col).over(w)
+    out = buckets.withColumn(
+        out_col, F.when(n_in_frame > 0, expr)
+    )
+    return out.filter(F.col(out_col).isNotNull())
+
+
+def serial_diff(
+    buckets: DataFrame,
+    lag: int = 1,
+    order_col: str = "bucket",
+    value_col: str = "count",
+    out_col: str = "serial_diff",
+) -> DataFrame:
+    """`serial_diff`: value minus the value `lag` buckets earlier
+    (lag=1 is `derivative`; lag=7 deseasonalizes a weekly cycle on
+    day buckets). The first `lag` buckets emit no row."""
+    if lag <= 0:
+        raise ValueError("lag must be > 0")
+    prev = F.lag(value_col, lag).over(_w(order_col))
+    return (
+        buckets.withColumn(out_col, F.col(value_col) - prev)
+        .filter(F.col(out_col).isNotNull())
+    )
+
+
+def bucket_script(
+    buckets: DataFrame,
+    script: str,
+    out_col: str = "value",
+) -> DataFrame:
+    """`bucket_script`: a per-bucket computed metric from sibling
+    metrics — `script` is a Spark SQL expression over the bucket
+    frame's columns (the API's painless `params.a / params.b` maps to
+    plain column refs here). Pure projection, no window."""
+    return buckets.withColumn(out_col, F.expr(script))
+
+
+def bucket_selector(
+    buckets: DataFrame,
+    predicate: str,
+) -> DataFrame:
+    """`bucket_selector`: drop buckets failing a boolean expression
+    over their metrics (e.g. 'count >= 10'). Pure filter."""
+    return buckets.filter(F.expr(predicate))
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort: list[tuple[str, bool]],
+    size: int | None = None,
+    from_: int = 0,
+) -> DataFrame:
+    """`bucket_sort`: reorder each query's buckets by metric columns
+    ((col, ascending) pairs) and keep the [from_, from_+size) slice —
+    'top 3 days by count' style truncation of a parent agg. Ties break
+    on the full sort spec; pass the bucket key as the last sort col for
+    determinism."""
+    order = [F.asc(c) if asc else F.desc(c) for c, asc in sort]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    out = buckets.withColumn("_rn", F.row_number().over(w))
+    hi = None if size is None else from_ + size
+    cond = F.col("_rn") > from_
+    if hi is not None:
+        cond = cond & (F.col("_rn") <= hi)
+    return out.filter(cond).drop("_rn")

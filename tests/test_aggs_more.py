@@ -1,0 +1,159 @@
+"""rare_terms / multi_terms / adjacency_matrix / extended_stats /
+weighted_avg / value_count / diversified_sampler (query/aggs_more.py)
+— exact semantics vs pandas oracles over the brute-force match set."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import aggs_more as am
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+N_CONVS = 80
+_Q = "query_id string, query_text string"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    pdf = generate_pandas(0, N_CONVS)
+    d = str(tmp_path_factory.mktemp("am") / "idx")
+    ib.build_index(spark, spark.createDataFrame(pdf), d, n_shards=4,
+                   block_size=16)
+    pdf = pdf.copy()
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    return d, pdf
+
+
+def _match(pdf: pd.DataFrame, qtext: str) -> pd.DataFrame:
+    terms = set(tokenize(qtext))
+    hit = pdf.text.map(lambda t: bool(terms & set(tokenize(t))))
+    return pdf[hit]
+
+
+def test_rare_terms(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error handling")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "n_chars"]])
+    got = am.rare_terms_facet(
+        spark, d, q, docs, "n_chars", max_doc_count=2
+    ).toPandas()
+    sub = _match(pdf, "error handling")
+    vc = sub.n_chars.astype(str).value_counts()
+    want = vc[vc <= 2]
+    assert set(got.value) == set(want.index)
+    assert (got["count"] <= 2).all()
+    # ordering: count asc then value asc
+    key = list(zip(got["count"], got["value"]))
+    assert key == sorted(key)
+
+
+def test_multi_terms(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "role", "tool"]])
+    got = am.multi_terms_facet(
+        spark, d, q, docs, ["role", "tool"], size=5
+    ).toPandas()
+    sub = _match(pdf, "error").dropna(subset=["role", "tool"])
+    want = (
+        sub.groupby([sub.role.astype(str), sub.tool.astype(str)])
+        .size().reset_index(name="count")
+        .sort_values(["count", "role", "tool"],
+                     ascending=[False, True, True])
+        .head(5)
+    )
+    got_k = list(zip(got.role, got.tool, got["count"]))
+    want_k = list(zip(want.role, want.tool, want["count"]))
+    assert sorted(got_k) == sorted(want_k)
+
+
+def test_adjacency_matrix(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error timeout")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "role", "n_chars"]])
+    filters = {
+        "user": "role = 'user'",
+        "long": "n_chars >= 120",
+        "agent": "role = 'assistant'",
+    }
+    got = am.adjacency_matrix_facet(
+        spark, d, q, docs, filters
+    ).toPandas().set_index("key")["count"]
+    sub = _match(pdf, "error timeout")
+    u = sub.role == "user"
+    a = sub.role == "assistant"
+    lg = sub.n_chars >= 120
+    want = {
+        "user": u.sum(), "agent": a.sum(), "long": lg.sum(),
+        "agent&user": (a & u).sum(), "agent&long": (a & lg).sum(),
+        "long&user": (lg & u).sum(),
+    }
+    want = {k: int(v) for k, v in want.items() if v > 0}
+    assert dict(got) == want
+    # pair keys are sorted-name joins; disjoint pair absent
+    assert "agent&user" not in dict(got) or want.get("agent&user")
+
+
+def test_extended_stats_and_weighted_avg(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "retry")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "n_chars", "turn_idx"]])
+    es = am.extended_stats_facet(
+        spark, d, q, docs, "n_chars", sigma=2.0
+    ).toPandas().iloc[0]
+    sub = _match(pdf, "retry")
+    v = sub.n_chars.astype(float)
+    assert es["count"] == len(v)
+    assert es["sum"] == pytest.approx(v.sum())
+    assert es["sum_of_squares"] == pytest.approx((v * v).sum())
+    assert es["variance"] == pytest.approx(v.var(ddof=0))
+    assert es["upper"] == pytest.approx(v.mean() + 2 * v.std(ddof=0))
+
+    wa = am.weighted_avg_facet(
+        spark, d, q, docs, "n_chars", "turn_idx"
+    ).toPandas().iloc[0]
+    w = sub.turn_idx.astype(float)
+    if w.sum() > 0:
+        assert wa.weighted_avg == pytest.approx((v * w).sum() / w.sum())
+
+
+def test_value_count(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error")], _Q)
+    p2 = pdf[["doc_id", "tool", "role"]].copy()
+    docs = spark.createDataFrame(p2)
+    got = am.value_count_facet(
+        spark, d, q, docs, ["tool", "role"]
+    ).toPandas().set_index("field")["value_count"]
+    sub = _match(pdf, "error")
+    assert int(got["tool"]) == int(sub.tool.notna().sum())
+    assert int(got["role"]) == int(sub.role.notna().sum())
+
+
+def test_diversified_sampler(spark):
+    rows = []
+    for i in range(30):
+        rows.append(("q1", i, 100.0 - i, "src%d" % (i % 3)))
+    hits = spark.createDataFrame(
+        rows, "query_id string, doc_id long, score double, source string"
+    )
+    plain = am.diversified_sampler(hits, shard_size=5).toPandas()
+    assert sorted(plain.doc_id) == [0, 1, 2, 3, 4]  # top-5 by score
+    div = am.diversified_sampler(
+        hits, shard_size=5, field="source", max_docs_per_value=1
+    ).toPandas()
+    # one per source value, best-scoring wins -> docs 0,1,2
+    assert sorted(div.doc_id) == [0, 1, 2]
+    div2 = am.diversified_sampler(
+        hits, shard_size=4, field="source", max_docs_per_value=2
+    ).toPandas()
+    assert sorted(div2.doc_id) == [0, 1, 2, 3]
+    assert div2.groupby("source").size().max() <= 2

@@ -1,0 +1,176 @@
+"""Pipeline aggregations (query/pipeline_aggs.py): derivative,
+cumulative_sum, moving_fn, serial_diff, bucket_script/selector/sort and
+bucket densify — exact OpenSearch semantics, checked against hand
+oracles and a DuckDB window-function replica."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_prepper_spark.query import pipeline_aggs as pa
+
+# two queries; q1 has a gap at bucket 30 when densified at step 10
+_BUCKETS = [
+    ("q1", 0.0, 4), ("q1", 10.0, 7), ("q1", 20.0, 5), ("q1", 40.0, 9),
+    ("q2", 0.0, 1), ("q2", 10.0, 1),
+]
+_SCHEMA = "query_id string, bucket double, count long"
+
+
+@pytest.fixture(scope="module")
+def buckets(spark):
+    return spark.createDataFrame(_BUCKETS, _SCHEMA)
+
+
+def test_derivative_skips_first_and_matches_duckdb(spark, buckets):
+    got = (
+        pa.derivative(buckets).toPandas()
+        .sort_values(["query_id", "bucket"]).reset_index(drop=True)
+    )
+    ora = duckdb.sql(
+        "SELECT query_id, bucket, count, count - lag(count) OVER "
+        "(PARTITION BY query_id ORDER BY bucket) AS derivative "
+        "FROM (VALUES "
+        + ", ".join(f"('{q}', {b}, {c})" for q, b, c in _BUCKETS)
+        + ") t(query_id, bucket, count) QUALIFY derivative IS NOT NULL "
+        "ORDER BY query_id, bucket"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"derivative": "int64"}),
+        ora.astype({"count": "int64", "derivative": "int64"}),
+    )
+    # first bucket of each query emits nothing
+    assert len(got) == len(_BUCKETS) - 2
+
+
+def test_cumulative_sum_every_bucket(spark, buckets):
+    got = pa.cumulative_sum(buckets).toPandas()
+    g = got[got.query_id == "q1"].sort_values("bucket")
+    assert list(g.cumulative_sum) == [4, 11, 16, 25]
+    assert len(got) == len(_BUCKETS)
+
+
+def test_moving_fn_default_shift_excludes_current(spark, buckets):
+    # OpenSearch shift=0: frame = the `window` buckets BEFORE current
+    got = pa.moving_fn(buckets, window=2, fn="avg").toPandas()
+    g = got[got.query_id == "q1"].sort_values("bucket")
+    # bucket 0 has empty frame -> dropped; 10 sees [4]; 20 sees [4,7];
+    # 40 sees [7,5]
+    assert list(g.bucket) == [10.0, 20.0, 40.0]
+    assert list(g.moving_fn) == [4.0, 5.5, 6.0]
+
+
+def test_moving_fn_shift_includes_current(spark, buckets):
+    got = pa.moving_fn(buckets, window=2, fn="sum", shift=1).toPandas()
+    g = got[got.query_id == "q1"].sort_values("bucket")
+    # shift=window edge: frame ends AT current -> [4],[4+7],[7+5],[5+9]
+    assert list(g.moving_fn) == [4.0, 11.0, 12.0, 14.0]
+
+
+def test_serial_diff_lag2(spark, buckets):
+    got = pa.serial_diff(buckets, lag=2).toPandas()
+    g = got[got.query_id == "q1"].sort_values("bucket")
+    assert list(g.bucket) == [20.0, 40.0]
+    assert list(g.serial_diff) == [1, 2]  # 5-4, 9-7
+    assert (got.query_id == "q1").all()  # q2 has only 2 buckets
+
+
+def test_bucket_script_selector_sort(spark, buckets):
+    cs = pa.cumulative_sum(buckets)
+    scripted = pa.bucket_script(cs, "count / cumulative_sum", "frac")
+    sel = pa.bucket_selector(scripted, "count >= 5")
+    got = sel.toPandas().sort_values(["query_id", "bucket"])
+    assert list(got.bucket) == [10.0, 20.0, 40.0]
+    assert got.frac.iloc[-1] == pytest.approx(9 / 25)
+    top = pa.bucket_sort(
+        pa.cumulative_sum(buckets),
+        sort=[("count", False), ("bucket", True)], size=2,
+    ).toPandas()
+    t1 = top[top.query_id == "q1"].sort_values("bucket")
+    assert list(t1.bucket) == [10.0, 40.0]  # counts 7 and 9
+    assert len(top[top.query_id == "q2"]) == 2
+
+
+def test_bucket_sort_from_slice(spark, buckets):
+    page2 = pa.bucket_sort(
+        buckets, sort=[("count", False), ("bucket", True)],
+        size=2, from_=2,
+    ).toPandas()
+    t1 = page2[page2.query_id == "q1"].sort_values("bucket")
+    assert list(t1["count"]) == [4, 5]  # ranks 3,4 by count desc
+
+
+def test_densify_numeric_then_derivative_sees_zero(spark, buckets):
+    dense = pa.densify_buckets(buckets, step=10.0)
+    g = dense.toPandas()
+    g1 = g[g.query_id == "q1"].sort_values("bucket")
+    assert list(g1.bucket) == [0.0, 10.0, 20.0, 30.0, 40.0]
+    assert list(g1["count"]) == [4, 7, 5, 0, 9]
+    d = pa.derivative(dense).toPandas()
+    d1 = d[d.query_id == "q1"].set_index("bucket")
+    # with the zero bucket the 40-derivative is 9-0, not 9-5
+    assert int(d1.loc[30.0, "derivative"]) == -5
+    assert int(d1.loc[40.0, "derivative"]) == 9
+
+
+def test_densify_calendar_day(spark):
+    rows = [
+        ("q1", dt.datetime(2026, 1, 1), 3),
+        ("q1", dt.datetime(2026, 1, 4), 6),
+    ]
+    b = spark.createDataFrame(rows, "query_id string, bucket timestamp, count long")
+    dense = pa.densify_buckets(b, step="day").toPandas().sort_values("bucket")
+    assert len(dense) == 4
+    assert list(dense["count"]) == [3, 0, 0, 6]
+    mov = pa.moving_fn(
+        pa.densify_buckets(b, step="day"), window=3, fn="max", shift=1
+    ).toPandas().sort_values("bucket")
+    assert list(mov.moving_fn) == [3.0, 3.0, 3.0, 6.0]
+
+
+def test_date_histogram_parent_end_to_end(spark):
+    """date_histogram -> densify -> derivative + cumulative_sum over a
+    real match set, vs a DuckDB replica of the whole chain."""
+    from data_prepper_spark.query import facets
+
+    rows = []
+    base = dt.datetime(2026, 3, 1)
+    texts = ["alpha error", "beta error", "gamma", "alpha retry"]
+    for i in range(40):
+        rows.append((i, texts[i % 4], base + dt.timedelta(hours=5 * i)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    m = spark.createDataFrame(
+        [("q1", i) for i in range(40) if i % 4 in (0, 1, 3)],
+        "query_id string, doc_id long",
+    )
+    dh = facets.date_histogram(spark, "", None, docs, "ts", unit="day", match=m)
+    out = pa.cumulative_sum(
+        pa.derivative(pa.densify_buckets(dh, step="day"))
+    ).toPandas().sort_values("bucket").reset_index(drop=True)
+
+    vals = ", ".join(
+        f"({i}, '{texts[i % 4]}', TIMESTAMP '2026-03-01' + INTERVAL {5 * i} HOUR)"
+        for i in range(40)
+    )
+    ora = duckdb.sql(f"""
+WITH docs(doc_id, text, ts) AS (VALUES {vals}),
+m AS (SELECT doc_id FROM docs WHERE text LIKE '%alpha%' OR text LIKE '%error%' OR text LIKE '%retry%'),
+b AS (SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS count
+      FROM docs JOIN m USING (doc_id) GROUP BY 1),
+spine AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                (SELECT max(bucket) FROM b), INTERVAL 1 DAY)) AS bucket),
+dense AS (SELECT s.bucket, coalesce(b.count, 0) AS count
+          FROM spine s LEFT JOIN b USING (bucket)),
+d AS (SELECT bucket, count, count - lag(count) OVER (ORDER BY bucket) AS derivative
+      FROM dense QUALIFY derivative IS NOT NULL)
+SELECT bucket, count, derivative,
+       sum(count) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cumulative_sum
+FROM d ORDER BY bucket
+""").df()
+    assert list(out.derivative) == list(ora.derivative)
+    assert list(out.cumulative_sum) == list(ora.cumulative_sum)
+    assert list(pd.to_datetime(out.bucket)) == list(pd.to_datetime(ora.bucket))
