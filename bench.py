@@ -286,6 +286,10 @@ def run_suite(
     # worker-persistent JVM warmup only)
     timed("dedup_clusters", lambda: E.q_dedup_clusters(spark, sf_dir).count())
     timed("ann_topk", lambda: E.q_embedding_topk(spark, sf_dir).count(), reps=2)
+    # hybrid retrieval: BM25 kernel top-20 + exact cosine kNN top-20,
+    # RRF-fused (reuses the suite's built index; vector side is the
+    # modulo-mapped embeddings fixture, same as the driver slot)
+    timed("query_hybrid", lambda: E.q_hybrid_rrf(spark, sf_dir).count(), reps=2)
     # late-r4 training-data ops: Gopher/C4 signals (pure Column exprs,
     # one scan) and exact-substring dedup (k=20 windows over the
     # documents table — its ~56-word docs carry few 50-token windows)

@@ -229,6 +229,50 @@ def cmd_query(args) -> int:
                               "doc_id": r["doc_id"],
                               "score": round(r["score"], 6)}))
         return 0
+    if getattr(args, "hybrid_vectors", None):
+        # hybrid search: BM25 + cosine kNN fused (RRF or normalized);
+        # --hybrid-vectors is a (doc_id, embedding) parquet; the query
+        # vector is a JSON float list or a corpus doc's vector by id
+        from pyspark.sql import functions as _F
+
+        from data_prepper_spark.query import hybrid as hy
+
+        if not args.query:
+            print("hybrid mode needs --query", file=sys.stderr)
+            return 2
+        dv = spark.read.parquet(args.hybrid_vectors)
+        if args.query_vector:
+            vec = [float(x) for x in json.loads(args.query_vector)]
+        elif args.query_vector_id is not None:
+            got = dv.filter(
+                _F.col("doc_id") == args.query_vector_id
+            ).select("embedding").take(1)
+            if not got:
+                print(f"doc {args.query_vector_id} not in --hybrid-vectors",
+                      file=sys.stderr)
+                return 2
+            vec = [float(x) for x in got[0][0]]
+        else:
+            print("hybrid mode needs --query-vector or --query-vector-id",
+                  file=sys.stderr)
+            return 2
+        qdf = spark.createDataFrame(
+            [("q0", args.query, vec)],
+            "query_id string, query_text string, embedding array<double>",
+        )
+        res = hy.hybrid_topk(
+            spark, args.index, qdf,
+            dv.select("doc_id", _F.col("embedding").cast("array<double>")
+                      .alias("embedding")),
+            k=args.k, rank_constant=args.rank_constant,
+            fusion=args.fusion, algo=args.algo,
+        )
+        score_col = "rrf_score" if args.fusion == "rrf" else "hybrid_score"
+        for r in res.orderBy("query_id", "rank").collect():
+            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+                              "doc_id": r["doc_id"],
+                              "score": round(r[score_col], 6)}))
+        return 0
     rows = []
     if args.queries_json:
         for q in json.load(open(args.queries_json)):
@@ -927,6 +971,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="join results back to --docs and print stored "
                         "fields with each hit (the _search source role; "
                         "term/phrase/filter modes)")
+    q.add_argument("--hybrid-vectors", default=None,
+                   help="hybrid search: (doc_id, embedding) parquet; "
+                        "BM25 + cosine kNN fused per --fusion")
+    q.add_argument("--query-vector", default=None,
+                   help="hybrid query vector as a JSON float list")
+    q.add_argument("--query-vector-id", type=int, default=None,
+                   help="hybrid query vector = this doc's vector from "
+                        "--hybrid-vectors")
+    q.add_argument("--fusion", default="rrf",
+                   choices=["rrf", "normalized"])
+    q.add_argument("--rank-constant", type=int, default=60,
+                   help="RRF rank constant (default 60)")
     q.add_argument("--local-cores", type=int, default=None)
     q.set_defaults(fn=cmd_query)
 

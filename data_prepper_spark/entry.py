@@ -999,6 +999,69 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+# hybrid retrieval slot: candidate budget per side (fetch 2x raw to
+# absorb round-4 score ties, the same convention as _rounded_rank)
+HY_N = 20
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval — the OpenSearch `hybrid` query +
+    score-ranker-processor (RRF) analog: BM25 top-N via the compressed
+    SPIMI kernels fused with exact cosine kNN top-N via reciprocal rank
+    fusion (1/(60+rank), Cormack et al.). Subsumes the former
+    embedding_topk slot: the semantic side IS emb.brute_force_topk,
+    still oracle-checked through the fused output (sem_rank column).
+
+    Fixture vector mapping (deterministic + SQL-replicable): doc i's
+    vector is embeddings[vec_id = doc_id % n_vec]; query j's vector is
+    embeddings[vec_id = j]. At corpus scale the semantic side swaps to
+    the LSH/IVF paths (dedup/embedding.py) — fusion cost is bounded by
+    the candidate budget either way (union + one groupBy + one
+    per-query window over <= 2N rows/query)."""
+    from data_prepper_spark.query import hybrid as hy
+
+    vecs = _emb(spark, sf_dir)
+    n_vec = vecs.count()
+    dv = (
+        _docs(spark, sf_dir)
+        .select("doc_id", (F.col("doc_id") % n_vec).alias("vec_id"))
+        .join(F.broadcast(vecs.select("vec_id", "embedding")), "vec_id")
+        .select("doc_id", "embedding")
+    )
+    qv = (
+        spark.createDataFrame(
+            [(q, i) for i, (q, _) in enumerate(BM25_QUERIES)],
+            "query_id string, vec_id long",
+        )
+        .join(vecs.select("vec_id", "embedding"), "vec_id")
+        .select("query_id", "embedding")
+    )
+    d = _built_index(spark, sf_dir)
+    qtext = spark.createDataFrame(
+        [(q, t, HY_N * 2) for q, t in BM25_QUERIES],
+        "query_id string, query_text string, k int",
+    )
+    lex = hy.ranked(engine.score_topk(spark, d, qtext, algo="wand"), k=HY_N)
+    sem = emb.brute_force_topk(dv, qv, k=HY_N, id_col="doc_id")
+    fused = hy.rrf_fuse([lex, sem], k=BM25_K, rank_constant=60)
+    out = (
+        fused
+        .join(lex.select("query_id", "doc_id",
+                         F.col("rank").alias("lex_rank")),
+              ["query_id", "doc_id"], "left")
+        .join(sem.select("query_id", "doc_id",
+                         F.col("rank").alias("sem_rank")),
+              ["query_id", "doc_id"], "left")
+    )
+    return out.select(
+        "query_id", "doc_id",
+        F.round("rrf_score", 6).alias("rrf_r"),
+        F.col("rank").cast("long").alias("rank"),
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).cast("long").alias("sem_rank"),
+    )
+
+
 def q_embedding_dups_exact(spark, sf_dir):
     vecs = _emb(spark, sf_dir)
     a = vecs.alias("a")
@@ -1779,17 +1842,7 @@ ORACLE: dict[str, str | None] = {
                n_pairs
         FROM assigned""",
     "ngram_jaccard": _jaccard_sql(3, 0.05),
-    "embedding_topk": """
-        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                   FROM embeddings WHERE vec_id < 3),
-        scored AS (
-          SELECT q.query_id, e.vec_id,
-                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
-          FROM embeddings e CROSS JOIN q)
-        SELECT query_id::BIGINT AS query_id,
-               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)::BIGINT AS rank,
-               vec_id, cosine
-        FROM scored QUALIFY rank <= 5""",
+    "hybrid_rrf": None,  # set below (generated: BM25 CTE + cosine + RRF)
     "embedding_dups_exact": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
@@ -2498,6 +2551,80 @@ QUALIFY rank <= {BM25_K}
 """
 
 
+def _hybrid_oracle_sql() -> str:
+    """DuckDB replica of q_hybrid_rrf: the bm25_topk CTE chain cut at
+    HY_N + modulo-mapped cosine kNN cut at HY_N + RRF sum. The RRF sum
+    has at most two addends per doc, so raw-double ordering is exactly
+    engine-independent (IEEE a+b == b+a); CAST(1 AS DOUBLE) keeps
+    DuckDB's literal out of DECIMAL arithmetic."""
+    vals = ", ".join(
+        f"('{q}', '{t}', {i})" for i, (q, t) in enumerate(BM25_QUERIES)
+    )
+    toks = D_TOKS.format(c="text")
+    qtoks = D_TOKS.format(c="query_text")
+    return f"""
+WITH queries(query_id, query_text, qi) AS (VALUES {vals}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM tokd),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tokd),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT DISTINCT query_id, unnest(list_distinct({qtoks})) AS term FROM queries),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2),
+lexr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS lex_rank
+  FROM scored QUALIFY lex_rank <= {HY_N}),
+nv AS (SELECT count(*) AS n FROM embeddings),
+dv AS (SELECT d.doc_id, e.embedding::DOUBLE[] AS v
+       FROM documents d
+       JOIN embeddings e ON e.vec_id = d.doc_id % (SELECT n FROM nv)),
+qv AS (SELECT q.query_id, e.embedding::DOUBLE[] AS qvec
+       FROM queries q JOIN embeddings e ON e.vec_id = q.qi),
+semsc AS (
+  SELECT qv.query_id, dv.doc_id,
+         round(list_cosine_similarity(dv.v, qv.qvec), 6) AS cos
+  FROM dv CROSS JOIN qv),
+semr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id) AS sem_rank
+  FROM semsc QUALIFY sem_rank <= {HY_N}),
+contrib AS (
+  SELECT query_id, doc_id, CAST(1 AS DOUBLE) / (60 + lex_rank) AS c FROM lexr
+  UNION ALL
+  SELECT query_id, doc_id, CAST(1 AS DOUBLE) / (60 + sem_rank) FROM semr),
+fused AS (SELECT query_id, doc_id, sum(c) AS rrf
+          FROM contrib GROUP BY 1, 2),
+rrfr AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused QUALIFY rank <= {BM25_K})
+SELECT r.query_id, r.doc_id, round(r.rrf, 6) AS rrf_r, r.rank::BIGINT AS rank,
+       coalesce(l.lex_rank, 0)::BIGINT AS lex_rank,
+       coalesce(s.sem_rank, 0)::BIGINT AS sem_rank
+FROM rrfr r
+LEFT JOIN lexr l USING (query_id, doc_id)
+LEFT JOIN semr s USING (query_id, doc_id)
+"""
+
+
+ORACLE["hybrid_rrf"] = _hybrid_oracle_sql()
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "wand_topk": q_wand_topk,
@@ -2537,7 +2664,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "text_analysis": q_text_analysis,
-    "embedding_topk": q_embedding_topk,
+    "hybrid_rrf": q_hybrid_rrf,  # subsumes embedding_topk (r4 merge)
     "embedding_dups_exact": q_embedding_dups_exact,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "broadcast_enrich": q_broadcast_enrich,

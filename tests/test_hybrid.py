@@ -1,0 +1,287 @@
+"""Hybrid retrieval (query/hybrid.py) — RRF and normalized score
+fusion vs hand-computed pandas/numpy oracles, plus an end-to-end
+hybrid_topk over a real SPIMI index with deterministic doc vectors.
+The driver gate's `hybrid_rrf` slot oracle-checks the full pipeline
+against DuckDB; these tests pin the fusion semantics corners (missing
+docs, weights, max==min normalization, zero scores)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.query import hybrid as hy
+
+
+def _rankings(spark):
+    # two per-query rankings with partial doc overlap
+    lex = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1), ("q2", 21, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [("q1", 12, 1), ("q1", 13, 2),
+         ("q2", 21, 1), ("q2", 20, 2), ("q2", 22, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    return lex, sem
+
+
+def test_rrf_basic(spark):
+    lex, sem = _rankings(spark)
+    out = hy.rrf_fuse([lex, sem], k=10, rank_constant=60).toPandas()
+    got = {
+        (r.query_id, r.doc_id): r.rrf_score
+        for r in out.itertuples()
+    }
+    # doc in both lists sums both reciprocals
+    assert got[("q1", 12)] == pytest.approx(1 / 63 + 1 / 61)
+    # doc in one list only contributes once
+    assert got[("q1", 10)] == pytest.approx(1 / 61)
+    assert got[("q1", 13)] == pytest.approx(1 / 62)
+    # q2: 21 appears rank2+rank1, 20 rank1+rank2 -> identical scores,
+    # tie broken by ascending doc_id
+    q2 = out[out.query_id == "q2"].sort_values("rank")
+    assert q2.doc_id.tolist()[:2] == [20, 21]
+    assert q2.rrf_score.iloc[0] == pytest.approx(q2.rrf_score.iloc[1])
+
+
+def test_rrf_weights_and_constant(spark):
+    lex, sem = _rankings(spark)
+    out = hy.rrf_fuse(
+        [lex, sem], k=10, rank_constant=10, weights=[2.0, 0.5]
+    ).toPandas()
+    got = {(r.query_id, r.doc_id): r.rrf_score for r in out.itertuples()}
+    assert got[("q1", 12)] == pytest.approx(2.0 / 13 + 0.5 / 11)
+    assert got[("q1", 13)] == pytest.approx(0.5 / 12)
+
+
+def test_rrf_k_cut(spark):
+    lex, sem = _rankings(spark)
+    out = hy.rrf_fuse([lex, sem], k=2).toPandas()
+    assert (out.groupby("query_id")["rank"].max() <= 2).all()
+    assert set(out["rank"]) == {1, 2}
+
+
+def test_min_max_normalize(spark):
+    df = spark.createDataFrame(
+        [("q1", 1, 2.0), ("q1", 2, 6.0), ("q1", 3, 4.0),
+         ("q2", 4, 5.0), ("q2", 5, 5.0)],   # max == min
+        "query_id string, doc_id long, score double",
+    )
+    out = hy.normalize_scores(df, "min_max").toPandas()
+    got = {(r.query_id, r.doc_id): r.norm_score for r in out.itertuples()}
+    assert got[("q1", 1)] == 0.0
+    assert got[("q1", 2)] == 1.0
+    assert got[("q1", 3)] == pytest.approx(0.5)
+    # degenerate list: everything normalizes to 1.0
+    assert got[("q2", 4)] == 1.0 and got[("q2", 5)] == 1.0
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame(
+        [("q1", 1, 3.0), ("q1", 2, 4.0), ("q2", 3, 0.0)],
+        "query_id string, doc_id long, score double",
+    )
+    out = hy.normalize_scores(df, "l2").toPandas()
+    got = {(r.query_id, r.doc_id): r.norm_score for r in out.itertuples()}
+    assert got[("q1", 1)] == pytest.approx(0.6)
+    assert got[("q1", 2)] == pytest.approx(0.8)
+    assert got[("q2", 3)] == 0.0
+
+
+def test_fuse_arithmetic_skips_absent(spark):
+    # OpenSearch rule: a doc absent from a sub-query is SKIPPED, the
+    # weight denominator only counts lists where it appears
+    a = spark.createDataFrame(
+        [("q1", 1, 10.0), ("q1", 2, 0.0)],
+        "query_id string, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 2, 8.0), ("q1", 3, 2.0)],
+        "query_id string, doc_id long, score double",
+    )
+    out = hy.fuse_normalized(
+        [a, b], k=10, method="min_max", weights=[3.0, 1.0]
+    ).toPandas()
+    got = {(r.query_id, r.doc_id): r.hybrid_score for r in out.itertuples()}
+    # list a min_max: doc1 -> 1.0, doc2 -> 0.0; list b: doc2 -> 1.0, doc3 -> 0.0
+    assert got[("q1", 1)] == pytest.approx(3.0 * 1.0 / 3.0)       # a only
+    assert got[("q1", 2)] == pytest.approx((3 * 0 + 1 * 1) / 4.0)  # both
+    assert got[("q1", 3)] == pytest.approx(0.0)                    # b only
+
+
+def test_fuse_geometric_and_harmonic(spark):
+    a = spark.createDataFrame(
+        [("q1", 1, 1.0), ("q1", 2, 4.0)],
+        "query_id string, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 1, 2.0), ("q1", 2, 8.0)],
+        "query_id string, doc_id long, score double",
+    )
+    # l2 keeps every score > 0 here so both docs survive both modes
+    geo = hy.fuse_normalized([a, b], method="l2",
+                             combination="geometric_mean").toPandas()
+    har = hy.fuse_normalized([a, b], method="l2",
+                             combination="harmonic_mean").toPandas()
+    na = np.array([1.0, 4.0]) / np.sqrt(1 + 16)
+    nb = np.array([2.0, 8.0]) / np.sqrt(4 + 64)
+    ggot = {r.doc_id: r.hybrid_score for r in geo.itertuples()}
+    hgot = {r.doc_id: r.hybrid_score for r in har.itertuples()}
+    for i, d in enumerate([1, 2]):
+        assert ggot[d] == pytest.approx(np.sqrt(na[i] * nb[i]))
+        assert hgot[d] == pytest.approx(2 / (1 / na[i] + 1 / nb[i]))
+
+
+def test_fuse_geometric_zero_drops_doc(spark):
+    a = spark.createDataFrame(
+        [("q1", 1, 0.0), ("q1", 2, 4.0)],
+        "query_id string, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 1, 2.0), ("q1", 2, 8.0)],
+        "query_id string, doc_id long, score double",
+    )
+    out = hy.fuse_normalized([a, b], method="min_max",
+                             combination="geometric_mean").toPandas()
+    # doc1 min_maxes to 0 in BOTH lists -> excluded entirely
+    assert out.doc_id.tolist() == [2]
+    assert out.hybrid_score.iloc[0] == pytest.approx(1.0)
+
+
+def test_errors(spark):
+    lex, _ = _rankings(spark)
+    with pytest.raises(ValueError):
+        hy.rrf_fuse([])
+    with pytest.raises(ValueError):
+        hy.rrf_fuse([lex], weights=[1.0, 2.0])
+    with pytest.raises(ValueError):
+        hy.normalize_scores(lex.withColumn("score", lex.rank), "zscore")
+    with pytest.raises(ValueError):
+        hy.fuse_normalized([lex], combination="median")
+
+
+@pytest.fixture(scope="module")
+def hybrid_fixture(spark, tmp_path_factory):
+    """SPIMI index over 80 synthetic conversations + deterministic
+    8-dim doc vectors (splitmix64-seeded, same recipe as the LSH
+    planes) + 3 hybrid queries whose vectors are existing doc vectors.
+    """
+    from data_prepper_spark.data.transcripts import generate_pandas
+    from data_prepper_spark.dedup.embedding import _plane
+    from data_prepper_spark.index import build as ib
+    from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+    pdf = generate_pandas(0, 80)
+    pdf = pdf.copy()
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    d = str(tmp_path_factory.mktemp("hy") / "idx")
+    ib.build_index(
+        spark, spark.createDataFrame(pdf[["doc_id", "text"]]), d,
+        n_shards=4, block_size=16, assign_ids=False,
+    )
+    rng_vecs = {
+        int(i): _plane(int(i) % 97, 8).astype(float).tolist()
+        for i in pdf.doc_id
+    }
+    dv = spark.createDataFrame(
+        [(int(i), v) for i, v in rng_vecs.items()],
+        "doc_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [("h1", "error handling retry", rng_vecs[int(pdf.doc_id.iloc[3])]),
+         ("h2", "spark join shuffle", rng_vecs[int(pdf.doc_id.iloc[40])]),
+         ("h3", "memory limit container", rng_vecs[int(pdf.doc_id.iloc[77])])],
+        "query_id string, query_text string, embedding array<double>",
+    )
+    return d, dv, q, pdf
+
+
+def test_hybrid_topk_e2e_rrf(spark, hybrid_fixture):
+    """Fused output == hand fusion of the two sides computed separately."""
+    from data_prepper_spark.dedup import embedding as emb
+    from data_prepper_spark.query import engine
+
+    d, dv, q, _ = hybrid_fixture
+    out = hy.hybrid_topk(
+        spark, d, q, dv, k=5, n_candidates=20
+    ).toPandas()
+
+    qtext = q.selectExpr("query_id", "query_text", "40 as k")
+    lex = hy.ranked(
+        engine.score_topk(spark, d, qtext, algo="wand"), k=20
+    ).toPandas()
+    sem = emb.brute_force_topk(
+        dv, q.select("query_id", "embedding"), k=20, id_col="doc_id"
+    ).toPandas()
+    rows = []
+    for qid in ["h1", "h2", "h3"]:
+        contrib: dict[int, float] = {}
+        for df in (lex, sem):
+            sub = df[df.query_id == qid]
+            for doc, rk in zip(sub.doc_id, sub["rank"]):
+                contrib[int(doc)] = contrib.get(int(doc), 0.0) + 1 / (60 + rk)
+        best = sorted(contrib.items(), key=lambda t: (-t[1], t[0]))[:5]
+        rows += [(qid, doc, sc, i + 1) for i, (doc, sc) in enumerate(best)]
+    oracle = pd.DataFrame(rows, columns=["query_id", "doc_id",
+                                         "rrf_score", "rank"])
+    got = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    exp = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    np.testing.assert_allclose(got.rrf_score, exp.rrf_score, rtol=1e-12)
+
+
+def test_hybrid_topk_normalized(spark, hybrid_fixture):
+    """min_max + weighted arithmetic mean vs a hand fusion in pandas."""
+    from data_prepper_spark.dedup import embedding as emb
+    from data_prepper_spark.query import engine
+
+    d, dv, q, _ = hybrid_fixture
+    out = hy.hybrid_topk(
+        spark, d, q, dv, k=5, n_candidates=20,
+        fusion="normalized", method="min_max",
+        combination="arithmetic_mean", weights=[0.3, 0.7],
+    ).toPandas()
+    assert set(out.query_id) == {"h1", "h2", "h3"}
+    assert (out.groupby("query_id")["rank"].max() <= 5).all()
+
+    qtext = q.selectExpr("query_id", "query_text", "40 as k")
+    lex = hy.ranked(
+        engine.score_topk(spark, d, qtext, algo="wand"), k=20
+    ).toPandas()
+    sem = emb.brute_force_topk(
+        dv, q.select("query_id", "embedding"), k=20, id_col="doc_id"
+    ).toPandas().rename(columns={"cosine": "score"})
+
+    def mm(sub):
+        lo, hi = sub.score.min(), sub.score.max()
+        return (
+            pd.Series(1.0, index=sub.doc_id)
+            if hi == lo
+            else pd.Series(((sub.score - lo) / (hi - lo)).values,
+                           index=sub.doc_id)
+        )
+
+    for qid in ["h1", "h2", "h3"]:
+        nl = mm(lex[lex.query_id == qid])
+        ns = mm(sem[sem.query_id == qid])
+        num: dict[int, float] = {}
+        den: dict[int, float] = {}
+        for series, wgt in ((nl, 0.3), (ns, 0.7)):
+            for doc, s in series.items():
+                num[int(doc)] = num.get(int(doc), 0.0) + wgt * s
+                den[int(doc)] = den.get(int(doc), 0.0) + wgt
+        fused = sorted(
+            ((num[doc] / den[doc], doc) for doc in num),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got = out[out.query_id == qid].sort_values("rank")
+        assert got.doc_id.tolist() == [doc for _, doc in fused]
+        np.testing.assert_allclose(
+            got.hybrid_score, [s for s, _ in fused], rtol=1e-12
+        )
