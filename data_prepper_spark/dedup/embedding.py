@@ -42,11 +42,23 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
+    filter: str | Column | None = None,  # noqa: A002 (API parity)
 ) -> DataFrame:
     """Exact top-k neighbors per query vector. queries: (query_id,
-    embedding). Broadcast the (small) query set against the corpus."""
+    embedding). Broadcast the (small) query set against the corpus.
+
+    `filter`: optional predicate over the vectors frame's columns —
+    the k-NN query's `filter` clause with PRE-filter ("efficient
+    filtering") semantics: candidates are restricted BEFORE scoring,
+    so each query still returns up to k hits (a post-filter would
+    return fewer). Applied to the scan, so Catalyst pushes it into
+    the parquet read."""
     from pyspark.sql import Window
 
+    if filter is not None:
+        vectors = vectors.filter(
+            F.expr(filter) if isinstance(filter, str) else filter
+        )
     q = queries.select(
         F.col(qid_col), F.col(vec_col).alias("_qv")
     )
@@ -103,15 +115,24 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
+    filter: str | Column | None = None,  # noqa: A002 (API parity)
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket, exact cosine
     re-rank inside. With `multi_probe` each query also probes every
     bucket at Hamming distance 1 (flip one sign bit) — the standard
     recall fix for vectors near a hyperplane; candidate set grows to
     ~(n_planes+1)/2^n_planes of the corpus, still a bucket-local
-    equi-join at scale."""
+    equi-join at scale.
+
+    `filter`: pre-filter predicate over the vectors frame (k-NN
+    "efficient filtering" — restrict BEFORE bucketing/scoring, pushed
+    to the scan)."""
     from pyspark.sql import Window
 
+    if filter is not None:
+        vectors = vectors.filter(
+            F.expr(filter) if isinstance(filter, str) else filter
+        )
     b = lsh_bucket_udf(dim, n_planes)
     v = vectors.withColumn("_bucket", b(F.col(vec_col)))
     q = queries.withColumn("_bucket", b(F.col(vec_col)))
@@ -175,6 +196,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     seed: int = 7,
+    filter: str | Column | None = None,  # noqa: A002 (API parity)
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means partitions the corpus into
     `n_lists` cells; each query probes its `n_probe` nearest centroids
@@ -185,7 +207,13 @@ def ivf_topk(
     `_list` column — at 10^12 rows the table would be written bucketed
     by `_list` so a probe reads only its cells' files. Complements
     lsh_bucketed_topk: IVF adapts to the data distribution (learned
-    centroids), LSH needs no fit."""
+    centroids), LSH needs no fit.
+
+    `filter`: pre-filter predicate (k-NN "efficient filtering"),
+    applied to the ASSIGNED vectors — candidates are restricted before
+    scoring but the learned cell structure is unchanged, matching the
+    engine behavior (the filter varies per request; the index does
+    not)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
@@ -197,6 +225,10 @@ def ivf_topk(
         k=n_lists, seed=seed, featuresCol="_fv", predictionCol="_list"
     ).fit(v)
     assigned = model.transform(v).drop("_fv")
+    if filter is not None:
+        assigned = assigned.filter(
+            F.expr(filter) if isinstance(filter, str) else filter
+        )
 
     centers_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

@@ -220,6 +220,7 @@ def hybrid_topk(
     fusion: str = "rrf",
     method: str = "min_max",
     combination: str = "arithmetic_mean",
+    knn_filter: str | None = None,
 ) -> DataFrame:
     """End-to-end hybrid search over our own index: BM25 top-N via the
     compressed SPIMI kernels + exact cosine top-N of the query vector
@@ -248,6 +249,7 @@ def hybrid_topk(
         queries.select("query_id", "embedding"),
         k=n_candidates,
         id_col="doc_id",
+        filter=knn_filter,
     )
     if fusion == "rrf":
         return rrf_fuse(

@@ -79,3 +79,37 @@ def test_lsh_multiprobe_beats_single_probe(vecs, queries, exact):
     # that multi-probe strictly improves on single-probe at any size
     assert r_multi >= 0.5, f"multi-probe recall {r_multi}"
     assert r_multi > r_single
+
+
+def test_knn_prefilter_semantics(vecs, queries):
+    """k-NN `filter` is a PRE-filter ("efficient filtering"): candidates
+    restrict before scoring, every hit satisfies the predicate, and each
+    query still fills up to k hits from the filtered pool — identical to
+    brute force over a pre-filtered frame."""
+    flt = "label % 2 = 0"
+    out = emb.brute_force_topk(
+        vecs, queries, k=K, qid_col="query_id", filter=flt
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in vecs.select("vec_id", "label").collect()}
+    assert out and all(labels[r["vec_id"]] % 2 == 0 for r in out)
+    manual = emb.brute_force_topk(
+        vecs.filter(F.expr(flt)), queries, k=K, qid_col="query_id"
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted((r["query_id"], r["rank"], r["vec_id"]) for r in out) == \
+        sorted((r["query_id"], r["rank"], r["vec_id"]) for r in manual)
+
+
+def test_knn_prefilter_lsh_and_ivf(vecs, queries):
+    flt = F.col("label") % 2 == 0
+    dim = len(vecs.select("embedding").first()[0])
+    for rows in (
+        emb.lsh_bucketed_topk(vecs, queries, dim=dim, k=K, n_planes=4,
+                              qid_col="query_id", filter=flt).collect(),
+        emb.ivf_topk(vecs, queries, k=K, n_lists=4, n_probe=2,
+                     qid_col="query_id", filter=flt).collect(),
+    ):
+        assert rows
+        labels = {r["vec_id"]: r["label"]
+                  for r in vecs.select("vec_id", "label").collect()}
+        assert all(labels[r["vec_id"]] % 2 == 0 for r in rows)
