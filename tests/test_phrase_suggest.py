@@ -1,0 +1,129 @@
+"""Phrase suggester (query/phrase_suggest.py) vs a hand-computed
+StupidBackoff oracle over the same corpus. The corpus is built so the
+misspelled token has an unambiguous high-probability correction whose
+bigrams actually occur."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import phrase_suggest as ps
+
+# hand corpus: "slow query" dominates; "slow quest" exists but rarer
+_DOCS = [
+    "the slow query ran all night",
+    "a slow query needs an index",
+    "slow query plans hide table scans",
+    "the slow quest for answers",
+    "fast query results please users",
+    "query planners choose join order",
+    "slow startup is a different bug",
+    "every index speeds the query",
+]
+
+
+@pytest.fixture(scope="module")
+def sugg_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ps") / "idx")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_DOCS)], "doc_id long, text string"
+    )
+    ib.build_index(spark, df, d, n_shards=2, block_size=8, assign_ids=False)
+    return d
+
+
+def _stupid_backoff_oracle(tokens: list[str], discount=0.4) -> float:
+    """log-prob of a token sequence under doc-freq StupidBackoff over
+    _DOCS (the module's documented scoring contract)."""
+    toksed = [tokenize(t) for t in _DOCS]
+    n_docs = len(_DOCS)
+
+    def df_term(w):
+        return sum(1 for ts in toksed if w in ts)
+
+    def df_bigram(w1, w2):
+        def has(ts):
+            return any(a == w1 and b == w2 for a, b in zip(ts, ts[1:]))
+        return sum(1 for ts in toksed if has(ts))
+
+    score = math.log(max(df_term(tokens[0]), 1e-12) / n_docs)
+    for w1, w2 in zip(tokens, tokens[1:]):
+        big = df_bigram(w1, w2)
+        if big > 0:
+            score += math.log(big / df_term(w1))
+        else:
+            score += math.log(discount * max(df_term(w2), 1e-12) / n_docs)
+    return score
+
+
+def test_corrects_misspelling(spark, sugg_index):
+    out = ps.suggest_phrases(
+        spark, sugg_index, "slow qeury", size=3, candidates_per_term=3
+    )
+    assert out, "no suggestions returned"
+    assert out[0]["suggestion"] == "slow query"
+    # scores match the StupidBackoff oracle
+    for row in out:
+        exp = _stupid_backoff_oracle(row["suggestion"].split())
+        assert row["score"] == pytest.approx(exp, rel=1e-9)
+
+
+def test_ranks_common_bigram_over_rare(spark, sugg_index):
+    # both 'query' and 'quest' are distance-1 corrections of 'quesy';
+    # the bigram LM must prefer 'slow query' (bigram df 3) over
+    # 'slow quest' (bigram df 1)
+    out = ps.suggest_phrases(
+        spark, sugg_index, "slow quesy", size=5, candidates_per_term=5
+    )
+    sugg = [r["suggestion"] for r in out]
+    assert "slow query" in sugg and "slow quest" in sugg
+    assert sugg.index("slow query") < sugg.index("slow quest")
+
+
+def test_confidence_gates_output(spark, sugg_index):
+    # input is already the best phrase -> with default confidence 1.0
+    # nothing beats the original, so no suggestions
+    out = ps.suggest_phrases(spark, sugg_index, "slow query", size=3)
+    assert out == []
+    # confidence 0 returns alternatives anyway
+    out0 = ps.suggest_phrases(
+        spark, sugg_index, "slow query", size=3, confidence=0.0
+    )
+    assert out0 and all(r["suggestion"] != "slow query" for r in out0)
+
+
+def test_max_errors_bounds_corrections(spark, sugg_index):
+    # two misspellings but max_errors=1 -> only single-substitution
+    # variants; neither single fix yields a phrase whose every token
+    # exists, so the only candidates differ from the input in ONE slot
+    out = ps.suggest_phrases(
+        spark, sugg_index, "slwo qeury", size=10, max_errors=1,
+        candidates_per_term=3, confidence=0.0,
+    )
+    for r in out:
+        diff = sum(
+            a != b for a, b in zip(r["suggestion"].split(), ["slwo", "qeury"])
+        )
+        assert diff <= 1
+
+
+def test_count_phrase_matches(spark, sugg_index):
+    from data_prepper_spark.query.phrase_suggest import count_phrase_matches
+
+    q = spark.createDataFrame(
+        [("b1", "slow query"), ("b2", "slow quest"), ("b3", "quest slow")],
+        "query_id string, query_text string",
+    )
+    got = {
+        r["query_id"]: r["n"]
+        for r in count_phrase_matches(spark, sugg_index, q).collect()
+    }
+    assert got.get("b1", 0) == 3
+    assert got.get("b2", 0) == 1
+    assert got.get("b3", 0) == 0
