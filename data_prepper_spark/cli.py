@@ -542,6 +542,16 @@ def cmd_suggest(args) -> int:
     from data_prepper_spark.query.suggest import suggest_terms
 
     spark = _get_spark(args)
+    if args.phrase:
+        from data_prepper_spark.query.phrase_suggest import suggest_phrases
+
+        for row in suggest_phrases(
+            spark, args.index, args.text, size=args.size,
+            max_errors=args.max_errors, confidence=args.confidence,
+            max_edits=args.max_edits,
+        ):
+            print(json.dumps(row))
+        return 0
     res = suggest_terms(
         spark, args.index, args.text, max_edits=args.max_edits,
         size=args.size, suggest_mode=args.mode,
@@ -1041,6 +1051,12 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--size", type=int, default=5)
     sg.add_argument("--mode", choices=["missing", "popular", "always"],
                     default="missing")
+    sg.add_argument("--phrase", action="store_true",
+                    help="phrase suggester: whole-phrase corrections "
+                         "ranked by a StupidBackoff bigram LM over the "
+                         "positions stream")
+    sg.add_argument("--max-errors", type=int, default=1)
+    sg.add_argument("--confidence", type=float, default=1.0)
     sg.add_argument("--local-cores", type=int, default=None)
     sg.set_defaults(fn=cmd_suggest)
 
