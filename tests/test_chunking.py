@@ -1,0 +1,96 @@
+"""Document chunking (text/chunk.py) — token-budget windows with
+overlap for embedding/RAG pipelines — vs a pure-Python oracle, plus
+the Unicode normalization operator vs Python's unicodedata (and the
+DuckDB nfc oracle shape used by the driver-side docs)."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pytest
+
+from data_prepper_spark.text import chunk as ch
+
+
+def _mk_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three"),
+        (3, ""),
+        (4, "solo"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _oracle_chunks(text, max_tokens, overlap):
+    toks = [t for t in text.split(" ") if t]
+    if not toks:
+        return []
+    step = max_tokens - overlap
+    out, i, idx = [], 0, 0
+    while i < len(toks):
+        out.append((idx, " ".join(toks[i:i + max_tokens])))
+        if i + max_tokens >= len(toks):
+            break
+        i += step
+        idx += 1
+    return out
+
+
+def test_chunks_match_oracle(spark):
+    docs = _mk_docs(spark)
+    out = ch.chunk_documents(docs, max_tokens=4, overlap=1).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"])
+        )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, text in texts.items():
+        exp = _oracle_chunks(text, 4, 1)
+        assert sorted(got.get(doc_id, [])) == exp, f"doc {doc_id}"
+
+
+def test_chunk_counts_and_overlap(spark):
+    docs = _mk_docs(spark)
+    out = ch.chunk_documents(docs, max_tokens=4, overlap=1).collect()
+    one = sorted(
+        [(r["chunk_idx"], r["chunk_text"]) for r in out if r["doc_id"] == 1]
+    )
+    # 10 tokens, window 4, step 3 -> chunks at 0,3,6 and tail at 9
+    assert len(one) == 4
+    # consecutive chunks share `overlap` boundary tokens
+    for (_, a), (_, b) in zip(one, one[1:]):
+        assert a.split()[-1] == b.split()[0]
+    assert [r for r in out if r["doc_id"] == 3] == []  # empty doc: no chunks
+    assert [(r["chunk_idx"], r["chunk_text"]) for r in out
+            if r["doc_id"] == 4] == [(0, "solo")]
+
+
+def test_chunk_validation(spark):
+    docs = _mk_docs(spark)
+    with pytest.raises(ValueError):
+        ch.chunk_documents(docs, max_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        ch.chunk_documents(docs, max_tokens=0, overlap=0)
+
+
+def test_normalize_text(spark):
+    rows = [
+        (1, "café"),                      # precomposed é (NFC stays)
+        (2, "café"),                     # e + combining acute -> é
+        (3, "ﬁle"),                       # fi ligature -> fi (NFKC)
+        (4, "① half ½"),             # ① -> 1, ½ -> 1/2 (NFKC)
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in ch.normalize_text(df, "text", form="NFKC").collect()}
+    for doc_id, raw in rows:
+        exp = unicodedata.normalize("NFKC", raw) if raw is not None else None
+        assert out[doc_id] == exp
+    # NFC keeps compatibility characters
+    out_nfc = {r["doc_id"]: r["text"]
+               for r in ch.normalize_text(df, "text", form="NFC").collect()}
+    assert out_nfc[3] == "ﬁle"
+    assert out_nfc[2] == "café"

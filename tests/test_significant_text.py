@@ -1,0 +1,105 @@
+"""significant_text aggregation vs a hand-computed JLH oracle: terms
+over-represented in a query's MATCHING DOCS' TEXT relative to the
+whole corpus, doc-count statistics, background = the index dictionary."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import facets
+
+_DOCS = [
+    "database outage caused by full disk",
+    "database outage traced to bad failover",
+    "database outage and a stuck failover again",
+    "disk alerts fired all night",
+    "the deploy went fine",
+    "users reported slow pages",
+    "cache hit ratio improved",
+    "a quiet day with no incidents",
+]
+
+
+@pytest.fixture(scope="module")
+def st_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("st") / "idx")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_DOCS)], "doc_id long, text string"
+    )
+    ib.build_index(spark, df, d, n_shards=2, block_size=8, assign_ids=False)
+    return d, df
+
+
+def _oracle(query_terms, size=10, min_doc_count=1):
+    toksed = [set(tokenize(t)) for t in _DOCS]
+    n = len(_DOCS)
+    matched = [i for i, ts in enumerate(toksed) if ts & set(query_terms)]
+    fg_total = len(matched)
+    fg = {}
+    for i in matched:
+        for t in toksed[i]:
+            fg[t] = fg.get(t, 0) + 1
+    rows = []
+    for t, fgc in fg.items():
+        if fgc < min_doc_count:
+            continue
+        bgc = sum(1 for ts in toksed if t in ts)
+        fr, br = fgc / fg_total, bgc / n
+        if fr > br:
+            rows.append((t, fgc, bgc, (fr - br) * (fr / br)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return rows[:size]
+
+
+def test_significant_text_jlh(spark, st_index):
+    d, docs = st_index
+    q = spark.createDataFrame(
+        [("q1", "outage")], "query_id string, query_text string"
+    )
+    out = facets.significant_text(
+        spark, d, q, docs, size=10, min_doc_count=1
+    ).collect()
+    got = [(r["term"], r["fg_count"], r["bg_count"], r["score"])
+           for r in sorted(out, key=lambda r: r["bucket_rank"])]
+    exp = _oracle(["outage"])
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert (g[1], g[2]) == (e[1], e[2])
+        assert g[3] == pytest.approx(e[3], rel=1e-12)
+    # 'outage' and 'database' are in every matching doc -> top scores;
+    # corpus-common terms ('the', 'a') must not rank above them
+    assert set(g[0] for g in got[:3]) >= {"outage", "database"}
+
+
+def test_significant_text_min_doc_count(spark, st_index):
+    d, docs = st_index
+    q = spark.createDataFrame(
+        [("q1", "outage")], "query_id string, query_text string"
+    )
+    out = facets.significant_text(
+        spark, d, q, docs, size=10, min_doc_count=2
+    ).collect()
+    assert out
+    assert all(r["fg_count"] >= 2 for r in out)
+    exp = {t for t, fgc, _, _ in
+           [(e[0], e[1], e[2], e[3]) for e in _oracle(["outage"], min_doc_count=2)]}
+    assert {r["term"] for r in out} == exp
+
+
+def test_significant_text_multi_query(spark, st_index):
+    d, docs = st_index
+    q = spark.createDataFrame(
+        [("q1", "outage"), ("q2", "disk alerts")],
+        "query_id string, query_text string",
+    )
+    out = facets.significant_text(spark, d, q, docs, size=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"q1", "q2"}
+    exp2 = _oracle(["disk", "alerts"], size=5)
+    got2 = [(r["term"], r["score"]) for r in
+            sorted(by_q["q2"], key=lambda r: r["bucket_rank"])]
+    assert [g[0] for g in got2] == [e[0] for e in exp2]
