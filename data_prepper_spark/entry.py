@@ -2344,6 +2344,15 @@ def q_terms_facet(spark, sf_dir):
         "query_id", F.lit("significant:lang").alias("agg"), "value",
         F.col("fg_count").cast("long").alias("count"), "score",
     )
+    # session 4: significant_text — JLH over the matching docs' TEXT
+    # terms (doc-count stats; background = the index dictionary)
+    stx = facets.significant_text(
+        spark, d, qdf, docs, size=5, min_doc_count=3, match=m
+    ).select(
+        "query_id", F.lit("significant_text").alias("agg"),
+        F.col("term").alias("value"),
+        F.col("fg_count").cast("long").alias("count"), "score",
+    )
     cd = aggs.cardinality_facet(
         spark, d, qdf, docs, ["source", "n_chars"], match=m
     ).select(
@@ -2383,7 +2392,7 @@ def q_terms_facet(spark, sf_dir):
         F.col("n_chars").cast("double").alias("score"),
     )
     out = tf
-    for part in (sg, cd, rg, hg, ts, th):
+    for part in (sg, stx, cd, rg, hg, ts, th):
         out = out.unionByName(part)
     return out
 
@@ -2421,6 +2430,23 @@ rates AS (SELECT fg.query_id, fg.value, fg.fg_count,
 sig AS (SELECT query_id, 'significant:lang' AS agg, value,
                fg_count AS count, (fgr - bgr) * (fgr / bgr) AS score
         FROM rates WHERE fgr > bgr
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, value) <= 5),
+stxf AS (SELECT m.query_id, t.term AS value, count(*)::BIGINT AS fg_count
+         FROM m JOIN toks t USING (doc_id) GROUP BY 1, 2),
+stxt AS (SELECT query_id, count(*)::DOUBLE AS fg_total FROM m GROUP BY 1),
+stxb AS (SELECT term AS value, count(*)::BIGINT AS bg_count
+         FROM toks GROUP BY 1),
+stxn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+stxr AS (SELECT f.query_id, f.value, f.fg_count,
+                f.fg_count / t.fg_total AS fgr,
+                b.bg_count / n.n AS bgr
+         FROM stxf f JOIN stxt t USING (query_id)
+         JOIN stxb b USING (value), stxn n
+         WHERE f.fg_count >= 3),
+stx AS (SELECT query_id, 'significant_text' AS agg, value,
+               fg_count AS count, (fgr - bgr) * (fgr / bgr) AS score
+        FROM stxr WHERE fgr > bgr
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, value) <= 5),
 mj AS (SELECT m.query_id, d.source, d.lang, d.doc_id,
@@ -2466,6 +2492,7 @@ th AS (SELECT query_id, 'top_hits:lang' AS agg,
               lang || ':' || CAST(doc_id AS VARCHAR) AS value,
               rn::BIGINT AS count, v AS score FROM thr)
 SELECT * FROM tf UNION ALL SELECT * FROM sig
+UNION ALL SELECT * FROM stx
 UNION ALL SELECT * FROM card UNION ALL SELECT * FROM rng
 UNION ALL SELECT * FROM hist UNION ALL SELECT * FROM tst
 UNION ALL SELECT * FROM th

@@ -368,6 +368,83 @@ def significant_terms(
     )
 
 
+def significant_text(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 10,
+    min_doc_count: int = 3,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `significant_text` aggregation: TERMS of the
+    free-text field unusually frequent in a query's matching docs
+    relative to the whole corpus — significant_terms' text-field
+    sibling, the "what words characterize the matching conversations"
+    view. JLH-scored with DOC-count statistics (each matching doc
+    contributes its DISTINCT terms once, the API contract) ->
+    (query_id, term, fg_count, bg_count, score, bucket_rank), top
+    `size` per query by (score desc, term asc), buckets with
+    fg_count < min_doc_count dropped (API default 3; tests use 1).
+
+    Background statistics come from the INDEX DICTIONARY (df = global
+    doc frequency, n_docs from stats.json) — exactly where Lucene's
+    significant-text heuristics read their background frequencies, and
+    free: no corpus-wide tokenize pass. Foreground is the usual
+    match-set plan: distributed (query_id, doc_id) rows join a
+    column-pruned (doc_id, text) projection, tokenize JVM-side
+    (tokens_col — the index's pinned analyzer), array_distinct before
+    explode for doc-count semantics, two-phase count agg. Output is
+    bounded by matched-vocabulary size x queries, never corpus size.
+    Like OpenSearch on an unmerged index, background counts include
+    tombstoned docs until compaction (documented artifact)."""
+    from data_prepper_spark.query.bm25_df import tokens_col
+
+    stats = load_stats(index_dir)
+    mode = stats.get("tokenizer", "ascii")
+    n_docs = float(stats["n_docs"])
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    per_doc_terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col(text_col, mode)))
+        .alias("term"),
+    )
+    fg = (
+        m.join(per_doc_terms, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+        .filter(F.col("fg_count") >= min_doc_count)
+    )
+    fg_tot = m.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("fg_total")
+    )
+    bg = spark.read.parquet(layout.resolve(index_dir, "dictionary")) \
+        .select("term", F.col("df").alias("bg_count"))
+    scored = (
+        fg.join(fg_tot, "query_id")
+        .join(F.broadcast(bg), "term")
+        .withColumn("fg_rate", F.col("fg_count") / F.col("fg_total"))
+        .withColumn("bg_rate", F.col("bg_count") / F.lit(n_docs))
+        .filter(F.col("fg_rate") > F.col("bg_rate"))
+        .withColumn(
+            "score",
+            (F.col("fg_rate") - F.col("bg_rate"))
+            * (F.col("fg_rate") / F.col("bg_rate")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= size)
+        .select("query_id", "term", "fg_count", "bg_count", "score",
+                "bucket_rank")
+    )
+
+
 def count_matches(
     spark: SparkSession, index_dir: str, queries: DataFrame,
 ) -> DataFrame:

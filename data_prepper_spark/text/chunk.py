@@ -1,0 +1,108 @@
+"""Document chunking + Unicode normalization — the two text-prep
+operators every embedding/RAG ingestion pipeline runs between raw
+documents and an encoder. The reference's role here is the pipeline
+processor chain ahead of its sinks; these are the LLM-era siblings of
+split_string/substitute_string for the training-data workload.
+
+- chunk_documents: token-budget windows with overlap. PURE Column
+  expressions (split → sequence → explode → slice → array_join): the
+  whole operator is one narrow projection per row, whole-stage
+  codegen, no Python, no shuffle — each doc expands to its own chunks
+  in place, so it scales linearly with corpus bytes.
+- normalize_text: unicodedata NFC/NFKC/NFD/NFKD via an Arrow-batched
+  pandas UDF (Spark SQL has no normalizer built-in). NFC output is
+  oracle-checkable against DuckDB's nfc_normalize; NFKC (the
+  training-data default: ligatures, fullwidth forms, circled digits →
+  ASCII-ish) against Python's unicodedata.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FORMS = ("NFC", "NFKC", "NFD", "NFKD")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = " ",
+) -> DataFrame:
+    """-> (<id_col>, chunk_idx, chunk_text, n_tokens): split each doc
+    into windows of `max_tokens` whitespace tokens, consecutive chunks
+    sharing `overlap` boundary tokens (step = max_tokens - overlap).
+    The final window starts at the last step boundary inside the doc —
+    it may be shorter than max_tokens but is never empty; empty docs
+    emit no chunks. Deterministic: chunk_idx counts windows from 0.
+
+    Token boundaries are `delimiter` runs (the cheap proxy every
+    budget-chunker uses before the real tokenizer); pair with
+    text/analysis.py's token counters when a BPE-ish budget matters.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be > 0")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    step = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), F.lit(delimiter)), lambda x: x != ""
+    )
+    n = F.size(toks)
+    # number of windows: 1 while n <= max_tokens, else
+    # ceil((n - max_tokens)/step) + 1 (last window covers the tail)
+    n_chunks = F.when(n <= 0, F.lit(0)).when(
+        n <= max_tokens, F.lit(1)
+    ).otherwise(
+        F.ceil((n - F.lit(max_tokens)) / F.lit(float(step))).cast("int")
+        + F.lit(1)
+    )
+    out = (
+        docs.select(F.col(id_col), toks.alias("_toks"),
+                    n_chunks.alias("_nc"))
+        .filter(F.col("_nc") > 0)
+        .select(
+            id_col, "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+            .alias("chunk_idx"),
+        )
+    )
+    sliced = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * step + 1, max_tokens
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(sliced, delimiter).alias("chunk_text"),
+        F.size(sliced).alias("n_tokens"),
+    )
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    form: str = "NFKC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a string column (None passes through). NFKC
+    default: compatibility decomposition + canonical composition — the
+    form that folds ligatures/fullwidth/circled characters before
+    tokenization, so visually-identical text dedupes and indexes
+    identically."""
+    if form not in _FORMS:
+        raise ValueError(f"form must be one of {_FORMS}, got {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x)
+            if isinstance(x, str) else None
+        )
+
+    return docs.withColumn(out_col or text_col, _norm(F.col(text_col)))

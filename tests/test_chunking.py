@@ -57,8 +57,9 @@ def test_chunk_counts_and_overlap(spark):
     one = sorted(
         [(r["chunk_idx"], r["chunk_text"]) for r in out if r["doc_id"] == 1]
     )
-    # 10 tokens, window 4, step 3 -> chunks at 0,3,6 and tail at 9
-    assert len(one) == 4
+    # 10 tokens, window 4, step 3 -> windows start at 0, 3, 6 (the
+    # start-6 window covers tokens 6..9, i.e. through the end)
+    assert len(one) == 3
     # consecutive chunks share `overlap` boundary tokens
     for (_, a), (_, b) in zip(one, one[1:]):
         assert a.split()[-1] == b.split()[0]

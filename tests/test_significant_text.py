@@ -94,7 +94,9 @@ def test_significant_text_multi_query(spark, st_index):
         [("q1", "outage"), ("q2", "disk alerts")],
         "query_id string, query_text string",
     )
-    out = facets.significant_text(spark, d, q, docs, size=5).collect()
+    out = facets.significant_text(
+        spark, d, q, docs, size=5, min_doc_count=1
+    ).collect()
     by_q = {}
     for r in out:
         by_q.setdefault(r["query_id"], []).append(r)
