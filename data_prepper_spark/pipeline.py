@@ -91,6 +91,14 @@ PROCESSORS = {
     "percolate": (lambda df, **kw: __import__(
         "data_prepper_spark.query.percolate", fromlist=["percolate_tag"]
     ).percolate_tag(df, **kw)),
+    # LLM-pipeline text prep (session 4): token-budget chunking and
+    # unicode normalization — lazy imports, same reason as percolate
+    "chunk": (lambda df, **kw: __import__(
+        "data_prepper_spark.text.chunk", fromlist=["chunk_documents"]
+    ).chunk_documents(df, **kw)),
+    "normalize_text": (lambda df, **kw: __import__(
+        "data_prepper_spark.text.chunk", fromlist=["normalize_text"]
+    ).normalize_text(df, **kw)),
     # test-utility processors (common/.../DelayProcessor.java:27): noop
     # passes through; delay is meaningless in a batch plan (there is no
     # per-event thread to sleep) and is accepted as a no-op for YAML

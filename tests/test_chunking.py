@@ -95,3 +95,47 @@ def test_normalize_text(spark):
                for r in ch.normalize_text(df, "text", form="NFC").collect()}
     assert out_nfc[3] == "ﬁle"
     assert out_nfc[2] == "café"
+
+
+def test_chunk_and_normalize_as_yaml_processors(spark, tmp_path):
+    """The operators register in the pipeline processor chain like any
+    reference processor."""
+    import json as _json
+
+    from data_prepper_spark.pipeline import load_yaml, run_pipeline
+
+    src = str(tmp_path / "in")
+    rows = [
+        {"doc_id": 1, "text": "ﬁve words here to chunk now"},
+        {"doc_id": 2, "text": "tiny"},
+    ]
+    with open(tmp_path / "in.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    spark.read.json(str(tmp_path / "in.json")).write.mode(
+        "overwrite").parquet(src)
+    out = str(tmp_path / "chunks")
+    cfg = load_yaml(f"""
+chunk-pipeline:
+  source:
+    parquet:
+      path: "{src}"
+  processor:
+    - normalize_text:
+        text_col: text
+        form: NFKC
+    - chunk:
+        max_tokens: 3
+        overlap: 1
+  sink:
+    - json:
+        path: "{out}"
+""")
+    run_pipeline(spark, cfg["chunk-pipeline"])
+    back = spark.read.json(out)
+    got = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+           for r in back.collect()}
+    # NFKC folded the ligature before chunking
+    assert got[(1, 0)] == "five words here"
+    assert got[(1, 1)] == "here to chunk"
+    assert got[(2, 0)] == "tiny"
