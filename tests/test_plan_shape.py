@@ -133,3 +133,25 @@ def test_count_matches_scan_pruning(spark, corpus_and_index):
         if "FileScan" in line and "gaps" in line:
             for col in ("tfs", "dls", "poss", "max_partial"):
                 assert col not in line, (col, line)
+
+
+def test_knn_prefilter_pushdown(spark, tmp_path):
+    """k-NN `filter=` reaches the vector parquet scan as a pushed
+    predicate (efficient-filtering contract: restrict before scoring,
+    at the scan)."""
+    from data_prepper_spark.dedup import embedding as emb
+
+    p = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 3) for i in range(30)],
+        "doc_id long, embedding array<double>, label int",
+    ).write.parquet(p)
+    vecs = spark.read.parquet(p)
+    q = spark.createDataFrame(
+        [("q", [1.0, 0.5])], "query_id string, embedding array<double>"
+    )
+    out = emb.brute_force_topk(
+        vecs, q, k=3, id_col="doc_id", filter="label = 1"
+    )
+    plan = _physical(out)
+    assert "PushedFilters: [" in plan and "EqualTo(label,1)" in plan
