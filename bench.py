@@ -298,6 +298,18 @@ def run_suite(
 
     timed("quality_signals", lambda: tq.gopher_signals(
         E._docs(spark, sf_dir), "text").count(), reps=2)
+
+    # CCNet-style LM quality: fit a bigram StupidBackoff model on the
+    # corpus and score every doc's per-token log-prob (fit + score
+    # together — the realistic one-pass filtering cost)
+    def _lm_pass():
+        from data_prepper_spark.text import lm as _lm
+
+        d = E._docs(spark, sf_dir)
+        uni, bi, tot = _lm.fit_bigram_lm(d)
+        return _lm.lm_score(d, uni, bi, tot).count()
+
+    timed("lm_quality", _lm_pass, reps=2)
     # PII scrub pass (session-2): six regexp_replace/count chains in
     # one projection — times the regex cost of the corpus scrub
     from data_prepper_spark.text import pii as tp

@@ -1,0 +1,178 @@
+"""Corpus language-model quality scoring — the CCNet/KenLM-perplexity
+role in a training-data pipeline (Wenzek et al. 2020 "CCNet": docs
+whose text is improbable under a reference LM are boilerplate/garbled
+and get filtered). A full KenLM is out of scope (no external models in
+this sandbox); a bigram StupidBackoff model (Brants et al. 2007 "Large
+Language Models in Machine Translation") fit on the corpus itself —
+or any reference corpus — captures the same signal: token sequences
+that never co-occur elsewhere score low.
+
+Everything is DataFrame-shaped and two-phase:
+
+- fit_bigram_lm: two count aggregations (unigrams, adjacent pairs)
+  over one tokenized scan — the model IS a pair of count tables, so it
+  scales to any corpus and persists as plain parquet.
+- lm_score: per-doc average token log-probability, decomposed into a
+  first-token frame + a bigram-pair frame (both linear in corpus
+  tokens, NO per-doc window) joined against the model tables, then one
+  groupBy(doc) sum. At 100 TB both joins are plain shuffle hash joins
+  on term keys (broadcast when the model is small); nothing is
+  collected.
+
+score(doc) = [ log p(t0) + sum_i log S(t_i | t_{i-1}) ] / n_tokens
+  p(w)        = count(w) / total_tokens
+  S(w2 | w1)  = count(w1 w2) / count(w1)      when the bigram is known
+              = discount * p(w2)              otherwise (StupidBackoff;
+                                              OOV w2 floors at 1/total)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_prepper_spark.query.bm25_df import tokens_col
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, mode: str,
+                id_col: str) -> DataFrame:
+    return docs.select(id_col, tokens_col(text_col, mode).alias("_toks"))
+
+
+def _pairs(toks: DataFrame, id_col: str, with_id: bool) -> DataFrame:
+    npair = F.greatest(F.size("_toks") - 1, F.lit(0))  # empty/1-token: none
+    cols = ([F.col(id_col)] if with_id else []) + [
+        F.explode(
+            F.arrays_zip(
+                F.slice("_toks", 1, npair).alias("w1"),
+                F.slice("_toks", 2, npair).alias("w2"),
+            )
+        ).alias("p")
+    ]
+    out = toks.select(*cols)
+    keep = ([id_col] if with_id else []) + [
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ]
+    return out.select(*keep)
+
+
+def fit_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    mode: str = "ascii",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, int]:
+    """-> (unigrams(term, n), bigrams(w1, w2, n), total_tokens).
+    Two map-side-combinable count aggs over one tokenized projection;
+    write the two frames to parquet to persist the model."""
+    toks = _doc_tokens(docs, text_col, mode, id_col)
+    uni = (
+        toks.select(F.explode("_toks").alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    )
+    bi = _pairs(toks, id_col, with_id=False).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = int(
+        toks.agg(F.sum(F.size("_toks")).alias("t")).first()["t"] or 0
+    )
+    return uni, bi, total
+
+
+def lm_score(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    total_tokens: int,
+    text_col: str = "text",
+    mode: str = "ascii",
+    id_col: str = "doc_id",
+    discount: float = 0.4,
+    out_col: str = "lm_logprob_per_token",
+) -> DataFrame:
+    """-> docs + `out_col` (average token log-probability; higher =
+    more corpus-typical) + `n_tokens` (null/null for token-less docs).
+    """
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be > 0 (fit on a corpus)")
+    n = float(total_tokens)
+    toks = _doc_tokens(docs, text_col, mode, id_col).filter(
+        F.size("_toks") > 0
+    )
+
+    def p_of(count_col):
+        return F.coalesce(count_col, F.lit(1)) / F.lit(n)
+
+    # first-token frame: one row per doc, log p(t0)
+    first = (
+        toks.select(
+            id_col,
+            F.size("_toks").alias("_nt"),
+            F.element_at("_toks", 1).alias("term"),
+        )
+        .join(unigrams.select("term", F.col("n").alias("_c")),
+              "term", "left")
+        .select(id_col, "_nt", F.log(p_of(F.col("_c"))).alias("_lp"))
+    )
+    # bigram-pair frame: one row per adjacent pair
+    pairs = (
+        _pairs(toks, id_col, with_id=True)
+        .join(
+            bigrams.select(
+                "w1", "w2", F.col("n").alias("_c_big")
+            ),
+            ["w1", "w2"], "left",
+        )
+        .join(
+            unigrams.select(
+                F.col("term").alias("w1"), F.col("n").alias("_c_prev")
+            ),
+            "w1", "left",
+        )
+        .join(
+            unigrams.select(
+                F.col("term").alias("w2"), F.col("n").alias("_c_tok")
+            ),
+            "w2", "left",
+        )
+        .select(
+            id_col,
+            F.lit(None).cast("int").alias("_nt"),
+            F.when(
+                F.col("_c_big").isNotNull(),
+                F.log(F.col("_c_big") / F.col("_c_prev")),
+            ).otherwise(
+                F.log(F.lit(float(discount)) * p_of(F.col("_c_tok")))
+            ).alias("_lp"),
+        )
+    )
+    per_doc = (
+        first.unionByName(pairs)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_lp").alias("_sum"),
+            F.max("_nt").alias("n_tokens"),  # set only on the first row
+        )
+        .select(
+            id_col, "n_tokens",
+            (F.col("_sum") / F.col("n_tokens")).alias(out_col),
+        )
+    )
+    return docs.join(per_doc, id_col, "left")
+
+
+def lm_quality_filter(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    total_tokens: int,
+    min_logprob_per_token: float,
+    **kw,
+) -> DataFrame:
+    """Keep docs whose average token log-prob clears the threshold —
+    the CCNet keep/drop step (they cut on KenLM perplexity tertiles;
+    pick the threshold from this column's distribution the same way).
+    Docs with no tokens are dropped (unscorable)."""
+    scored = lm_score(docs, unigrams, bigrams, total_tokens, **kw)
+    col = kw.get("out_col", "lm_logprob_per_token")
+    return scored.filter(F.col(col) >= min_logprob_per_token)

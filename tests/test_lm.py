@@ -1,0 +1,119 @@
+"""Bigram StupidBackoff LM quality scoring (text/lm.py) vs a
+pure-Python oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.text import lm
+
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox naps"),
+    (3, "quick brown foxes are quick"),
+    (4, "zzz qqq zzz"),              # garbled: rare tokens, rare pairs
+    (5, ""),                          # empty: unscorable
+    (6, "the the the the"),           # repetitive but high-prob pairs? no: 'the the' never occurs elsewhere
+]
+
+
+def _fit_oracle():
+    uni, bi, total = {}, {}, 0
+    for _, t in _DOCS:
+        toks = tokenize(t)
+        total += len(toks)
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    return uni, bi, total
+
+
+def _score_oracle(text, uni, bi, total, discount=0.4):
+    toks = tokenize(text)
+    if not toks:
+        return None
+    def p(w):
+        return uni.get(w, 1) / total
+    s = math.log(p(toks[0]))
+    for a, b in zip(toks, toks[1:]):
+        if (a, b) in bi:
+            s += math.log(bi[(a, b)] / uni[a])
+        else:
+            s += math.log(discount * p(b))
+    return s / len(toks)
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    uni, bi, total = lm.fit_bigram_lm(docs)
+    return docs, uni.cache(), bi.cache(), total
+
+
+def test_fit_counts(fitted):
+    _, uni, bi, total = fitted
+    ouni, obi, ototal = _fit_oracle()
+    assert total == ototal
+    assert {(r["term"], r["n"]) for r in uni.collect()} == set(ouni.items())
+    assert {((r["w1"], r["w2"]), r["n"]) for r in bi.collect()} == \
+        set(obi.items())
+
+
+def test_scores_match_oracle(spark, fitted):
+    docs, uni, bi, total = fitted
+    out = {r["doc_id"]: (r["lm_logprob_per_token"], r["n_tokens"])
+           for r in lm.lm_score(docs, uni, bi, total).collect()}
+    ouni, obi, ototal = _fit_oracle()
+    for doc_id, text in _DOCS:
+        exp = _score_oracle(text, ouni, obi, ototal)
+        got, nt = out[doc_id]
+        if exp is None:
+            assert got is None and nt is None
+        else:
+            assert got == pytest.approx(exp, rel=1e-9), f"doc {doc_id}"
+            assert nt == len(tokenize(text))
+
+
+def test_garbled_scores_low(spark, fitted):
+    docs, uni, bi, total = fitted
+    out = {r["doc_id"]: r["lm_logprob_per_token"]
+           for r in lm.lm_score(docs, uni, bi, total).collect()}
+    # the garbled doc is less corpus-typical than the fluent ones
+    assert out[4] < out[1] and out[4] < out[2] and out[4] < out[3]
+
+
+def test_quality_filter(spark, fitted):
+    docs, uni, bi, total = fitted
+    scored = lm.lm_score(docs, uni, bi, total).collect()
+    vals = sorted(r["lm_logprob_per_token"] for r in scored
+                  if r["lm_logprob_per_token"] is not None)
+    cut = vals[1]  # keep all but the worst
+    kept = lm.lm_quality_filter(docs, uni, bi, total,
+                                min_logprob_per_token=cut).collect()
+    assert {r["doc_id"] for r in kept} == {
+        r["doc_id"] for r in scored
+        if r["lm_logprob_per_token"] is not None
+        and r["lm_logprob_per_token"] >= cut
+    }
+    assert 5 not in {r["doc_id"] for r in kept}  # empty doc dropped
+
+
+def test_oov_heldout_doc(spark, fitted):
+    _, uni, bi, total = fitted
+    held = fitted[0].sparkSession.createDataFrame(
+        [(99, "completely unseen wording here")], "doc_id long, text string"
+    )
+    out = lm.lm_score(held, uni, bi, total).collect()[0]
+    ouni, obi, ototal = _fit_oracle()
+    exp = _score_oracle("completely unseen wording here", ouni, obi, ototal)
+    assert out["lm_logprob_per_token"] == pytest.approx(exp, rel=1e-9)
+
+
+def test_total_tokens_guard(spark, fitted):
+    docs, uni, bi, _ = fitted
+    with pytest.raises(ValueError):
+        lm.lm_score(docs, uni, bi, 0)
