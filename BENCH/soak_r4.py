@@ -1,0 +1,111 @@
+"""Round-4 soak: 20x the driver-bench corpus (13M turns) on local[32]
+with the positions-enabled index, exercising the session-4 surfaces at
+scale next to the classic kernels: build throughput + bytes/turn,
+q100 BM25 (bmx/wand), match_phrase, bool, _count, and the match-set
+aggregation path (terms facet + significant_text over the same
+queries — the dictionary-background JLH at 13M docs). Run from the
+repo root:
+    PYTHONPATH=/root/repo python BENCH/soak_r4.py
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import tempfile
+import time
+
+
+def sh(cmd):
+    return subprocess.run(cmd, shell=True, capture_output=True, text=True)
+
+
+def main():
+    import bench
+    from data_prepper_spark.data.transcripts import (
+        generate_queries,
+        generate_spark,
+    )
+    from data_prepper_spark.index import build as ib
+    from data_prepper_spark.query import engine, facets
+    from data_prepper_spark.session import get_spark
+
+    from data_prepper_spark.query import bm25_df
+
+    machine = bench._quick_probe()
+    spark = get_spark(cores=32, shuffle_partitions=64)
+    # explicit doc_ids so the facet joins below can address the corpus
+    n_convs = int(os.environ.get("SOAK_CONVS", "2000000"))
+    corpus = bm25_df.assign_doc_ids(generate_spark(spark, n_convs)) \
+        .persist()
+    n_turns = corpus.count()
+    idx = tempfile.mkdtemp(prefix="soak_r4_")
+    out = {"n_turns": n_turns, "machine": machine}
+    try:
+        t0 = time.monotonic()
+        ib.build_index(spark, corpus.select("doc_id", "conv_id", "text"),
+                       idx, n_shards=256, block_size=128,
+                       assign_ids=False)
+        out["build_sec"] = round(time.monotonic() - t0, 1)
+        out["build_turns_per_sec"] = round(n_turns / out["build_sec"], 1)
+        du = sh(f"du -sb {idx}").stdout.split()[0]
+        out["index_bytes"] = int(du)
+        out["bytes_per_turn"] = round(int(du) / n_turns, 1)
+
+        qdf = spark.createDataFrame(generate_queries(100))
+        for algo in ("bmx", "wand"):
+            t0 = time.monotonic()
+            engine.score_topk(spark, idx, qdf, algo=algo).count()
+            out[f"q100_{algo}_sec"] = round(time.monotonic() - t0, 1)
+        phr = spark.createDataFrame(
+            [("p1", "error timeout", 10), ("p2", "deploy rollback", 10),
+             ("p3", "query cache", 10), ("p4", "index search scan", 10),
+             ("p5", "zz absent phrase", 10)],
+            "query_id string, query_text string, k int",
+        )
+        t0 = time.monotonic()
+        engine.phrase_topk(spark, idx, phr).count()
+        out["q5_phrase_sec"] = round(time.monotonic() - t0, 1)
+        booldf = spark.createDataFrame(
+            [("b1", "error timeout", "", "", 0, 10),
+             ("b2", "", "error timeout retry deploy", "", 2, 10),
+             ("b3", "error", "deploy login", "crash", 0, 10)],
+            "query_id string, must string, should string, must_not string, "
+            "minimum_should_match int, k int",
+        )
+        t0 = time.monotonic()
+        engine.bool_topk(spark, idx, booldf).count()
+        out["q3_bool_sec"] = round(time.monotonic() - t0, 1)
+
+        # session-4 surfaces at 13M docs
+        fq = spark.createDataFrame(
+            [("f1", "error timeout"), ("f2", "deploy rollback")],
+            "query_id string, query_text string",
+        )
+        t0 = time.monotonic()
+        engine.count_matches(spark, idx, fq).count()
+        out["q2_count_sec"] = round(time.monotonic() - t0, 1)
+        m = facets.match_docs(spark, idx, fq).persist()
+        t0 = time.monotonic()
+        facets.terms_facet(
+            spark, idx, fq, corpus.select("doc_id", "role"),
+            ["role"], size=5, match=m,
+        ).count()
+        out["q2_terms_facet_sec"] = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        facets.significant_text(
+            spark, idx, fq, corpus.select("doc_id", "text"),
+            size=10, min_doc_count=3, match=m,
+        ).count()
+        out["q2_significant_text_sec"] = round(time.monotonic() - t0, 1)
+        m.unpersist()
+        corpus.unpersist()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    out["steal_jiffies"] = bench._steal_jiffies()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    main()

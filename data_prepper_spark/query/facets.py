@@ -391,11 +391,14 @@ def significant_text(
     Background statistics come from the INDEX DICTIONARY (df = global
     doc frequency, n_docs from stats.json) — exactly where Lucene's
     significant-text heuristics read their background frequencies, and
-    free: no corpus-wide tokenize pass. Foreground is the usual
-    match-set plan: distributed (query_id, doc_id) rows join a
-    column-pruned (doc_id, text) projection, tokenize JVM-side
-    (tokens_col — the index's pinned analyzer), array_distinct before
-    explode for doc-count semantics, two-phase count agg. Output is
+    free: no corpus-wide tokenize pass. Foreground: the match set
+    joins the column-pruned (doc_id, text) projection FIRST, so only
+    MATCHED docs are ever tokenized (join-then-explode; the 13M-doc
+    round-4 soak caught the explode-then-join order shuffling the
+    whole corpus's exploded tokens — 400M rows for a 2-query batch).
+    Tokenize is JVM-side (tokens_col — the index's pinned analyzer),
+    array_distinct before explode for doc-count semantics, then a
+    two-phase count agg. Cost scales with the match set; output is
     bounded by matched-vocabulary size x queries, never corpus size.
     Like OpenSearch on an unmerged index, background counts include
     tombstoned docs until compaction (documented artifact)."""
@@ -406,13 +409,13 @@ def significant_text(
     n_docs = float(stats["n_docs"])
     m = match if match is not None else \
         match_docs(spark, index_dir, queries)
-    per_doc_terms = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(tokens_col(text_col, mode)))
-        .alias("term"),
-    )
+    matched_text = m.join(docs.select("doc_id", text_col), "doc_id")
     fg = (
-        m.join(per_doc_terms, "doc_id")
+        matched_text.select(
+            "query_id",
+            F.explode(F.array_distinct(tokens_col(text_col, mode)))
+            .alias("term"),
+        )
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).alias("fg_count"))
         .filter(F.col("fg_count") >= min_doc_count)

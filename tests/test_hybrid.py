@@ -285,3 +285,29 @@ def test_hybrid_topk_normalized(spark, hybrid_fixture):
         np.testing.assert_allclose(
             got.hybrid_score, [s for s, _ in fused], rtol=1e-12
         )
+
+
+def test_hybrid_knn_filter_passthrough(spark, hybrid_fixture):
+    """knn_filter restricts the semantic side only: excluded docs can
+    still surface via the lexical list, but never carry a sem_rank
+    contribution (fused score equals the lexical-only reciprocal)."""
+    d, dv, q, _ = hybrid_fixture
+    flt = "doc_id % 2 = 0"
+    out = hy.hybrid_topk(
+        spark, d, q, dv, k=20, n_candidates=20, knn_filter=flt
+    ).toPandas()
+    sem = (
+        __import__("data_prepper_spark.dedup.embedding",
+                   fromlist=["brute_force_topk"])
+        .brute_force_topk(dv.filter(flt), q.select("query_id", "embedding"),
+                          k=20, id_col="doc_id").toPandas()
+    )
+    sem_pairs = set(zip(sem.query_id, sem.doc_id))
+    lex_only = out[out.doc_id % 2 == 1]
+    assert len(lex_only) > 0
+    for r in lex_only.itertuples():
+        assert (r.query_id, r.doc_id) not in sem_pairs
+        # odd docs can only have come from the lexical ranking: their
+        # rrf score must be a single reciprocal 1/(60+rank), rank<=20
+        recips = {1 / (60 + i) for i in range(1, 21)}
+        assert any(abs(r.rrf_score - x) < 1e-12 for x in recips)
