@@ -1,0 +1,60 @@
+"""Thin term-level query types that complete the OpenSearch surface's
+long tail — each a composition of existing primitives, kept separate
+so the kernels stay lean:
+
+- constant_score: filter-context match with a fixed boost score (the
+  `constant_score: {filter: ..., boost: b}` query — "give me the
+  matches, don't pay for or rank by BM25").
+- ids_query: fetch documents by id (`ids: {values: [...]}`), the
+  driver-known id set pushed into the corpus scan as an In-filter —
+  the same pruning contract as highlight/termvectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_prepper_spark.query.facets import match_docs
+
+
+def constant_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    boost: float = 1.0,
+    k: int | None = None,
+) -> DataFrame:
+    """queries(query_id, query_text) -> (query_id, rank, doc_id,
+    score): every matching live doc scores exactly `boost`; ranking is
+    therefore doc_id ascending (deterministic, like a filter-context
+    sort by _doc). `k` cuts per query when given, else the full match
+    set returns (the filter-context export case).
+
+    Plan: the match kernel's gaps-only scatter (no dictionary join, no
+    tfs/positions decode — scoring stats are never read, which is the
+    entire point of constant_score)."""
+    m = match_docs(spark, index_dir, queries)
+    w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+    out = (
+        m.withColumn("rank", F.row_number().over(w))
+        .withColumn("score", F.lit(float(boost)))
+    )
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out.select("query_id", "rank", "doc_id", "score")
+
+
+def ids_query(
+    docs: DataFrame,
+    doc_ids: list[int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`ids` query: the stored rows for a driver-known id list, scored
+    1.0 (the Lucene constant for ids). The In-filter is a literal list,
+    so Catalyst pushes it into the parquet scan (PushedFilters) — at
+    100 TB this reads only the row groups containing the ids."""
+    if not doc_ids:
+        return docs.limit(0).withColumn("score", F.lit(1.0))
+    return docs.filter(F.col(id_col).isin([int(i) for i in doc_ids])) \
+        .withColumn("score", F.lit(1.0))
