@@ -229,6 +229,89 @@ def value_count_facet(
     )
 
 
+def missing_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `missing` aggregation -> (query_id, missing):
+    number of matching docs with NO value for `field` — the
+    completeness check next to every terms agg (terms buckets + missing
+    = match count). One two-phase agg over the joined match set."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(docs.select("doc_id", field), "doc_id")
+    return joined.groupBy("query_id").agg(
+        F.sum(F.col(field).isNull().cast("long")).alias("missing")
+    )
+
+
+def global_facet(
+    docs: DataFrame,
+    aggs: dict[str, str],
+) -> DataFrame:
+    """The OpenSearch `global` aggregation: break out of the query
+    context and aggregate over ALL documents (the "matching avg vs
+    corpus avg" comparison every dashboard draws). `aggs` maps output
+    column -> a Spark SQL aggregate expression over the docs columns
+    (e.g. {'avg_chars': 'avg(n_chars)'}). One corpus-wide two-phase
+    agg -> exactly one row."""
+    if not aggs:
+        raise ValueError("global_facet: pass at least one aggregate")
+    return docs.agg(
+        *[F.expr(expr).alias(name) for name, expr in aggs.items()]
+    )
+
+
+def date_range_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    ranges: list[tuple[str | None, str | None]],
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `date_range` aggregation -> (query_id, key,
+    count): [from, to) timestamp buckets over the match set, `None` =
+    unbounded (the API contract: from inclusive, to exclusive). Bucket
+    key = 'from-to' with '*' for the open side, ordered by range
+    position like the API. All ranges evaluate as when()-guarded sums
+    in ONE two-phase agg — same plan as the numeric `range` agg, the
+    only difference is the timestamp comparison."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select("doc_id", F.col(field).cast("timestamp").alias("_t")),
+        "doc_id",
+    )
+    cells = []
+    for lo, hi in ranges:
+        cond = F.col("_t").isNotNull()
+        if lo is not None:
+            cond = cond & (F.col("_t") >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (F.col("_t") < F.to_timestamp(F.lit(hi)))
+        key = f"{lo or '*'}-{hi or '*'}"
+        cells.append((key, cond))
+    wide = joined.groupBy("query_id").agg(*[
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_c{i}")
+        for i, (_, cond) in enumerate(cells)
+    ])
+    return wide.select(
+        "query_id",
+        F.explode(
+            F.create_map(*[
+                x for i, (key, _) in enumerate(cells)
+                for x in (F.lit(key), F.col(f"_c{i}"))
+            ])
+        ).alias("key", "count"),
+    ).orderBy("query_id", "key")
+
+
 def diversified_sampler(
     hits: DataFrame,
     shard_size: int = 100,

@@ -157,3 +157,43 @@ def test_diversified_sampler(spark):
     ).toPandas()
     assert sorted(div2.doc_id) == [0, 1, 2, 3]
     assert div2.groupby("source").size().max() <= 2
+
+
+def test_missing_facet(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error handling")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "tool"]])
+    got = am.missing_facet(spark, d, q, docs, "tool").toPandas()
+    sub = _match(pdf, "error handling")
+    want = int(sub.tool.isna().sum())
+    assert got.set_index("query_id").missing["q1"] == want
+    assert want > 0  # fixture sanity: transcripts have tool-less turns
+
+
+def test_global_facet(spark, corpus):
+    _, pdf = corpus
+    docs = spark.createDataFrame(pdf[["doc_id", "n_chars"]])
+    got = am.global_facet(
+        docs, {"n": "count(*)", "avg_chars": "avg(n_chars)"}
+    ).collect()[0]
+    assert got["n"] == len(pdf)
+    assert got["avg_chars"] == pytest.approx(float(pdf.n_chars.mean()))
+    with pytest.raises(ValueError):
+        am.global_facet(docs, {})
+
+
+def test_date_range_facet(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error handling")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "ts"]])
+    sub = _match(pdf, "error handling")
+    mid = sub.ts.quantile(0.4).strftime("%Y-%m-%d %H:%M:%S")
+    hi = sub.ts.quantile(0.8).strftime("%Y-%m-%d %H:%M:%S")
+    got = am.date_range_facet(
+        spark, d, q, docs, "ts", [(None, mid), (mid, hi), (hi, None)]
+    ).toPandas().set_index("key")["count"]
+    lo_t, hi_t = pd.Timestamp(mid), pd.Timestamp(hi)
+    assert got[f"*-{mid}"] == int((sub.ts < lo_t).sum())
+    assert got[f"{mid}-{hi}"] == int(((sub.ts >= lo_t) & (sub.ts < hi_t)).sum())
+    assert got[f"{hi}-*"] == int((sub.ts >= hi_t).sum())
+    assert int(got.sum()) == len(sub)
