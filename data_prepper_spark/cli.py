@@ -805,9 +805,63 @@ def cmd_facet(args) -> int:
             spark, args.index, q, docs, args.field[0], args.sort_field,
             size=args.size,
         )
+    elif args.kind == "rare_terms":
+        from data_prepper_spark.query import aggs_more as am
+
+        res = am.rare_terms_facet(
+            spark, args.index, q, docs, args.field[0],
+            max_doc_count=args.max_doc_count,
+        )
+    elif args.kind == "multi_terms":
+        from data_prepper_spark.query import aggs_more as am
+
+        res = am.multi_terms_facet(
+            spark, args.index, q, docs, args.field, size=args.size
+        )
+    elif args.kind == "extended_stats":
+        from data_prepper_spark.query import aggs_more as am
+
+        res = am.extended_stats_facet(
+            spark, args.index, q, docs, args.field[0]
+        )
+    elif args.kind == "value_count":
+        from data_prepper_spark.query import aggs_more as am
+
+        res = am.value_count_facet(spark, args.index, q, docs, args.field)
+    elif args.kind == "missing":
+        from data_prepper_spark.query import aggs_more as am
+
+        res = am.missing_facet(spark, args.index, q, docs, args.field[0])
+    elif args.kind == "date_range":
+        from data_prepper_spark.query import aggs_more as am
+
+        # date bounds contain ':' so date_range buckets split on '/'
+        ranges = [
+            (None if lo == "*" else lo, None if hi == "*" else hi)
+            for r in (args.range or [])
+            for lo, hi in [r.split("/", 1)]
+        ]
+        res = am.date_range_facet(
+            spark, args.index, q, docs, args.field[0], ranges
+        )
+    elif args.kind == "significant_text":
+        res = facets.significant_text(
+            spark, args.index, q, docs, size=args.size,
+            min_doc_count=args.min_doc_count,
+        )
     else:
         res = facets.stats_facet(spark, args.index, q, docs, args.field)
-    order = [c for c in ("field", "bucket", "key", "value", "rank")
+    if args.pipeline:
+        # second-order agg over the bucket frame (date_histogram /
+        # histogram parents): bucket-key-ordered window per query
+        from data_prepper_spark.query import pipeline_aggs as pa
+
+        fn = {"derivative": pa.derivative,
+              "cumulative_sum": pa.cumulative_sum,
+              "serial_diff": pa.serial_diff}[args.pipeline]
+        res = fn(res, order_col="bucket", value_col="count")
+    order = [c for c in ("query_id", "field", "bucket", "key", "value",
+                         "rank", "bucket_rank", "term")
              if c in res.columns]
     for r in res.orderBy(*order).collect():
         print(json.dumps(
@@ -1185,8 +1239,21 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["terms", "date_histogram", "stats",
                              "significant", "percentiles", "cardinality",
                              "histogram", "range", "top_hits",
-                             "terms_stats"],
+                             "terms_stats", "rare_terms", "multi_terms",
+                             "extended_stats", "value_count", "missing",
+                             "date_range", "significant_text"],
                     default="terms")
+    fc.add_argument("--max-doc-count", type=int, default=1,
+                    help="rare_terms: bucket values appearing in at "
+                         "most this many matching docs")
+    fc.add_argument("--min-doc-count", type=int, default=3,
+                    help="significant_text: drop buckets below this "
+                         "foreground doc count")
+    fc.add_argument("--pipeline", default=None,
+                    choices=["derivative", "cumulative_sum",
+                             "serial_diff"],
+                    help="apply a pipeline agg to the bucket output "
+                         "(date_histogram/histogram parents)")
     fc.add_argument("--approximate", action="store_true",
                     help="percentiles: GK sketch; cardinality: HLL++ "
                          "(bounded memory; the sketch trade OpenSearch "
