@@ -384,9 +384,15 @@ def geoip(
         & (F.col("_ip") <= F.col("ip_hi")),
         "left",
     )
-    return joined.withColumn(
-        target, F.struct(F.col("country"), F.col("city"))
-    ).drop("_ip", "_pfx", "ip_lo", "ip_hi", "country", "city")
+    # location lat/lon ride along when the range table carries them
+    # (MaxMind city blocks do; GeoIPProcessor emits them as the
+    # `location` field) — geo aggs (query/geo.py) consume these
+    geo_cols = [F.col("country"), F.col("city")]
+    extra = [c for c in ("latitude", "longitude") if c in ranges.columns]
+    geo_cols += [F.col(c).cast("double").alias(c) for c in extra]
+    return joined.withColumn(target, F.struct(*geo_cols)).drop(
+        "_ip", "_pfx", "ip_lo", "ip_hi", "country", "city", *extra
+    )
 
 
 def geo_table_from_csv(
@@ -412,10 +418,14 @@ def geo_table_from_csv(
     base = ipv4_to_long(net.getItem(0))
     bits = net.getItem(1).cast("int")
     span = F.pow(F.lit(2.0), (32 - bits)).cast("long")
+    # city blocks CSVs carry per-block centroid coordinates — keep them
+    # when present (GeoIPProcessor's location field; geo aggs use them)
+    extra = [c for c in ("latitude", "longitude") if c in b.columns]
     ranges = b.select(
         F.col("geoname_id"),
         base.alias("ip_lo"),
         (base + span - 1).alias("ip_hi"),
+        *[F.col(c).cast("double").alias(c) for c in extra],
     )
     if locations_csv is not None:
         loc = (
@@ -434,4 +444,5 @@ def geo_table_from_csv(
         ranges = ranges.withColumn("country", F.col("geoname_id")).withColumn(
             "city", F.col("geoname_id")
         )
-    return ranges.select("ip_lo", "ip_hi", "country", "city")
+    return ranges.select("ip_lo", "ip_hi", "country", "city",
+                         *[F.col(c) for c in extra])

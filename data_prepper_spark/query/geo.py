@@ -1,0 +1,185 @@
+"""Geo aggregations and filters over (lat, lon) columns — the
+OpenSearch geo surface consumers run on top of geoip-enriched indexes
+(the reference's geoip processor emits the MaxMind location with
+latitude/longitude — geoip-processor/.../GeoIPProcessor.java — and
+dashboards aggregate it): `geo_distance` ring buckets, `geotile_grid`
+(Web-Mercator z/x/y tiles, the map-cluster agg), and the
+`geo_bounding_box` filter.
+
+Everything is pure Column trigonometry over the match-set plan (join
+the distributed match set to a column-pruned (doc_id, lat, lon)
+projection, then ONE two-phase agg) — no UDFs, no collect; bucket
+output is bounded by ring/tile count, never corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_prepper_spark.query.facets import match_docs
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean radius, what OpenSearch uses
+# Web-Mercator latitude clamp (tan() diverges at the poles)
+MAX_MERCATOR_LAT = 85.05112878
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (haversine — the `arc` distance
+    OpenSearch geo_distance defaults to). Pure Column trig."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def geo_distance_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    origin_lat: float,
+    origin_lon: float,
+    ranges_km: list[tuple[float | None, float | None]],
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `geo_distance` aggregation -> (query_id, key,
+    count): [from, to) km ring buckets around an origin over the
+    query's match set; None = unbounded, key = 'from-to' with '*' for
+    open sides (the numeric `range` agg's conventions — OpenSearch
+    reuses them for rings). Docs with null coordinates bucket nowhere.
+    All rings evaluate as when()-guarded sums in ONE two-phase agg on
+    a single computed distance column."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select(
+            "doc_id",
+            F.col(lat_col).cast("double").alias("_lat"),
+            F.col(lon_col).cast("double").alias("_lon"),
+        ),
+        "doc_id",
+    ).withColumn(
+        "_km",
+        haversine_km(
+            F.col("_lat"), F.col("_lon"),
+            F.lit(float(origin_lat)), F.lit(float(origin_lon)),
+        ),
+    )
+    cells = []
+    for lo, hi in ranges_km:
+        cond = F.col("_km").isNotNull()
+        if lo is not None:
+            cond = cond & (F.col("_km") >= float(lo))
+        if hi is not None:
+            cond = cond & (F.col("_km") < float(hi))
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        cells.append((key, cond))
+    wide = joined.groupBy("query_id").agg(*[
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_c{i}")
+        for i, (_, cond) in enumerate(cells)
+    ])
+    return wide.select(
+        "query_id",
+        F.explode(
+            F.create_map(*[
+                x for i, (key, _) in enumerate(cells)
+                for x in (F.lit(key), F.col(f"_c{i}"))
+            ])
+        ).alias("key", "count"),
+    ).orderBy("query_id", "key")
+
+
+def _tile_key(lat: Column, lon: Column, zoom: int) -> Column:
+    """'z/x/y' Web-Mercator tile key (the geotile_grid bucket key;
+    slippy-map convention). Latitude clamps to ±85.05112878 like the
+    API; x wraps into [0, 2^z)."""
+    n = float(1 << zoom)
+    clat = F.greatest(
+        F.lit(-MAX_MERCATOR_LAT), F.least(F.lit(MAX_MERCATOR_LAT), lat)
+    )
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    x = ((x.cast("long") % F.lit(int(n))) + F.lit(int(n))) % F.lit(int(n))
+    rl = F.radians(clat)
+    asinh_tan = F.log(F.tan(rl) + F.sqrt(F.tan(rl) * F.tan(rl) + 1))
+    y = F.floor(
+        (F.lit(1.0) - asinh_tan / F.lit(math.pi)) / F.lit(2.0) * F.lit(n)
+    ).cast("long")
+    y = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), y))
+    return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"),
+                       y.cast("string"))
+
+
+def geotile_grid_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    zoom: int = 7,
+    size: int = 10,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `geotile_grid` aggregation -> (query_id, key
+    'z/x/y', count): matching docs bucketed into Web-Mercator map
+    tiles at `zoom` (0-29 in the API), top `size` tiles per query by
+    (count desc, key asc) — the map-clustering agg. asinh is expressed
+    as log(t + sqrt(t^2+1)) so the key math is identical in any SQL
+    oracle engine. Null coordinates bucket nowhere."""
+    if not 0 <= zoom <= 29:
+        raise ValueError("zoom must be in [0, 29]")
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select(
+            "doc_id",
+            F.col(lat_col).cast("double").alias("_lat"),
+            F.col(lon_col).cast("double").alias("_lon"),
+        ),
+        "doc_id",
+    ).na.drop(subset=["_lat", "_lon"])
+    buckets = joined.withColumn(
+        "key", _tile_key(F.col("_lat"), F.col("_lon"), zoom)
+    ).groupBy("query_id", "key").agg(F.count(F.lit(1)).alias("count"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("count"), F.asc("key")
+    )
+    return (
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size)
+        .drop("_rn")
+    )
+
+
+def geo_bounding_box(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+) -> DataFrame:
+    """The `geo_bounding_box` filter: rows inside [bottom, top] x
+    [left, right]. A box crossing the antimeridian (left > right)
+    splits into two longitude ranges, the API contract. Pure filter —
+    Catalyst pushes it into the scan."""
+    lat = F.col(lat_col).cast("double")
+    lon = F.col(lon_col).cast("double")
+    cond = (lat <= float(top)) & (lat >= float(bottom))
+    if left <= right:
+        cond = cond & (lon >= float(left)) & (lon <= float(right))
+    else:  # antimeridian crossing
+        cond = cond & ((lon >= float(left)) | (lon <= float(right)))
+    return df.filter(cond)

@@ -1,0 +1,164 @@
+"""Geo aggregations (query/geo.py) vs math-oracle computations, plus
+geoip lat/lon passthrough (operators/enrich.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import geo
+
+# (doc_id, text, lat, lon) — text controls which docs match the query
+_ROWS = [
+    (0, "alpha beta", 48.8566, 2.3522),     # Paris
+    (1, "alpha", 51.5074, -0.1278),          # London
+    (2, "alpha gamma", 40.7128, -74.0060),   # New York
+    (3, "alpha", 35.6762, 139.6503),         # Tokyo
+    (4, "alpha", 48.8570, 2.3530),           # ~50m from Paris
+    (5, "delta only", 0.0, 0.0),             # not matching 'alpha'
+    (6, "alpha", None, None),                # matching, no coords
+    (7, "alpha antimeridian", -16.5, 179.9), # Fiji-ish (lon near +180)
+    (8, "alpha antimeridian", -16.8, -179.8),
+]
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    r = 6371.0088
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1) / 2
+    dlon = math.radians(lon2 - lon1) / 2
+    a = math.sin(dlat) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dlon) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+def _tile(lat, lon, z):
+    n = 1 << z
+    lat = max(-85.05112878, min(85.05112878, lat))
+    x = int(math.floor((lon + 180.0) / 360.0 * n)) % n
+    rl = math.radians(lat)
+    y = int(math.floor((1.0 - math.asinh(math.tan(rl)) / math.pi) / 2.0 * n))
+    y = max(0, min(n - 1, y))
+    return f"{z}/{x}/{y}"
+
+
+@pytest.fixture(scope="module")
+def geo_fixture(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("geo") / "idx")
+    df = spark.createDataFrame(
+        _ROWS, "doc_id long, text string, lat double, lon double"
+    )
+    ib.build_index(
+        spark, df.select("doc_id", "text"), d, n_shards=2, block_size=8,
+        assign_ids=False,
+    )
+    return d, df
+
+
+def test_haversine_known_distances(spark):
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)],
+        "a double, b double, c double, d double",
+    )
+    got = df.select(
+        geo.haversine_km(
+            __import__("pyspark.sql.functions", fromlist=["col"]).col("a"),
+            __import__("pyspark.sql.functions", fromlist=["col"]).col("b"),
+            __import__("pyspark.sql.functions", fromlist=["col"]).col("c"),
+            __import__("pyspark.sql.functions", fromlist=["col"]).col("d"),
+        ).alias("km")
+    ).first()["km"]
+    # Paris-London ~343-344 km
+    assert got == pytest.approx(
+        _haversine(48.8566, 2.3522, 51.5074, -0.1278), rel=1e-12
+    )
+    assert 340 < got < 350
+
+
+def test_geo_distance_facet(spark, geo_fixture):
+    d, df = geo_fixture
+    q = spark.createDataFrame(
+        [("q1", "alpha")], "query_id string, query_text string"
+    )
+    rings = [(None, 1.0), (1.0, 1000.0), (1000.0, None)]
+    got = {
+        r["key"]: r["count"]
+        for r in geo.geo_distance_facet(
+            spark, d, q, df, "lat", "lon", 48.8566, 2.3522, rings
+        ).collect()
+    }
+    matched = [r for r in _ROWS if "alpha" in tokenize(r[1])
+               and r[2] is not None]
+    kms = [_haversine(48.8566, 2.3522, r[2], r[3]) for r in matched]
+    assert got["*-1.0"] == sum(1 for k in kms if k < 1.0)         # Paris + near
+    assert got["1.0-1000.0"] == sum(1 for k in kms if 1.0 <= k < 1000.0)
+    assert got["1000.0-*"] == sum(1 for k in kms if k >= 1000.0)
+    assert sum(got.values()) == len(matched)  # null-coord doc buckets nowhere
+
+
+def test_geotile_grid_facet(spark, geo_fixture):
+    d, df = geo_fixture
+    q = spark.createDataFrame(
+        [("q1", "alpha")], "query_id string, query_text string"
+    )
+    for z in (3, 7, 12):
+        got = {
+            r["key"]: r["count"]
+            for r in geo.geotile_grid_facet(
+                spark, d, q, df, "lat", "lon", zoom=z, size=50
+            ).collect()
+        }
+        exp: dict[str, int] = {}
+        for r in _ROWS:
+            if "alpha" in tokenize(r[1]) and r[2] is not None:
+                key = _tile(r[2], r[3], z)
+                exp[key] = exp.get(key, 0) + 1
+        assert got == exp, f"zoom {z}"
+    with pytest.raises(ValueError):
+        geo.geotile_grid_facet(spark, d, q, df, "lat", "lon", zoom=30)
+
+
+def test_geo_bounding_box(spark, geo_fixture):
+    _, df = geo_fixture
+    # Europe-ish box
+    eu = geo.geo_bounding_box(df, "lat", "lon", top=60, left=-10,
+                              bottom=35, right=20)
+    assert {r["doc_id"] for r in eu.collect()} == {0, 1, 4}
+    # antimeridian crossing box (left > right): catches both Fiji docs
+    am = geo.geo_bounding_box(df, "lat", "lon", top=0, left=175,
+                              bottom=-30, right=-175)
+    assert {r["doc_id"] for r in am.collect()} == {7, 8}
+
+
+def test_geoip_latlon_passthrough(spark, tmp_path):
+    """blocks CSV with latitude/longitude -> geoip target struct gains
+    them; without them the legacy (country, city) shape is unchanged."""
+    from data_prepper_spark.operators import enrich
+
+    blocks = tmp_path / "blocks.csv"
+    blocks.write_text(
+        "network,geoname_id,latitude,longitude\n"
+        "10.0.0.0/24,g1,48.8566,2.3522\n"
+        "10.0.1.0/24,g2,35.6762,139.6503\n"
+    )
+    ranges = enrich.geo_table_from_csv(spark, str(blocks))
+    assert {"latitude", "longitude"} <= set(ranges.columns)
+    ev = spark.createDataFrame(
+        [(1, "10.0.0.7"), (2, "10.0.1.9"), (3, "192.168.0.1")],
+        "event_id long, client_ip string",
+    )
+    out = {r["event_id"]: r["geo"]
+           for r in enrich.geoip(ev, "client_ip", ranges).collect()}
+    assert out[1]["latitude"] == pytest.approx(48.8566)
+    assert out[1]["longitude"] == pytest.approx(2.3522)
+    assert out[2]["latitude"] == pytest.approx(35.6762)
+    assert out[3]["latitude"] is None
+    # legacy shape (no coordinate columns): struct stays (country, city)
+    legacy = tmp_path / "legacy.csv"
+    legacy.write_text("network,geoname_id\n10.0.0.0/24,g1\n")
+    lranges = enrich.geo_table_from_csv(spark, str(legacy))
+    lout = enrich.geoip(ev, "client_ip", lranges).select("geo").schema
+    assert [f.name for f in lout["geo"].dataType.fields] == \
+        ["country", "city"]
