@@ -844,6 +844,26 @@ def cmd_facet(args) -> int:
         res = am.date_range_facet(
             spark, args.index, q, docs, args.field[0], ranges
         )
+    elif args.kind == "geo_distance":
+        from data_prepper_spark.query import geo as gq
+
+        rings = [
+            (None if lo == "*" else float(lo),
+             None if hi == "*" else float(hi))
+            for r in (args.range or [])
+            for lo, hi in [r.split(":", 1)]
+        ]
+        res = gq.geo_distance_facet(
+            spark, args.index, q, docs, args.field[0], args.field[1],
+            args.origin_lat, args.origin_lon, rings,
+        )
+    elif args.kind == "geotile_grid":
+        from data_prepper_spark.query import geo as gq
+
+        res = gq.geotile_grid_facet(
+            spark, args.index, q, docs, args.field[0], args.field[1],
+            zoom=args.zoom, size=args.size,
+        )
     elif args.kind == "significant_text":
         res = facets.significant_text(
             spark, args.index, q, docs, size=args.size,
@@ -1241,8 +1261,15 @@ def main(argv: list[str] | None = None) -> int:
                              "histogram", "range", "top_hits",
                              "terms_stats", "rare_terms", "multi_terms",
                              "extended_stats", "value_count", "missing",
-                             "date_range", "significant_text"],
+                             "date_range", "significant_text",
+                             "geo_distance", "geotile_grid"],
                     default="terms")
+    fc.add_argument("--origin-lat", type=float, default=0.0,
+                    help="geo_distance: ring origin latitude")
+    fc.add_argument("--origin-lon", type=float, default=0.0,
+                    help="geo_distance: ring origin longitude")
+    fc.add_argument("--zoom", type=int, default=7,
+                    help="geotile_grid: Web-Mercator zoom (0-29)")
     fc.add_argument("--max-doc-count", type=int, default=1,
                     help="rare_terms: bucket values appearing in at "
                          "most this many matching docs")
