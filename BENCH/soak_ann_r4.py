@@ -1,0 +1,105 @@
+"""Round-4 ANN soak: similarity search at corpus scale — 13M synthetic
+8-dim vectors (matching the 13M-turn index soak), 100 query vectors.
+Compares the LSH-bucketed scale path against exact brute force on a
+200-vector recall sample, and times the three paths:
+
+- lsh_bucketed_topk (multi-probe): the 100 TB path — bucket equi-join,
+  candidates ~(n_planes+1)/2^planes of the corpus per query.
+- ivf_topk: learned-cell alternative (KMeans fit + probed cells only).
+- brute_force_topk on a 10-query slice: the exact baseline, included
+  to size the gap (the crossJoin is deliberately NOT run for all 100).
+
+Vectors are deterministic splitmix64 hyperplanes (the LSH plane
+recipe) hashed per id — no RNG state, rerun-identical. Run:
+    PYTHONPATH=/root/repo python BENCH/soak_ann_r4.py
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import bench
+    from data_prepper_spark.dedup import embedding as emb
+    from data_prepper_spark.session import get_spark
+
+    n_vec = int(os.environ.get("SOAK_VECS", "13000000"))
+    dim = 8
+    machine = bench._quick_probe()
+    spark = get_spark(cores=32, shuffle_partitions=64)
+
+    # deterministic vectors: splitmix64-seeded gaussian-ish per id
+    # (same public recipe as the LSH planes), generated partition-
+    # parallel from a range — no driver materialization
+    @F.pandas_udf("array<double>")
+    def vec_of(ids):
+        import pandas as pd
+
+        from data_prepper_spark.dedup.embedding import _plane
+
+        return pd.Series([
+            _plane(int(i), dim).astype(float).tolist() for i in ids
+        ])
+
+    vecs = (
+        spark.range(n_vec)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("embedding", vec_of(F.col("vec_id")))
+        .persist()
+    )
+    n = vecs.count()
+    queries = (
+        vecs.filter(F.col("vec_id") % (n_vec // 100) == 7)
+        .limit(100)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .persist()
+    )
+    nq = queries.count()
+    out = {"n_vectors": n, "n_queries": nq, "dim": dim, "machine": machine}
+
+    t0 = time.monotonic()
+    lsh = emb.lsh_bucketed_topk(
+        vecs, queries, dim=dim, k=10, n_planes=12, qid_col="query_id"
+    ).persist()
+    out["lsh_rows"] = lsh.count()
+    out["lsh_sec"] = round(time.monotonic() - t0, 1)
+
+    t0 = time.monotonic()
+    ivf = emb.ivf_topk(
+        vecs, queries, k=10, n_lists=64, n_probe=4, qid_col="query_id"
+    ).persist()
+    out["ivf_rows"] = ivf.count()
+    out["ivf_sec"] = round(time.monotonic() - t0, 1)
+
+    # exact baseline on a 10-query slice (crossJoin; sized, not scaled)
+    q10 = queries.limit(10).persist()
+    q10.count()
+    t0 = time.monotonic()
+    exact = emb.brute_force_topk(vecs, q10, k=10, qid_col="query_id") \
+        .persist()
+    exact.count()
+    out["brute10_sec"] = round(time.monotonic() - t0, 1)
+
+    # recall of the scale paths vs exact on those 10 queries
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for name, df in (("lsh", lsh), ("ivf", ivf)):
+        rows = df.join(q10.select("query_id"), "query_id").collect()
+        hit = tot = 0
+        for qid, t in truth.items():
+            got = {r["vec_id"] for r in rows if r["query_id"] == qid}
+            hit += len(got & t)
+            tot += len(t)
+        out[f"{name}_recall_at_10"] = round(hit / tot, 3) if tot else None
+    out["steal_jiffies"] = bench._steal_jiffies()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    main()
