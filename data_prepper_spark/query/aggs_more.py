@@ -312,6 +312,49 @@ def date_range_facet(
     ).orderBy("query_id", "key")
 
 
+def top_metrics_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    sort_col: str,
+    metrics: list[str],
+    size: int = 1,
+    ascending: bool = False,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `top_metrics` aggregation -> (query_id, rank,
+    <sort_col>, <metrics...>): the metric column values AT the top
+    `size` docs by `sort_col` per query — "what was the latency of the
+    most recent matching event", the lighter sibling of top_hits
+    (metrics only, no doc fetch). Two-phase top-k exactly like
+    top_hits/sort_topk (partial per-partition cut, then the global
+    merge over <= size * n_partitions survivors); ties break on doc_id
+    ascending."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select("doc_id", sort_col, *metrics), "doc_id"
+    )
+    order = [
+        F.asc(sort_col) if ascending else F.desc(sort_col),
+        F.asc("doc_id"),
+    ]
+    w_part = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    survivors = (
+        joined.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w_part))
+        .filter(F.col("_r") <= size)
+        .drop("_r", "_pid")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select("query_id", "rank", sort_col, *metrics)
+    )
+
+
 def diversified_sampler(
     hits: DataFrame,
     shard_size: int = 100,

@@ -197,3 +197,25 @@ def test_date_range_facet(spark, corpus):
     assert got[f"{mid}-{hi}"] == int(((sub.ts >= lo_t) & (sub.ts < hi_t)).sum())
     assert got[f"{hi}-*"] == int((sub.ts >= hi_t).sum())
     assert int(got.sum()) == len(sub)
+
+
+def test_top_metrics(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame([("q1", "error handling")], _Q)
+    docs = spark.createDataFrame(pdf[["doc_id", "ts", "n_chars"]])
+    got = am.top_metrics_facet(
+        spark, d, q, docs, "ts", ["n_chars"], size=3
+    ).toPandas().sort_values("rank")
+    sub = _match(pdf, "error handling").sort_values(
+        ["ts", "doc_id"], ascending=[False, True]
+    ).head(3)
+    assert got.n_chars.tolist() == sub.n_chars.tolist()
+    assert list(got.ts) == list(sub.ts)
+    # ascending variant returns the oldest doc's metric
+    asc = am.top_metrics_facet(
+        spark, d, q, docs, "ts", ["n_chars"], size=1, ascending=True
+    ).toPandas()
+    oldest = _match(pdf, "error handling").sort_values(
+        ["ts", "doc_id"], ascending=[True, True]
+    ).iloc[0]
+    assert asc.n_chars.iloc[0] == oldest.n_chars
