@@ -368,6 +368,48 @@ def significant_terms(
     )
 
 
+def percentile_ranks_facet(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    field: str,
+    values: list[float],
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `percentile_ranks` aggregation — the inverse of
+    percentiles: for each caller value, the percentage of the match
+    set's field values at or below it ("what fraction of requests were
+    under 500 ms") -> (query_id, value, rank) with rank in [0, 100].
+    Exact: each value is ONE when()-guarded mean in a single two-phase
+    agg (the fraction is avg of an indicator — mergeable, no sort, no
+    buffering, unlike the percentiles direction); nulls are excluded
+    from both numerator and denominator like the API."""
+    if not values:
+        raise ValueError("percentile_ranks: pass at least one value")
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select("doc_id", F.col(field).cast("double").alias("_v")),
+        "doc_id",
+    ).filter(F.col("_v").isNotNull())
+    aggs = [
+        (F.avg((F.col("_v") <= float(v)).cast("double")) * 100.0)
+        .alias(f"_r{i}")
+        for i, v in enumerate(values)
+    ]
+    wide = joined.groupBy("query_id").agg(*aggs)
+    return wide.select(
+        "query_id",
+        F.explode(
+            F.create_map(*[
+                x for i, v in enumerate(values)
+                for x in (F.lit(float(v)), F.col(f"_r{i}"))
+            ])
+        ).alias("value", "rank"),
+    ).orderBy("query_id", "value")
+
+
 def significant_text(
     spark: SparkSession,
     index_dir: str,

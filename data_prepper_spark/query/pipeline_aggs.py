@@ -172,6 +172,31 @@ def serial_diff(
     )
 
 
+def bucket_stats(
+    buckets: DataFrame,
+    value_col: str = "count",
+    stats: list[str] | None = None,
+) -> DataFrame:
+    """The `*_bucket` sibling family in one call — `max_bucket`,
+    `min_bucket`, `avg_bucket`, `sum_bucket`, `stats_bucket`: scalar
+    statistics OF a parent aggregation's bucket values ("which hour
+    had the most events, and how many") -> one row per query with the
+    requested columns (default: all five). For max/min the API also
+    reports the owning bucket keys; use `bucket_sort(size=1)` when the
+    keys matter — this returns the values. One tiny groupBy over
+    bucket rows."""
+    allowed = {"max": F.max, "min": F.min, "avg": F.avg,
+               "sum": F.sum, "count": F.count}
+    names = stats or ["max", "min", "avg", "sum", "count"]
+    bad = [s for s in names if s not in allowed]
+    if bad:
+        raise ValueError(f"unsupported bucket stats {bad}")
+    col = F.col(value_col).cast("double")
+    return buckets.groupBy("query_id").agg(*[
+        allowed[s](col).alias(f"{s}_bucket") for s in names
+    ])
+
+
 def bucket_script(
     buckets: DataFrame,
     script: str,

@@ -408,3 +408,26 @@ def test_percentiles_facet_approximate_close(spark, corpus):
     # GK sketch at accuracy=10000 on a few hundred values is near-exact
     spread = exact.max() - exact.min() or 1.0
     assert (abs(approx - exact) <= 0.05 * spread + 1e-9).all()
+
+
+def test_percentile_ranks(spark, corpus):
+    import numpy as np
+
+    d, pdf = corpus
+    pdf = pdf.copy()
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    q = spark.createDataFrame(
+        [("q1", "error handling")], "query_id string, query_text string"
+    )
+    docs = spark.createDataFrame(pdf[["doc_id", "n_chars"]])
+    sub = pdf[pdf.text.map(
+        lambda t: bool({"error", "handling"} & set(tokenize(t)))
+    )]
+    vals = [float(sub.n_chars.quantile(0.3)), 50.0, 1e9]
+    got = facets.percentile_ranks_facet(
+        spark, d, q, docs, "n_chars", vals
+    ).toPandas().set_index("value")["rank"]
+    for v in vals:
+        exp = 100.0 * (sub.n_chars <= v).mean()
+        assert got[v] == pytest.approx(exp, rel=1e-12)
+    assert got[1e9] == 100.0

@@ -174,3 +174,25 @@ FROM d ORDER BY bucket
     assert list(out.derivative) == list(ora.derivative)
     assert list(out.cumulative_sum) == list(ora.cumulative_sum)
     assert list(pd.to_datetime(out.bucket)) == list(pd.to_datetime(ora.bucket))
+
+
+def test_bucket_stats(spark):
+    buckets = spark.createDataFrame(
+        [("q1", 1.0, 5), ("q1", 2.0, 9), ("q1", 3.0, 2),
+         ("q2", 1.0, 7)],
+        "query_id string, bucket double, count long",
+    )
+    from data_prepper_spark.query.pipeline_aggs import bucket_stats
+
+    got = {r["query_id"]: r.asDict()
+           for r in bucket_stats(buckets).collect()}
+    assert got["q1"]["max_bucket"] == 9.0
+    assert got["q1"]["min_bucket"] == 2.0
+    assert got["q1"]["avg_bucket"] == pytest.approx((5 + 9 + 2) / 3)
+    assert got["q1"]["sum_bucket"] == 16.0
+    assert got["q1"]["count_bucket"] == 3
+    assert got["q2"]["max_bucket"] == got["q2"]["min_bucket"] == 7.0
+    sub = bucket_stats(buckets, stats=["sum"]).columns
+    assert sub == ["query_id", "sum_bucket"]
+    with pytest.raises(ValueError):
+        bucket_stats(buckets, stats=["median"])
