@@ -844,6 +844,16 @@ def cmd_facet(args) -> int:
         res = am.date_range_facet(
             spark, args.index, q, docs, args.field[0], ranges
         )
+    elif args.kind == "percentile_ranks":
+        vals = [float(v) for v in (args.value or [])]
+        res = facets.percentile_ranks_facet(
+            spark, args.index, q, docs, args.field[0], vals
+        )
+    elif args.kind == "auto_date_histogram":
+        res = facets.auto_date_histogram(
+            spark, args.index, q, docs, args.field[0],
+            target_buckets=args.size,
+        )
     elif args.kind == "geo_distance":
         from data_prepper_spark.query import geo as gq
 
@@ -1262,8 +1272,11 @@ def main(argv: list[str] | None = None) -> int:
                              "terms_stats", "rare_terms", "multi_terms",
                              "extended_stats", "value_count", "missing",
                              "date_range", "significant_text",
-                             "geo_distance", "geotile_grid"],
+                             "geo_distance", "geotile_grid",
+                             "percentile_ranks", "auto_date_histogram"],
                     default="terms")
+    fc.add_argument("--value", action="append",
+                    help="percentile_ranks: a value to rank (repeatable)")
     fc.add_argument("--origin-lat", type=float, default=0.0,
                     help="geo_distance: ring origin latitude")
     fc.add_argument("--origin-lon", type=float, default=0.0,

@@ -368,6 +368,64 @@ def significant_terms(
     )
 
 
+_AUTO_DH_UNITS = ("second", "minute", "hour", "day", "week", "month",
+                  "quarter", "year")
+_AUTO_DH_SECONDS = (1, 60, 3600, 86400, 604800, 2592000, 7776000,
+                    31536000)
+
+
+def auto_date_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    ts_col: str,
+    target_buckets: int = 10,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """The OpenSearch `auto_date_histogram` aggregation: pick the
+    COARSEST calendar unit whose bucket count stays within
+    `target_buckets` over the batch's full time span, then bucket like
+    date_histogram -> (query_id, unit, bucket, count). The API's
+    "give me about N buckets" dashboard contract without the caller
+    guessing an interval.
+
+    Two passes, both bounded: a tiny min/max agg over the joined match
+    set picks the unit DRIVER-side (one row; the unit is shared by the
+    whole batch so buckets stay comparable across queries, and the
+    choice is reproducible from the span alone), then the normal
+    date_histogram plan at that unit."""
+    m = match if match is not None else \
+        match_docs(spark, index_dir, queries)
+    joined = m.join(
+        docs.select("doc_id", F.col(ts_col).cast("timestamp").alias("_t")),
+        "doc_id",
+    ).persist()
+    row = joined.agg(F.min("_t").alias("lo"), F.max("_t").alias("hi")) \
+        .first()
+    if row["lo"] is None:
+        joined.unpersist()
+        return spark.createDataFrame(
+            [], "query_id string, unit string, bucket timestamp, count long"
+        )
+    span = (row["hi"] - row["lo"]).total_seconds()
+    unit = _AUTO_DH_UNITS[-1]
+    for u, sec in zip(_AUTO_DH_UNITS, _AUTO_DH_SECONDS):
+        if span / sec <= target_buckets:
+            unit = u
+            break
+    out = (
+        joined.select(
+            "query_id", F.date_trunc(unit, F.col("_t")).alias("bucket")
+        )
+        .groupBy("query_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("unit", F.lit(unit))
+        .select("query_id", "unit", "bucket", "count")
+    )
+    return out
+
+
 def percentile_ranks_facet(
     spark: SparkSession,
     index_dir: str,

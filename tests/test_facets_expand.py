@@ -431,3 +431,29 @@ def test_percentile_ranks(spark, corpus):
         exp = 100.0 * (sub.n_chars <= v).mean()
         assert got[v] == pytest.approx(exp, rel=1e-12)
     assert got[1e9] == 100.0
+
+
+def test_auto_date_histogram(spark, corpus):
+    d, pdf = corpus
+    q = spark.createDataFrame(
+        [("q1", "error handling")], "query_id string, query_text string"
+    )
+    docs = spark.createDataFrame(pdf[["doc_id", "ts"]])
+    sub = pdf[pdf.text.map(
+        lambda t: bool({"error", "handling"} & set(tokenize(t)))
+    )]
+    out = facets.auto_date_histogram(
+        spark, d, q, docs, "ts", target_buckets=10
+    ).toPandas()
+    assert out.unit.nunique() == 1
+    unit = out.unit.iloc[0]
+    # the chosen unit keeps the bucket count near the target
+    assert len(out) <= 10 + 1  # span/unit <= 10 allows one boundary extra
+    assert int(out["count"].sum()) == len(sub)
+    # a tighter target forces a coarser unit (or equal)
+    coarse = facets.auto_date_histogram(
+        spark, d, q, docs, "ts", target_buckets=1
+    ).toPandas()
+    units = ["second", "minute", "hour", "day", "week", "month",
+             "quarter", "year"]
+    assert units.index(coarse.unit.iloc[0]) >= units.index(unit)
