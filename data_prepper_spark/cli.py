@@ -881,6 +881,19 @@ def cmd_facet(args) -> int:
         )
     else:
         res = facets.stats_facet(spark, args.index, q, docs, args.field)
+    if args.densify:
+        # min_doc_count: 0 — fill bucket gaps with zero-count rows so
+        # a following pipeline agg never diffs across a hole. The step
+        # is the parent's interval: a calendar unit for date buckets,
+        # a float for numeric histograms.
+        from data_prepper_spark.query import pipeline_aggs as pa
+
+        try:
+            step = float(args.densify)
+        except ValueError:
+            step = args.densify
+        res = pa.densify_buckets(res, order_col="bucket",
+                                 value_col="count", step=step)
     if args.pipeline:
         # second-order agg over the bucket frame (date_histogram /
         # histogram parents): bucket-key-ordered window per query
@@ -1294,6 +1307,10 @@ def main(argv: list[str] | None = None) -> int:
                              "serial_diff"],
                     help="apply a pipeline agg to the bucket output "
                          "(date_histogram/histogram parents)")
+    fc.add_argument("--densify", default=None,
+                    help="min_doc_count:0 — fill bucket gaps before "
+                         "--pipeline; pass the parent interval "
+                         "(calendar unit like 'hour', or a float)")
     fc.add_argument("--approximate", action="store_true",
                     help="percentiles: GK sketch; cardinality: HLL++ "
                          "(bounded memory; the sketch trade OpenSearch "
