@@ -29,6 +29,7 @@ def rare_terms_facet(
     field: str,
     max_doc_count: int = 1,
     match: DataFrame | None = None,
+    max_buckets: int | None = None,
 ) -> DataFrame:
     """The OpenSearch `rare_terms` aggregation: the INVERSE of terms —
     buckets for values appearing in at most `max_doc_count` of the
@@ -39,7 +40,15 @@ def rare_terms_facet(
     Divergence, documented: OpenSearch approximates with a CuckooFilter
     (false-positive removals at huge cardinality); this is the exact
     computation — same two-phase count agg as terms, plus a cheap
-    post-filter, so it stays oracle-checkable bit-for-bit."""
+    post-filter, so it stays oracle-checkable bit-for-bit.
+
+    Output size: the rare tail can approach field cardinality when
+    `max_doc_count` is small; pass `max_buckets` (the upstream
+    search.max_buckets role) to cap it per query with a row_number
+    window — the global sort then runs over a bounded frame. With
+    max_buckets=None the caller owns the (potentially large but
+    count-filtered) result, and the final orderBy is a presentation
+    sort a SQL consumer may drop."""
     m = match if match is not None else \
         match_docs(spark, index_dir, queries)
     joined = m.join(
@@ -49,10 +58,17 @@ def rare_terms_facet(
     counts = joined.groupBy("query_id", "value").agg(
         F.count(F.lit(1)).alias("count")
     )
-    return (
-        counts.filter(F.col("count") <= max_doc_count)
-        .orderBy("query_id", F.asc("count"), F.asc("value"))
-    )
+    rare = counts.filter(F.col("count") <= max_doc_count)
+    if max_buckets is not None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("count"), F.asc("value")
+        )
+        rare = (
+            rare.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_buckets)
+            .drop("_rn")
+        )
+    return rare.orderBy("query_id", F.asc("count"), F.asc("value"))
 
 
 def multi_terms_facet(

@@ -394,17 +394,20 @@ def auto_date_histogram(
     set picks the unit DRIVER-side (one row; the unit is shared by the
     whole batch so buckets stay comparable across queries, and the
     choice is reproducible from the span alone), then the normal
-    date_histogram plan at that unit."""
+    date_histogram plan at that unit. The join is recomputed for the
+    second pass rather than persisted — both jobs are bounded by the
+    match set, and an unmanaged persist() would leak storage across a
+    long-lived session (a caller can pass a pre-cached `match` when
+    amortizing)."""
     m = match if match is not None else \
         match_docs(spark, index_dir, queries)
     joined = m.join(
         docs.select("doc_id", F.col(ts_col).cast("timestamp").alias("_t")),
         "doc_id",
-    ).persist()
+    )
     row = joined.agg(F.min("_t").alias("lo"), F.max("_t").alias("hi")) \
         .first()
     if row["lo"] is None:
-        joined.unpersist()
         return spark.createDataFrame(
             [], "query_id string, unit string, bucket timestamp, count long"
         )

@@ -39,11 +39,16 @@ def _w(order_col: str):
     return Window.partitionBy("query_id").orderBy(F.asc(order_col))
 
 
+_DENSIFY_UNITS = frozenset(
+    ("second", "minute", "hour", "day", "week", "month", "quarter", "year")
+)
+
+
 def densify_buckets(
     buckets: DataFrame,
     order_col: str = "bucket",
     value_col: str = "count",
-    step: str | float = None,
+    step: str | float | None = None,
 ) -> DataFrame:
     """`min_doc_count: 0` for a histogram / date_histogram parent: fill
     the gaps between each query's min and max bucket with zero-valued
@@ -58,6 +63,14 @@ def densify_buckets(
     corpus."""
     if step is None:
         raise ValueError("step: pass the parent interval (float or unit)")
+    if isinstance(step, str) and step not in _DENSIFY_UNITS:
+        # the unit is spliced into F.expr — allowlist it so a bad CLI
+        # --densify value fails here with the valid choices, not as an
+        # opaque interval-parse error (and can't smuggle expressions)
+        raise ValueError(
+            f"unknown densify unit {step!r}; expected one of "
+            f"{sorted(_DENSIFY_UNITS)} or a numeric interval"
+        )
     spine = buckets.groupBy("query_id").agg(
         F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
     )
@@ -130,9 +143,10 @@ def moving_fn(
     """`moving_fn` with the stock MovingFunctions (`avg`/`min`/`max`/
     `sum`/`stddev`): slide a `window`-bucket frame over the series.
     OpenSearch's default `shift: 0` places the frame on the `window`
-    buckets BEFORE the current one (exclusive); `shift: window` would
-    include the current bucket at the frame's right edge. Buckets whose
-    frame is entirely off the series' left edge emit no row."""
+    buckets BEFORE the current one (exclusive); `shift: 1` includes the
+    current bucket at the frame's right edge, and `shift: window`
+    right-aligns the frame to START at the current bucket. Buckets
+    whose frame is entirely off the series' left edge emit no row."""
     if window <= 0:
         raise ValueError("window must be > 0")
     if fn not in ("avg", "min", "max", "sum", "stddev"):

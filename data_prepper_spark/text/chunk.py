@@ -25,6 +25,14 @@ from pyspark.sql import functions as F
 _FORMS = ("NFC", "NFKC", "NFD", "NFKD")
 
 
+def _quote_regex(s: str) -> str:
+    """Java-regex-quote a literal delimiter (F.split treats its pattern
+    as a java.util.regex — a bare '.' or '|' would split on every
+    character). \\Q...\\E is Pattern.quote's own scheme; an embedded
+    \\E is closed, escaped, and reopened."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def chunk_documents(
     docs: DataFrame,
     max_tokens: int,
@@ -50,7 +58,8 @@ def chunk_documents(
         raise ValueError("overlap must be in [0, max_tokens)")
     step = max_tokens - overlap
     toks = F.filter(
-        F.split(F.col(text_col), F.lit(delimiter)), lambda x: x != ""
+        F.split(F.col(text_col), F.lit(_quote_regex(delimiter))),
+        lambda x: x != "",
     )
     n = F.size(toks)
     # number of windows: 1 while n <= max_tokens, else

@@ -53,6 +53,11 @@ def test_rare_terms(spark, corpus):
     # ordering: count asc then value asc
     key = list(zip(got["count"], got["value"]))
     assert key == sorted(key)
+    # max_buckets caps the tail to the FIRST n of that same ordering
+    capped = am.rare_terms_facet(
+        spark, d, q, docs, "n_chars", max_doc_count=2, max_buckets=2
+    ).toPandas()
+    assert list(zip(capped["count"], capped["value"])) == key[:2]
 
 
 def test_multi_terms(spark, corpus):

@@ -68,6 +68,21 @@ def test_chunk_counts_and_overlap(spark):
             if r["doc_id"] == 4] == [(0, "solo")]
 
 
+def test_chunk_regex_metachar_delimiter(spark):
+    # '.' / '|' are Java-regex metachars; the delimiter is quoted so
+    # they split literally, not on every character
+    docs = spark.createDataFrame(
+        [(1, "a.b.c"), (2, "x|y")], "doc_id long, text string"
+    )
+    dots = ch.chunk_documents(docs, max_tokens=2, delimiter=".").collect()
+    got = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in dots}
+    assert got[(1, 0)] == "a.b" and got[(1, 1)] == "c"
+    assert got[(2, 0)] == "x|y"  # '.' does not split 'x|y'
+    pipes = ch.chunk_documents(docs, max_tokens=9, delimiter="|").collect()
+    got = {r["doc_id"]: r["chunk_text"] for r in pipes}
+    assert got[2] == "x|y" and got[1] == "a.b.c"
+
+
 def test_chunk_validation(spark):
     docs = _mk_docs(spark)
     with pytest.raises(ValueError):

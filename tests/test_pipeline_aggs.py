@@ -132,6 +132,13 @@ def test_densify_calendar_day(spark):
     assert list(mov.moving_fn) == [3.0, 3.0, 3.0, 6.0]
 
 
+def test_densify_rejects_unknown_unit(spark, buckets):
+    with pytest.raises(ValueError, match="densify unit"):
+        pa.densify_buckets(buckets, step="fortnight")
+    with pytest.raises(ValueError, match="densify unit"):
+        pa.densify_buckets(buckets, step="1 day) as x; drop table--")
+
+
 def test_date_histogram_parent_end_to_end(spark):
     """date_histogram -> densify -> derivative + cumulative_sum over a
     real match set, vs a DuckDB replica of the whole chain."""
