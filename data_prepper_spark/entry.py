@@ -126,6 +126,8 @@ _INDEX_CACHE: dict[str, str] = {}
 
 def _built_index(spark, sf_dir) -> str:
     if sf_dir not in _INDEX_CACHE:
+        from data_prepper_spark.index import corpus_store
+
         d = tempfile.mkdtemp(prefix="dps_idx_")
         ib.build_index(
             spark,
@@ -135,6 +137,11 @@ def _built_index(spark, sf_dir) -> str:
             block_size=128,
             assign_ids=False,
         )
+        # the production layout: corpus bucketed by the index's doc_id
+        # key so facet/fetch/filter joins co-locate (zero corpus-side
+        # Exchange) — the gate slots that consume it then oracle-check
+        # the bucketed layout, not just the plain parquet one
+        corpus_store.write_corpus(spark, _docs(spark, sf_dir), d)
         _INDEX_CACHE[sf_dir] = d
     return _INDEX_CACHE[sf_dir]
 
@@ -316,7 +323,11 @@ def q_bool_topk(spark, sf_dir):
         "minimum_should_match int, k int",
     )
     out = engine.bool_topk(spark, d, qdf)
-    docs = _docs(spark, sf_dir)
+    from data_prepper_spark.index import corpus_store
+
+    # filter contexts read the bucketed store: the stored shard column
+    # replaces the query-time routing derivation (sharded_docs fast path)
+    docs = corpus_store.corpus_or_store(spark, d, _docs(spark, sf_dir))
     for q, text, filt, _ in FILTERED_QUERIES:
         fq = spark.createDataFrame(
             [(q, text, BM25_K * 2)],
@@ -1371,9 +1382,12 @@ def q_function_score(spark, sf_dir):
         [(f"fs_{q}", t, BM25_K * 2) for q, t in BM25_QUERIES],
         "query_id string, query_text string, k int",
     )
+    from data_prepper_spark.index import corpus_store
+
     raw = engine.function_score_topk(
-        spark, d, qdf, _docs(spark, sf_dir), FS_FACTOR,
-        boost_mode="multiply",
+        spark, d, qdf,
+        corpus_store.corpus_or_store(spark, d, _docs(spark, sf_dir)),
+        FS_FACTOR, boost_mode="multiply",
     )
     return _rounded_rank(raw)
 
@@ -2321,14 +2335,18 @@ def q_terms_facet(spark, sf_dir):
     rank as count, n_chars as score). Harmonized schema
     (query_id, agg, value, count, score) with no nulls, so the
     cross-engine hash is dtype-stable. The match kernel runs ONCE and
-    is persisted; every agg branch reuses it."""
+    is persisted; every agg branch reuses it. The corpus side is the
+    doc_id-BUCKETED store (index/corpus_store.py): every match-set
+    join here runs co-located — no corpus-side Exchange — and the
+    oracle gate pins that layout's answers to DuckDB's."""
+    from data_prepper_spark.index import corpus_store
     from data_prepper_spark.query import aggs, facets
 
     d = _built_index(spark, sf_dir)
     qdf = spark.createDataFrame(
         [(q, t) for q, t in BM25_QUERIES], "query_id string, query_text string"
     )
-    docs = _docs(spark, sf_dir)
+    docs = corpus_store.corpus_or_store(spark, d, _docs(spark, sf_dir))
     m = facets.match_docs(spark, d, qdf).persist()
     tf = facets.terms_facet(
         spark, d, qdf, docs, ["lang", "source"], size=5, match=m

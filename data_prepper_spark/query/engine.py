@@ -1138,10 +1138,21 @@ def sharded_docs(
                  sharded by a PROVIDED conv_id column or by the
                  doc_id-string fallback; a conv_id-sharded external
                  index REQUIRES conv_id in `docs` (loud raise, never a
-                 silent wrong-shard route)."""
+                 silent wrong-shard route).
+
+    Fast path: a `docs` that already carries a `shard` column — the
+    corpus store (index/corpus_store.py) precomputes this index's
+    routing at write time — is trusted as-is: no derivation, no convmap
+    join, no xxhash at query time. Only pass such a column if it came
+    from THIS index's store (the store is keyed by index_dir)."""
     from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
 
     n_shards = int(stats["n_shards"])
+    if "shard" in docs.columns:
+        return docs.select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("doc_id").cast("long").alias("doc_id"), *carry,
+        )
     scheme = stats.get("id_scheme", "arith")
     if scheme == "external" and stats.get("shard_key", "conv_id") == "conv_id":
         if "conv_id" not in docs.columns:
