@@ -85,9 +85,11 @@ def delete_by_query(
         .sortWithinPartitions("doc_id")
         .mapInPandas(merge_runs, schema=_RANGE_OUT)
     )
-    path = os.path.join(index_dir, "tombstones")
+    path = tombstones._tomb_path(index_dir)
     ranges.write.mode("append").parquet(path)
     matched.unpersist()
-    # footer-metadata count only, same guard as write_tombstones
-    tombstones._size_guard(spark.read.parquet(path).count(), index_dir)
+    # footer-metadata count only, same enforcement as write_tombstones
+    tombstones._enforce_budget(
+        spark, index_dir, spark.read.parquet(path).count(), True
+    )
     return int(n_deleted)

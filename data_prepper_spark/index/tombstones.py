@@ -32,27 +32,127 @@ kernel closure — no join, no broadcast variable bookkeeping.
 from __future__ import annotations
 
 import os
-import warnings
 
 import numpy as np
 import pandas as pd
 
+from data_prepper_spark.index import layout
+
 # Every query kernel ships the tombstone arrays in its task closure
 # (3 int64 per range). Ranges are one-per-delete-interval, so the set
-# only grows adversarially under many-point-delete workloads; past this
-# threshold the engine warns to run `compact_index` (which consumes the
-# tombstones and resets the set) — the documented compact-after-N policy.
+# only grows adversarially under many-point-delete workloads. Past this
+# threshold the budget is ENFORCED, not advised: the writer first
+# coalesces the store to its minimal range form (adjacent runs merge,
+# ranges subsumed by wider-scoped ones drop), and if the minimal form
+# still exceeds the budget it triggers compact_index — which physically
+# removes the tombstoned postings and clears the set — or, with
+# auto_compact=False, refuses the write with the same instruction. A
+# query task closure therefore NEVER holds more than this many ranges.
 COMPACT_THRESHOLD_RANGES = 100_000  # ~2.4 MB of closure arrays
 
 
-def _size_guard(n_ranges: int, index_dir: str) -> None:
-    if n_ranges > COMPACT_THRESHOLD_RANGES:
-        warnings.warn(
-            f"tombstone set at {index_dir!r} holds {n_ranges} ranges "
-            f"(> {COMPACT_THRESHOLD_RANGES}): every query task ships "
-            "them in its closure — run compact_index to consume them",
-            RuntimeWarning,
-            stacklevel=3,
+class TombstoneOverflowError(RuntimeError):
+    """Raised when a delete would push the tombstone set past
+    COMPACT_THRESHOLD_RANGES even in minimal (coalesced) form and the
+    caller disabled auto-compaction."""
+
+
+def _tomb_path(index_dir: str) -> str:
+    """Current readable/appendable tombstone dir. Appends land in the
+    live version; a coalesce publishes a new version behind the pointer
+    (layout.py protocol), so readers never see a partial rewrite."""
+    return layout.resolve(index_dir, "tombstones")
+
+
+def _minimize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Minimal equivalent range set. Per upto_seg group (descending):
+    merge overlapping/adjacent [start,end) runs, then drop any merged
+    range fully covered by the union of strictly-wider scopes (a range
+    visible to segments <= u is implied by a covering range visible to
+    segments <= u' > u). Partial overlaps are kept whole — keeping a
+    range is always safe, it only re-hides already-hidden docs."""
+
+    def merge(s: np.ndarray, e: np.ndarray):
+        order = np.argsort(s, kind="stable")
+        s, e = s[order], e[order]
+        ks, ke = [s[0]], [e[0]]
+        for a, b in zip(s[1:], e[1:]):
+            if a <= ke[-1]:
+                ke[-1] = max(ke[-1], b)
+            else:
+                ks.append(a)
+                ke.append(b)
+        return np.array(ks, np.int64), np.array(ke, np.int64)
+
+    out_s, out_e, out_u = [], [], []
+    cov_s = np.empty(0, np.int64)
+    cov_e = np.empty(0, np.int64)
+    for u in sorted(pdf["upto_seg"].unique(), reverse=True):
+        g = pdf[pdf["upto_seg"] == u]
+        s, e = merge(g["start"].to_numpy(np.int64), g["end"].to_numpy(np.int64))
+        if len(cov_s):
+            # covered iff some coverage range [cs, ce) ⊇ [s, e)
+            idx = np.searchsorted(cov_s, s, side="right") - 1
+            ok = idx >= 0
+            covered = np.zeros(len(s), dtype=bool)
+            covered[ok] = e[ok] <= cov_e[idx[ok]]
+            s, e = s[~covered], e[~covered]
+        if len(s):
+            out_s.append(s)
+            out_e.append(e)
+            out_u.append(np.full(len(s), u, np.int64))
+            cov_s, cov_e = merge(
+                np.concatenate([cov_s, s]), np.concatenate([cov_e, e])
+            )
+    if not out_s:
+        return pd.DataFrame(
+            {c: np.empty(0, np.int64) for c in ("start", "end", "upto_seg")}
+        )
+    return pd.DataFrame(
+        {
+            "start": np.concatenate(out_s),
+            "end": np.concatenate(out_e),
+            "upto_seg": np.concatenate(out_u),
+        }
+    )
+
+
+def coalesce_tombstones(spark, index_dir: str) -> int:
+    """Rewrite the tombstone store in minimal form (crash-safe: new
+    versioned dir, pointer flip — layout.py). Returns the new count."""
+    path = _tomb_path(index_dir)
+    if "://" not in index_dir and not os.path.exists(path):
+        return 0
+    pdf = _minimize(spark.read.parquet(path).toPandas())
+    layout.publish_dir(
+        index_dir,
+        "tombstones",
+        lambda p: spark.createDataFrame(pdf).coalesce(1)
+        .write.mode("overwrite").parquet(p),
+    )
+    return len(pdf)
+
+
+def _enforce_budget(
+    spark, index_dir: str, n_ranges: int, auto_compact: bool
+) -> None:
+    """The compact-after-N policy, enforced at write time (see module
+    constant). Cheap in the common case: n_ranges comes from parquet
+    footer metadata and the threshold is rarely crossed."""
+    if n_ranges <= COMPACT_THRESHOLD_RANGES:
+        return
+    if coalesce_tombstones(spark, index_dir) <= COMPACT_THRESHOLD_RANGES:
+        return
+    if auto_compact:
+        from data_prepper_spark.index.build import compact_index
+
+        compact_index(spark, index_dir)  # consumes + clears the set
+    else:
+        raise TombstoneOverflowError(
+            f"tombstone set at {index_dir!r} exceeds "
+            f"{COMPACT_THRESHOLD_RANGES} ranges even after coalescing "
+            "— run compact_index (CLI `compact`) to consume it, or "
+            "call with auto_compact=True"
         )
 
 
@@ -68,10 +168,12 @@ def _current_seg(index_dir: str) -> int:
 
 def write_tombstones(
     spark, index_dir: str, ranges: list[tuple[int, int]],
-    upto_seg: int | None = None,
+    upto_seg: int | None = None, auto_compact: bool = True,
 ) -> None:
     """Append [start, end) doc_id ranges applying to segments
-    <= upto_seg (default: the index's current newest segment)."""
+    <= upto_seg (default: the index's current newest segment). Enforces
+    the range budget: coalesce, then auto-compact (or refuse when
+    auto_compact=False) past COMPACT_THRESHOLD_RANGES."""
     if not ranges:
         return
     if upto_seg is None:
@@ -83,24 +185,29 @@ def write_tombstones(
             "upto_seg": np.full(len(ranges), upto_seg, dtype=np.int64),
         }
     )
-    path = os.path.join(index_dir, "tombstones")
+    path = _tomb_path(index_dir)
     spark.createDataFrame(pdf).write.mode("append").parquet(path)
     # cheap: parquet row count comes from footer metadata only
-    _size_guard(spark.read.parquet(path).count(), index_dir)
+    _enforce_budget(
+        spark, index_dir, spark.read.parquet(path).count(), auto_compact
+    )
 
 
 def delete_docs(
-    spark, index_dir: str, doc_ids: list[int], upto_seg: int | None = None
+    spark, index_dir: str, doc_ids: list[int], upto_seg: int | None = None,
+    auto_compact: bool = True,
 ) -> None:
     """Point deletes: each doc_id becomes a [d, d+1) range."""
     write_tombstones(
-        spark, index_dir, [(int(d), int(d) + 1) for d in doc_ids], upto_seg
+        spark, index_dir, [(int(d), int(d) + 1) for d in doc_ids], upto_seg,
+        auto_compact=auto_compact,
     )
 
 
 def delete_conversations(
     spark, index_dir: str, conv_serials: list[int],
     stride: int | None = None, upto_seg: int | None = None,
+    auto_compact: bool = True,
 ) -> None:
     """Delete whole conversations (the reference's purge-by-routing-id
     case): one range per conversation under the arithmetic packing."""
@@ -110,6 +217,7 @@ def delete_conversations(
     write_tombstones(
         spark, index_dir,
         [(int(c) * s, (int(c) + 1) * s) for c in conv_serials], upto_seg,
+        auto_compact=auto_compact,
     )
 
 
@@ -157,13 +265,12 @@ class Tombstones:
 def load_tombstones(spark, index_dir: str) -> Tombstones | None:
     """-> Tombstones or None. The set is driver-small by construction
     (one row per delete-call interval)."""
-    path = os.path.join(index_dir, "tombstones")
+    path = _tomb_path(index_dir)
     if "://" not in index_dir and not os.path.exists(path):
         return None
     pdf = spark.read.parquet(path).toPandas()
     if not len(pdf):
         return None
-    _size_guard(len(pdf), index_dir)
     return Tombstones(
         pdf["start"].to_numpy(np.int64),
         pdf["end"].to_numpy(np.int64),
@@ -206,7 +313,14 @@ def fingerprint(tomb: Tombstones | None) -> tuple:
 
 def clear_tombstones(index_dir: str) -> None:
     """Called by compact_index after tombstoned postings are physically
-    removed."""
+    removed. Clears every version of the store plus the pointer."""
+    import glob
     import shutil
 
+    for p in glob.glob(os.path.join(index_dir, "tombstones__v*")):
+        shutil.rmtree(p, ignore_errors=True)
     shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    try:
+        os.remove(os.path.join(index_dir, "tombstones.ptr"))
+    except FileNotFoundError:
+        pass
