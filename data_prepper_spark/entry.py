@@ -2409,8 +2409,44 @@ def q_terms_facet(spark, sf_dir):
         F.col("rank").cast("long").alias("count"),
         F.col("n_chars").cast("double").alias("score"),
     )
+    # session 5: GENERAL nested composition (query/agg_tree.py) — a
+    # 3-level terms(lang,2) -> terms(source,2) -> avg(n_chars) tree
+    # with size truncation at BOTH bucket levels; the child avg is
+    # exact (integer sum / count) so the hash is order-stable.
+    from data_prepper_spark.query import agg_tree as at
+
+    tree = at.agg_tree(
+        spark, d, qdf, docs,
+        {"by_lang": {"terms": {"field": "lang", "size": 2},
+                     "aggs": {"by_src": {
+                         "terms": {"field": "source", "size": 2},
+                         "aggs": {"len": {"avg": {"field": "n_chars"}}},
+                     }}}},
+        match=m,
+    ).persist()
+    t1 = tree.filter(F.col("path") == "by_lang").select(
+        "query_id", F.lit("tree:lang").alias("agg"),
+        F.col("keys").alias("value"),
+        F.col("value").cast("long").alias("count"),
+        F.lit(0.0).alias("score"),
+    )
+    t2 = (
+        tree.filter(F.col("path") == "by_lang>by_src")
+        .select("query_id", "keys", F.col("value").alias("_c"))
+        .join(
+            tree.filter(F.col("path") == "by_lang>by_src>len")
+            .select("query_id", "keys", F.col("value").alias("_avg")),
+            ["query_id", "keys"],
+        )
+        .select(
+            "query_id", F.lit("tree:lang>source").alias("agg"),
+            F.col("keys").alias("value"),
+            F.col("_c").cast("long").alias("count"),
+            F.col("_avg").alias("score"),
+        )
+    )
     out = tf
-    for part in (sg, stx, cd, rg, hg, ts, th):
+    for part in (sg, stx, cd, rg, hg, ts, th, t1, t2):
         out = out.unionByName(part)
     return out
 
@@ -2508,12 +2544,28 @@ thr AS (
   FROM mj QUALIFY rn <= 2),
 th AS (SELECT query_id, 'top_hits:lang' AS agg,
               lang || ':' || CAST(doc_id AS VARCHAR) AS value,
-              rn::BIGINT AS count, v AS score FROM thr)
+              rn::BIGINT AS count, v AS score FROM thr),
+tr1 AS (SELECT query_id, lang, count(*)::BIGINT AS c1
+        FROM mj WHERE lang IS NOT NULL GROUP BY 1, 2
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c1 DESC, lang) <= 2),
+tr2 AS (SELECT mj.query_id, mj.lang, mj.source,
+               count(*)::BIGINT AS c2, avg(mj.v) AS av
+        FROM mj JOIN tr1 USING (query_id, lang)
+        WHERE mj.source IS NOT NULL GROUP BY 1, 2, 3
+        QUALIFY row_number() OVER (PARTITION BY query_id, lang
+                                   ORDER BY c2 DESC, source) <= 2),
+tree AS (
+  SELECT query_id, 'tree:lang' AS agg, lang AS value, c1 AS count,
+         0.0 AS score FROM tr1
+  UNION ALL
+  SELECT query_id, 'tree:lang>source', lang || '|' || source, c2, av
+  FROM tr2)
 SELECT * FROM tf UNION ALL SELECT * FROM sig
 UNION ALL SELECT * FROM stx
 UNION ALL SELECT * FROM card UNION ALL SELECT * FROM rng
 UNION ALL SELECT * FROM hist UNION ALL SELECT * FROM tst
-UNION ALL SELECT * FROM th
+UNION ALL SELECT * FROM th UNION ALL SELECT * FROM tree
 """
 
 

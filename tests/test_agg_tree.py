@@ -1,0 +1,204 @@
+"""General sub-aggregation composition (query/agg_tree.py) — the
+OpenSearch nested ``aggs`` request contract, checked against a pandas
+oracle computed over the brute-force match set:
+
+1. terms -> date_histogram -> stats, three levels deep (the verdict's
+   named done-criterion), exact per-bucket values;
+2. terms `size` truncation prunes sub-aggregation output to surviving
+   parent buckets only, with the (count desc, key asc) tie-break;
+3. metric aggs at the root level (no enclosing bucket);
+4. filters + range buckets: declared-but-empty buckets present with
+   _count=0, overlap duplicates docs into every matching bucket;
+5. order={"_key": ...} and min_doc_count;
+6. malformed specs raise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.index.tokenizer import tokenize
+from data_prepper_spark.query import agg_tree as at
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+N_CONVS = 100
+_Q = "query_id string, query_text string"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    pdf = generate_pandas(0, N_CONVS)
+    d = str(tmp_path_factory.mktemp("at") / "idx")
+    ib.build_index(spark, spark.createDataFrame(pdf), d, n_shards=4,
+                   block_size=16)
+    pdf = pdf.copy()
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    return d, pdf
+
+
+def _match(pdf: pd.DataFrame, qtext: str) -> pd.DataFrame:
+    terms = set(tokenize(qtext))
+    hit = pdf.text.map(lambda t: bool(terms & set(tokenize(t))))
+    return pdf[hit]
+
+
+def _docs(spark, pdf):
+    return spark.createDataFrame(
+        pdf[["doc_id", "role", "tool", "ts", "n_chars"]]
+    )
+
+
+def _run(spark, d, pdf, tree, qtext="error handling"):
+    q = spark.createDataFrame([("q1", qtext)], _Q)
+    got = at.agg_tree(spark, d, q, _docs(spark, pdf), tree).toPandas()
+    return got.sort_values(["path", "keys", "metric"]).reset_index(drop=True)
+
+
+def test_terms_date_histogram_stats_three_levels(spark, corpus):
+    d, pdf = corpus
+    tree = {
+        "by_role": {
+            "terms": {"field": "role", "size": 10},
+            "aggs": {
+                "per_day": {
+                    "date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"},
+                    "aggs": {"len": {"stats": {"field": "n_chars"}}},
+                }
+            },
+        }
+    }
+    got = _run(spark, d, pdf, tree)
+    sub = _match(pdf, "error handling").copy()
+    sub["day"] = sub.ts.dt.floor("d").dt.strftime("%Y-%m-%dT%H:%M:%S")
+
+    # level 1: terms buckets
+    l1 = got[got.path == "by_role"]
+    want1 = sub.role.value_counts()
+    assert set(l1["keys"]) == set(want1.index)
+    for _, r in l1.iterrows():
+        assert r.value == want1[r["keys"]]
+        assert r.metric == "_count"
+
+    # level 2: per (role, day) counts
+    l2 = got[got.path == "by_role>per_day"]
+    want2 = sub.groupby(["role", "day"]).size()
+    assert len(l2) == len(want2)
+    for _, r in l2.iterrows():
+        role, day = r["keys"].split("|")
+        assert r.value == want2[(role, day)]
+
+    # level 3: stats per (role, day)
+    l3 = got[got.path == "by_role>per_day>len"]
+    g3 = sub.groupby(["role", "day"]).n_chars
+    want3 = {"count": g3.count(), "min": g3.min(), "max": g3.max(),
+             "avg": g3.mean(), "sum": g3.sum()}
+    assert len(l3) == 5 * len(want2)
+    for _, r in l3.iterrows():
+        role, day = r["keys"].split("|")
+        assert abs(r.value - float(want3[r.metric][(role, day)])) < 1e-9, (
+            r.metric, role, day)
+
+
+def test_terms_size_prunes_subaggs(spark, corpus):
+    d, pdf = corpus
+    tree = {
+        "by_tool": {
+            "terms": {"field": "tool", "size": 2},
+            "aggs": {"len": {"avg": {"field": "n_chars"}}},
+        }
+    }
+    got = _run(spark, d, pdf, tree)
+    sub = _match(pdf, "error handling")
+    sub = sub[sub.tool.notna()]
+    vc = sub.tool.value_counts()
+    # OpenSearch tie-break: count desc, key asc
+    order = sorted(vc.index, key=lambda k: (-vc[k], k))[:2]
+    l1 = got[got.path == "by_tool"].set_index("keys")
+    assert set(l1.index) == set(order)
+    l2 = got[got.path == "by_tool>len"]
+    assert set(l2["keys"]) == set(order)  # pruned to survivors
+    for _, r in l2.iterrows():
+        assert abs(
+            r.value - sub[sub.tool == r["keys"]].n_chars.mean()) < 1e-9
+
+
+def test_root_level_metrics(spark, corpus):
+    d, pdf = corpus
+    tree = {
+        "len": {"stats": {"field": "n_chars"}},
+        "tools": {"cardinality": {"field": "tool"}},
+    }
+    got = _run(spark, d, pdf, tree)
+    sub = _match(pdf, "error handling")
+    s = got[got.path == "len"].set_index("metric")["value"]
+    assert s["count"] == len(sub)
+    assert s["min"] == sub.n_chars.min()
+    assert s["max"] == sub.n_chars.max()
+    assert abs(s["avg"] - sub.n_chars.mean()) < 1e-9
+    assert s["sum"] == sub.n_chars.sum()
+    card = got[got.path == "tools"].value.iloc[0]
+    assert card == sub.tool.nunique()
+    assert (got["keys"] == "").all()
+
+
+def test_filters_and_range_empty_and_overlap(spark, corpus):
+    d, pdf = corpus
+    sub = _match(pdf, "error")
+    lo = float(sub.n_chars.min())
+    tree = {
+        "kinds": {
+            "filters": {"filters": {
+                "assist": "role = 'assistant'",
+                "nobody": "role = 'zzz-nonexistent'",
+            }},
+            "aggs": {"len": {"sum": {"field": "n_chars"}}},
+        },
+        "sizes": {
+            "range": {"field": "n_chars", "ranges": [
+                {"to": lo}, {"from": lo}, {"from": lo, "to": lo + 1},
+            ]},
+        },
+    }
+    got = _run(spark, d, pdf, tree, qtext="error")
+    f = got[got.path == "kinds"].set_index("keys")["value"]
+    assert f["assist"] == (sub.role == "assistant").sum()
+    assert f["nobody"] == 0  # declared-but-empty bucket present
+    fl = got[got.path == "kinds>len"]
+    assert set(fl["keys"]) == {"assist"}  # empty bucket has no child rows
+    r = got[got.path == "sizes"].set_index("keys")["value"]
+    v = sub.n_chars.astype(float)
+    assert r[f"*-{lo}"] == 0
+    assert r[f"{lo}-*"] == len(v)  # overlap: full bucket alongside slice
+    assert r[f"{lo}-{lo + 1.0}"] == ((v >= lo) & (v < lo + 1)).sum()
+
+
+def test_order_by_key_and_min_doc_count(spark, corpus):
+    d, pdf = corpus
+    tree = {
+        "by_role": {"terms": {"field": "role", "size": 1,
+                              "order": {"_key": "desc"}}},
+        "hot_tools": {"terms": {"field": "tool", "size": 100,
+                                "min_doc_count": 5}},
+    }
+    got = _run(spark, d, pdf, tree)
+    sub = _match(pdf, "error handling")
+    assert got[got.path == "by_role"]["keys"].iloc[0] == max(sub.role.unique())
+    vc = sub[sub.tool.notna()].tool.value_counts()
+    assert set(got[got.path == "hot_tools"]["keys"]) == set(vc[vc >= 5].index)
+
+
+def test_malformed_specs_raise(spark, corpus):
+    d, pdf = corpus
+    with pytest.raises(ValueError, match="exactly one"):
+        _run(spark, d, pdf, {"x": {"terms": {"field": "role"},
+                                   "avg": {"field": "n_chars"}}})
+    with pytest.raises(ValueError, match="unsupported"):
+        _run(spark, d, pdf, {"x": {"geo_bounds": {"field": "role"}}})
