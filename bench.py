@@ -218,6 +218,14 @@ def run_suite(
         timed("query_count", lambda: engine.count_matches(
             spark, idx_dir, qdf.select("query_id", "query_text")
         ).count(), reps=2)
+        # batch scoring (r5): 10k queries auto-dispatch to the
+        # DISTRIBUTED prep (prep.qmap_df_dist, threshold 5k) — qmap
+        # built via mapInPandas and shuffle-joined on term instead of
+        # driver-serialized + broadcast. Single-shot: the 10k-query
+        # kernel dominates and is steal-insensitive at this duration.
+        q10k = spark.createDataFrame(generate_queries(10_000, seed=7))
+        timed("query_batch10k", lambda: engine.score_topk(
+            spark, idx_dir, q10k).count())
         docs_df.unpersist()
 
         # --- multi_match (session 2): per-field sub-indexes (text +

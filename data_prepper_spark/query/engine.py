@@ -233,11 +233,20 @@ def score_topk(
     # alone would decompress every block row of every term before
     # filtering, while `term IN (...)` reaches the scan (PushedFilters)
     # and prunes row groups via the per-shard term sort order.
-    per_term = prep.score_entries(prep.collect_rows(queries), mode)
-    terms = sorted(per_term)
+    # interactive batches (<= threshold) prep in pure Python and push
+    # the term set as an In-filter; LARGE batches (batch scoring) prep
+    # distributedly (prep.qmap_df_dist) and join on term instead — the
+    # one take() probe is the only driver materialization either way
+    head = queries.take(prep.PREP_DISTRIBUTED_THRESHOLD + 1)
+    distributed = len(head) > prep.PREP_DISTRIBUTED_THRESHOLD
+    if distributed:
+        per_term, terms = None, None
+    else:
+        per_term = prep.score_entries([r.asDict() for r in head], mode)
+        terms = sorted(per_term)
     blocks_path = layout.resolve(index_dir, "blocks")
     local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
-    if not terms or local_missing:
+    if (not distributed and not terms) or local_missing:
         # no query terms, or an empty index (no blocks ever written);
         # the existence check only applies to local paths — remote
         # (s3://, hdfs://) indexes always attempt the read
@@ -247,26 +256,37 @@ def score_topk(
             + ("conv long, " if collapse else "")
             + "doc_id long, score double",
         )
-    qmap = prep.qmap_df(spark, per_term, prep.SCORE_FIELDS)
     dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
-    dict_slice = dictionary.filter(F.col("term").isin(terms))
     blocks = spark.read.parquet(blocks_path)
     if "seg" not in blocks.columns:  # pre-segment index layout
         blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
     # explicit projection: BM25 scoring never touches the position
     # stream, so the (largest) `poss` column must not reach the scan
     # (ReadSchema pruning — positions roughly double block bytes)
-    needed = (
-        blocks.select(
-            "shard", "seg", "term", "block_ord", "first_doc", "last_doc",
-            "gaps", "tfs", "dls", "max_partial",
-        )
-        .filter(F.col("term").isin(terms))
-        .join(F.broadcast(qmap), "term")
-        .join(F.broadcast(dict_slice), "term")
+    slim = blocks.select(
+        "shard", "seg", "term", "block_ord", "first_doc", "last_doc",
+        "gaps", "tfs", "dls", "max_partial",
     )
+    if distributed:
+        # shuffle join on term: a batch this size touches most of the
+        # vocabulary, so term In-pushdown would buy little while the
+        # In-list itself would bloat the plan; the dictionary joins on
+        # the same key with no extra driver state
+        qmap = prep.qmap_df_dist(spark, queries, "score", mode)
+        needed = slim.join(qmap, "term").join(dictionary, "term")
+    else:
+        qmap = prep.qmap_df(spark, per_term, prep.SCORE_FIELDS)
+        dict_slice = dictionary.filter(F.col("term").isin(terms))
+        needed = (
+            slim.filter(F.col("term").isin(terms))
+            .join(F.broadcast(qmap), "term")
+            .join(F.broadcast(dict_slice), "term")
+        )
     ub_scale = max(1.0, stats["avgdl"] / stats.get("avgdl_min", stats["avgdl"]))
     tomb = tombstones.load_tombstones(spark, index_dir)
+    # rank-join side: forced broadcast only for driver-scale batches
+    qk = queries.select("query_id", "k")
+    qk = qk if distributed else F.broadcast(qk)
     per_shard = spread_by_shard(needed).groupBy("shard").applyInPandas(
         _shard_kernel(
             stats["avgdl"], stats["n_docs"], algo, ub_scale,
@@ -306,13 +326,13 @@ def score_topk(
             )
         )
         return (
-            best.join(F.broadcast(queries.select("query_id", "k")), "query_id")
+            best.join(qk, "query_id")
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= F.col("k"))
             .select("query_id", "rank", "conv", "doc_id", "score")
         )
     return (
-        per_shard.join(F.broadcast(queries.select("query_id", "k")), "query_id")
+        per_shard.join(qk, "query_id")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")

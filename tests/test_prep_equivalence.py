@@ -231,3 +231,99 @@ def test_count_and_simple_entries():
         "error": [("c1", 3)], "the": [("c1", 3)]}
     # stop filter drops 'the'
     assert prep.count_entries(rows, "ascii+stop") == {"error": [("c1",)]}
+
+
+# ------------------------------------------- distributed prep (r5)
+
+
+def _qmap_python(spark, builder, rows, fields, mode):
+    per_term = builder(rows, mode)
+    return prep.qmap_df(spark, per_term, fields)
+
+
+def _norm_qmap(df):
+    """-> {term: sorted list of entry tuples} (order-insensitive: the
+    distributed merge is partition-order-independent by sort_array;
+    the Python path keeps row order — content must be identical)."""
+    out = {}
+    for r in df.collect():
+        out[r["term"]] = sorted(
+            tuple(e) for e in [tuple(x) for x in r["queries"]]
+        )
+    return out
+
+
+@pytest.mark.parametrize("kind,fields,extra", [
+    ("score", prep.SCORE_FIELDS, {}),
+    ("count", prep.COUNT_FIELDS, {}),
+    ("simple", prep.SIMPLE_FIELDS, {}),
+    ("phrase", prep.PHRASE_FIELDS, {"slop": 1}),
+    ("bool", prep.BOOL_FIELDS,
+     {"must": "error retry", "should": "deploy Login the",
+      "must_not": "CRASH", "minimum_should_match": "75%"}),
+])
+def test_distributed_prep_matches_python(spark, kind, fields, extra):
+    """qmap_df_dist == the pure-Python qmap on every builder kind,
+    including null cursor columns (NaN round-trip through Arrow) and
+    multi-partition inputs."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        r = {"query_id": f"q{i}", "query_text": _rand_text(rng, 6), "k": 10,
+             "after_score": (2.5 if i % 4 == 0 else None),
+             "after_doc": (11 if i % 4 == 0 else None)}
+        r.update(extra)
+        if kind == "bool" and i % 3 == 0:
+            r["negative"] = "timeout"
+            r["negative_boost"] = 0.25
+        rows.append(r)
+    schema_bits = {
+        "query_id": "string", "query_text": "string", "k": "long",
+        "after_score": "double", "after_doc": "long", "slop": "int",
+        "must": "string", "should": "string", "must_not": "string",
+        "minimum_should_match": "string", "negative": "string",
+        "negative_boost": "double",
+    }
+    cols = list(rows[0].keys() | {"negative", "negative_boost"}
+                if kind == "bool" else rows[0].keys())
+    cols = [c for c in schema_bits if c in set(cols)]
+    schema = ", ".join(f"{c} {schema_bits[c]}" for c in cols)
+    qdf = spark.createDataFrame(
+        [tuple(r.get(c) for c in cols) for r in rows], schema
+    ).repartition(8)
+
+    builder = getattr(prep, f"{kind}_entries")
+    # normalize rows the way collect_rows would deliver them
+    py_rows = [{c: r.get(c) for c in cols} for r in rows]
+    want = _norm_qmap(_qmap_python(spark, builder, py_rows, fields, "ascii"))
+    got = _norm_qmap(prep.qmap_df_dist(spark, qdf, kind, "ascii"))
+    assert want.keys() == got.keys()
+    for t in want:
+        assert want[t] == got[t], t
+
+
+def test_score_topk_distributed_dispatch(spark, tmp_path, monkeypatch):
+    """Above PREP_DISTRIBUTED_THRESHOLD score_topk flips to the
+    distributed qmap and returns rank-identical results."""
+    from data_prepper_spark.data.transcripts import (
+        generate_pandas, generate_queries,
+    )
+    from data_prepper_spark.index import build as ib
+    from data_prepper_spark.query import engine
+
+    d = str(tmp_path / "idx")
+    ib.build_index(spark, spark.createDataFrame(generate_pandas(0, 60)), d,
+                   n_shards=2, block_size=16)
+    qpdf = generate_queries(40)
+    qdf = spark.createDataFrame(qpdf)
+    want = (
+        engine.score_topk(spark, d, qdf, "wand").toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(prep, "PREP_DISTRIBUTED_THRESHOLD", 10)
+    got = (
+        engine.score_topk(spark, d, qdf, "wand").toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (want.doc_id.values == got.doc_id.values).all()
+    assert (abs(want.score.values - got.score.values) <= 1e-9).all()
