@@ -1,0 +1,113 @@
+"""Distributed HNSW ANN (dedup/hnsw.py) — recall floor vs exact brute
+force, shard fan-out merge contract, and build determinism.
+
+Recall methodology matches the r4 ANN soak: clustered synthetic
+vectors (the hard case for bucket methods — and the case HNSW's
+neighbor-selection heuristic exists for), exact cosine top-k as truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.dedup import embedding as emb
+from data_prepper_spark.dedup.hnsw import HNSWGraph, hnsw_build, hnsw_topk
+
+DIM = 12
+N = 8000
+K = 10
+
+
+def _vecs(n, seed=3):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, DIM).astype(np.float32)
+    x[: n // 3] += rng.randn(1, DIM) * 2.0   # clustered mass
+    x[n // 3: n // 2] += rng.randn(1, DIM) * 3.0
+    return x
+
+
+def test_graph_recall_floor_exceeds_lsh_bar():
+    """Single-graph recall@10 >= 0.95 (the LSH soak bar) on clustered
+    data at ef_search=64."""
+    x = _vecs(3000)
+    g = HNSWGraph(DIM, capacity=len(x))
+    for row in x:
+        g.add(row)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(9)
+    hits = tot = 0
+    for _ in range(40):
+        q = rng.randn(DIM).astype(np.float32)
+        truth = np.argsort(-(xn @ (q / np.linalg.norm(q))))[:K]
+        _, got = g.search(q, K, ef=64)
+        hits += len(set(got.tolist()) & set(truth.tolist()))
+        tot += K
+    assert hits / tot >= 0.95, hits / tot
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    x = _vecs(N)
+    vdf = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(N)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    path = str(tmp_path_factory.mktemp("hnsw") / "graphs")
+    hnsw_build(vdf, path, n_shards=4)
+    qdf = spark.createDataFrame(
+        [(f"q{j}", _vecs(100, seed=77)[j].tolist()) for j in range(12)],
+        "query_id string, embedding array<float>",
+    )
+    return vdf, path, qdf
+
+
+def test_sharded_recall_vs_brute_force(spark, built):
+    vdf, path, qdf = built
+    got = hnsw_topk(spark, path, qdf, k=K, ef_search=64).toPandas()
+    truth = emb.brute_force_topk(vdf, qdf, k=K).toPandas()
+    hits = tot = 0
+    for qid, tgrp in truth.groupby("query_id"):
+        ggrp = set(got[got.query_id == qid].vec_id)
+        hits += len(ggrp & set(tgrp.vec_id))
+        tot += len(tgrp)
+    assert hits / tot >= 0.95, hits / tot
+    # output contract: dense ranks 1..K per query, cosine desc
+    for qid, g in got.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert g["rank"].tolist() == list(range(1, K + 1))
+        assert (np.diff(g.cosine.values) <= 1e-12).all()
+
+
+def test_build_is_deterministic(spark, built, tmp_path):
+    vdf, path, qdf = built
+    path2 = str(tmp_path / "graphs2")
+    hnsw_build(vdf, path2, n_shards=4)
+    a = hnsw_topk(spark, path, qdf, k=K).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = hnsw_topk(spark, path2, qdf, k=K).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (a.vec_id.values == b.vec_id.values).all()
+    assert (a.cosine.values == b.cosine.values).all()
+
+
+def test_shard_fanout_beats_single_shard_recall_never_worse(spark, built,
+                                                            tmp_path):
+    """Sharding costs no recall: every true neighbor lives in exactly
+    one shard, and each shard's graph is searched independently."""
+    vdf, path, qdf = built
+    p1 = str(tmp_path / "one")
+    hnsw_build(vdf, p1, n_shards=1)
+    truth = emb.brute_force_topk(vdf, qdf, k=K).toPandas()
+
+    def recall(df):
+        hits = tot = 0
+        for qid, tgrp in truth.groupby("query_id"):
+            hits += len(set(df[df.query_id == qid].vec_id) & set(tgrp.vec_id))
+            tot += len(tgrp)
+        return hits / tot
+
+    r4 = recall(hnsw_topk(spark, path, qdf, k=K).toPandas())
+    r1 = recall(hnsw_topk(spark, p1, qdf, k=K).toPandas())
+    assert r4 >= r1 - 0.05  # parity within noise; typically r4 >= r1
