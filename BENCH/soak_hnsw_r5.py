@@ -1,0 +1,95 @@
+"""Round-5 HNSW soak: 13M synthetic 8-dim vectors (same corpus recipe
+as soak_ann_r4.py so the numbers compare directly), 100 query vectors.
+
+Measures the graph path against round-4's recorded LSH frontier
+(38 s / 100 queries at 0.95 recall@10) and exact brute force on a
+10-query slice for recall truth. Build is the one-time index cost
+(per-shard graphs, embarrassingly parallel); query is the serving
+cost. Run:
+    PYTHONPATH=/root/repo python BENCH/soak_hnsw_r5.py
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    import bench
+    from data_prepper_spark.dedup import embedding as emb
+    from data_prepper_spark.dedup import hnsw
+    from data_prepper_spark.session import get_spark
+
+    n_vec = int(os.environ.get("SOAK_VECS", "13000000"))
+    n_shards = int(os.environ.get("SOAK_SHARDS", "64"))
+    dim = 8
+    machine = bench._quick_probe()
+    spark = get_spark(cores=32, shuffle_partitions=64)
+
+    @F.pandas_udf("array<double>")
+    def vec_of(ids):
+        import pandas as pd
+
+        from data_prepper_spark.dedup.embedding import _plane
+
+        return pd.Series([
+            _plane(int(i), dim).astype(float).tolist() for i in ids
+        ])
+
+    vecs = (
+        spark.range(n_vec)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("embedding", vec_of(F.col("vec_id")))
+        .persist()
+    )
+    n = vecs.count()
+    queries = (
+        vecs.filter(F.col("vec_id") % (n_vec // 100) == 7)
+        .limit(100)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .persist()
+    )
+    nq = queries.count()
+    out = {"n_vectors": n, "n_queries": nq, "dim": dim,
+           "n_shards": n_shards, "machine": machine}
+
+    import tempfile
+
+    gdir = tempfile.mkdtemp(prefix="soak_hnsw_")
+    t0 = time.monotonic()
+    hnsw.hnsw_build(vecs, gdir, n_shards=n_shards)
+    out["build_sec"] = round(time.monotonic() - t0, 1)
+    out["build_vecs_per_sec"] = round(n / out["build_sec"], 0)
+
+    t0 = time.monotonic()
+    res = hnsw.hnsw_topk(spark, gdir, queries, k=10, ef_search=64).persist()
+    out["hnsw_rows"] = res.count()
+    out["hnsw_query_sec"] = round(time.monotonic() - t0, 1)
+
+    # exact truth on a 10-query slice (crossJoin; sized, not scaled)
+    q10 = queries.limit(10).persist()
+    q10.count()
+    t0 = time.monotonic()
+    exact = emb.brute_force_topk(vecs, q10, k=10, qid_col="query_id") \
+        .persist()
+    exact.count()
+    out["brute10_sec"] = round(time.monotonic() - t0, 1)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rows = res.join(q10.select("query_id"), "query_id").collect()
+    hit = tot = 0
+    for qid, t in truth.items():
+        got = {r["vec_id"] for r in rows if r["query_id"] == qid}
+        hit += len(got & t)
+        tot += len(t)
+    out["hnsw_recall_at_10"] = round(hit / tot, 3) if tot else None
+    out["steal_jiffies"] = bench._steal_jiffies()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    main()

@@ -324,10 +324,21 @@ def user_agent(
     source: str,
     target: str = "user_agent",
     when: str | None = None,
+    regexes_yaml: str | None = None,
 ) -> DataFrame:
     """UserAgentProcessor.java:31-51 — UA string -> struct(name, version,
-    os, os_version, device). Pure Column cascade; no UDF."""
+    os, os_version, device). Pure Column cascade; no UDF.
+
+    `regexes_yaml`: path to a real uap-core regexes.yaml — delegates to
+    the build-time-compiled full-DB parser (operators/uap_compile.py,
+    Arrow-batched; the declarative chain below is the no-DB fallback
+    and caps at a few hundred rules — Janino method-size wall)."""
     from data_prepper_spark.plans.expressions import compile_expression
+
+    if regexes_yaml is not None:
+        from data_prepper_spark.operators.uap_compile import uap_user_agent
+
+        return uap_user_agent(df, source, regexes_yaml, target, when)
 
     src = F.col(source)
     b_fam, b_ver = _cascade(src, _UA_BROWSERS, capture=True)

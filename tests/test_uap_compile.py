@@ -1,0 +1,104 @@
+"""uap-core regexes.yaml compiler (operators/uap_compile.py): the
+build-time-generated cascade evaluates uap-core semantics — rule
+order, family_replacement $N substitution, v*/os_v* replacements,
+regex_flag, Other/empty defaults — pinned against SAMPLE_UAP_YAML (the
+real regexes.yaml is absent in this offline sandbox; the loader/
+evaluator is schema-identical, so a deployment points it at the real
+file unchanged)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.operators import enrich
+from data_prepper_spark.operators.uap_compile import (
+    SAMPLE_UAP_YAML, UapParser, load_uap_rules, uap_user_agent,
+)
+
+CASES = [
+    # (ua, name, version, os, os_version, device)
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) Chrome/120.0.6099 Safari/537.36",
+     "Chrome", "120.0.6099", "Windows", "10", "Other"),
+    ("Mozilla/5.0 (Windows NT 6.1) AppleWebKit/537.36 (KHTML, like Gecko) "
+     "Chrome/109.0.5414 Safari/537.36 Edg/109.0.1518",
+     "Edge", "109.0.1518", "Windows", "7", "Other"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+     "(KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+     "Safari", "17.1", "Mac OS X", "10.15.7", "Other"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) "
+     "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1.2 "
+     "Mobile/15E148 Safari/604.1",
+     "Mobile Safari", "17.1.2", "iOS", "17.1", "iPhone"),
+    ("Mozilla/5.0 (Linux; Android 13; SM-A515F Build/TP1A; wv) "
+     "AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 "
+     "Chrome/119.0.6045 Mobile Safari/537.36",
+     "Chrome Mobile WebView", "119.0.6045", "Android", "13",
+     "Samsung SM-A515F"),
+    ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) Chrome/120.0.6099 Mobile Safari/537.36",
+     "Chrome Mobile", "120.0.6099", "Android", "14", "Google Pixel 8"),
+    ("Mozilla/5.0 (Windows NT 10.0; Trident/7.0; rv:11.0) like Gecko",
+     "IE", "11.0", "Windows", "10", "Other"),
+    ("Mozilla/5.0 (compatible; Googlebot/2.1; "
+     "+http://www.google.com/bot.html)",
+     "Googlebot", "2.1", "Other", "", "Spider"),
+    ("curl/8.4.0", "curl", "8.4.0", "Other", "", "Other"),
+    ("SomethingNeverSeen/1.0", "Other", "", "Other", "", "Other"),
+]
+
+
+@pytest.fixture(scope="module")
+def sample_yaml(tmp_path_factory):
+    p = tmp_path_factory.mktemp("uap") / "regexes.yaml"
+    p.write_text(SAMPLE_UAP_YAML)
+    return str(p)
+
+
+def test_parser_semantics_pandas(sample_yaml):
+    p = UapParser(load_uap_rules(sample_yaml))
+    s = pd.Series([c[0] for c in CASES])
+    fam, ver = p.parse_ua(s)
+    osf, osv = p.parse_os(s)
+    dev = p.parse_device(s)
+    for i, (_, f, v, of, ov, d) in enumerate(CASES):
+        assert (fam[i] or "Other") == f, (i, fam[i])
+        assert (ver[i] or "") == v, (i, ver[i])
+        assert (osf[i] or "Other") == of, (i, osf[i])
+        assert (osv[i] or "") == ov, (i, osv[i])
+        assert (dev[i] or "Other") == d, (i, dev[i])
+
+
+def test_spark_udf_and_enrich_integration(spark, sample_yaml):
+    df = spark.createDataFrame([(c[0],) for c in CASES], "ua string")
+    out = enrich.user_agent(
+        df, "ua", regexes_yaml=sample_yaml
+    ).select("user_agent.*").toPandas()
+    for i, (_, f, v, of, ov, d) in enumerate(CASES):
+        row = out.iloc[i]
+        assert row["name"] == f and row.version == v, (i, dict(row))
+        assert row.os == of and row.os_version == ov, (i, dict(row))
+        assert row.device == d, (i, dict(row))
+
+
+def test_rule_order_first_match_wins(sample_yaml):
+    """Edge UA carries a Chrome token too; the Edge rule precedes."""
+    p = UapParser(load_uap_rules(sample_yaml))
+    fam, _ = p.parse_ua(pd.Series(
+        ["Mozilla/5.0 Chrome/109.0.5414 Safari/537.36 Edg/109.0.1518"]
+    ))
+    assert fam[0] == "Edge"
+
+
+def test_regex_flag_case_insensitive(sample_yaml):
+    p = UapParser(load_uap_rules(sample_yaml))
+    dev = p.parse_device(pd.Series(["some SPIDER thing", "GoogleBot/2.1"]))
+    assert dev[0] == "Spider" and dev[1] == "Spider"
+
+
+def test_nulls_pass_through(spark, sample_yaml):
+    df = spark.createDataFrame([(None,), ("curl/8.0.1",)], "ua string")
+    out = enrich.user_agent(df, "ua", regexes_yaml=sample_yaml) \
+        .select("user_agent.name").toPandas()
+    assert out.name.tolist() == ["Other", "curl"]
