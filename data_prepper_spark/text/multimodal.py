@@ -40,8 +40,21 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
-def make_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (binary payload = seeded bytes)."""
+def png_fixture_array(i: int, width: int = 64, height: int = 64) -> np.ndarray:
+    """Deterministic KNOWN pixel array for real-PNG fixture i — the
+    expectation source for end-to-end decode checks (phash derives from
+    this array, the engine must decode the PNG back to it)."""
+    y, x = np.mgrid[0:height, 0:width]
+    return ((x * (3 + i) + y * (5 + 2 * i) + (x * y) // (i + 2)) % 256) \
+        .astype(np.uint8)
+
+
+def make_media_df(spark, n: int = 64, n_png: int = 0) -> DataFrame:
+    """Deterministic fake media table (binary payload = seeded bytes).
+    With n_png > 0, appends that many REAL spec-valid PNG image rows
+    (media_id 1000+i; pixels = png_fixture_array, encoded via the
+    vendored codec, one per filter type) so the decode path is
+    exercised on genuine compressed images."""
     rows = []
     for i in range(n):
         payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
@@ -59,17 +72,37 @@ def make_media_df(spark, n: int = 64) -> DataFrame:
                 },
             }
         )
+    if n_png:
+        from data_prepper_spark.text import png_codec as pc
+
+        for i in range(n_png):
+            arr = png_fixture_array(i)
+            rows.append(
+                {
+                    "media_id": 1000 + i,
+                    "kind": "image",
+                    "data": pc.encode_png(arr, filter_type=i % 5),
+                    "meta": {
+                        "width": arr.shape[1],
+                        "height": arr.shape[0],
+                        "duration_ms": 0,
+                        "codec": "png",
+                    },
+                }
+            )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def _decode(data: bytes, width: int, height: int) -> np.ndarray:
     """Decode one payload to a (height, width) grayscale array.
 
-    Real path: Pillow, when importable. Fallback: deterministic pixels
-    from the payload digest, so tests and the driver's rows-only check
-    are reproducible without image libs. Decode is genuinely per-item
-    work (each payload is an independent compressed stream); all the
-    math AFTER decode is batched."""
+    Real paths: Pillow when importable; else the vendored pure-Python
+    PNG codec (text/png_codec.py — W3C spec, stdlib zlib) for PNG
+    payloads, so REAL image decode is exercised even in this
+    image-lib-free sandbox. Fallback: deterministic pixels from the
+    payload digest, so non-image payloads stay reproducible. Decode is
+    genuinely per-item work (each payload is an independent compressed
+    stream); all the math AFTER decode is batched."""
     if _PILImage is not None:
         import io
 
@@ -77,7 +110,17 @@ def _decode(data: bytes, width: int, height: int) -> np.ndarray:
             img = _PILImage.open(io.BytesIO(data)).convert("L")
             return np.asarray(img.resize((width, height)), dtype=np.uint8)
         except Exception:
-            pass  # undecodable payload -> deterministic fallback
+            pass  # undecodable payload -> next decoder
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from data_prepper_spark.text import png_codec as pc
+
+        try:
+            img = pc.to_gray(pc.decode_png(data))
+            if img.shape != (height, width):
+                img = pc.resize_nearest(img, width, height)
+            return img
+        except ValueError:
+            pass  # truncated/unsupported PNG -> deterministic fallback
     seed = np.frombuffer(hashlib.sha256(data).digest(), dtype=np.uint8)
     reps = int(np.ceil(width * height / len(seed))) if width * height else 1
     return np.tile(seed, reps)[: width * height].reshape(height, width)

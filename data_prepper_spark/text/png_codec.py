@@ -1,0 +1,198 @@
+"""Minimal pure-Python PNG codec (W3C PNG spec, RFC 2083) — stdlib
+zlib only.
+
+Purpose (r4 verdict item #8): this sandbox ships no image libraries,
+so the multimodal decode path could only be exercised against the
+deterministic sha256 fallback. This codec makes REAL image decode
+testable end-to-end: tests construct a known pixel array, encode it to
+a spec-valid PNG, and the engine's decode path must reproduce the
+array exactly — no circularity, the expectation derives from the
+array, not from the decoder.
+
+Scope (deliberately minimal, correctness-verification grade):
+- bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 4
+  (gray+alpha), 6 (RGBA); no interlace (Adam7 unsupported -> error).
+- all five scanline filters on decode (None/Sub/Up/Average/Paeth);
+  encode takes a per-image filter choice so round-trip tests cover
+  every filter's decode path.
+- Sub unfiltering is vectorized (per-channel uint8 cumsum); Average/
+  Paeth run per-pixel (spec-sequential) — fine for fixtures. Pillow
+  remains the production bulk path when importable
+  (text/multimodal.py _decode tries it first).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA -> PNG bytes.
+    `filter_type` 0-4 applies that filter to EVERY scanline (encoders
+    may pick any per line; using one per image lets tests target each
+    decode branch)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, ch = 0, 1
+        a = a[:, :, None]
+    elif a.shape[2] == 3:
+        color, ch = 2, 3
+    elif a.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported channel count {a.shape[2]}")
+    h, w = a.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        line = a[y].astype(np.int32)
+        left = np.vstack([np.zeros((1, ch), np.int32), line[:-1]])
+        ul = np.vstack([np.zeros((1, ch), np.int32), prev[:-1]])
+        if filter_type == 0:
+            out = line
+        elif filter_type == 1:
+            out = line - left
+        elif filter_type == 2:
+            out = line - prev
+        elif filter_type == 3:
+            out = line - (left + prev) // 2
+        elif filter_type == 4:
+            pred = np.empty_like(line)
+            for x in range(w):
+                for c in range(ch):
+                    pred[x, c] = _paeth(
+                        int(left[x, c]), int(prev[x, c]), int(ul[x, c])
+                    )
+            out = line - pred
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = line
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array: (h, w) for gray, (h, w, ch) otherwise
+    (palette expands to RGB). Raises ValueError on non-PNG input or
+    unsupported variants (bit depth != 8, interlace)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos: pos + 4])
+        tag = data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            try:
+                ihdr = struct.unpack(">IIBBBBB", body)
+            except struct.error as e:
+                raise ValueError(f"truncated IHDR: {e}") from e
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("no IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth}")
+    if interlace:
+        raise ValueError("Adam7 interlace unsupported")
+    ch = _CHANNELS[color]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # truncated/corrupt stream -> ValueError
+        raise ValueError(f"bad IDAT: {e}") from e
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: per-channel-lane prefix sum mod 256
+            rec = np.cumsum(
+                line.reshape(w, ch).astype(np.uint64), axis=0
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            rec = line + prev
+        elif ft == 3:  # Average (sequential by spec)
+            rec = np.empty(stride, np.uint8)
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                rec[i] = (int(line[i]) + (int(left) + int(prev[i])) // 2) % 256
+        elif ft == 4:  # Paeth (sequential by spec)
+            rec = np.empty(stride, np.uint8)
+            for i in range(stride):
+                left = int(rec[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                ul = int(prev[i - ch]) if i >= ch else 0
+                rec[i] = (int(line[i]) + _paeth(left, up, ul)) % 256
+        else:
+            raise ValueError(f"bad filter byte {ft}")
+        out[y] = rec.reshape(w, ch)
+        prev = rec
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        return plte[out[:, :, 0]]
+    if ch == 1:
+        return out[:, :, 0]
+    return out
+
+
+def to_gray(arr: np.ndarray) -> np.ndarray:
+    """Deterministic integer luma (ITU-R BT.601 fixed-point:
+    (77R + 150G + 29B) >> 8) — gray passes through, alpha ignored."""
+    if arr.ndim == 2:
+        return arr
+    if arr.shape[2] == 2:  # gray + alpha
+        return arr[:, :, 0]
+    a = arr.astype(np.uint32)
+    return (
+        (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
+    ).astype(np.uint8)
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (source-center mapping)."""
+    h, w = arr.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height), h - 1).astype(int)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width), w - 1).astype(int)
+    return arr[ys][:, xs]

@@ -1,0 +1,103 @@
+"""Pure-Python PNG codec (text/png_codec.py) + real-image decode
+through the multimodal pipeline. Expectations derive from CONSTRUCTED
+pixel arrays — encode_png(known array) -> engine decode must return
+the array — so the end-to-end check has no decoder circularity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_prepper_spark.text import multimodal as mm
+from data_prepper_spark.text import png_codec as pc
+
+
+def _arr_gray(h=13, w=17, seed=1):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, (h, w), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_roundtrip_gray_all_filters(ft):
+    a = _arr_gray(seed=ft + 1)
+    out = pc.decode_png(pc.encode_png(a, filter_type=ft))
+    assert out.dtype == np.uint8 and out.shape == a.shape
+    assert (out == a).all(), f"filter {ft}"
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ch", [3, 4])
+def test_roundtrip_color_all_filters(ft, ch):
+    rng = np.random.RandomState(ft * 7 + ch)
+    a = rng.randint(0, 256, (9, 11, ch), dtype=np.uint8)
+    out = pc.decode_png(pc.encode_png(a, filter_type=ft))
+    assert (out == a).all(), (ft, ch)
+
+
+def test_decode_rejects_non_png_and_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        pc.decode_png(b"GIF89a" + b"\x00" * 64)
+    # 16-bit depth: patch the IHDR of a valid PNG
+    good = bytearray(pc.encode_png(_arr_gray()))
+    good[24] = 16  # IHDR bit-depth byte
+    with pytest.raises(ValueError, match="bit depth"):
+        pc.decode_png(bytes(good))
+
+
+def test_gray_luma_and_resize_deterministic():
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[0, 0] = (255, 0, 0)
+    rgb[0, 1] = (0, 255, 0)
+    rgb[1, 0] = (0, 0, 255)
+    rgb[1, 1] = (255, 255, 255)
+    g = pc.to_gray(rgb)
+    assert g.tolist() == [[(77 * 255) >> 8, (150 * 255) >> 8],
+                          [(29 * 255) >> 8, (256 * 255) >> 8]]
+    big = pc.resize_nearest(g, 4, 4)
+    assert big.shape == (4, 4) and big[0, 0] == g[0, 0]
+    assert (pc.resize_nearest(big, 2, 2) == g).all()
+
+
+def _expected_phash(arr: np.ndarray) -> str:
+    """Independent pooling-math reimplementation (matches the
+    documented contract of multimodal.image_features)."""
+    h, w = arr.shape
+    pooled = arr[: (h // 8) * 8, : (w // 8) * 8].reshape(
+        8, h // 8, 8, w // 8
+    ).mean(axis=(1, 3))
+    bits = (pooled.reshape(64) > np.median(pooled)).astype(int)
+    by = [
+        sum(b << (7 - j) for j, b in enumerate(bits[i * 8: i * 8 + 8]))
+        for i in range(8)
+    ]
+    return bytes(by).hex()
+
+
+def test_multimodal_decodes_real_png_end_to_end(spark):
+    """make_media_df's real-PNG rows (one per filter type) flow through
+    image_features; each phash must equal the phash of the KNOWN
+    fixture array — i.e. the engine decoded the actual PNG bytes."""
+    media = mm.make_media_df(spark, n=6, n_png=5)
+    got = (
+        mm.image_features(media).toPandas()
+        .set_index("media_id")
+    )
+    for i in range(5):
+        arr = mm.png_fixture_array(i)
+        row = got.loc[1000 + i]
+        assert row.phash == _expected_phash(arr), f"png fixture {i}"
+        assert (row.width, row.height) == arr.shape[::-1]
+    # fake-payload rows still ride the digest fallback (distinct hash)
+    assert got.loc[0].phash != got.loc[1000].phash
+
+
+def test_decode_prefers_png_and_falls_back(spark):
+    arr = mm.png_fixture_array(2)
+    png = pc.encode_png(arr)
+    out = mm._decode(png, arr.shape[1], arr.shape[0])
+    assert (out == arr).all()
+    # truncated PNG -> deterministic digest fallback, right shape
+    bad = png[: len(png) // 2]
+    fb = mm._decode(bad, 16, 16)
+    assert fb.shape == (16, 16)
+    assert (mm._decode(bad, 16, 16) == fb).all()
