@@ -675,6 +675,48 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_knn_build(args) -> int:
+    """Build the distributed HNSW graph index (dedup/hnsw.py): one
+    graph per shard, persisted as a parquet blob table."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.dedup import hnsw
+
+    spark = _get_spark(args)
+    vecs = spark.read.parquet(args.vectors)
+    hnsw.hnsw_build(
+        vecs, args.out, n_shards=args.shards, m=args.m,
+        ef_construction=args.ef_construction,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    meta = spark.read.parquet(args.out).agg(
+        F.count(F.lit(1)).alias("shards"), F.sum("n").alias("vectors")
+    ).first()
+    print(json.dumps({"out": args.out, "shards": int(meta["shards"]),
+                      "vectors": int(meta["vectors"])}))
+    return 0
+
+
+def cmd_knn_query(args) -> int:
+    """Top-k ANN over a built HNSW index; queries = parquet of
+    (query_id, embedding) or one inline --vector."""
+    from data_prepper_spark.dedup import hnsw
+
+    spark = _get_spark(args)
+    if args.queries:
+        q = spark.read.parquet(args.queries)
+    else:
+        vec = [float(x) for x in args.vector.split(",")]
+        q = spark.createDataFrame(
+            [("q0", vec)], "query_id string, embedding array<float>"
+        )
+    res = hnsw.hnsw_topk(spark, args.graphs, q, k=args.k,
+                         ef_search=args.ef_search)
+    for r in res.orderBy("query_id", "rank").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_decontaminate(args) -> int:
     """Benchmark decontamination: write the corpus minus every doc
     sharing >= 1 word n-gram with the benchmark set (GPT-3's 13-gram
@@ -746,7 +788,16 @@ def cmd_facet(args) -> int:
     q = spark.createDataFrame(
         [("q0", args.query)], "query_id string, query_text string"
     )
-    if args.kind == "terms":
+    if args.kind != "tree" and not args.field:
+        raise SystemExit("--field is required for this --kind")
+    if args.kind == "tree":
+        # general nested composition: --tree takes the OpenSearch
+        # `aggs` request JSON verbatim (query/agg_tree.py)
+        from data_prepper_spark.query import agg_tree as at
+
+        res = at.agg_tree(spark, args.index, q, docs,
+                          json.loads(args.tree))
+    elif args.kind == "terms":
         res = facets.terms_facet(
             spark, args.index, q, docs, args.field, size=args.size
         )
@@ -903,8 +954,9 @@ def cmd_facet(args) -> int:
               "cumulative_sum": pa.cumulative_sum,
               "serial_diff": pa.serial_diff}[args.pipeline]
         res = fn(res, order_col="bucket", value_col="count")
-    order = [c for c in ("query_id", "field", "bucket", "key", "value",
-                         "rank", "bucket_rank", "term")
+    order = [c for c in ("query_id", "path", "keys", "metric", "field",
+                         "bucket", "key", "value", "rank", "bucket_rank",
+                         "term")
              if c in res.columns]
     for r in res.orderBy(*order).collect():
         print(json.dumps(
@@ -1253,6 +1305,32 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--local-cores", type=int, default=None)
     dp.set_defaults(fn=cmd_dedup)
 
+    kb = sub.add_parser(
+        "knn-build", help="build the distributed HNSW ANN index "
+        "(one graph per shard, parquet blob table)")
+    kb.add_argument("--vectors", required=True,
+                    help="parquet with id + embedding columns")
+    kb.add_argument("--out", required=True, help="graph table path")
+    kb.add_argument("--shards", type=int, default=32)
+    kb.add_argument("--m", type=int, default=16)
+    kb.add_argument("--ef-construction", type=int, default=64)
+    kb.add_argument("--id-col", default="vec_id")
+    kb.add_argument("--vec-col", default="embedding")
+    kb.add_argument("--local-cores", type=int, default=None)
+    kb.set_defaults(fn=cmd_knn_build)
+
+    kq = sub.add_parser(
+        "knn-query", help="cosine top-k over a built HNSW index")
+    kq.add_argument("--graphs", required=True, help="knn-build output")
+    kq.add_argument("--queries", default=None,
+                    help="parquet of (query_id, embedding)")
+    kq.add_argument("--vector", default=None,
+                    help="inline query vector: comma-separated floats")
+    kq.add_argument("--k", type=int, default=10)
+    kq.add_argument("--ef-search", type=int, default=64)
+    kq.add_argument("--local-cores", type=int, default=None)
+    kq.set_defaults(fn=cmd_knn_query)
+
     dc = sub.add_parser(
         "decontaminate", help="drop corpus docs sharing any word n-gram "
         "with a benchmark set (GPT-3 13-gram recipe); --report audits "
@@ -1286,8 +1364,12 @@ def main(argv: list[str] | None = None) -> int:
                              "extended_stats", "value_count", "missing",
                              "date_range", "significant_text",
                              "geo_distance", "geotile_grid",
-                             "percentile_ranks", "auto_date_histogram"],
+                             "percentile_ranks", "auto_date_histogram",
+                             "tree"],
                     default="terms")
+    fc.add_argument("--tree", default=None,
+                    help="kind=tree: the OpenSearch `aggs` request "
+                         "JSON (nested bucket/metric tree)")
     fc.add_argument("--value", action="append",
                     help="percentile_ranks: a value to rank (repeatable)")
     fc.add_argument("--origin-lat", type=float, default=0.0,
@@ -1324,9 +1406,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="top_hits sort / terms_stats metric field")
     fc.add_argument("--ascending", action="store_true",
                     help="top_hits: sort ascending")
-    fc.add_argument("--field", action="append", required=True,
+    fc.add_argument("--field", action="append",
                     help="facet field (repeatable; date_histogram uses "
-                         "the first)")
+                         "the first; unused by kind=tree)")
     fc.add_argument("--size", type=int, default=10)
     fc.add_argument("--unit", default="hour",
                     help="date_histogram bucket unit (minute/hour/day/month)")
