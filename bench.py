@@ -226,6 +226,21 @@ def run_suite(
         q10k = spark.createDataFrame(generate_queries(10_000, seed=7))
         timed("query_batch10k", lambda: engine.score_topk(
             spark, idx_dir, q10k).count())
+        # nested aggregation tree (r5): terms(role) -> {cardinality(conv),
+        # avg(chars)} per query match set, joined on the co-located
+        # bucketed store — times the recursive aggs-tree evaluator on
+        # the no-corpus-Exchange plan (query/agg_tree.py)
+        from data_prepper_spark.query.agg_tree import agg_tree
+
+        at_tree = {"by_role": {
+            "terms": {"field": "role", "size": 5},
+            "aggs": {"convs": {"cardinality": {"field": "conv_id"}},
+                     "chars": {"avg": {"field": "n_chars"}}},
+        }}
+        store_n = store_df.withColumn("n_chars", F.length("text"))
+        timed("query_aggtree", lambda: agg_tree(
+            spark, idx_dir, hl_q.select("query_id", "query_text"),
+            store_n, at_tree).count(), reps=2)
         docs_df.unpersist()
 
         # --- multi_match (session 2): per-field sub-indexes (text +
@@ -304,6 +319,45 @@ def run_suite(
     # worker-persistent JVM warmup only)
     timed("dedup_clusters", lambda: E.q_dedup_clusters(spark, sf_dir).count())
     timed("ann_topk", lambda: E.q_embedding_topk(spark, sf_dir).count(), reps=2)
+    # HNSW graph ANN (r5): per-shard graphs over a deterministic
+    # synthetic vector set (plane-hash recipe shared with the 13M soak,
+    # sized ~n_turns/4 so it scales with sf), then 100 queries fanned
+    # out and merged. Build is single-shot (one-time index cost);
+    # query min-of-2 like the other serving entries.
+    import pandas as _pd
+
+    from data_prepper_spark.dedup import hnsw as _hnsw
+    from data_prepper_spark.dedup.embedding import _plane as _vplane
+
+    n_hnsw = max(20_000, n_turns // 4)
+
+    @F.pandas_udf("array<double>")
+    def _vec_of(ids):
+        return _pd.Series(
+            [_vplane(int(i), 8).astype(float).tolist() for i in ids])
+
+    hvecs = (
+        spark.range(n_hnsw).select(
+            F.col("id").alias("vec_id"), _vec_of("id").alias("embedding"))
+        .persist()
+    )
+    hvecs.count()
+    hq = spark.createDataFrame(_pd.DataFrame({
+        "query_id": [f"q{i}" for i in range(100)],
+        "embedding": [
+            (_vplane(10_000_019 + i, 8).astype(float)).tolist()
+            for i in range(100)],
+    }))
+    hnsw_dir = tempfile.mkdtemp(prefix="bench_hnsw_")
+    try:
+        timed("knn_hnsw_build", lambda: _hnsw.hnsw_build(
+            hvecs, hnsw_dir, n_shards=32))
+        extras["hnsw_n_vec"] = n_hnsw
+        timed("knn_hnsw_query", lambda: _hnsw.hnsw_topk(
+            spark, hnsw_dir, hq, k=10).count(), reps=2)
+    finally:
+        shutil.rmtree(hnsw_dir, ignore_errors=True)
+        hvecs.unpersist()
     # hybrid retrieval: BM25 kernel top-20 + exact cosine kNN top-20,
     # RRF-fused (reuses the suite's built index; vector side is the
     # modulo-mapped embeddings fixture, same as the driver slot)
