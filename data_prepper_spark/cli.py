@@ -710,8 +710,12 @@ def cmd_knn_query(args) -> int:
         q = spark.createDataFrame(
             [("q0", vec)], "query_id string, embedding array<float>"
         )
+    if args.filter and not args.vectors:
+        raise SystemExit("knn-query: --filter requires --vectors")
+    vectors = spark.read.parquet(args.vectors) if args.filter else None
     res = hnsw.hnsw_topk(spark, args.graphs, q, k=args.k,
-                         ef_search=args.ef_search)
+                         ef_search=args.ef_search,
+                         filter=args.filter, vectors=vectors)
     for r in res.orderBy("query_id", "rank").collect():
         print(json.dumps(r.asDict()))
     return 0
@@ -1328,6 +1332,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="inline query vector: comma-separated floats")
     kq.add_argument("--k", type=int, default=10)
     kq.add_argument("--ef-search", type=int, default=64)
+    kq.add_argument("--filter", default=None,
+                    help="k-NN efficient pre-filter: SQL predicate over "
+                    "the --vectors frame's metadata columns")
+    kq.add_argument("--vectors", default=None,
+                    help="metadata-bearing vectors parquet (required "
+                    "with --filter)")
     kq.add_argument("--local-cores", type=int, default=None)
     kq.set_defaults(fn=cmd_knn_query)
 

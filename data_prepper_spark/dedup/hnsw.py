@@ -258,6 +258,91 @@ class HNSWGraph:
         sims, ids = self._search_layer(q, ep, max(ef, k), 0)
         return sims[:k], ids[:k]
 
+    def _search_layer0_filtered(
+        self, q: np.ndarray, ep: int, ef: int,
+        allowed: np.ndarray, budget: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Filtered beam search on layer 0 (k-NN "efficient filtering",
+        the Lucene/OpenSearch contract): only `allowed[ordinal]` nodes
+        may enter the result set, but EVERY node remains traversable —
+        disallowed nodes are bridges, not walls. Expansion therefore
+        pushes a neighbor onto the candidate heap whenever it could
+        lead toward better allowed nodes (result heap not full, or sim
+        above the result floor), not only when it entered the results.
+        `budget` caps visited nodes; the caller falls back to exact
+        scoring over the allowed subset when the beam returns < k
+        (sparse filters make graph walks degrade — the same
+        visited-limit + exact-fallback policy Lucene applies)."""
+        import heapq
+
+        self._gen += 1
+        gen, visit = self._gen, self._visit
+        visit[ep] = gen
+        s0 = float(self.vecs[ep] @ q)
+        cand = [(-s0, ep)]
+        res: list[tuple[float, int]] = [(s0, ep)] if allowed[ep] else []
+        visited = 1
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if len(res) >= ef and -negs < res[0][0]:
+                break
+            if visited > budget:
+                break
+            nbrs = self._neighbors(c, 0)
+            if len(nbrs) == 0:
+                continue
+            fresh = nbrs[visit[nbrs] != gen]
+            if len(fresh) == 0:
+                continue
+            visit[fresh] = gen
+            visited += len(fresh)
+            sims = self.vecs[fresh] @ q
+            for s, node in zip(sims.tolist(), fresh.tolist()):
+                full = len(res) >= ef
+                floor = res[0][0] if res else -2.0
+                if full and s <= floor:
+                    continue
+                heapq.heappush(cand, (-s, node))
+                if allowed[node]:
+                    if full:
+                        heapq.heapreplace(res, (s, node))
+                    else:
+                        heapq.heappush(res, (s, node))
+        res.sort(reverse=True)
+        return (
+            np.array([s for s, _ in res], dtype=np.float32),
+            np.array([i for _, i in res], dtype=np.int32),
+        )
+
+    def search_filtered(
+        self, vec: np.ndarray, k: int, ef: int, allowed: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k over the `allowed` (bool-per-ordinal) subset. Greedy
+        descent on the upper layers is unfiltered (it only picks the
+        entry point); layer 0 runs the filtered beam; if the beam
+        starves (< k allowed found within the visited budget) the
+        query falls back to exact scoring over the allowed rows —
+        recall can never drop below exact on sparse filters."""
+        n_allowed = int(allowed.sum())
+        if self.n == 0 or n_allowed == 0:
+            return np.empty(0, np.float32), np.empty(0, np.int32)
+        v = vec.astype(np.float32)
+        nrm = float(np.linalg.norm(v))
+        q = v / nrm if nrm > 0 else v
+        ep = self.entry
+        for l in range(self.max_level, 0, -1):
+            ep = self._greedy(q, ep, l)
+        ef = max(ef, k)
+        # visited budget scales with filter sparsity, capped at n
+        budget = min(self.n, int(ef * 8 * max(1.0, self.n / n_allowed)))
+        sims, ids = self._search_layer0_filtered(q, ep, ef, allowed, budget)
+        if len(ids) < min(k, n_allowed):
+            sel = np.flatnonzero(allowed)
+            s = self.vecs[sel] @ q
+            order = np.argsort(-s, kind="stable")[:k]
+            return s[order].astype(np.float32), sel[order].astype(np.int32)
+        return sims[:k], ids[:k]
+
     # ------------------------------------------------- (de)serialize
 
     def to_blob(self, ids: np.ndarray) -> bytes:
@@ -290,7 +375,7 @@ class HNSWGraph:
 
 # ------------------------------------------------------- Spark layer
 
-_BLOB_SCHEMA = "shard int, n long, blob binary"
+_BLOB_SCHEMA = "shard int, n long, n_shards int, blob binary"
 
 
 def hnsw_build(
@@ -316,7 +401,8 @@ def hnsw_build(
             g.add(row)
         blob = g.to_blob(pdf[id_col].to_numpy(np.int64))
         return pd.DataFrame(
-            [{"shard": int(key[0]), "n": len(mat), "blob": blob}]
+            [{"shard": int(key[0]), "n": len(mat),
+              "n_shards": n_shards, "blob": blob}]
         )
 
     (
@@ -337,28 +423,89 @@ def hnsw_topk(
     ef_search: int = 64,
     qid_col: str = "query_id",
     vec_col: str = "embedding",
+    filter: str | None = None,  # noqa: A002 (API parity with embedding.py)
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    exact_threshold: int = 4096,
 ) -> DataFrame:
     """Fan-out top-k: every shard graph answers the whole (bounded,
     driver-known) query batch in one narrow pass over the blob table;
     a final window merges n_shards*k candidate rows per query. Output
     matches embedding.py's contract: (query_id, rank, vec_id, cosine),
-    cosine rounded to 6, ties id asc."""
+    cosine rounded to 6, ties id asc.
+
+    `filter` + `vectors`: k-NN "efficient filtering" (pre-filter
+    semantics, parity with the LSH/IVF/brute paths — each query still
+    returns up to k hits). The predicate evaluates Spark-side over the
+    metadata-bearing `vectors` frame (graph blobs hold only ids +
+    vectors); the surviving id set is sharded by the SAME pmod(hash)
+    the build used and co-joined to the blob table, so each task sees
+    only its shard's allowed ids and shards with zero allowed ids are
+    never opened. Per shard: allowed subsets <= `exact_threshold` rows
+    score exactly in one matmul over ALL queries (selective filters —
+    exact, cheapest, perfect recall); larger subsets run the filtered
+    beam with a sparsity-scaled visited budget and per-query exact
+    fallback (see HNSWGraph.search_filtered)."""
     from pyspark.sql import Window
 
     qrows = queries.select(qid_col, vec_col).collect()
     qids = [r[0] for r in qrows]
     qmat = np.array([r[1] for r in qrows], dtype=np.float32)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True) if len(qrows) else None
+    qmat_n = qmat / np.where(qn == 0, 1.0, qn) if len(qrows) else qmat
+
+    blobs = spark.read.parquet(index_path)
+    filtered = filter is not None
+    if filtered:
+        if vectors is None:
+            raise ValueError("hnsw_topk(filter=...) requires vectors=")
+        ns = blobs.select(F.max("n_shards")).first()[0]
+        per_shard = (
+            vectors.filter(F.expr(filter))
+            .select(F.col(id_col).cast("long").alias("_aid"))
+            .withColumn("shard", F.pmod(F.hash(F.col("_aid")), F.lit(ns)))
+            .groupBy("shard")
+            .agg(F.sort_array(F.collect_list("_aid")).alias("_allowed"))
+        )
+        blobs = blobs.join(per_shard, "shard")  # 0-allowed shards drop out
 
     def probe(batches):
         for pdf in batches:
-            for blob in pdf["blob"]:
-                g, ids = HNSWGraph.from_blob(bytes(blob))
+            for ri in range(len(pdf)):
+                g, ids = HNSWGraph.from_blob(bytes(pdf["blob"].iloc[ri]))
                 out_q, out_v, out_s = [], [], []
-                for qi, qv in zip(qids, qmat):
-                    sims, ords = g.search(qv, k, ef_search)
-                    out_q += [qi] * len(ords)
-                    out_v += ids[ords].tolist()
-                    out_s += sims.astype(np.float64).tolist()
+                if filtered:
+                    allowed_ids = np.asarray(
+                        pdf["_allowed"].iloc[ri], dtype=np.int64
+                    )
+                    mask = np.isin(np.asarray(ids, dtype=np.int64),
+                                   allowed_ids)
+                    sel = np.flatnonzero(mask)
+                    if len(sel) == 0:
+                        continue
+                    if len(sel) <= exact_threshold:
+                        # one matmul scores every query at once — exact
+                        sims_all = g.vecs[sel] @ qmat_n.T
+                        top = min(k, len(sel))
+                        for ci, qi in enumerate(qids):
+                            s = sims_all[:, ci]
+                            o = np.argsort(-s, kind="stable")[:top]
+                            out_q += [qi] * top
+                            out_v += ids[sel[o]].tolist()
+                            out_s += s[o].astype(np.float64).tolist()
+                    else:
+                        for qi, qv in zip(qids, qmat):
+                            sims, ords = g.search_filtered(
+                                qv, k, ef_search, mask)
+                            out_q += [qi] * len(ords)
+                            out_v += ids[ords].tolist()
+                            out_s += sims.astype(np.float64).tolist()
+                else:
+                    for qi, qv in zip(qids, qmat):
+                        sims, ords = g.search(qv, k, ef_search)
+                        out_q += [qi] * len(ords)
+                        out_v += ids[ords].tolist()
+                        out_s += sims.astype(np.float64).tolist()
                 yield pd.DataFrame(
                     {qid_col: pd.Series(out_q, dtype=object),
                      "vec_id": pd.Series(out_v, dtype=np.int64),
@@ -366,7 +513,7 @@ def hnsw_topk(
                 )
 
     qid_type = dict(queries.dtypes)[qid_col]
-    cand = spark.read.parquet(index_path).mapInPandas(
+    cand = blobs.mapInPandas(
         probe, schema=f"{qid_col} {qid_type}, vec_id long, cosine double"
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -111,3 +111,84 @@ def test_shard_fanout_beats_single_shard_recall_never_worse(spark, built,
     r4 = recall(hnsw_topk(spark, path, qdf, k=K).toPandas())
     r1 = recall(hnsw_topk(spark, p1, qdf, k=K).toPandas())
     assert r4 >= r1 - 0.05  # parity within noise; typically r4 >= r1
+
+
+# ------------------------- k-NN efficient filtering (filter= parity)
+
+
+def test_unit_search_filtered_sparse_falls_back_exact():
+    """A very sparse mask starves the beam; search_filtered must fall
+    back to exact over the allowed rows — result == exact truth."""
+    x = _vecs(3000)
+    g = HNSWGraph(DIM, capacity=len(x))
+    for row in x:
+        g.add(row)
+    mask = np.zeros(len(x), dtype=bool)
+    mask[np.arange(0, len(x), 149)] = True  # ~21 allowed
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(11)
+    for _ in range(10):
+        q = rng.randn(DIM).astype(np.float32)
+        qn = q / np.linalg.norm(q)
+        sel = np.flatnonzero(mask)
+        truth = sel[np.argsort(-(xn[sel] @ qn), kind="stable")[:K]]
+        _, got = g.search_filtered(q, K, 64, mask)
+        assert set(got.tolist()) == set(truth.tolist())
+
+
+def test_unit_search_filtered_broad_recall():
+    """50% mask: the filtered beam (no fallback expected) holds a
+    recall floor vs exact-over-allowed."""
+    x = _vecs(3000)
+    g = HNSWGraph(DIM, capacity=len(x))
+    for row in x:
+        g.add(row)
+    mask = (np.arange(len(x)) % 2) == 0
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(12)
+    hits = tot = 0
+    for _ in range(30):
+        q = rng.randn(DIM).astype(np.float32)
+        qn = q / np.linalg.norm(q)
+        sel = np.flatnonzero(mask)
+        truth = sel[np.argsort(-(xn[sel] @ qn), kind="stable")[:K]]
+        _, got = g.search_filtered(q, K, 64, mask)
+        hits += len(set(got.tolist()) & set(truth.tolist()))
+        tot += K
+    assert hits / tot >= 0.9, hits / tot
+
+
+def test_filtered_selective_exact_parity(spark, built):
+    """Selective filter (allowed << exact_threshold): the per-shard
+    exact matmul path must match filtered brute force row-for-row."""
+    vdf, path, qdf = built
+    vmeta = vdf.withColumn("cat", F.pmod("vec_id", F.lit(97)))
+    pred = "cat = 3"
+    got = hnsw_topk(
+        spark, path, qdf, k=K, filter=pred, vectors=vmeta,
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    truth = emb.brute_force_topk(
+        vmeta, qdf, k=K, filter=pred,
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.vec_id.tolist() == truth.vec_id.tolist()
+    assert np.allclose(got.cosine.values, truth.cosine.values, atol=2e-6)
+
+
+def test_filtered_broad_beam_recall(spark, built):
+    """Broad filter forced onto the beam path (tiny exact_threshold):
+    recall floor vs filtered brute force, and every hit satisfies the
+    predicate."""
+    vdf, path, qdf = built
+    vmeta = vdf.withColumn("cat", F.pmod("vec_id", F.lit(2)))
+    pred = "cat = 0"
+    got = hnsw_topk(
+        spark, path, qdf, k=K, filter=pred, vectors=vmeta,
+        exact_threshold=64,
+    ).toPandas()
+    assert (got.vec_id % 2 == 0).all()
+    truth = emb.brute_force_topk(vmeta, qdf, k=K, filter=pred).toPandas()
+    hits = tot = 0
+    for qid, tgrp in truth.groupby("query_id"):
+        hits += len(set(got[got.query_id == qid].vec_id) & set(tgrp.vec_id))
+        tot += len(tgrp)
+    assert hits / tot >= 0.9, hits / tot
