@@ -241,6 +241,15 @@ def run_suite(
         timed("query_aggtree", lambda: agg_tree(
             spark, idx_dir, hl_q.select("query_id", "query_text"),
             store_n, at_tree).count(), reps=2)
+        # nested block-join scoring (r5): full scored match set
+        # (one exhaustive scatter) folded per conversation with a
+        # structural child filter on the co-located store
+        from data_prepper_spark.query import nested as nested_mod
+
+        timed("query_nested", lambda: nested_mod.nested_topk(
+            spark, idx_dir, hl_q, turns=store_df,
+            inner_filter="role = 'user'", score_mode="avg",
+        ).count(), reps=2)
         docs_df.unpersist()
 
         # --- multi_match (session 2): per-field sub-indexes (text +

@@ -781,6 +781,29 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_nested_query(args) -> int:
+    """Scored `nested` query (block-join scoring): matching turns are
+    the nested children, conversations the parents; parent score folds
+    child BM25 scores per --score-mode."""
+    from data_prepper_spark.query import nested as nested_mod
+
+    spark = _get_spark(args)
+    q = spark.createDataFrame(
+        [("q0", args.query, args.k)],
+        "query_id string, query_text string, k int",
+    )
+    if args.inner_filter and not args.docs:
+        raise SystemExit("nested-query: --inner-filter requires --docs")
+    turns = spark.read.parquet(args.docs) if args.docs else None
+    res = nested_mod.nested_topk(
+        spark, args.index, q, turns=turns,
+        inner_filter=args.inner_filter, score_mode=args.score_mode,
+    )
+    for r in res.orderBy("rank").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_facet(args) -> int:
     """Aggregations over a query's match set (the OpenSearch `aggs`
     surface next to search): terms (top values per field),
@@ -1436,6 +1459,24 @@ def main(argv: list[str] | None = None) -> int:
         help="record unconvertible plugins under _unsupported instead of failing",
     )
     cl.set_defaults(fn=cmd_convert_logstash)
+
+    nq = sub.add_parser(
+        "nested-query",
+        help="block-join scored nested query: fold matching-turn BM25 "
+        "scores per conversation (score_mode avg/sum/max/min/none)")
+    nq.add_argument("--index", required=True)
+    nq.add_argument("--query", required=True)
+    nq.add_argument("--k", type=int, default=10)
+    nq.add_argument("--score-mode", default="avg",
+                    choices=["avg", "sum", "max", "min", "none"])
+    nq.add_argument("--inner-filter", default=None,
+                    help="structural child predicate over --docs columns "
+                    "(e.g. \"role = 'user'\")")
+    nq.add_argument("--docs", default=None,
+                    help="turn-metadata parquet with doc_id (required "
+                    "with --inner-filter)")
+    nq.add_argument("--local-cores", type=int, default=None)
+    nq.set_defaults(fn=cmd_nested_query)
 
     be = sub.add_parser("bench", help="run the headline bench suite")
     be.add_argument("--sf-dir", default="/root/testdata/sf0.1")

@@ -168,6 +168,13 @@ def _shard_kernel(
                 # is not a valid doc-level threshold
                 topk = wand_mod.collapse_exhaustive_topk(
                     cursors, k, collapse_stride, after)
+            elif algo == "all":
+                # every matching doc with its exact score (no top-k):
+                # feeds aggregating consumers (nested block-join
+                # scoring) whose reduction is distributive, so each
+                # shard emits its full local match set once
+                uniq, scores = wand_mod._exhaustive_scores(cursors)
+                topk = list(zip(uniq.tolist(), scores.tolist()))
             elif algo == "wand":
                 topk = wand_mod.wand_topk(cursors, k, after)
             elif algo == "bmx":
@@ -336,6 +343,64 @@ def score_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def match_scores(
+    spark: SparkSession, index_dir: str, queries: DataFrame,
+) -> DataFrame:
+    """queries(query_id, query_text) -> (query_id, doc_id, score): the
+    FULL scored match set — every doc containing >= 1 query term, with
+    its exact exhaustive BM25 score (sorted-term accumulation, the
+    float-identity contract score_topk's exhaustive path uses).
+
+    This is the scored sibling of facets.match_docs, for consumers
+    whose reduction over matches is distributive (nested block-join
+    scoring aggregates child scores per parent): the match set is
+    emitted once per shard and never truncated, so downstream
+    aggregates are exact without any per-shard k heuristic. Same
+    scatter plan as score_topk: term In-filter pushed to both parquet
+    scans, one kernel exchange, positions never read."""
+    stats = load_stats(index_dir)
+    mode = stats.get("tokenizer", "ascii")
+    queries = queries.select(
+        "query_id", "query_text", F.lit(0).alias("k"),
+        F.lit(None).cast("double").alias("after_score"),
+        F.lit(None).cast("long").alias("after_doc"),
+    )
+    per_term = prep.score_entries(
+        [r.asDict() for r in queries.collect()], mode
+    )
+    terms = sorted(per_term)
+    blocks_path = layout.resolve(index_dir, "blocks")
+    local_missing = "://" not in index_dir and not os.path.exists(blocks_path)
+    if not terms or local_missing:
+        return spark.createDataFrame([], _KERNEL_OUT)
+    dictionary = spark.read.parquet(layout.resolve(index_dir, "dictionary"))
+    blocks = spark.read.parquet(blocks_path)
+    if "seg" not in blocks.columns:
+        blocks = blocks.withColumn("seg", F.lit(0).cast("long"))
+    slim = blocks.select(
+        "shard", "seg", "term", "block_ord", "first_doc", "last_doc",
+        "gaps", "tfs", "dls", "max_partial",
+    )
+    qmap = prep.qmap_df(spark, per_term, prep.SCORE_FIELDS)
+    dict_slice = dictionary.filter(F.col("term").isin(terms))
+    needed = (
+        slim.filter(F.col("term").isin(terms))
+        .join(F.broadcast(qmap), "term")
+        .join(F.broadcast(dict_slice), "term")
+    )
+    ub_scale = max(1.0, stats["avgdl"] / stats.get("avgdl_min", stats["avgdl"]))
+    tomb = tombstones.load_tombstones(spark, index_dir)
+    return spread_by_shard(needed).groupBy("shard").applyInPandas(
+        _shard_kernel(
+            stats["avgdl"], stats["n_docs"], "all", ub_scale,
+            cache_ns=(os.path.abspath(index_dir), stats["n_docs"],
+                      round(stats["avgdl"], 9), tombstones.fingerprint(tomb)),
+            tomb=tomb,
+        ),
+        schema=_KERNEL_OUT,
     )
 
 

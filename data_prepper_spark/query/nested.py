@@ -1,0 +1,192 @@
+"""Nested documents — the OpenSearch `nested` field family.
+
+OpenSearch maps an array-of-objects field as type `nested` and indexes
+each object as a hidden child doc block-joined to its parent; three
+request surfaces consume it (all public API contracts):
+
+- the `nested` QUERY: a parent matches when >= 1 nested object matches
+  the inner query; `score_mode` (avg | sum | max | min | none) folds
+  the matching children's scores into the parent score (Lucene's
+  ToParentBlockJoinQuery).
+- the `nested` AGGREGATION: steps the agg context down into the nested
+  objects (bucket counts = nested-doc counts).
+- `reverse_nested`: steps back up — counts PARENT docs per nested
+  bucket.
+
+The reference ships documents into OpenSearch (OpenSearchSink.java:
+132-141) where consumers define such mappings; transcripts make the
+canonical example — a conversation is the parent, its turns the nested
+objects.
+
+Spark-first shapes (no hidden-doc trick needed — Spark has real
+array<struct> columns):
+
+- corpus representation: `nest_conversations` folds the flat turns
+  table into (conv_id, n_turns, turns array<struct<...>>) — ONE
+  groupBy on the parent key; at 10^12 turns this is the same exchange
+  an index build pays, and it happens once at ingest.
+- structural nested query (filter context): `F.exists(path, pred)` —
+  a pure Column expression, zero exchanges, predicate evaluated
+  row-side; Catalyst prunes the scan to (parent key + path).
+- scored nested query: the per-turn inverted index already holds the
+  children; `nested_topk` takes the FULL scored match set
+  (engine.match_scores — one scatter, never truncated), optionally
+  restricts children by a structural predicate (a doc_id equi-join
+  against the turn-metadata table: co-located, zero corpus-side
+  exchange, with the doc_id-bucketed corpus store), and folds scores
+  per parent with ONE distributive aggregation (sum/count/max/min are
+  all map-side combinable — a hot parent never skews a reducer).
+  Top-k then runs two-phase (partial per input partition, exact
+  global) exactly like facets.sort_topk.
+- nested agg + reverse_nested: one explode (narrow) + one groupBy;
+  parent counts ride the same pass via count(distinct parent) — no
+  second scan.
+
+Scale notes: nothing here collects; the only exchanges are the one
+kernel scatter (shared with every query path), the optional co-located
+doc_id join, and the parent-key aggregation whose output is bounded by
+matching parents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_prepper_spark.query import engine
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+SCORE_MODES = ("avg", "sum", "max", "min", "none")
+
+
+def nest_conversations(
+    turns: DataFrame,
+    parent_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    nested_cols: tuple[str, ...] = ("turn_idx", "role", "text", "tool", "ts"),
+    path: str = "turns",
+) -> DataFrame:
+    """Fold a flat turns table into the nested corpus shape:
+    (parent_col, n_<path>, <path> array<struct<nested_cols>>), array
+    sorted by order_col (sort_array over structs compares field-order,
+    so order_col leads the struct) — the stable turn ordering the
+    north rule mandates, preserved inside the nested column."""
+    struct_cols = [order_col] + [c for c in nested_cols if c != order_col]
+    return (
+        turns.groupBy(parent_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(*struct_cols))
+            ).alias(path),
+        )
+        .withColumn(f"n_{path}", F.size(F.col(path)))
+    )
+
+
+def nested_match(
+    parents: DataFrame, path: str, predicate: str | Column,
+) -> DataFrame:
+    """Filter-context `nested` query: parents where >= 1 element of the
+    `path` array satisfies `predicate`. String predicates use `x` as
+    the element name (fields as x.role, x.text, ...). Pure Column
+    expression — no explode, no shuffle."""
+    cond = (
+        F.expr(f"exists({path}, x -> {predicate})")
+        if isinstance(predicate, str) else F.exists(F.col(path), predicate)
+    )
+    return parents.filter(cond)
+
+
+def nested_facet(
+    parents: DataFrame,
+    path: str,
+    field: str,
+    parent_key: str = "conv_id",
+    size: int = 10,
+) -> DataFrame:
+    """`nested` aggregation (terms over a nested field) + its
+    `reverse_nested` companion in one pass:
+    (value, nested_count, parent_count), top-`size` by nested_count
+    desc then value asc. nested_count counts nested objects (the
+    nested-agg contract); parent_count counts distinct parents
+    (reverse_nested)."""
+    exploded = parents.select(
+        F.col(parent_key), F.explode(F.col(path)).alias("_x")
+    ).select(parent_key, F.col(f"_x.{field}").alias("value"))
+    return (
+        exploded.groupBy("value")
+        .agg(
+            F.count(F.lit(1)).alias("nested_count"),
+            F.countDistinct(parent_key).alias("parent_count"),
+        )
+        .orderBy(F.desc("nested_count"), F.asc("value"))
+        .limit(size)
+    )
+
+
+def nested_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    turns: DataFrame | None = None,
+    inner_filter: str | None = None,
+    score_mode: str = "avg",
+    stride: int = DOC_ID_STRIDE,
+) -> DataFrame:
+    """Scored `nested` query over the per-turn index (block-join
+    scoring): children = turns matching the query text (and, when
+    `inner_filter` is given, the structural predicate over `turns`'
+    metadata columns — requires `turns` with doc_id); parents =
+    conversations (doc_id div stride, the group key under both id
+    schemes). Parent score folds matching-child scores per
+    `score_mode`; `none` scores 0.0 (filter context), ranked by parent
+    asc.
+
+    queries(query_id, query_text, k) ->
+    (query_id, rank, conv, score, n_matched) — n_matched = matching
+    child count (the inner hits count)."""
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {SCORE_MODES}")
+    if inner_filter is not None and turns is None:
+        raise ValueError("nested_topk(inner_filter=...) requires turns=")
+    scores = engine.match_scores(
+        spark, index_dir, queries.select("query_id", "query_text")
+    )
+    if inner_filter is not None:
+        allowed = turns.filter(F.expr(inner_filter)).select("doc_id")
+        scores = scores.join(allowed, "doc_id")
+    folded = (
+        scores.withColumn("conv", F.expr(f"doc_id div {stride}"))
+        .groupBy("query_id", "conv")
+        .agg(
+            F.sum("score").alias("_sum"),
+            F.count(F.lit(1)).alias("n_matched"),
+            F.max("score").alias("_max"),
+            F.min("score").alias("_min"),
+        )
+    )
+    score = {
+        "avg": F.col("_sum") / F.col("n_matched"),
+        "sum": F.col("_sum"),
+        "max": F.col("_max"),
+        "min": F.col("_min"),
+        "none": F.lit(0.0),
+    }[score_mode]
+    folded = folded.withColumn("score", F.round(score, 9))
+    qk = F.broadcast(queries.select("query_id", "k"))
+    # two-phase top-k (sort_topk's shape): per-input-partition partial
+    # caps rows entering the global window at k * n_partitions
+    part = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(
+        F.desc("score"), F.asc("conv")
+    )
+    glob = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("conv")
+    )
+    return (
+        folded.join(qk, "query_id")
+        .withColumn("_p", F.row_number().over(part))
+        .filter(F.col("_p") <= F.col("k"))
+        .withColumn("rank", F.row_number().over(glob))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "conv", "score", "n_matched")
+    )

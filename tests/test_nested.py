@@ -1,0 +1,178 @@
+"""Nested documents (query/nested.py): block-join scored nested query
+vs a pandas fold of the pure-Python oracle's full score list, the
+structural exists() query and nested/reverse_nested aggregation vs
+pandas, and the full scored match set (engine.match_scores) vs oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.data.transcripts import generate_pandas, generate_queries
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.oracle import bm25 as oracle
+from data_prepper_spark.query import engine, nested
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nested_idx"))
+    pdf = generate_pandas(0, 300)
+    ib.build_index(spark, spark.createDataFrame(pdf), d, n_shards=6)
+    pdf = pdf.copy()
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    return d, pdf
+
+
+def _oracle_full(pdf: pd.DataFrame, queries) -> pd.DataFrame:
+    oidx = oracle.build_index(list(zip(pdf.doc_id, pdf.text)))
+    frames = []
+    for qid, qtext, _k in queries:
+        rows = oracle.score_queries(oidx, [(qid, qtext, len(pdf))])
+        if rows:
+            frames.append(pd.DataFrame(rows))
+    return (
+        pd.concat(frames, ignore_index=True)
+        if frames else pd.DataFrame(columns=["query_id", "doc_id", "score"])
+    )
+
+
+def test_match_scores_full_set_parity(spark, corpus):
+    d, pdf = corpus
+    qpdf = pd.DataFrame(generate_queries(15))
+    got = engine.match_scores(
+        spark, d, spark.createDataFrame(qpdf)
+    ).toPandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    want = _oracle_full(pdf, list(qpdf.itertuples(index=False, name=None)))
+    want = want.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    assert list(got.query_id) == list(want.query_id)
+    assert list(got.doc_id) == list(want.doc_id)
+    assert (got.score - want.score).abs().max() < 1e-9
+
+
+def _oracle_nested(pdf, queries, score_mode, role=None, k_override=None):
+    full = _oracle_full(pdf, queries)
+    if role is not None:
+        allowed = set(pdf[pdf.role == role].doc_id)
+        full = full[full.doc_id.isin(allowed)]
+    full = full.copy()
+    full["conv"] = full.doc_id // DOC_ID_STRIDE
+    rows = []
+    for (qid, _qt, k) in queries:
+        k = k_override or k
+        g = full[full.query_id == qid].groupby("conv")["score"].agg(
+            ["sum", "count", "max", "min"]
+        ).reset_index()
+        if g.empty:
+            continue
+        g["score"] = {
+            "avg": g["sum"] / g["count"], "sum": g["sum"],
+            "max": g["max"], "min": g["min"],
+            "none": pd.Series(0.0, index=g.index),
+        }[score_mode]
+        g = g.sort_values(["score", "conv"], ascending=[False, True]).head(k)
+        for r, (_, row) in enumerate(g.iterrows(), 1):
+            rows.append({"query_id": qid, "rank": r, "conv": int(row.conv),
+                         "score": row.score, "n_matched": int(row["count"])})
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("mode", ["avg", "sum", "max", "min"])
+def test_nested_topk_score_modes(spark, corpus, mode):
+    d, pdf = corpus
+    qpdf = pd.DataFrame(generate_queries(10))
+    got = nested.nested_topk(
+        spark, d, spark.createDataFrame(qpdf), score_mode=mode
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = _oracle_nested(
+        pdf, list(qpdf.itertuples(index=False, name=None)), mode
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got.conv) == list(want.conv), mode
+    assert list(got.n_matched) == list(want.n_matched)
+    assert (got.score - want.score).abs().max() < 1e-8
+
+
+def test_nested_topk_none_is_filter_context(spark, corpus):
+    d, pdf = corpus
+    qpdf = pd.DataFrame(generate_queries(5))
+    got = nested.nested_topk(
+        spark, d, spark.createDataFrame(qpdf), score_mode="none"
+    ).toPandas()
+    assert (got.score == 0.0).all()
+    for _, g in got.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert g.conv.tolist() == sorted(g.conv.tolist())  # conv asc
+
+
+def test_nested_topk_inner_filter(spark, corpus):
+    """Structural child predicate: only 'user' turns may contribute."""
+    d, pdf = corpus
+    qpdf = pd.DataFrame(generate_queries(10))
+    turns = spark.createDataFrame(pdf[["doc_id", "role"]])
+    got = nested.nested_topk(
+        spark, d, spark.createDataFrame(qpdf), turns=turns,
+        inner_filter="role = 'user'", score_mode="sum",
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = _oracle_nested(
+        pdf, list(qpdf.itertuples(index=False, name=None)), "sum",
+        role="user",
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got.conv) == list(want.conv)
+    assert list(got.n_matched) == list(want.n_matched)
+    assert (got.score - want.score).abs().max() < 1e-8
+
+
+def test_nested_match_structural(spark, corpus):
+    d, pdf = corpus
+    parents = nested.nest_conversations(spark.createDataFrame(
+        pdf.drop(columns=["doc_id"])
+    ))
+    got = sorted(
+        r[0] for r in nested.nested_match(
+            parents, "turns", "x.role = 'tool' AND x.turn_idx > 3"
+        ).select("conv_id").collect()
+    )
+    want = sorted(
+        pdf[(pdf.role == "tool") & (pdf.turn_idx > 3)].conv_id.unique()
+    )
+    assert got == want
+
+
+def test_nest_conversations_preserves_turn_order(spark, corpus):
+    _d, pdf = corpus
+    parents = nested.nest_conversations(spark.createDataFrame(
+        pdf.drop(columns=["doc_id"])
+    ))
+    row = parents.filter(F.col("conv_id") == pdf.conv_id.iloc[0]).first()
+    idxs = [t.turn_idx for t in row.turns]
+    assert idxs == sorted(idxs)
+    assert row.n_turns == len(idxs)
+    # per-turn text equality under stable ordering (the north-rule
+    # invariant, held through the nested fold)
+    want = pdf[pdf.conv_id == pdf.conv_id.iloc[0]].sort_values("turn_idx")
+    assert [t.text for t in row.turns] == list(want.text)
+
+
+def test_nested_facet_and_reverse_nested(spark, corpus):
+    _d, pdf = corpus
+    parents = nested.nest_conversations(spark.createDataFrame(
+        pdf.drop(columns=["doc_id"])
+    ))
+    got = nested.nested_facet(parents, "turns", "role", size=5).toPandas()
+    want = (
+        pdf.groupby("role")
+        .agg(nested_count=("role", "size"),
+             parent_count=("conv_id", "nunique"))
+        .reset_index()
+        .sort_values(["nested_count", "role"], ascending=[False, True])
+        .head(5)
+    )
+    assert list(got.value) == list(want.role)
+    assert list(got.nested_count) == list(want.nested_count)
+    assert list(got.parent_count) == list(want.parent_count)
