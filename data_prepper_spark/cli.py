@@ -675,6 +675,39 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_dedup_lines(args) -> int:
+    """Line-level corpus dedup (dedup/lines.py): rewrite text with
+    corpus-wide duplicated lines removed, or audit the boilerplate
+    with --stats."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.dedup import lines as dl
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.docs)
+    if args.stats:
+        for r in dl.duplicate_line_stats(
+            docs, args.text_col, args.id_col, args.min_words,
+        ).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    if not args.out:
+        raise SystemExit("dedup-lines: --out required unless --stats")
+    out = dl.dedup_lines(
+        docs, args.text_col, args.id_col, args.min_words, args.dedup_mode,
+    )
+    out.write.mode(args.mode).parquet(args.out)
+    res = spark.read.parquet(args.out)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_lines_removed").alias("lines_removed"),
+    ).first()
+    print(json.dumps({"docs": int(agg["docs"]),
+                      "lines_removed": int(agg["lines_removed"] or 0),
+                      "out": args.out}))
+    return 0
+
+
 def cmd_knn_build(args) -> int:
     """Build the distributed HNSW graph index (dedup/hnsw.py): one
     graph per shard, persisted as a parquet blob table."""
@@ -1331,6 +1364,23 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--mode", default="error", help="parquet write mode")
     dp.add_argument("--local-cores", type=int, default=None)
     dp.set_defaults(fn=cmd_dedup)
+
+    dls = sub.add_parser(
+        "dedup-lines", help="line-level corpus dedup (C4/CCNet shape): "
+        "remove lines whose normalized form repeats corpus-wide; "
+        "--stats prints the top boilerplate lines instead")
+    dls.add_argument("--docs", required=True, help="input parquet")
+    dls.add_argument("--out", default=None,
+                     help="output parquet (required unless --stats)")
+    dls.add_argument("--id-col", default="doc_id")
+    dls.add_argument("--text-col", default="text")
+    dls.add_argument("--min-words", type=int, default=4)
+    dls.add_argument("--dedup-mode", default="keep_first",
+                     choices=["keep_first", "drop_all"])
+    dls.add_argument("--stats", action="store_true")
+    dls.add_argument("--mode", default="error", help="parquet write mode")
+    dls.add_argument("--local-cores", type=int, default=None)
+    dls.set_defaults(fn=cmd_dedup_lines)
 
     kb = sub.add_parser(
         "knn-build", help="build the distributed HNSW ANN index "

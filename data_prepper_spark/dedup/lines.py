@@ -1,0 +1,169 @@
+"""Line-level corpus deduplication (the C4 / CCNet / RefinedWeb move).
+
+Web-scale training corpora repeat whole lines across documents —
+boilerplate ("click here to subscribe"), navigation chrome, license
+headers. C4 (Raffel et al. 2020) deduplicates three-sentence spans
+corpus-wide; CCNet (Wenzek et al. 2019) drops duplicated paragraphs by
+normalized hash; RefinedWeb (Penedo et al. 2023) removes exact-dup
+lines. This module implements the line/paragraph variant next to its
+span sibling (dedup/substring.py — Lee et al. 2021 token windows).
+
+Semantics: text splits on newline; a line PARTICIPATES when its
+normalized form (lowercase, whitespace collapsed) has >= `min_words`
+words (short interjections like "Yes." should not dedup away);
+participating lines whose normalized hash occurs more than once
+corpus-wide are duplicates. Two modes:
+
+- ``keep_first`` (default, the C4/ExactSubstr convention): the
+  canonical first occurrence — min (doc_id, line_no) per hash —
+  survives; every other occurrence is removed.
+- ``drop_all``: every occurrence of a duplicated line is removed
+  (CCNet's hash-filter shape).
+
+Plan shape (and the 100 TB story):
+
+1. explode lines -> (doc_id, line_no, hash64) — ONE projection pass;
+   the 8-byte hash + two ids are the ONLY columns that ever shuffle
+   (never line text), exactly like substring.py's window hashes;
+2. removal list: groupBy(hash) with a map-side-combinable count
+   (+ min-struct for the keeper under keep_first) — boilerplate lines
+   are hot keys, but the combiner collapses them per map task before
+   the exchange, so no salting is needed;
+3. removals join back to the exploded lines ON doc_id — with the
+   doc_id-bucketed corpus store this join co-locates, and the
+   reassembly groupBy(doc_id) reuses the same partitioning (explode
+   preserves the child's hash-partitioning), so cleaned text never
+   crosses the wire.
+
+Output: the input frame with `text` rewritten (surviving lines joined
+by \\n, original line text preserved verbatim) plus
+`n_lines_removed`. Docs whose every line was removed keep an empty
+string (the caller's length filter drops them — quality.py).
+
+Determinism: hash64 = first 8 bytes of md5 of the normalized line (no
+seed) — reruns and the pytest oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MODES = ("keep_first", "drop_all")
+
+
+def _lines(text_col: str):
+    """split on newline, keep original text + position."""
+    return F.posexplode(F.split(F.col(text_col), "\n", -1))
+
+
+def _norm_hash():
+    """normalized-line 64-bit hash as a Column (first 8 md5 bytes as
+    hex — JVM-side, no UDF; string form groups as cheaply as a long)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    return F.substring(F.md5(norm), 1, 16)
+
+
+def _participates(min_words: int):
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    return (F.size(F.split(norm, " ", -1)) >= min_words) & (norm != "")
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 4,
+    mode: str = "keep_first",
+) -> DataFrame:
+    """-> input columns with `text_col` rewritten + n_lines_removed.
+    See module doc for semantics and the shuffle story."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}")
+    lines = docs.select(
+        F.col(id_col), _lines(text_col).alias("line_no", "line")
+    )
+    hashed = lines.withColumn(
+        "_h",
+        F.when(_participates(min_words), _norm_hash()),
+    )
+    part = hashed.filter(F.col("_h").isNotNull())
+    # removal list: only (id, line_no) pairs ever shuffle
+    per_hash = part.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(id_col, "line_no")).alias("_keep"),
+    ).filter(F.col("_n") > 1)
+    if mode == "keep_first":
+        removals = (
+            part.join(per_hash, "_h")
+            .filter(
+                ~((F.col(id_col) == F.col(f"_keep.{id_col}"))
+                  & (F.col("line_no") == F.col("_keep.line_no")))
+            )
+            .select(id_col, "line_no")
+        )
+    else:  # drop_all
+        removals = (
+            part.join(per_hash.select("_h"), "_h")
+            .select(id_col, "line_no")
+        )
+    kept = (
+        lines.join(
+            removals.withColumn("_rm", F.lit(True)),
+            [id_col, "line_no"], "left",
+        )
+        .withColumn("_rm", F.coalesce("_rm", F.lit(False)))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_rm"),
+                               F.struct("line_no", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_new_text"),
+        F.sum(F.col("_rm").cast("long")).alias("n_lines_removed"),
+    )
+    others = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(rebuilt, id_col)
+        .select(
+            *others,
+            F.col("_new_text").alias(text_col),
+            "n_lines_removed",
+        )
+    )
+
+
+def duplicate_line_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 4,
+    top: int = 20,
+) -> DataFrame:
+    """Audit view: the `top` most-repeated normalized lines —
+    (n_occurrences, n_docs, sample_line), count desc. The narrow
+    sibling of dedup_lines for corpus triage (what IS the
+    boilerplate?); one explode + one combinable groupBy."""
+    lines = docs.select(
+        F.col(id_col), _lines(text_col).alias("line_no", "line")
+    ).filter(_participates(min_words))
+    return (
+        lines.withColumn("_h", _norm_hash())
+        .groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min("line").alias("sample_line"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), F.asc("sample_line"))
+        .limit(top)
+        .select("n_occurrences", "n_docs", "sample_line")
+    )

@@ -1,0 +1,109 @@
+"""Line-level corpus dedup (dedup/lines.py) vs a pure-pandas oracle:
+keep_first / drop_all modes, min_words participation, normalization
+(case + whitespace), empty-doc survival, and the audit view.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.dedup import lines as L
+
+BOILER = "Click here to subscribe to our newsletter"
+LICENSE = "Licensed   under the Apache  License, Version 2.0"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, f"alpha beta gamma delta\n{BOILER}\nunique first line zero"),
+        (1, f"{BOILER}\nsecond doc body line here\nYes."),
+        # same boilerplate, different case/whitespace -> same hash
+        (2, f"click  HERE to subscribe to our   newsletter\n{LICENSE}"),
+        (3, f"{LICENSE.lower()}\nalpha beta gamma delta\nshort one"),
+        (4, ""),  # empty doc
+        (5, "alpha beta gamma delta"),  # all lines duplicated
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def _oracle(rows, min_words=4, mode="keep_first"):
+    def norm(s):
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    occ = {}
+    for did, text in rows:
+        for no, line in enumerate(text.split("\n")):
+            n = norm(line)
+            if n and len(n.split(" ")) >= min_words:
+                occ.setdefault(n, []).append((did, no))
+    dup = {k: v for k, v in occ.items() if len(v) > 1}
+    removed = set()
+    for k, v in dup.items():
+        keep = min(v)
+        for pos in v:
+            if mode == "drop_all" or pos != keep:
+                removed.add(pos)
+    out = {}
+    for did, text in rows:
+        keep_lines = [
+            line for no, line in enumerate(text.split("\n"))
+            if (did, no) not in removed
+        ]
+        n_rm = len(text.split("\n")) - len(keep_lines)
+        out[did] = ("\n".join(keep_lines), n_rm)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["keep_first", "drop_all"])
+def test_dedup_lines_vs_oracle(spark, docs, mode):
+    df, rows = docs
+    got = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in L.dedup_lines(df, mode=mode).collect()
+    }
+    want = _oracle(rows, mode=mode)
+    assert got == want
+
+
+def test_keep_first_keeps_exactly_one_copy(spark, docs):
+    df, rows = docs
+    out = L.dedup_lines(df).collect()
+    all_lines = [
+        ln for r in out for ln in r.text.split("\n") if ln
+    ]
+    norm = [re.sub(r"\s+", " ", x.lower()).strip() for x in all_lines]
+    boiler_n = re.sub(r"\s+", " ", BOILER.lower()).strip()
+    assert norm.count(boiler_n) == 1
+    assert norm.count("alpha beta gamma delta") == 1
+
+
+def test_min_words_guard(spark):
+    """Short duplicated lines (< min_words) are untouched."""
+    df = spark.createDataFrame(
+        [(0, "Yes.\nlong enough line of words"),
+         (1, "Yes.\nanother long enough line entirely")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in L.dedup_lines(df).collect()}
+    assert out[0].startswith("Yes.") and out[1].startswith("Yes.")
+
+
+def test_duplicate_line_stats(spark, docs):
+    df, rows = docs
+    got = L.duplicate_line_stats(df).toPandas()
+    # boilerplate occurs 3x across 3 docs; license 2x; alpha-line 3x
+    assert got.n_occurrences.tolist() == sorted(
+        got.n_occurrences.tolist(), reverse=True)
+    top = got.iloc[0]
+    assert top.n_occurrences == 3
+    by_sample = {
+        re.sub(r"\s+", " ", s.lower()).strip(): (n, d)
+        for n, d, s in got.itertuples(index=False, name=None)
+    }
+    assert by_sample["alpha beta gamma delta"] == (3, 3)
+    assert by_sample[re.sub(r"\s+", " ", BOILER.lower()).strip()][0] == 3
+    assert by_sample[re.sub(r"\s+", " ", LICENSE.lower()).strip()] == (2, 2)
