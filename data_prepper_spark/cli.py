@@ -814,6 +814,30 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """The `_search` entry shape: --body takes the request JSON
+    verbatim; --template + --params renders a Mustache search template
+    first (query/templates.py), then dispatches (query/request.py)."""
+    from data_prepper_spark.query import request as req
+    from data_prepper_spark.query import templates as tpl
+
+    if bool(args.body) == bool(args.template):
+        raise SystemExit("search: give exactly one of --body / --template")
+    if args.template:
+        with open(args.template) as f:
+            src = f.read()
+        body = tpl.render_body(
+            src, json.loads(args.params) if args.params else {})
+    else:
+        body = json.loads(args.body)
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.docs) if args.docs else None
+    res = req.search(spark, args.index, body, docs=docs)
+    for r in res.orderBy("rank").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_nested_query(args) -> int:
     """Scored `nested` query (block-join scoring): matching turns are
     the nested children, conversations the parents; parent score folds
@@ -1509,6 +1533,21 @@ def main(argv: list[str] | None = None) -> int:
         help="record unconvertible plugins under _unsupported instead of failing",
     )
     cl.set_defaults(fn=cmd_convert_logstash)
+
+    sr = sub.add_parser(
+        "search",
+        help="execute an OpenSearch _search request body (or a Mustache "
+        "search template + params) against a built index")
+    sr.add_argument("--index", required=True)
+    sr.add_argument("--body", default=None, help="request-body JSON")
+    sr.add_argument("--template", default=None,
+                    help="Mustache search-template source file")
+    sr.add_argument("--params", default=None,
+                    help="template params JSON (with --template)")
+    sr.add_argument("--docs", default=None,
+                    help="corpus parquet (filter-context / ids / nested)")
+    sr.add_argument("--local-cores", type=int, default=None)
+    sr.set_defaults(fn=cmd_search)
 
     nq = sub.add_parser(
         "nested-query",

@@ -1,0 +1,328 @@
+"""Request-body search dispatch — the OpenSearch `_search` / `_msearch`
+entry shape over this engine's query surface.
+
+Every query path in this package is a typed Python function
+(score_topk, phrase_topk, bool_topk, ...). Real OpenSearch consumers
+speak the JSON request body; this module lowers the body's `query`
+tree onto those functions so a reference user's saved requests (and
+rendered search templates — query/templates.py) run unchanged.
+
+Supported `query` kinds (the subset the engine implements natively;
+anything else raises ValueError — explicit, never silent):
+
+  match, term, match_phrase (incl. slop), match_phrase_prefix,
+  multi_match, query_string, bool (must/should/must_not/filter with
+  match/term/terms/range leaves), constant_score, ids, nested
+  (path + inner match/term clauses + score_mode).
+
+`size` maps to k (default 10). `filter` clauses and `ids`/`nested`
+inner filters render term/terms/range leaves into Spark SQL predicates
+over the corpus frame (`docs=`), i.e. they push down to the parquet
+scan like every filter-context path here.
+
+_msearch: bodies group by dispatch family so each family runs as ONE
+batched job (the engine's query frames are batch-shaped already);
+results union with a per-body query_id (q0, q1, ... by position).
+
+Scale: dispatch is driver-side request plumbing; all data-plane work
+happens in the called kernels, whose plans are documented where they
+live.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_prepper_spark.query import engine, expand, multimatch, nested, simple
+from data_prepper_spark.query import query_string as qs_mod
+
+_LEAF_FILTERS = ("term", "terms", "range")
+
+
+def _sql_lit(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _filter_expr(clause: dict, field_prefix: str = "") -> str:
+    """One filter-context leaf -> a Spark SQL predicate string."""
+    ((kind, body),) = clause.items()
+    if kind == "term":
+        ((f, v),) = body.items()
+        v = v["value"] if isinstance(v, dict) else v
+        return f"{field_prefix}{f} = {_sql_lit(v)}"
+    if kind == "terms":
+        ((f, vals),) = body.items()
+        return (f"{field_prefix}{f} IN ("
+                + ", ".join(_sql_lit(v) for v in vals) + ")")
+    if kind == "range":
+        ((f, conds),) = body.items()
+        ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+        parts = [
+            f"{field_prefix}{f} {ops[op]} {_sql_lit(v)}"
+            for op, v in conds.items() if op in ops
+        ]
+        if not parts:
+            raise ValueError(f"range needs gte/gt/lte/lt: {conds}")
+        return "(" + " AND ".join(parts) + ")"
+    raise ValueError(f"unsupported filter leaf {kind!r}")
+
+
+def _match_text(body: dict) -> str:
+    """match/match_phrase body -> query text (field name is not
+    re-checked: the primary index indexes the corpus text field;
+    cross-field search goes through multi_match)."""
+    ((_f, v),) = body.items()
+    return v["query"] if isinstance(v, dict) else v
+
+
+def _clause_text(clause: dict) -> str:
+    ((kind, body),) = clause.items()
+    if kind in ("match", "match_phrase"):
+        return _match_text(body)
+    if kind == "term":
+        ((_f, v),) = body.items()
+        return str(v["value"] if isinstance(v, dict) else v)
+    raise ValueError(f"unsupported bool clause leaf {kind!r}")
+
+
+def _as_list(x) -> list:
+    return x if isinstance(x, list) else [x]
+
+
+class _Req:
+    """One parsed request: (family, payload). Family keys batching."""
+
+    def __init__(self, body: dict):
+        self.k = int(body.get("size", 10))
+        q = body.get("query")
+        if not isinstance(q, dict) or len(q) != 1:
+            raise ValueError("body.query must hold exactly one query kind")
+        ((self.kind, self.body),) = q.items()
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    body: dict | str,
+    docs: DataFrame | None = None,
+    query_id: str = "q0",
+) -> DataFrame:
+    """Execute one `_search` request body. `docs` = the corpus frame
+    (required by filter-context / ids / nested-inner-filter paths)."""
+    return msearch(spark, index_dir, [body], docs=docs,
+                   query_ids=[query_id])
+
+
+def msearch(
+    spark: SparkSession,
+    index_dir: str,
+    bodies: list[dict | str],
+    docs: DataFrame | None = None,
+    query_ids: list[str] | None = None,
+) -> DataFrame:
+    """Execute a batch of request bodies; same-family bodies run as ONE
+    batched job. -> (query_id, rank, doc_id, score) unioned."""
+    reqs = []
+    for i, b in enumerate(bodies):
+        body = json.loads(b) if isinstance(b, str) else b
+        qid = query_ids[i] if query_ids else f"q{i}"
+        reqs.append((qid, _Req(body)))
+
+    fam: dict[str, list] = {}
+    for qid, r in reqs:
+        fam.setdefault(r.kind, []).append((qid, r))
+
+    outs: list[DataFrame] = []
+    for kind, members in fam.items():
+        outs.append(_run_family(spark, index_dir, kind, members, docs))
+    res = outs[0]
+    for df in outs[1:]:
+        res = res.unionByName(df, allowMissingColumns=True)
+    return res.select("query_id", "rank", "doc_id", "score")
+
+
+def _run_family(spark, index_dir, kind, members, docs) -> DataFrame:
+    if kind in ("match", "term"):
+        rows = [(qid, _clause_text({kind: r.body}), r.k)
+                for qid, r in members]
+        q = spark.createDataFrame(
+            rows, "query_id string, query_text string, k int")
+        return engine.score_topk(spark, index_dir, q)
+    if kind == "match_phrase":
+        rows = []
+        for qid, r in members:
+            ((_f, v),) = r.body.items()
+            slop = int(v.get("slop", 0)) if isinstance(v, dict) else 0
+            rows.append((qid, _match_text(r.body), r.k, slop))
+        q = spark.createDataFrame(
+            rows, "query_id string, query_text string, k int, slop int")
+        return engine.phrase_topk(spark, index_dir, q)
+    if kind == "match_phrase_prefix":
+        rows = [(qid, _match_text(r.body), r.k) for qid, r in members]
+        q = spark.createDataFrame(
+            rows, "query_id string, query_text string, k int")
+        return expand.match_phrase_prefix_topk(spark, index_dir, q)
+    if kind == "query_string":
+        rows = [(qid, r.body["query"], r.k) for qid, r in members]
+        q = spark.createDataFrame(
+            rows, "query_id string, query_string string, k int")
+        return qs_mod.query_string_topk(spark, index_dir, q)
+    if kind == "multi_match":
+        outs = []
+        for qid, r in members:
+            q = spark.createDataFrame(
+                [(qid, r.body["query"], r.k)],
+                "query_id string, query_text string, k int")
+            outs.append(multimatch.multi_match_topk(
+                spark, index_dir, q,
+                fields=r.body.get("fields"),
+                mm_type=r.body.get("type", "best_fields"),
+                tie_breaker=float(r.body.get("tie_breaker", 0.0)),
+            ))
+        res = outs[0]
+        for df in outs[1:]:
+            res = res.unionByName(df, allowMissingColumns=True)
+        return res
+    if kind == "constant_score":
+        outs = []
+        for qid, r in members:
+            inner = r.body.get("filter", {})
+            ((ik, ib),) = inner.items()
+            if ik not in ("match", "term"):
+                raise ValueError(
+                    "constant_score filter supports match/term leaves")
+            q = spark.createDataFrame(
+                [(qid, _clause_text(inner))],
+                "query_id string, query_text string")
+            outs.append(simple.constant_score_topk(
+                spark, index_dir, q,
+                boost=float(r.body.get("boost", 1.0)), k=r.k))
+        res = outs[0]
+        for df in outs[1:]:
+            res = res.unionByName(df)
+        return res
+    if kind == "ids":
+        if docs is None:
+            raise ValueError("ids query requires docs=")
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        outs = []
+        for qid, r in members:
+            got = simple.ids_query(docs, [int(v) for v in r.body["values"]])
+            w = Window.partitionBy(F.lit(1)).orderBy(F.asc("doc_id"))
+            outs.append(
+                got.withColumn("rank", F.row_number().over(w)).select(
+                    F.lit(qid).alias("query_id"), "rank", "doc_id", "score",
+                )
+            )
+        res = outs[0]
+        for df in outs[1:]:
+            res = res.unionByName(df)
+        return res
+    if kind == "bool":
+        return _run_bool(spark, index_dir, members, docs)
+    if kind == "nested":
+        outs = []
+        for qid, r in members:
+            outs.append(_run_nested(spark, index_dir, qid, r, docs))
+        res = outs[0]
+        for df in outs[1:]:
+            res = res.unionByName(df)
+        return res
+    raise ValueError(f"unsupported query kind {kind!r}")
+
+
+def _run_bool(spark, index_dir, members, docs) -> DataFrame:
+    """bool queries: filter-less bodies batch into ONE bool_topk job;
+    bodies with filter clauses lower to filtered_topk (must text +
+    pushed-down predicate)."""
+    from pyspark.sql import functions as F
+
+    plain_rows, outs = [], []
+    for qid, r in members:
+        filters = _as_list(r.body.get("filter", []))
+        must = " ".join(_clause_text(c) for c in _as_list(
+            r.body.get("must", [])))
+        should = " ".join(_clause_text(c) for c in _as_list(
+            r.body.get("should", [])))
+        must_not = " ".join(_clause_text(c) for c in _as_list(
+            r.body.get("must_not", [])))
+        msm = r.body.get("minimum_should_match")
+        if filters:
+            if docs is None:
+                raise ValueError("bool.filter requires docs=")
+            if should or must_not or msm is not None:
+                raise ValueError(
+                    "bool with filter supports must+filter only")
+            pred = " AND ".join(_filter_expr(c) for c in filters)
+            q = spark.createDataFrame(
+                [(qid, must, r.k)],
+                "query_id string, query_text string, k int")
+            outs.append(engine.filtered_topk(spark, index_dir, q, docs, pred))
+        else:
+            plain_rows.append(
+                (qid, must, should, must_not,
+                 str(msm) if msm is not None else None, r.k))
+    if plain_rows:
+        q = spark.createDataFrame(
+            plain_rows,
+            "query_id string, must string, should string, "
+            "must_not string, minimum_should_match string, k int")
+        outs.append(engine.bool_topk(spark, index_dir, q))
+    res = outs[0]
+    for df in outs[1:]:
+        res = res.unionByName(df, allowMissingColumns=True)
+    return res.select("query_id", "rank", "doc_id", "score")
+
+
+def _run_nested(spark, index_dir, qid, r, docs) -> DataFrame:
+    """nested query: inner bool(must: match + term/range leaves) folds
+    matching-turn scores per conversation. Output conv ids ride the
+    doc_id column (the parent key), per the engine's nested contract."""
+    from pyspark.sql import functions as F
+
+    body = r.body
+    inner = body.get("query", {})
+    ((ik, ib),) = inner.items()
+    text, filt = "", []
+    path = body.get("path", "")
+    strip = (path + ".") if path else ""
+
+    def _strip_field(clause):
+        ((ck, cb),) = clause.items()
+        return {ck: {f[len(strip):] if f.startswith(strip) else f: v
+                     for f, v in cb.items()}}
+
+    if ik == "match":
+        text = _match_text(_strip_field(inner)["match"])
+    elif ik == "bool":
+        musts = _as_list(ib.get("must", []))
+        for c in musts:
+            ((ck, _),) = c.items()
+            if ck == "match":
+                text = _clause_text(_strip_field(c))
+            elif ck in _LEAF_FILTERS:
+                filt.append(_filter_expr(_strip_field(c)))
+            else:
+                raise ValueError(f"unsupported nested inner leaf {ck!r}")
+    else:
+        raise ValueError("nested.query supports match or bool")
+    if filt and docs is None:
+        raise ValueError("nested inner filters require docs=")
+    q = spark.createDataFrame(
+        [(qid, text, r.k)], "query_id string, query_text string, k int")
+    got = nested.nested_topk(
+        spark, index_dir, q,
+        turns=docs, inner_filter=" AND ".join(filt) or None,
+        score_mode=body.get("score_mode", "avg"),
+    )
+    return got.select(
+        "query_id", "rank", F.col("conv").alias("doc_id"), "score")

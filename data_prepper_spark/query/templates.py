@@ -1,0 +1,148 @@
+"""Search templates — the OpenSearch `_scripts` / `_search/template`
+surface (Mustache rendering of a query body, then execution).
+
+OpenSearch stores search templates as Mustache sources and renders
+them with per-request `params` before running the resulting body.
+This module implements the Mustache subset those templates actually
+use (the public mustache.github.io spec core):
+
+- ``{{var}}`` / ``{{{var}}}`` — interpolation (dotted paths resolve
+  through nested dicts; missing -> empty). No HTML escaping: search
+  templates are JSON, where Mustache escaping is never wanted.
+- ``{{#name}}...{{/name}}`` — sections: list iterates (dict items
+  push a context frame, scalars bind ``{{.}}``), truthy scalar/dict
+  renders once, falsy/missing skips.
+- ``{{^name}}...{{/name}}`` — inverted sections (the OpenSearch
+  "default value" idiom ``{{var}}{{^var}}10{{/var}}``).
+- ``{{!comment}}`` — dropped.
+- ``{{#toJson}}name{{/toJson}}`` — JSON-encode a parameter
+  (OpenSearch's custom lambda for arrays/objects).
+- ``{{#join}}name{{/join}}`` — comma-join an array parameter
+  (OpenSearch's other custom lambda).
+
+Rendering is pure Python (driver-side, microseconds) — templates are
+request plumbing, not data-plane work. `render_body` parses the
+rendered JSON and hands it to query/request.py's dispatcher.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+_TAG = re.compile(r"\{\{([{#^/!&]?)\s*(.*?)\s*\}?\}\}", re.S)
+
+
+def _resolve(name: str, stack: list[Any]):
+    if name == ".":
+        return stack[-1]
+    head, *rest = name.split(".")
+    for frame in reversed(stack):
+        if isinstance(frame, dict) and head in frame:
+            val = frame[head]
+            for part in rest:
+                if isinstance(val, dict) and part in val:
+                    val = val[part]
+                else:
+                    return None
+            return val
+    return None
+
+
+def _parse(src: str) -> list:
+    """-> node list: str | ('var', name) | ('sec'|'inv', name, nodes)."""
+    pos, out, stack = 0, [], []
+    cur = out
+    for m in _TAG.finditer(src):
+        if m.start() > pos:
+            cur.append(src[pos:m.start()])
+        sigil, name = m.group(1), m.group(2)
+        if sigil == "!":
+            pass
+        elif sigil in ("#", "^"):
+            node = ("sec" if sigil == "#" else "inv", name, [])
+            cur.append(node)
+            stack.append(cur)
+            cur = node[2]
+        elif sigil == "/":
+            if not stack:
+                raise ValueError(f"unmatched closing tag {{{{/{name}}}}}")
+            cur = stack.pop()
+            opened = cur[-1][1]
+            if opened != name:
+                raise ValueError(
+                    f"section mismatch: opened {opened!r}, closed {name!r}")
+        else:  # '', '{', '&' — interpolation (always raw in JSON land)
+            cur.append(("var", name))
+        pos = m.end()
+    if stack:
+        raise ValueError("unclosed section")
+    if pos < len(src):
+        cur.append(src[pos:])
+    return out
+
+
+def _text_of(nodes: list) -> str:
+    if len(nodes) == 1 and isinstance(nodes[0], str):
+        return nodes[0].strip()
+    raise ValueError("toJson/join take a single parameter name")
+
+
+def _render(nodes: list, stack: list[Any], out: list[str]) -> None:
+    for node in nodes:
+        if isinstance(node, str):
+            out.append(node)
+            continue
+        kind, name = node[0], node[1]
+        if kind == "var":
+            val = _resolve(name, stack)
+            if val is None:
+                continue
+            if isinstance(val, bool):
+                out.append("true" if val else "false")
+            elif isinstance(val, (dict, list)):
+                out.append(json.dumps(val))
+            else:
+                out.append(str(val))
+        elif kind == "sec":
+            if name == "toJson":
+                out.append(json.dumps(_resolve(_text_of(node[2]), stack)))
+                continue
+            if name == "join":
+                val = _resolve(_text_of(node[2]), stack) or []
+                out.append(",".join(str(x) for x in val))
+                continue
+            val = _resolve(name, stack)
+            if not val:
+                continue
+            if isinstance(val, list):
+                for item in val:
+                    stack.append(item)
+                    _render(node[2], stack, out)
+                    stack.pop()
+            else:
+                stack.append(val if isinstance(val, dict) else val)
+                _render(node[2], stack, out)
+                stack.pop()
+        else:  # inv
+            val = _resolve(name, stack)
+            if not val:
+                _render(node[2], stack, out)
+
+
+def render(source: str, params: dict | None = None) -> str:
+    """Render a Mustache search-template source with `params`."""
+    out: list[str] = []
+    _render(_parse(source), [params or {}], out)
+    return "".join(out)
+
+
+def render_body(source: str, params: dict | None = None) -> dict:
+    """Render, then parse the resulting JSON request body."""
+    text = render(source, params)
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError as e:
+        raise ValueError(
+            f"rendered template is not valid JSON: {e}\n{text}") from e

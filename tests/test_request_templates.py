@@ -1,0 +1,193 @@
+"""Search templates (query/templates.py) and the `_search` request-body
+dispatcher (query/request.py): Mustache rendering units, and dispatch
+parity — every supported body kind must equal the directly-called
+engine function on the same index.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.data.transcripts import generate_pandas
+from data_prepper_spark.index import build as ib
+from data_prepper_spark.query import engine, nested, request, templates
+from data_prepper_spark.query.bm25_df import DOC_ID_STRIDE
+
+
+# ------------------------------------------------------------ mustache
+
+def test_render_variables_and_defaults():
+    src = '{"size": {{size}}{{^size}}10{{/size}}, "q": "{{q}}"}'
+    assert templates.render_body(src, {"q": "err", "size": 3}) == {
+        "size": 3, "q": "err"}
+    assert templates.render_body(src, {"q": "err"}) == {"size": 10, "q": "err"}
+
+
+def test_render_sections_and_lists():
+    src = '[{{#xs}}{"v": "{{.}}"},{{/xs}}{{^xs}}"empty",{{/xs}}null]'
+    assert templates.render_body(src, {"xs": ["a", "b"]}) == [
+        {"v": "a"}, {"v": "b"}, None]
+    assert templates.render_body(src, {}) == ["empty", None]
+
+
+def test_render_dotted_and_nested_context():
+    src = '{{#user}}{{name}} ({{meta.role}}){{/user}}'
+    assert templates.render(
+        src, {"user": {"name": "kim", "meta": {"role": "admin"}}}
+    ) == "kim (admin)"
+
+
+def test_render_tojson_and_join():
+    src = '{"ids": {{#toJson}}ids{{/toJson}}, "csv": "{{#join}}ids{{/join}}"}'
+    assert templates.render_body(src, {"ids": [1, 2, 3]}) == {
+        "ids": [1, 2, 3], "csv": "1,2,3"}
+
+
+def test_render_comment_and_errors():
+    assert templates.render("a{{! drop me }}b", {}) == "ab"
+    with pytest.raises(ValueError):
+        templates.render("{{#a}}unclosed", {})
+    with pytest.raises(ValueError):
+        templates.render("{{#a}}x{{/b}}", {})
+
+
+def test_opensearch_template_shape_end_to_end():
+    """The canonical OpenSearch search-template example renders to a
+    dispatchable body."""
+    src = (
+        '{"size": "{{size}}{{^size}}10{{/size}}",'
+        ' "query": {"match": {"text": "{{query_text}}"}}}'
+    )
+    body = templates.render_body(src, {"query_text": "error handling"})
+    assert body["query"]["match"]["text"] == "error handling"
+
+
+# ------------------------------------------------------------ dispatch
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("req_idx"))
+    pdf = generate_pandas(0, 200)
+    ib.build_index(spark, spark.createDataFrame(pdf), d, n_shards=4)
+    pdf = pdf.copy()
+    pdf["doc_id"] = (
+        pdf.conv_id.str.slice(5).astype(int) * DOC_ID_STRIDE + pdf.turn_idx
+    )
+    docs = spark.createDataFrame(pdf)
+    return d, docs, pdf
+
+
+def _pd(df):
+    return df.toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
+def test_match_parity(spark, corpus):
+    d, docs, _ = corpus
+    got = _pd(request.search(
+        spark, d, {"size": 5, "query": {"match": {"text": "error handling"}}}
+    ))
+    q = spark.createDataFrame(
+        [("q0", "error handling", 5)],
+        "query_id string, query_text string, k int")
+    want = _pd(engine.score_topk(spark, d, q))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_match_phrase_slop_parity(spark, corpus):
+    d, docs, _ = corpus
+    got = _pd(request.search(
+        spark, d,
+        {"query": {"match_phrase": {"text": {"query": "error handling",
+                                             "slop": 1}}}}
+    ))
+    q = spark.createDataFrame(
+        [("q0", "error handling", 10, 1)],
+        "query_id string, query_text string, k int, slop int")
+    want = _pd(engine.phrase_topk(spark, d, q))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bool_and_filtered_parity(spark, corpus):
+    d, docs, _ = corpus
+    body = {"size": 5, "query": {"bool": {
+        "must": [{"match": {"text": "error"}}],
+        "should": [{"match": {"text": "handling timeout"}}],
+        "must_not": [{"term": {"text": "deploy"}}],
+    }}}
+    got = _pd(request.search(spark, d, body))
+    q = spark.createDataFrame(
+        [("q0", "error", "handling timeout", "deploy", None, 5)],
+        "query_id string, must string, should string, must_not string, "
+        "minimum_should_match string, k int")
+    want = _pd(engine.bool_topk(spark, d, q))
+    pd.testing.assert_frame_equal(got, want)
+
+    fbody = {"size": 5, "query": {"bool": {
+        "must": [{"match": {"text": "error handling"}}],
+        "filter": [{"term": {"role": "user"}},
+                   {"range": {"turn_idx": {"gte": 1}}}],
+    }}}
+    fgot = _pd(request.search(spark, d, fbody, docs=docs))
+    fq = spark.createDataFrame(
+        [("q0", "error handling", 5)],
+        "query_id string, query_text string, k int")
+    fwant = _pd(engine.filtered_topk(
+        spark, d, fq, docs, "role = 'user' AND (turn_idx >= 1)"))
+    pd.testing.assert_frame_equal(fgot, fwant)
+
+
+def test_msearch_batches_and_ids(spark, corpus):
+    d, docs, pdf = corpus
+    some_ids = [int(x) for x in pdf.doc_id.iloc[[3, 7]].tolist()]
+    bodies = [
+        {"size": 3, "query": {"match": {"text": "error"}}},
+        {"size": 3, "query": {"match": {"text": "timeout"}}},
+        {"query": {"ids": {"values": some_ids}}},
+    ]
+    got = request.msearch(spark, d, bodies, docs=docs).toPandas()
+    assert set(got.query_id) >= {"q0", "q1", "q2"}
+    ids_rows = got[got.query_id == "q2"].sort_values("rank")
+    assert ids_rows.doc_id.tolist() == sorted(some_ids)
+    assert (ids_rows.score == 1.0).all()
+
+
+def test_nested_dispatch_parity(spark, corpus):
+    d, docs, _ = corpus
+    body = {"size": 5, "query": {"nested": {
+        "path": "turns",
+        "score_mode": "sum",
+        "query": {"bool": {"must": [
+            {"match": {"turns.text": "error handling"}},
+            {"term": {"turns.role": "user"}},
+        ]}},
+    }}}
+    got = _pd(request.search(spark, d, body, docs=docs))
+    q = spark.createDataFrame(
+        [("q0", "error handling", 5)],
+        "query_id string, query_text string, k int")
+    want = nested.nested_topk(
+        spark, d, q, turns=docs, inner_filter="role = 'user'",
+        score_mode="sum",
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.doc_id.tolist() == want.conv.tolist()
+    assert (got.score - want.score).abs().max() < 1e-12
+
+
+def test_template_to_execution(spark, corpus):
+    d, docs, _ = corpus
+    src = ('{"size": {{size}}{{^size}}10{{/size}},'
+           ' "query": {"match": {"text": "{{q}}"}}}')
+    body = templates.render_body(src, {"q": "error handling", "size": 4})
+    got = request.search(spark, d, body).toPandas()
+    assert len(got) > 0 and got["rank"].max() <= 4
+
+
+def test_unsupported_raises(spark, corpus):
+    d, docs, _ = corpus
+    with pytest.raises(ValueError):
+        request.search(spark, d, {"query": {"fuzzy_like_this": {}}})
+    with pytest.raises(ValueError):
+        request.search(spark, d, {"query": {"bool": {
+            "filter": [{"term": {"role": "user"}}]}}})  # docs missing
