@@ -75,17 +75,28 @@ def dedup_lines(
     id_col: str = "doc_id",
     min_words: int = 4,
     mode: str = "keep_first",
+    scope: str = "corpus",
 ) -> DataFrame:
     """-> input columns with `text_col` rewritten + n_lines_removed.
-    See module doc for semantics and the shuffle story."""
+    See module doc for semantics and the shuffle story.
+
+    scope="doc" restricts duplicate detection to WITHIN each document
+    (C4 also drops in-doc repeats); the hash groupBy then keys on
+    (doc_id, hash) — with a doc_id-bucketed corpus it needs no
+    exchange at all."""
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}")
+    if scope not in ("corpus", "doc"):
+        raise ValueError("scope must be 'corpus' or 'doc'")
     lines = docs.select(
         F.col(id_col), _lines(text_col).alias("line_no", "line")
     )
+    key = (
+        _norm_hash() if scope == "corpus"
+        else F.concat_ws("#", F.col(id_col).cast("string"), _norm_hash())
+    )
     hashed = lines.withColumn(
-        "_h",
-        F.when(_participates(min_words), _norm_hash()),
+        "_h", F.when(_participates(min_words), key)
     )
     part = hashed.filter(F.col("_h").isNotNull())
     # removal list: only (id, line_no) pairs ever shuffle

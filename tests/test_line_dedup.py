@@ -107,3 +107,18 @@ def test_duplicate_line_stats(spark, docs):
     assert by_sample["alpha beta gamma delta"] == (3, 3)
     assert by_sample[re.sub(r"\s+", " ", BOILER.lower()).strip()][0] == 3
     assert by_sample[re.sub(r"\s+", " ", LICENSE.lower()).strip()] == (2, 2)
+
+
+def test_scope_doc_only_dedups_within_documents(spark):
+    """scope='doc': a line repeated INSIDE one doc dedups; the same
+    line appearing once in two different docs survives in both."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta\nmiddle body line here\n"
+             "alpha beta gamma delta"),
+         (1, "alpha beta gamma delta\nunrelated body line")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_lines_removed)
+           for r in L.dedup_lines(df, scope="doc").collect()}
+    assert got[0] == ("alpha beta gamma delta\nmiddle body line here", 1)
+    assert got[1] == ("alpha beta gamma delta\nunrelated body line", 0)
