@@ -832,8 +832,10 @@ def cmd_search(args) -> int:
         body = json.loads(args.body)
     spark = _get_spark(args)
     docs = spark.read.parquet(args.docs) if args.docs else None
-    res = req.search(spark, args.index, body, docs=docs)
-    for r in res.orderBy("rank").collect():
+    res = req.search(spark, args.index, body, docs=docs,
+                     knn_graphs=args.knn_graphs)
+    order = "rank" if "rank" in res.columns else res.columns[:2]
+    for r in res.orderBy(order).collect():
         print(json.dumps(r.asDict()))
     return 0
 
@@ -1545,7 +1547,11 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--params", default=None,
                     help="template params JSON (with --template)")
     sr.add_argument("--docs", default=None,
-                    help="corpus parquet (filter-context / ids / nested)")
+                    help="corpus parquet (filter-context / ids / nested / "
+                    "knn vectors)")
+    sr.add_argument("--knn-graphs", default=None,
+                    help="hnsw blob table: serve knn bodies from the "
+                    "graph index instead of exact scoring")
     sr.add_argument("--local-cores", type=int, default=None)
     sr.set_defaults(fn=cmd_search)
 

@@ -113,11 +113,41 @@ def search(
     body: dict | str,
     docs: DataFrame | None = None,
     query_id: str = "q0",
+    knn_graphs: str | None = None,
 ) -> DataFrame:
     """Execute one `_search` request body. `docs` = the corpus frame
-    (required by filter-context / ids / nested-inner-filter paths)."""
-    return msearch(spark, index_dir, [body], docs=docs,
-                   query_ids=[query_id])
+    (required by filter-context / ids / nested-inner-filter / knn
+    paths); `knn_graphs` = an hnsw_build blob-table path to serve
+    `knn` bodies from the graph index instead of exact scoring.
+
+    Bodies with an `aggs` block return the aggregation tree's long
+    rows (query_id, path, keys, metric, value — query/agg_tree.py)
+    instead of hits; the body's match/term query selects the match
+    set."""
+    body_d = json.loads(body) if isinstance(body, str) else body
+    if "aggs" in body_d or "aggregations" in body_d:
+        return _run_aggs(spark, index_dir, body_d, docs, query_id)
+    return msearch(spark, index_dir, [body_d], docs=docs,
+                   query_ids=[query_id], knn_graphs=knn_graphs)
+
+
+def _run_aggs(spark, index_dir, body, docs, query_id) -> DataFrame:
+    from data_prepper_spark.query.agg_tree import agg_tree
+
+    if docs is None:
+        raise ValueError("aggs bodies require docs=")
+    tree = body.get("aggs", body.get("aggregations"))
+    q = body.get("query")
+    if not q:
+        raise ValueError("aggs bodies need a match/term query "
+                         "(match-all is not supported)")
+    ((kind, qb),) = q.items()
+    if kind not in ("match", "term"):
+        raise ValueError("aggs bodies support match/term queries")
+    queries = spark.createDataFrame(
+        [(query_id, _clause_text({kind: qb}))],
+        "query_id string, query_text string")
+    return agg_tree(spark, index_dir, queries, docs, tree)
 
 
 def msearch(
@@ -126,6 +156,7 @@ def msearch(
     bodies: list[dict | str],
     docs: DataFrame | None = None,
     query_ids: list[str] | None = None,
+    knn_graphs: str | None = None,
 ) -> DataFrame:
     """Execute a batch of request bodies; same-family bodies run as ONE
     batched job. -> (query_id, rank, doc_id, score) unioned."""
@@ -141,11 +172,66 @@ def msearch(
 
     outs: list[DataFrame] = []
     for kind, members in fam.items():
-        outs.append(_run_family(spark, index_dir, kind, members, docs))
+        if kind == "knn":
+            outs.append(_run_knn(spark, members, docs, knn_graphs))
+        else:
+            outs.append(_run_family(spark, index_dir, kind, members, docs))
     res = outs[0]
     for df in outs[1:]:
         res = res.unionByName(df, allowMissingColumns=True)
     return res.select("query_id", "rank", "doc_id", "score")
+
+
+def _run_knn(spark, members, docs, knn_graphs) -> DataFrame:
+    """`knn` query bodies (the OpenSearch k-NN plugin shape:
+    {"knn": {<field>: {"vector": [...], "k": n, "filter": {...}}}}).
+    All bodies sharing a field and filter batch into ONE query frame.
+    Serving: the HNSW graph index when `knn_graphs` is given (filters
+    ride the graph path's efficient filtering), else exact brute-force
+    cosine over `docs` (the labeled exact baseline)."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.dedup import embedding as emb
+    from data_prepper_spark.dedup import hnsw as hnsw_mod
+
+    groups: dict[tuple, list] = {}
+    for qid, r in members:
+        ((field, spec),) = r.body.items()
+        filt = spec.get("filter")
+        pred = _filter_expr(filt) if filt else None
+        k = int(spec.get("k", r.k))
+        groups.setdefault((field, pred, k), []).append(
+            (qid, [float(x) for x in spec["vector"]]))
+    if docs is None:
+        raise ValueError("knn queries require docs= (the vectors frame)")
+    outs = []
+    for (field, pred, k), rows in groups.items():
+        # brute_force_topk/hnsw_topk use vec_col for BOTH frames, so the
+        # query frame's vector column carries the body's field name
+        q = spark.createDataFrame(
+            rows, f"query_id string, `{field}` array<float>")
+        if knn_graphs is not None:
+            got = hnsw_mod.hnsw_topk(
+                spark, knn_graphs, q, k=k, vec_col=field,
+                filter=pred, vectors=docs if pred else None,
+                id_col="doc_id",
+            )
+        else:
+            got = emb.brute_force_topk(
+                docs, q, k=k, vec_col=field, filter=pred,
+                id_col="doc_id", qid_col="query_id",
+            ).withColumnRenamed("doc_id", "vec_id")
+        outs.append(
+            got.select(
+                "query_id", "rank",
+                F.col("vec_id").alias("doc_id"),
+                F.col("cosine").alias("score"),
+            )
+        )
+    res = outs[0]
+    for df in outs[1:]:
+        res = res.unionByName(df)
+    return res
 
 
 def _run_family(spark, index_dir, kind, members, docs) -> DataFrame:

@@ -122,7 +122,7 @@ def _render(nodes: list, stack: list[Any], out: list[str]) -> None:
                     _render(node[2], stack, out)
                     stack.pop()
             else:
-                stack.append(val if isinstance(val, dict) else val)
+                stack.append(val)  # dict pushes a frame; scalar binds {{.}}
                 _render(node[2], stack, out)
                 stack.pop()
         else:  # inv

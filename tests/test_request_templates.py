@@ -191,3 +191,56 @@ def test_unsupported_raises(spark, corpus):
     with pytest.raises(ValueError):
         request.search(spark, d, {"query": {"bool": {
             "filter": [{"term": {"role": "user"}}]}}})  # docs missing
+
+
+def test_knn_dispatch_exact_and_graph(spark, corpus, tmp_path):
+    """knn body parity: brute-force serving vs dedup.embedding directly,
+    and graph serving (knn_graphs=) stays within the recall contract."""
+    import numpy as np
+
+    from data_prepper_spark.dedup import embedding as emb
+    from data_prepper_spark.dedup.hnsw import hnsw_build
+
+    d, docs, pdf = corpus
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(400, 8).astype("float32")
+    vdf = spark.createDataFrame(
+        [(i, vecs[i].tolist(), int(i % 3)) for i in range(400)],
+        "doc_id long, embedding array<float>, cat int",
+    )
+    body = {"query": {"knn": {"embedding": {
+        "vector": vecs[11].tolist(), "k": 5,
+        "filter": {"term": {"cat": 2}}}}}}
+    got = request.search(spark, d, body, docs=vdf).toPandas() \
+        .sort_values("rank").reset_index(drop=True)
+    q = spark.createDataFrame(
+        [("q0", vecs[11].tolist())], "query_id string, embedding array<float>")
+    want = emb.brute_force_topk(
+        vdf, q, k=5, filter="cat = 2", id_col="doc_id",
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+    id_col = "vec_id" if "vec_id" in want.columns else "doc_id"
+    assert got.doc_id.tolist() == want[id_col].tolist()
+    # graph serving: same body via an HNSW blob table; selective filter
+    # takes the exact per-shard path -> identical result set
+    gp = str(tmp_path / "graphs")
+    hnsw_build(vdf, gp, n_shards=2, id_col="doc_id")
+    ggot = request.search(
+        spark, d, body, docs=vdf, knn_graphs=gp,
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+    assert ggot.doc_id.tolist() == got.doc_id.tolist()
+
+
+def test_aggs_body_returns_tree_rows(spark, corpus):
+    d, docs, _ = corpus
+    body = {
+        "query": {"match": {"text": "error handling"}},
+        "aggs": {"by_role": {"terms": {"field": "role", "size": 3},
+                 "aggs": {"len": {"avg": {"field": "turn_idx"}}}}},
+    }
+    got = request.search(spark, d, body, docs=docs).toPandas()
+    assert set(got.columns) == {"query_id", "path", "keys", "metric", "value"}
+    assert (got.path == "by_role").any()
+    assert (got.path == "by_role>len").any()
+    with pytest.raises(ValueError):
+        request.search(spark, d, {"aggs": {"a": {"terms": {"field": "role"}}}},
+                       docs=docs)
