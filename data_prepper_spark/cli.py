@@ -708,6 +708,39 @@ def cmd_dedup_lines(args) -> int:
     return 0
 
 
+def cmd_url_filter(args) -> int:
+    """URL/domain gate: write the kept corpus (or --report verdicts)."""
+    from data_prepper_spark.text import urlfilter as uf
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.docs)
+    domains = None
+    if args.domains:
+        if args.domains.endswith(".parquet") or os.path.isdir(args.domains):
+            domains = spark.read.parquet(args.domains)
+        else:
+            with open(args.domains) as f:
+                domains = [ln.strip() for ln in f if ln.strip()]
+    fragments = (
+        [x for x in args.fragments.split(",") if x]
+        if args.fragments else None
+    )
+    if args.report:
+        for r in uf.url_filter_report(
+            docs, domains, fragments, args.url_col, args.id_col,
+        ).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    if not args.out:
+        raise SystemExit("url-filter: --out required unless --report")
+    kept = uf.url_filter(docs, domains, fragments, args.url_col, args.id_col)
+    kept.write.mode(args.mode).parquet(args.out)
+    n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
+    print(json.dumps({"docs_in": n_in, "docs_kept": n_out,
+                      "dropped": n_in - n_out, "out": args.out}))
+    return 0
+
+
 def cmd_knn_build(args) -> int:
     """Build the distributed HNSW graph index (dedup/hnsw.py): one
     graph per shard, persisted as a parquet blob table."""
@@ -1407,6 +1440,26 @@ def main(argv: list[str] | None = None) -> int:
     dls.add_argument("--mode", default="error", help="parquet write mode")
     dls.add_argument("--local-cores", type=int, default=None)
     dls.set_defaults(fn=cmd_dedup_lines)
+
+    ufp = sub.add_parser(
+        "url-filter", help="URL/domain gate (RefinedWeb/C4 first stage): "
+        "drop docs whose url hits a domain blocklist (subdomains "
+        "included) or contains a blocked fragment")
+    ufp.add_argument("--docs", required=True, help="input parquet")
+    ufp.add_argument("--out", default=None,
+                     help="output parquet (omit with --report)")
+    ufp.add_argument("--url-col", default="url")
+    ufp.add_argument("--id-col", default="doc_id")
+    ufp.add_argument("--domains", default=None,
+                     help="blocked-domains file (one per line) or parquet "
+                     "with a `domain` column")
+    ufp.add_argument("--fragments", default=None,
+                     help="comma-separated blocked URL fragments")
+    ufp.add_argument("--report", action="store_true",
+                     help="print per-doc verdicts instead of writing")
+    ufp.add_argument("--mode", default="error", help="parquet write mode")
+    ufp.add_argument("--local-cores", type=int, default=None)
+    ufp.set_defaults(fn=cmd_url_filter)
 
     kb = sub.add_parser(
         "knn-build", help="build the distributed HNSW ANN index "

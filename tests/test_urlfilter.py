@@ -1,0 +1,66 @@
+"""URL/domain gate (text/urlfilter.py) vs hand-computed expectations:
+subdomain suffix blocking, fragment substring matching, keep-frame
+composition, and the no-blocklist identity."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_prepper_spark.text import urlfilter as uf
+
+ROWS = [
+    (0, "https://good.example.org/page", "ok"),
+    (1, "http://spam.bad-site.com/x?y=1", "sub of blocked domain"),
+    (2, "https://bad-site.com/", "blocked apex"),
+    (3, "https://notbad-site.com/a", "similar but different domain"),
+    (4, "https://shop.example.net/FREE-CASINO-bonus", "fragment hit"),
+    (5, "https://example.net/casino", "fragment hit lowercase"),
+    (6, "https://clean.example.net/history", "no hit"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, url string, note string")
+
+
+def test_report_verdicts(spark, docs):
+    got = {
+        r.doc_id: (r.blocked_domain, r.blocked_fragment, r.keep)
+        for r in uf.url_filter_report(
+            docs,
+            blocked_domains=["bad-site.com"],
+            blocked_fragments=["casino"],
+        ).collect()
+    }
+    assert got[0] == (False, False, True)
+    assert got[1] == (True, False, False)   # subdomain of blocked
+    assert got[2] == (True, False, False)   # apex
+    assert got[3] == (False, False, True)   # notbad-site.com != suffix
+    assert got[4] == (False, True, False)   # case-insensitive fragment
+    assert got[5] == (False, True, False)
+    assert got[6] == (False, False, True)
+
+
+def test_gate_keeps_all_columns(spark, docs):
+    kept = uf.url_filter(
+        docs, blocked_domains=["bad-site.com"],
+        blocked_fragments=["casino"],
+    )
+    assert set(kept.columns) == {"doc_id", "url", "note"}
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 3, 6]
+
+
+def test_domains_as_dataframe_and_fragment_regex_quoting(spark, docs):
+    dom = spark.createDataFrame([("BAD-SITE.COM",)], "domain string")
+    kept = uf.url_filter(docs, blocked_domains=dom,
+                         blocked_fragments=["y=1"])  # '=' must quote
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 1 not in ids and 2 not in ids
+    assert 0 in ids and 4 in ids  # fragment list had no 'casino' here
+
+
+def test_no_blocklists_is_identity(spark, docs):
+    assert uf.url_filter(docs).count() == len(ROWS)
+    rep = uf.url_filter_report(docs).collect()
+    assert all(r.keep for r in rep)
