@@ -1,0 +1,133 @@
+"""Training-data mixture construction: weights + token budget ->
+per-domain epoch factors -> deterministic materialization.
+
+The public recipe (The Pile, Gao et al. 2021 §1; LLaMA, Touvron et al.
+2023 table 1; DoReMi, Xie et al. 2023 uses learned weights but the
+same materializer): a training corpus is specified as domain WEIGHTS
+over a TOKEN budget, and domains smaller than their share are
+up-sampled (multiple epochs) while larger ones are down-sampled
+(fractional epoch). This module solves the mixture (driver-side —
+domains number in the tens) and materializes it as a DataFrame op.
+
+Determinism contract (matches text/corpus.py): no RNG anywhere — a
+doc participates in epoch e iff ``substr(md5(id || ':' || e), 1, 6)``
+clears the fractional threshold, so re-running a corpus build yields
+byte-identical shards, and the whole materialization is reproducible
+in ANSI SQL (DuckDB oracle in tests/test_mix.py).
+
+Plan shape at 100 TB: `domain_token_counts` is one map-side-combined
+agg over (domain, token) pairs; `materialize_mixture` is a broadcast
+map join (domain -> epochs, tens of rows) + a narrow
+explode(sequence(...)) — integer epochs replicate rows map-side with
+ZERO shuffle, the fractional epoch is a scan-stage filter. Output size
+is budget-bound by construction.
+
+Water-filling: when a domain hits `max_epochs` (repetition hurts past
+~4 epochs — Muennighoff et al. 2023), its unmet share re-distributes
+over the unclamped domains proportionally to their weights, iterating
+until stable — the budget is spent unless EVERY domain is clamped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_prepper_spark.text.corpus import _rate_threshold
+
+__all__ = ["domain_token_counts", "plan_mixture", "materialize_mixture"]
+
+
+def domain_token_counts(
+    df: DataFrame, domain_col: str, token_col: str
+) -> dict[str, int]:
+    """{domain: total tokens} — one partial-agg job."""
+    rows = df.groupBy(domain_col).agg(F.sum(token_col).alias("t")).collect()
+    return {r[0]: int(r[1]) for r in rows}
+
+
+def plan_mixture(
+    domain_tokens: dict[str, int],
+    weights: dict[str, float],
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+) -> dict[str, float]:
+    """Solve {domain: epochs} so that sum(tokens_d * epochs_d) ==
+    budget and tokens are split across domains by `weights`, subject
+    to epochs <= max_epochs (water-filling re-distribution when a
+    small domain clamps). Domains absent from `weights` get 0.
+    Pure driver arithmetic, deterministic."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    active = {
+        d: w for d, w in weights.items()
+        if w > 0 and domain_tokens.get(d, 0) > 0
+    }
+    epochs: dict[str, float] = {d: 0.0 for d in domain_tokens}
+    remaining = float(budget_tokens)
+    while active and remaining > 1e-9:
+        wsum = sum(active.values())
+        clamped = []
+        spent = 0.0
+        for d, w in active.items():
+            share = remaining * w / wsum
+            e = share / domain_tokens[d]
+            if epochs[d] + e >= max_epochs:
+                spent += (max_epochs - epochs[d]) * domain_tokens[d]
+                epochs[d] = max_epochs
+                clamped.append(d)
+            else:
+                epochs[d] += e
+                spent += share
+        if not clamped:
+            break  # everything fit — budget fully assigned
+        for d in clamped:
+            del active[d]
+        remaining -= spent
+    return epochs
+
+
+def materialize_mixture(
+    df: DataFrame,
+    epochs: dict[str, float],
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All input columns + `epoch` (1-based int): each doc of domain d
+    appears floor(epochs[d]) times, plus one more with probability
+    frac(epochs[d]) decided by a per-doc hash (salted apart from
+    stratified_sample's digest so composing the two stays unbiased).
+    Docs of domains with epochs==0 (or unknown domains) are dropped.
+
+    The epoch map rides the query plan as a literal CASE (tens of
+    domains), so the whole op is scan-stage: no join, no shuffle."""
+    known = {d: float(e) for d, e in epochs.items() if e > 0}
+    if not known:
+        return df.withColumn("epoch", F.lit(1)).limit(0)
+
+    whole = F.create_map(
+        *[x for d, e in known.items() for x in (F.lit(d), F.lit(int(e)))]
+    )[F.col(domain_col)]
+    frac_thr = F.create_map(
+        *[
+            x
+            for d, e in known.items()
+            for x in (F.lit(d), F.lit(_rate_threshold(e - int(e))))
+        ]
+    )[F.col(domain_col)]
+
+    take_extra = (
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit("x"))),
+            1,
+            6,
+        )
+        < frac_thr
+    )
+    n_epochs = F.coalesce(whole, F.lit(0)) + F.when(take_extra, 1).otherwise(0)
+    return (
+        df.withColumn("_n", n_epochs)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
+    )

@@ -1,0 +1,90 @@
+"""Partitioned-Bloom incremental dedup (dedup/bloom.py): no false
+negatives ever (a structural Bloom property), exactness of
+dedup_incremental vs a plain anti-join oracle, empty-slice
+short-circuit, FPR sanity, and artifact round-trip through parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.dedup import bloom as bl
+from data_prepper_spark.dedup.dedup import normalize_text
+
+CORPUS = [(i, f"corpus document number {i} about topic {i % 7}") for i in range(300)]
+# 100 exact dups of corpus texts (different ids), 200 genuinely new
+NEW = [(1000 + i, f"corpus document number {i} about topic {i % 7}") for i in range(100)] + [
+    (2000 + i, f"fresh snapshot document {i} never seen before") for i in range(200)
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    new = spark.createDataFrame(NEW, "doc_id long, text string")
+    blm = bl.build_bloom(corpus, "text", fpr=0.01, n_partitions=8)
+    return corpus, new, blm.cache()
+
+
+def test_no_false_negatives(spark, frames):
+    corpus, new, blm = frames
+    verdict = {r.doc_id: r.maybe_dup for r in bl.probe_bloom(new, blm, "text").collect()}
+    assert len(verdict) == len(NEW)
+    for i in range(100):  # every true dup MUST be flagged
+        assert verdict[1000 + i] is True
+
+
+def test_fpr_sane(spark, frames):
+    _, new, blm = frames
+    verdict = bl.probe_bloom(new, blm, "text").collect()
+    false_pos = sum(1 for r in verdict if r.doc_id >= 2000 and r.maybe_dup)
+    assert false_pos <= 20  # 10% loose bound at nominal 1% FPR
+
+
+def test_incremental_exact_vs_antijoin(spark, frames):
+    corpus, new, blm = frames
+    got = bl.dedup_incremental(new, blm, corpus, "text")
+    oracle = (
+        new.withColumn("_d", F.md5(normalize_text("text")))
+        .join(
+            corpus.select(F.md5(normalize_text("text")).alias("_d")).distinct(),
+            "_d",
+            "left_anti",
+        )
+        .drop("_d")
+    )
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in oracle.collect()
+    )
+    assert set(got.columns) == {"doc_id", "text"}
+
+
+def test_empty_slice_short_circuit(spark):
+    """A bloom built from a tiny corpus leaves hash slices empty; docs
+    landing there must come back definitively new, not error."""
+    corpus = spark.createDataFrame([(0, "only one doc")], "doc_id long, text string")
+    blm = bl.build_bloom(corpus, "text", n_partitions=16)
+    new = spark.createDataFrame(
+        [(i, f"probe {i}") for i in range(50)], "doc_id long, text string"
+    )
+    out = bl.probe_bloom(new, blm, "text", n_partitions=16)
+    assert out.count() == 50
+    assert out.filter("maybe_dup").count() <= 2  # FPs only, near zero
+
+
+def test_params_monotone():
+    b1, _ = bl.bloom_params(1000, 0.01, 4)
+    b2, _ = bl.bloom_params(1000, 0.001, 4)
+    assert b2 > b1  # lower FPR costs more bits
+    bits, k = bl.bloom_params(10**6, 0.01, 64)
+    assert bits % 8 == 0 and k >= 1
+
+
+def test_artifact_roundtrip(spark, frames, tmp_path):
+    corpus, new, blm = frames
+    path = str(tmp_path / "bloom")
+    blm.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = {r.doc_id: r.maybe_dup for r in bl.probe_bloom(new, blm, "text").collect()}
+    b = {r.doc_id: r.maybe_dup for r in bl.probe_bloom(new, reloaded, "text").collect()}
+    assert a == b

@@ -1,0 +1,105 @@
+"""Mixture planner + materializer (text/mix.py): water-filling math
+(pure python), budget accounting, and a DuckDB oracle for the
+deterministic materialization (same md5-threshold + generate_series
+semantics in ANSI SQL)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.text import mix
+
+TOKENS = {"web": 1_000_000, "code": 100_000, "books": 50_000}
+
+
+def test_plan_unclamped_hits_budget_and_weights():
+    e = mix.plan_mixture(TOKENS, {"web": 0.5, "code": 0.3, "books": 0.2},
+                         budget_tokens=200_000, max_epochs=10)
+    spent = {d: e[d] * TOKENS[d] for d in TOKENS}
+    assert sum(spent.values()) == pytest.approx(200_000)
+    assert spent["web"] == pytest.approx(100_000)
+    assert spent["code"] == pytest.approx(60_000)
+    assert spent["books"] == pytest.approx(40_000)
+
+
+def test_plan_clamp_redistributes():
+    # books wants 0.5 * 1M = 500k tokens but caps at 4 epochs = 200k;
+    # the unmet 300k re-splits over web/code by weight (0.3 : 0.2)
+    e = mix.plan_mixture(TOKENS, {"web": 0.3, "code": 0.2, "books": 0.5},
+                         budget_tokens=1_000_000, max_epochs=4.0)
+    assert e["books"] == 4.0
+    spent = {d: e[d] * TOKENS[d] for d in TOKENS}
+    assert sum(spent.values()) == pytest.approx(1_000_000)
+    assert spent["web"] / spent["code"] == pytest.approx(0.3 / 0.2)
+
+
+def test_plan_all_clamped_underspends():
+    e = mix.plan_mixture({"a": 10}, {"a": 1.0}, budget_tokens=1_000,
+                         max_epochs=2.0)
+    assert e["a"] == 2.0  # can't spend more than 20 tokens — fine
+
+
+def test_plan_zero_weight_and_unknown_domain():
+    e = mix.plan_mixture(TOKENS, {"web": 1.0, "books": 0.0},
+                         budget_tokens=100_000)
+    assert e["books"] == 0.0 and e["code"] == 0.0
+    assert e["web"] * TOKENS["web"] == pytest.approx(100_000)
+
+
+ROWS = [(i, "web" if i % 3 else "code", f"doc {i}") for i in range(400)]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, domain string, text string")
+
+
+def test_materialize_matches_duckdb_oracle(spark, docs):
+    epochs = {"web": 2.25, "code": 0.4}
+    got = sorted(
+        (r.doc_id, r.epoch)
+        for r in mix.materialize_mixture(docs, epochs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, domain VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?,?,?)", ROWS)
+    # same thresholds the Spark side embeds
+    thr_web = mix._rate_threshold(0.25)
+    thr_code = mix._rate_threshold(0.4)
+    oracle = con.execute(f"""
+        WITH n AS (
+          SELECT doc_id,
+            CASE domain WHEN 'web' THEN 2 WHEN 'code' THEN 0 ELSE 0 END
+            + CASE WHEN substr(md5(doc_id || ':' || 'x'), 1, 6) <
+                CASE domain WHEN 'web' THEN '{thr_web}'
+                            WHEN 'code' THEN '{thr_code}' ELSE '' END
+              THEN 1 ELSE 0 END AS reps
+          FROM docs)
+        SELECT doc_id, epoch FROM n, unnest(generate_series(1, reps)) t(epoch)
+        WHERE reps > 0 ORDER BY doc_id, epoch
+    """).fetchall()
+    assert got == [(a, b) for a, b in oracle]
+    # sanity: every web doc appears at least twice, code docs 0-or-1
+    from collections import Counter
+    c = Counter(d for d, _ in got)
+    assert all(c[i] >= 2 for i in range(400) if i % 3)
+    assert all(c.get(i, 0) <= 1 for i in range(0, 400, 3))
+
+
+def test_materialize_deterministic_and_drops_unknown(spark, docs):
+    a = mix.materialize_mixture(docs, {"web": 1.5}).collect()
+    b = mix.materialize_mixture(docs, {"web": 1.5}).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r.domain == "web" for r in a)  # 'code' dropped
+
+
+def test_end_to_end_budget_roughly_met(spark, docs):
+    docs_t = docs.withColumn("n_tokens", F.lit(10))
+    counts = mix.domain_token_counts(docs_t, "domain", "n_tokens")
+    plan = mix.plan_mixture(counts, {"web": 0.7, "code": 0.3}, 3_000)
+    out = mix.materialize_mixture(docs_t, plan)
+    total = out.count() * 10
+    assert abs(total - 3_000) / 3_000 < 0.2  # hash-sampling noise only
