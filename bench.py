@@ -364,6 +364,29 @@ def run_suite(
         extras["hnsw_n_vec"] = n_hnsw
         timed("knn_hnsw_query", lambda: _hnsw.hnsw_topk(
             spark, hnsw_dir, hq, k=10).count(), reps=2)
+        # PQ ANN (r5): codebook train (bounded 10k sample) + full
+        # encode as the one-time index cost, then ADC top-k over the
+        # m-byte codes for the same 100 queries
+        from data_prepper_spark.dedup import pq as _pq
+
+        pq_state = {}
+
+        def _pq_build():
+            pq_state["books"] = _pq.pq_train(hvecs, m=4, ksub=256)
+            return _pq.pq_encode(hvecs, pq_state["books"]).count()
+
+        timed("pq_build", _pq_build)
+        pq_codes = _pq.pq_encode(hvecs, pq_state["books"]).persist()
+        pq_codes.count()
+        timed("pq_query", lambda: _pq.pq_topk(
+            pq_codes, hq, pq_state["books"], k=10).count(), reps=2)
+        pq_codes.unpersist()
+        # SemDeDup (r5): k-means fit + per-cluster triangular-max over
+        # the same vector corpus (clusters sized ~n/64)
+        from data_prepper_spark.dedup import semdedup as _sd
+
+        timed("semdedup", lambda: _sd.semdedup(
+            hvecs, eps=0.95, n_clusters=64).filter("keep").count())
     finally:
         shutil.rmtree(hnsw_dir, ignore_errors=True)
         hvecs.unpersist()

@@ -787,6 +787,71 @@ def cmd_knn_query(args) -> int:
     return 0
 
 
+def cmd_pq_build(args) -> int:
+    """Train PQ codebooks on a bounded sample and encode the corpus
+    (dedup/pq.py): writes <out>/books and <out>/codes parquet."""
+    from data_prepper_spark.dedup import pq
+
+    spark = _get_spark(args)
+    vecs = spark.read.parquet(args.vectors)
+    books = pq.pq_train(
+        vecs, m=args.m, ksub=args.ksub, sample_size=args.sample,
+        vec_col=args.vec_col,
+    )
+    pq.save_books(spark, books, os.path.join(args.out, "books"))
+    codes = pq.pq_encode(vecs, books, id_col=args.id_col,
+                         vec_col=args.vec_col)
+    codes.write.mode("overwrite").parquet(os.path.join(args.out, "codes"))
+    n = spark.read.parquet(os.path.join(args.out, "codes")).count()
+    print(json.dumps({"out": args.out, "vectors": n, "m": args.m,
+                      "ksub": args.ksub, "bytes_per_vector": args.m}))
+    return 0
+
+
+def cmd_pq_query(args) -> int:
+    """ADC cosine top-k over a pq-build index."""
+    from data_prepper_spark.dedup import pq
+
+    spark = _get_spark(args)
+    books = pq.load_books(spark, os.path.join(args.index, "books"))
+    codes = spark.read.parquet(os.path.join(args.index, "codes"))
+    if args.queries:
+        q = spark.read.parquet(args.queries)
+    else:
+        vec = [float(x) for x in args.vector.split(",")]
+        q = spark.createDataFrame(
+            [("q0", vec)], "query_id string, embedding array<float>"
+        )
+    res = pq.pq_topk(codes, q, books, k=args.k, id_col=args.id_col)
+    for r in res.orderBy("query_id", "rank").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_semdedup(args) -> int:
+    """SemDeDup semantic dedup (dedup/semdedup.py): writes the
+    per-vector decision table (or survivor ids with --survivors)."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.dedup import semdedup as sd
+
+    spark = _get_spark(args)
+    vecs = spark.read.parquet(args.vectors)
+    dec = sd.semdedup(
+        vecs, eps=args.eps, n_clusters=args.clusters,
+        cluster_col=args.cluster_col, rank_by=args.rank_by,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    if args.survivors:
+        dec = dec.filter(F.col("keep")).select(args.id_col)
+    dec.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    kept = out.count() if args.survivors else out.filter("keep").count()
+    print(json.dumps({"out": args.out, "vectors": vecs.count(),
+                      "kept": kept}))
+    return 0
+
+
 def cmd_decontaminate(args) -> int:
     """Benchmark decontamination: write the corpus minus every doc
     sharing >= 1 word n-gram with the benchmark set (GPT-3's 13-gram
@@ -1492,6 +1557,55 @@ def main(argv: list[str] | None = None) -> int:
                     "with --filter)")
     kq.add_argument("--local-cores", type=int, default=None)
     kq.set_defaults(fn=cmd_knn_query)
+
+    pb = sub.add_parser(
+        "pq-build", help="train product-quantization codebooks and "
+        "encode the corpus to m-byte codes (Jegou et al. 2011)")
+    pb.add_argument("--vectors", required=True,
+                    help="parquet with id + embedding columns")
+    pb.add_argument("--out", required=True,
+                    help="index dir (writes books/ and codes/)")
+    pb.add_argument("--m", type=int, default=4,
+                    help="subspaces = bytes per vector")
+    pb.add_argument("--ksub", type=int, default=256)
+    pb.add_argument("--sample", type=int, default=10000,
+                    help="codebook training sample size")
+    pb.add_argument("--id-col", default="vec_id")
+    pb.add_argument("--vec-col", default="embedding")
+    pb.add_argument("--local-cores", type=int, default=None)
+    pb.set_defaults(fn=cmd_pq_build)
+
+    pk = sub.add_parser(
+        "pq-query", help="ADC cosine top-k over a pq-build index")
+    pk.add_argument("--index", required=True, help="pq-build --out dir")
+    pk.add_argument("--queries", default=None,
+                    help="parquet of (query_id, embedding)")
+    pk.add_argument("--vector", default=None,
+                    help="inline query vector: comma-separated floats")
+    pk.add_argument("--k", type=int, default=10)
+    pk.add_argument("--id-col", default="vec_id")
+    pk.add_argument("--local-cores", type=int, default=None)
+    pk.set_defaults(fn=cmd_pq_query)
+
+    sdp = sub.add_parser(
+        "semdedup", help="semantic dedup by embedding clustering "
+        "(SemDeDup, Abbas et al. 2023)")
+    sdp.add_argument("--vectors", required=True)
+    sdp.add_argument("--out", required=True,
+                     help="decision table output parquet")
+    sdp.add_argument("--eps", type=float, default=0.95)
+    sdp.add_argument("--clusters", type=int, default=16)
+    sdp.add_argument("--cluster-col", default=None,
+                     help="precomputed cluster/domain column (skips "
+                     "the k-means fit)")
+    sdp.add_argument("--rank-by", choices=["centroid", "id"],
+                     default="centroid")
+    sdp.add_argument("--survivors", action="store_true",
+                     help="write surviving ids only")
+    sdp.add_argument("--id-col", default="vec_id")
+    sdp.add_argument("--vec-col", default="embedding")
+    sdp.add_argument("--local-cores", type=int, default=None)
+    sdp.set_defaults(fn=cmd_semdedup)
 
     dc = sub.add_parser(
         "decontaminate", help="drop corpus docs sharing any word n-gram "

@@ -1074,17 +1074,40 @@ def q_hybrid_rrf(spark, sf_dir):
 
 
 def q_embedding_dups_exact(spark, sf_dir):
+    """Exact cosine near-dup pairs + SemDeDup decisions in one slot
+    (r5 merge). The per-vector SemDeDup output (dedup/semdedup.py —
+    max cosine to any earlier-ranked same-cluster vector, keep flag)
+    is the id_b-side view of the same pair set the original slot
+    emitted, so pair values stay fully hash-checked, and the id_a-side
+    rides along as (count, max) aggregates."""
+    from data_prepper_spark.dedup.semdedup import semdedup
+
     vecs = _emb(spark, sf_dir)
     a = vecs.alias("a")
     b = vecs.alias("b")
-    out = (
+    pairs = (
         a.join(b, F.col("a.label") == F.col("b.label"))
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("cosine", F.round(emb.cosine(F.col("a.embedding"), F.col("b.embedding")), 6))
-        .filter(F.col("cosine") >= 0.9)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cosine")
     )
-    return out
+    dec = semdedup(vecs, eps=0.9, cluster_col="label", rank_by="id")
+    pstat = (
+        pairs.filter(F.col("cosine") >= 0.9)
+        .groupBy("id_a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups_after"),
+            F.max("cosine").alias("max_dup_cos"),
+        )
+    )
+    return (
+        dec.join(pstat, dec["vec_id"] == pstat["id_a"], "left")
+        .select(
+            "vec_id", "cluster", "max_prior_sim", "keep",
+            F.coalesce(F.col("n_dups_after"), F.lit(0).cast("long")).alias("n_dups_after"),
+            "max_dup_cos",
+        )
+    )
 
 
 def q_text_analysis(spark, sf_dir):
@@ -1123,6 +1146,25 @@ def q_text_analysis(spark, sf_dir):
         "n_analyzed_terms",
         F.expr(f"size(array_distinct({analyzed}))").cast("long"),
     )
+    # CCNet LM quality role (r5 merge): bigram StupidBackoff score +
+    # head/middle/tail perplexity bucket per language (text/lm.py),
+    # joined on doc_id so the slot hash-checks the whole LM path
+    from data_prepper_spark.text import lm as tlm
+
+    raw = _docs(spark, sf_dir)
+    uni, bi, total = tlm.fit_bigram_lm(raw)
+    scored = tlm.lm_score(raw, uni, bi, total)
+    bucketed = tlm.perplexity_buckets(
+        scored, group_col="lang", head=0.3, middle=0.4
+    )
+    df = df.join(
+        bucketed.select(
+            "doc_id",
+            F.round("lm_logprob_per_token", 6).alias("lm_score6"),
+            "ppl_bucket",
+        ),
+        "doc_id",
+    )
     return df.select(
         "doc_id", "lang_pred", "quality",
         F.col("n_tokens").cast("long").alias("n_tokens"), "fingerprint",
@@ -1134,6 +1176,7 @@ def q_text_analysis(spark, sf_dir):
         *[F.col(f"pii.{k}").alias(f"pii_{k}") for k, _, _ in tp.PII_PATTERNS],
         F.length(tp.redact("text")).cast("long").alias("n_redacted_chars"),
         "n_analyzed_tokens", "n_analyzed_terms",
+        "lm_score6", "ppl_bucket",
     )
 
 
@@ -1862,11 +1905,22 @@ ORACLE: dict[str, str | None] = {
     "ngram_jaccard": _jaccard_sql(3, 0.05),
     "hybrid_rrf": None,  # set below (generated: BM25 CTE + cosine + RRF)
     "embedding_dups_exact": """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9""",
+        WITH p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id),
+        pri AS (SELECT id_b AS vec_id, max(cosine) AS mp FROM p GROUP BY 1),
+        dup AS (SELECT id_a, count(*)::BIGINT AS n_dups_after, max(cosine) AS max_dup_cos
+                FROM p WHERE cosine >= 0.9 GROUP BY 1)
+        SELECT e.vec_id, e.label::INTEGER AS cluster,
+               pri.mp AS max_prior_sim,
+               coalesce(pri.mp < 0.9, TRUE) AS keep,
+               coalesce(dup.n_dups_after, 0)::BIGINT AS n_dups_after,
+               dup.max_dup_cos
+        FROM embeddings e
+        LEFT JOIN pri ON pri.vec_id = e.vec_id
+        LEFT JOIN dup ON dup.id_a = e.vec_id""",
     "text_analysis": None,  # set below (needs stopword lists inline)
     "tpch_pricing_summary": """
         SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
@@ -2170,6 +2224,65 @@ def _pii_oracle_splice(sql: str) -> str:
 
 
 ORACLE["text_analysis"] = _pii_oracle_splice(ORACLE["text_analysis"])
+
+
+def _lm_oracle_splice(sql: str) -> str:
+    """Fold the CCNet LM columns into the text_analysis oracle: the
+    bigram StupidBackoff average log-prob (text/lm.py lm_score —
+    unigram/bigram count tables, first-token + pair log-probs,
+    discount 0.4, OOV floor 1/N) and the per-language head/middle/tail
+    percent_rank bucket (perplexity_buckets, head=0.3 middle=0.4,
+    ranked by (round(score,6) DESC, doc_id ASC))."""
+    cte = """lm_ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+lm_uni AS (SELECT term, count(*)::DOUBLE AS c FROM lm_ex GROUP BY 1),
+lm_tot AS (SELECT count(*)::DOUBLE AS n FROM lm_ex),
+lm_pairl AS (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr
+             FROM t WHERE len(toks) > 1),
+lm_pairs AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM lm_pairl),
+lm_big AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM lm_pairs GROUP BY 1, 2),
+lm_first AS (SELECT t.doc_id, len(t.toks)::INTEGER AS nt,
+                    ln(coalesce(u.c, 1) / (SELECT n FROM lm_tot)) AS lp
+             FROM t LEFT JOIN lm_uni u ON u.term = t.toks[1]
+             WHERE len(t.toks) > 0),
+lm_plp AS (SELECT p.doc_id,
+                  CASE WHEN b.c IS NOT NULL THEN ln(b.c / u1.c)
+                       ELSE ln(0.4 * coalesce(u2.c, 1) / (SELECT n FROM lm_tot)) END AS lp
+           FROM lm_pairs p
+           LEFT JOIN lm_big b ON b.w1 = p.w1 AND b.w2 = p.w2
+           LEFT JOIN lm_uni u1 ON u1.term = p.w1
+           LEFT JOIN lm_uni u2 ON u2.term = p.w2),
+lm_scored AS (SELECT f.doc_id,
+                     round((f.lp + coalesce(s.lps, 0)) / f.nt, 6) AS lm_score6
+              FROM lm_first f
+              LEFT JOIN (SELECT doc_id, sum(lp) AS lps FROM lm_plp GROUP BY 1) s
+                ON s.doc_id = f.doc_id),
+lm_ranked AS (SELECT d.doc_id, sc.lm_score6,
+                     percent_rank() OVER (PARTITION BY d.lang
+                       ORDER BY sc.lm_score6 DESC, d.doc_id ASC) AS prr
+              FROM documents d JOIN lm_scored sc ON sc.doc_id = d.doc_id),
+lmb AS (SELECT doc_id, lm_score6,
+               CASE WHEN prr < 0.3 THEN 'head'
+                    WHEN prr < 0.3 + 0.4 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM lm_ranked),
+hits AS ("""
+    sql = sql.replace("hits AS (", cte, 1)
+    sql = sql.replace(
+        "\nFROM m JOIN pii",
+        ",\n       lmb.lm_score6,"
+        " coalesce(lmb.ppl_bucket, 'unscored') AS ppl_bucket"
+        "\nFROM m JOIN pii",
+        1,
+    )
+    return sql.replace(
+        "JOIN gq ON m.doc_id = gq.doc_id",
+        "JOIN gq ON m.doc_id = gq.doc_id\n"
+        "       LEFT JOIN lmb ON m.doc_id = lmb.doc_id",
+        1,
+    )
+
+
+ORACLE["text_analysis"] = _lm_oracle_splice(ORACLE["text_analysis"])
 
 
 # EXACTLY 50 queries: the driver's correctness gate runs the FIRST 50

@@ -161,6 +161,56 @@ def lm_score(
     return docs.join(per_doc, id_col, "left")
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str = "lm_logprob_per_token",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    head: float = 1.0 / 3.0,
+    middle: float = 1.0 / 3.0,
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020 §4.4):
+    rank docs by LM score within each group (CCNet groups by language;
+    pass `group_col` for that) and label the best `head` fraction
+    'head', the next `middle` fraction 'middle', the rest 'tail'.
+    Docs with a null score get 'unscored' and do NOT occupy rank mass.
+
+    Ranking is by (round(score, 6) DESC, id ASC) — the rounding makes
+    the sort key identical across engines (Spark and the DuckDB
+    oracle sum float terms in different orders; 1-ulp noise must not
+    flip a rank at a bucket boundary), the id tiebreak makes
+    percent_rank deterministic under score ties.
+
+    Scale: ONE window over (group, rank-key) — a single shuffle
+    partitioned by group. CCNet's groups are languages (dozens), so
+    per-group windows are large but the window function itself is a
+    streaming rank, no per-group state beyond counters. For a
+    groupless corpus-wide split at 10^12 docs a single-partition
+    window would bottleneck; there, cut on score *quantiles* instead
+    (approx_percentile over one agg) — this operator keeps exact
+    percent_rank semantics because CCNet's contract is exact tertiles
+    per language."""
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    w = Window.partitionBy(*gcols).orderBy(
+        F.desc(F.round(F.col(score_col), 6)), F.asc(id_col)
+    )
+    has = scored.filter(F.col(score_col).isNotNull())
+    no = scored.filter(F.col(score_col).isNull()).withColumn(
+        out_col, F.lit("unscored")
+    )
+    h, m = float(head), float(middle)
+    bucketed = has.withColumn("_pr", F.percent_rank().over(w)).withColumn(
+        out_col,
+        F.when(F.col("_pr") < h, F.lit("head"))
+        .when(F.col("_pr") < h + m, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("_pr")
+    return bucketed.unionByName(no)
+
+
 def lm_quality_filter(
     docs: DataFrame,
     unigrams: DataFrame,

@@ -1,0 +1,99 @@
+"""perplexity_buckets (text/lm.py) — the CCNet head/middle/tail split
+— vs a direct python percent-rank oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.text import lm
+
+
+def _bucket_oracle(rows, head, middle, group=None):
+    """rows: (id, score, grp). Returns {id: bucket} with the same
+    (round(score,6) DESC, id ASC) percent_rank rule."""
+    out = {}
+    groups = {}
+    for i, s, g in rows:
+        key = g if group else None
+        groups.setdefault(key, []).append((i, s))
+    for _, mem in groups.items():
+        scored = [(i, s) for i, s in mem if s is not None]
+        for i, s in mem:
+            if s is None:
+                out[i] = "unscored"
+        scored.sort(key=lambda t: (-round(t[1], 6), t[0]))
+        n = len(scored)
+        for rank, (i, _) in enumerate(scored):
+            pr = 0.0 if n == 1 else rank / (n - 1)
+            if pr < head:
+                out[i] = "head"
+            elif pr < head + middle:
+                out[i] = "middle"
+            else:
+                out[i] = "tail"
+    return out
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rows = [
+        (1, -2.0, "en"), (2, -3.0, "en"), (3, -4.0, "en"),
+        (4, -5.0, "en"), (5, -6.0, "en"), (6, -7.0, "en"),
+        (7, -1.0, "de"), (8, -9.0, "de"), (9, None, "de"),
+        (10, -3.0, "en"),  # tie with id 2 — id tiebreak
+    ]
+    return rows, spark.createDataFrame(
+        rows, "doc_id long, lm_logprob_per_token double, lang string"
+    )
+
+
+def test_grouped_tertiles(spark, scored):
+    rows, df = scored
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in lm.perplexity_buckets(df, group_col="lang").collect()
+    }
+    want = _bucket_oracle(rows, 1 / 3, 1 / 3, group="lang")
+    assert got == want
+    assert got[9] == "unscored"
+
+
+def test_ungrouped_custom_fractions(spark, scored):
+    rows, df = scored
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in lm.perplexity_buckets(df, head=0.3, middle=0.4).collect()
+    }
+    want = _bucket_oracle(rows, 0.3, 0.4)
+    assert got == want
+
+
+def test_head_is_best_scores(spark, scored):
+    _, df = scored
+    out = lm.perplexity_buckets(df, group_col="lang").collect()
+    en = {r["doc_id"]: r["ppl_bucket"] for r in out if r["lang"] == "en"}
+    # en scored: ids by score desc = 1, 2, 10, 3, 4, 5, 6 (7 docs)
+    # pr = k/6: head = pr < 1/3 -> ranks 0,1 -> ids 1, 2
+    assert en[1] == "head" and en[2] == "head"
+    assert en[6] == "tail"
+
+
+def test_end_to_end_with_lm_score(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat again"),
+            (3, "zzq qqz zqz"),          # garbled -> worst score
+            (4, "the dog sat on the mat"),
+            (5, ""),                      # token-less -> unscored
+        ],
+        "doc_id long, text string",
+    )
+    uni, bi, total = lm.fit_bigram_lm(docs)
+    sc = lm.lm_score(docs, uni, bi, total)
+    out = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in lm.perplexity_buckets(sc).collect()
+    }
+    assert out[5] == "unscored"
+    assert out[3] == "tail"  # the garbled doc ranks worst
+    assert "head" in {out[1], out[2], out[4]}

@@ -1,0 +1,144 @@
+"""SemDeDup (dedup/semdedup.py) vs a direct numpy oracle.
+
+The oracle recomputes the paper's rule from scratch: within each
+cluster, rank points, and drop any point whose max cosine to an
+earlier-ranked point reaches eps (max over ALL earlier points — the
+upper-triangular formulation, order-independent)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.dedup.semdedup import semdedup, semdedup_filter
+
+
+def _oracle(ids, vecs, eps, order="id"):
+    V = np.asarray(vecs, dtype=np.float64)
+    n = np.linalg.norm(V, axis=1)
+    n[n == 0] = 1.0
+    Vn = V / n[:, None]
+    ids = np.asarray(ids)
+    if order == "id":
+        o = np.argsort(ids)
+    else:  # centroid
+        c = Vn.mean(axis=0)
+        c = c / (np.linalg.norm(c) or 1.0)
+        sim = Vn @ c
+        o = np.lexsort((ids, -sim))
+    out = {}
+    for pos, j in enumerate(o):
+        if pos == 0:
+            out[ids[j]] = (None, True)
+            continue
+        mp = round(float(max(Vn[o[:pos]] @ Vn[j])), 6)
+        out[ids[j]] = (mp, mp < eps)
+    return out
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # three tight groups + two singletons, two "clusters" by label
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for lab, center in [(0, [1.0, 0, 0, 0]), (0, [0, 1.0, 0, 0]),
+                        (1, [0, 0, 1.0, 0])]:
+        base = np.array(center)
+        for _ in range(6):  # near-dups of each center
+            v = base + rng.normal(0, 0.01, 4)
+            rows.append((vid, [float(x) for x in v], lab))
+            vid += 1
+    rows.append((vid, [0.5, 0.5, 0.5, 0.5], 0)); vid += 1
+    rows.append((vid, [-1.0, 0.2, 0.1, 0.0], 1)); vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_cluster_col_matches_oracle(spark, vecs):
+    got = {
+        r["vec_id"]: (r["max_prior_sim"], r["keep"], r["cluster"])
+        for r in semdedup(
+            vecs, eps=0.95, cluster_col="label", rank_by="id"
+        ).collect()
+    }
+    rows = vecs.collect()
+    for lab in (0, 1):
+        ids = [r["vec_id"] for r in rows if r["label"] == lab]
+        vs = [r["embedding"] for r in rows if r["label"] == lab]
+        want = _oracle(ids, vs, 0.95, order="id")
+        for i in ids:
+            mp, keep = want[i]
+            gmp, gkeep, gcl = got[i]
+            assert gcl == lab
+            assert gkeep == keep, (i, gmp, mp)
+            if mp is None:
+                assert gmp is None
+            else:
+                assert gmp == pytest.approx(mp, abs=2e-6)
+
+
+def test_centroid_rank_keeps_most_central(spark, vecs):
+    got = semdedup(
+        vecs, eps=0.9, cluster_col="label", rank_by="centroid"
+    ).collect()
+    rows = vecs.collect()
+    for lab in (0, 1):
+        ids = [r["vec_id"] for r in rows if r["label"] == lab]
+        vs = [r["embedding"] for r in rows if r["label"] == lab]
+        want = _oracle(ids, vs, 0.9, order="centroid")
+        for r in got:
+            if r["cluster"] != lab:
+                continue
+            assert r["keep"] == want[r["vec_id"]][1]
+
+
+def test_kmeans_path_dedupes_tight_groups(spark, vecs):
+    out = semdedup(vecs, eps=0.95, n_clusters=4, rank_by="centroid")
+    kept = out.filter("keep").count()
+    total = vecs.count()
+    # each 6-point tight group must collapse to ~1 survivor
+    assert kept < total
+    assert kept >= 3  # at least one survivor per tight group
+    # deterministic across reruns (fixed seed, fixed data)
+    again = semdedup(vecs, eps=0.95, n_clusters=4, rank_by="centroid")
+    a = sorted((r["vec_id"], r["keep"]) for r in out.collect())
+    b = sorted((r["vec_id"], r["keep"]) for r in again.collect())
+    assert a == b
+
+
+def test_first_point_per_cluster_has_null_prior(spark, vecs):
+    out = semdedup(vecs, eps=0.5, cluster_col="label", rank_by="id")
+    nulls = out.filter(F.col("max_prior_sim").isNull())
+    assert nulls.count() == 2  # one per label
+    assert all(r["keep"] for r in nulls.collect())
+
+
+def test_filter_returns_survivor_rows(spark, vecs):
+    out = semdedup_filter(
+        vecs, eps=0.95, cluster_col="label", rank_by="id"
+    )
+    dec = semdedup(vecs, eps=0.95, cluster_col="label", rank_by="id")
+    keep_ids = {r["vec_id"] for r in dec.filter("keep").collect()}
+    assert {r["vec_id"] for r in out.collect()} == keep_ids
+    assert out.columns == vecs.columns
+
+
+def test_singleton_cluster(spark):
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0], 5)], "vec_id long, embedding array<double>, label int"
+    )
+    r = semdedup(one, cluster_col="label").collect()
+    assert len(r) == 1 and r[0]["keep"] and r[0]["max_prior_sim"] is None
+
+
+def test_eps_boundary_uses_rounded_value(spark):
+    # two identical vectors: cosine rounds to exactly 1.0
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = {x["vec_id"]: x for x in
+         semdedup(df, eps=1.0, n_clusters=1, rank_by="id").collect()}
+    assert r[1]["keep"] and not r[2]["keep"]
+    assert r[2]["max_prior_sim"] == 1.0
