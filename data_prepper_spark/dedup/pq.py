@@ -46,13 +46,18 @@ def _normalize(V: np.ndarray) -> np.ndarray:
 
 def pq_fit(
     sample: np.ndarray, m: int = 4, ksub: int = 16, iters: int = 10,
-    seed: int = 7,
+    seed: int = 7, normalize: bool = True,
 ) -> np.ndarray:
     """-> codebooks (m, ksub, dsub): per-subspace Lloyd k-means on a
-    normalized training sample. Deterministic: seeded init (distinct
-    rows chosen by a seeded permutation), fixed iteration count,
-    empty clusters re-seeded from the farthest points."""
-    X = _normalize(np.asarray(sample, dtype=np.float64))
+    (by default normalized) training sample. Deterministic: seeded
+    init (distinct rows chosen by a seeded permutation), fixed
+    iteration count, empty clusters re-seeded from the farthest
+    points. `normalize=False` for residual training (ivfpq_topk):
+    residuals are differences of unit vectors and must NOT be
+    re-normalized."""
+    X = np.asarray(sample, dtype=np.float64)
+    if normalize:
+        X = _normalize(X)
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -213,6 +218,155 @@ def pq_topk(
     )
     return (
         part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "adc_score")
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    sample_size: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    seed: int = 7,
+    filter: str | Column | None = None,  # noqa: A002 (API parity)
+) -> DataFrame:
+    """IVFADC — the paper's deployed composition and FAISS's
+    `IVFx,PQy`: a coarse k-means quantizer routes each vector to one
+    of `n_lists` cells, PQ codebooks quantize the RESIDUAL against the
+    cell centroid (residuals have far less energy than raw vectors, so
+    the same code budget carries more precision), and a query probes
+    only its `n_probe` nearest cells, scoring
+    q·x ≈ q·centroid + LUT-gather(residual codes) — the q·centroid
+    term is per (query, cell), the LUT is per query and shared across
+    cells because codebooks are global.
+
+    Scale shape: one MLlib fit + one narrow encode pass (cell id +
+    m bytes per vector); a query touches n_probe/n_lists of the code
+    table (bucket-prunable when the codes are written partitioned by
+    cell) and never reads a float vector. `filter` pre-filters the
+    encoded rows (k-NN efficient-filtering semantics, matching the
+    LSH/IVF/HNSW/brute paths).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    from data_prepper_spark.dedup.embedding import cosine
+
+    spark = vectors.sparkSession
+    nrm = F.sqrt(F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    ))
+    v = vectors.withColumn(
+        "_nv",
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.when(nrm > 0, nrm).otherwise(F.lit(1.0)),
+        ),
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_fv", predictionCol="_list"
+    ).fit(v.withColumn("_fv", array_to_vector("_nv")))
+    assigned = (
+        model.transform(v.withColumn("_fv", array_to_vector("_nv")))
+        .drop("_fv")
+    )
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    # residual codebooks on a deterministic bounded sample
+    srows = (
+        assigned.select("_nv", "_list")
+        .orderBy(F.md5(F.to_json(F.struct("_nv"))))
+        .limit(sample_size)
+        .collect()
+    )
+    res_sample = np.array(
+        [np.asarray(r["_nv"]) - centers[r["_list"]] for r in srows]
+    )
+    books = pq_fit(res_sample, m=m, ksub=ksub, seed=seed, normalize=False)
+
+    if filter is not None:
+        assigned = assigned.filter(
+            F.expr(filter) if isinstance(filter, str) else filter
+        )
+
+    id_field = assigned.schema[id_col].dataType.simpleString()
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_nv"].to_numpy()).astype(np.float64)
+            lists = pdf["_list"].to_numpy()
+            codes = _encode_np(V - centers[lists], books)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "_list": lists,
+                "codes": [c.astype(int).tolist() for c in codes],
+            })
+
+    encoded = assigned.select(id_col, "_nv", "_list").mapInPandas(
+        enc, f"{id_col} {id_field}, _list int, codes array<int>"
+    )
+
+    # probe the n_probe nearest centroids per query (as ivf_topk does)
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "_list int, _center array<double>",
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("_csim"), F.asc("_list"))
+    qn = queries.select(qid_col, F.col(vec_col).alias("_qv"))
+    probes = (
+        qn.crossJoin(F.broadcast(centers_df))
+        .withColumn(
+            "_csim", cosine(F.col("_qv").cast("array<double>"), F.col("_center"))
+        )
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select(qid_col, "_list")
+    )
+
+    qrows = qn.collect()
+    Q = _normalize(np.array([r["_qv"] for r in qrows], dtype=np.float64))
+    qindex = {r[qid_col]: i for i, r in enumerate(qrows)}
+    mm, kk, dsub = books.shape
+    luts = np.stack([
+        np.stack([books[j] @ q[j * dsub:(j + 1) * dsub] for j in range(mm)])
+        for q in Q
+    ])
+    qcent = Q @ centers.T  # (nq, n_lists): the q·centroid base term
+    offs = (np.arange(mm) * kk)[None, :]
+
+    @F.pandas_udf("double")
+    def adc(codes_s: pd.Series, qid_s: pd.Series, list_s: pd.Series) -> pd.Series:
+        if not len(codes_s):
+            return pd.Series([], dtype="float64")
+        codes = np.stack(codes_s.to_numpy()).astype(np.int64) + offs
+        lists = list_s.to_numpy().astype(np.int64)
+        out = np.empty(len(codes))
+        qi = qid_s.map(qindex).to_numpy().astype(np.int64)
+        for u in np.unique(qi):
+            msk = qi == u
+            out[msk] = luts[u].ravel()[codes[msk]].sum(1) + qcent[u, lists[msk]]
+        return pd.Series(np.round(out, 6))
+
+    scored = encoded.join(F.broadcast(probes), "_list").withColumn(
+        "adc_score", adc("codes", qid_col, "_list")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("adc_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, "adc_score")
     )

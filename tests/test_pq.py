@@ -113,6 +113,77 @@ def test_dim_not_divisible_raises():
         pq_fit(np.zeros((10, 7)), m=4)
 
 
+def test_ivfpq_recall_and_filter(spark, corpus):
+    from data_prepper_spark.dedup.pq import ivfpq_topk
+
+    rows, df = corpus
+    queries = spark.createDataFrame(
+        [(f"q{i}", rows[i * 37][1]) for i in range(8)],
+        "query_id string, embedding array<double>",
+    )
+    got = ivfpq_topk(
+        df, queries, k=40, n_lists=8, n_probe=4, m=4, ksub=64, seed=7
+    )
+    exact = emb.brute_force_topk(df, queries, k=10)
+    a = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.9, len(a & e) / len(e)
+    # efficient pre-filter: candidates restricted BEFORE scoring
+    flt = ivfpq_topk(
+        df, queries, k=10, n_lists=8, n_probe=8, m=4, ksub=64, seed=7,
+        filter="vec_id % 2 = 0",
+    )
+    assert all(r["vec_id"] % 2 == 0 for r in flt.collect())
+    assert flt.filter("query_id = 'q0'").count() == 10
+
+
+def test_ivfpq_residual_adc_tracks_exact_cosine(spark, corpus):
+    # the IVFADC score q.centroid + LUT(residual codes) must track the
+    # true cosine closely on probed cells (residual quantization
+    # carries more precision per code than raw-vector PQ)
+    from data_prepper_spark.dedup.pq import ivfpq_topk
+
+    rows, df = corpus
+    q = spark.createDataFrame(
+        [("q0", rows[5][1])], "query_id string, embedding array<double>"
+    )
+    got = ivfpq_topk(df, q, k=20, n_lists=8, n_probe=8, m=4, ksub=64)
+    V = _normalize(np.array([v for _, v in rows]))
+    qv = V[5]
+    err = [
+        abs(r["adc_score"] - float(V[r["vec_id"]] @ qv))
+        for r in got.collect()
+    ]
+    assert max(err) < 0.05, max(err)
+
+
+def test_ivfpq_rerun_deterministic(spark, corpus):
+    # same input frame -> identical output twice (seeded coarse fit,
+    # md5-ordered codebook sample, rounded scores, id tiebreaks).
+    # NOTE: exact identity across REPARTITIONINGS is not promised —
+    # MLlib's k-means|| init is partition-sensitive, so a different
+    # layout can converge to different (equally valid) cells; the
+    # recall contract is what must hold regardless, checked below.
+    from data_prepper_spark.dedup.pq import ivfpq_topk
+
+    rows, df = corpus
+    q = spark.createDataFrame(
+        [("q0", rows[100][1])], "query_id string, embedding array<double>"
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["adc_score"])
+    a = ivfpq_topk(df, q, k=5, n_lists=4, n_probe=2).collect()
+    b = ivfpq_topk(df, q, k=5, n_lists=4, n_probe=2).collect()
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    # a different layout must still find the query's own cluster
+    c = ivfpq_topk(
+        df.repartition(9), q, k=40, n_lists=4, n_probe=2, ksub=64
+    )
+    exact = emb.brute_force_topk(df, q, k=10)
+    got = {r["vec_id"] for r in c.collect()}
+    want = {r["vec_id"] for r in exact.collect()}
+    assert len(got & want) / len(want) >= 0.9
+
+
 def test_refine_beats_raw_adc(spark, corpus):
     from data_prepper_spark.dedup.pq import pq_refine_topk
 
