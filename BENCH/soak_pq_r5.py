@@ -1,0 +1,109 @@
+"""Round-5 PQ soak: 13M synthetic 8-dim vectors (same corpus recipe
+as soak_ann_r4.py / soak_hnsw_r5.py so the numbers compare directly),
+100 query vectors.
+
+Measures the memory-bounded ANN leg: PQ codebook train + full-corpus
+encode as the one-time index cost (the codes table is m bytes/vector
+— the representation that makes a 10^12-vector corpus fit), ADC
+scan + refine as the serving cost, recall truth on a 10-query exact
+slice. Recall numbers are window-noise-immune; wall times carry the
+same machine probe block as the sibling soaks. Run:
+    PYTHONPATH=/root/repo python BENCH/soak_pq_r5.py
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    import bench
+    from data_prepper_spark.dedup import embedding as emb
+    from data_prepper_spark.dedup import pq
+    from data_prepper_spark.session import get_spark
+
+    n_vec = int(os.environ.get("SOAK_VECS", "13000000"))
+    m = int(os.environ.get("SOAK_PQ_M", "4"))
+    ksub = int(os.environ.get("SOAK_PQ_KSUB", "256"))
+    dim = 8
+    machine = bench._quick_probe()
+    spark = get_spark(cores=32, shuffle_partitions=64)
+
+    @F.pandas_udf("array<double>")
+    def vec_of(ids):
+        import pandas as pd
+
+        from data_prepper_spark.dedup.embedding import _plane
+
+        return pd.Series([
+            _plane(int(i), dim).astype(float).tolist() for i in ids
+        ])
+
+    vecs = (
+        spark.range(n_vec)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("embedding", vec_of(F.col("vec_id")))
+        .persist()
+    )
+    n = vecs.count()
+    queries = (
+        vecs.filter(F.col("vec_id") % (n_vec // 100) == 7)
+        .limit(100)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .persist()
+    )
+    nq = queries.count()
+    out = {"n_vectors": n, "n_queries": nq, "dim": dim, "m": m,
+           "ksub": ksub, "machine": machine}
+
+    t0 = time.monotonic()
+    books = pq.pq_train(vecs, m=m, ksub=ksub, sample_size=20000)
+    codes = pq.pq_encode(vecs, books).persist()
+    out["codes_rows"] = codes.count()
+    out["build_sec"] = round(time.monotonic() - t0, 1)
+    out["build_vecs_per_sec"] = round(n / out["build_sec"], 0)
+    out["bytes_per_vector"] = m  # vs dim*4 raw float32
+
+    t0 = time.monotonic()
+    res = pq.pq_topk(codes, queries, books, k=10).persist()
+    out["adc_rows"] = res.count()
+    out["adc_query_sec"] = round(time.monotonic() - t0, 1)
+
+    t0 = time.monotonic()
+    ref = pq.pq_refine_topk(codes, vecs, queries, books, k=10,
+                            refine=4).persist()
+    out["refine_rows"] = ref.count()
+    out["refine_query_sec"] = round(time.monotonic() - t0, 1)
+
+    # exact truth on a 10-query slice (crossJoin; sized, not scaled)
+    q10 = queries.limit(10).persist()
+    q10.count()
+    t0 = time.monotonic()
+    exact = emb.brute_force_topk(vecs, q10, k=10, qid_col="query_id") \
+        .persist()
+    exact.count()
+    out["brute10_sec"] = round(time.monotonic() - t0, 1)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(df):
+        rows = df.join(q10.select("query_id"), "query_id").collect()
+        hit = tot = 0
+        for qid, t in truth.items():
+            got = {r["vec_id"] for r in rows if r["query_id"] == qid}
+            hit += len(got & t)
+            tot += len(t)
+        return round(hit / tot, 3) if tot else None
+
+    out["adc_recall_at_10"] = recall(res)
+    out["refine_recall_at_10"] = recall(ref)
+    out["steal_jiffies"] = bench._steal_jiffies()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    main()

@@ -176,6 +176,7 @@ def pq_topk(
     window over ≤ k·partitions rows."""
     from pyspark.sql import Window
 
+    qid_field = queries.schema[qid_col].dataType.simpleString()
     qrows = queries.select(qid_col, vec_col).collect()
     qids = [r[0] for r in qrows]
     Q = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
@@ -211,7 +212,7 @@ def pq_topk(
 
     id_field = encoded.schema[id_col].dataType.simpleString()
     part = encoded.mapInPandas(
-        score, f"{qid_col} string, {id_col} {id_field}, adc_score double"
+        score, f"{qid_col} {qid_field}, {id_col} {id_field}, adc_score double"
     )
     w = Window.partitionBy(qid_col).orderBy(
         F.desc("adc_score"), F.asc(id_col)
