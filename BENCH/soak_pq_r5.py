@@ -71,11 +71,24 @@ def main():
     out["adc_rows"] = res.count()
     out["adc_query_sec"] = round(time.monotonic() - t0, 1)
 
+    # ADC top-40 for the containment metric (recall@R: PQ's contract
+    # is that the true top-k lands in a small ADC candidate set — the
+    # strict @10 number conflates quantization noise with the
+    # near-tie margins of a uniform synthetic corpus)
+    res40 = pq.pq_topk(codes, queries, books, k=40).persist()
+    res40.count()
+
     t0 = time.monotonic()
     ref = pq.pq_refine_topk(codes, vecs, queries, books, k=10,
                             refine=4).persist()
     out["refine_rows"] = ref.count()
-    out["refine_query_sec"] = round(time.monotonic() - t0, 1)
+    out["refine4_query_sec"] = round(time.monotonic() - t0, 1)
+
+    t0 = time.monotonic()
+    ref16 = pq.pq_refine_topk(codes, vecs, queries, books, k=10,
+                              refine=16).persist()
+    ref16.count()
+    out["refine16_query_sec"] = round(time.monotonic() - t0, 1)
 
     # exact truth on a 10-query slice (crossJoin; sized, not scaled)
     q10 = queries.limit(10).persist()
@@ -99,7 +112,9 @@ def main():
         return round(hit / tot, 3) if tot else None
 
     out["adc_recall_at_10"] = recall(res)
-    out["refine_recall_at_10"] = recall(ref)
+    out["adc_contain_10_in_40"] = recall(res40)
+    out["refine4_recall_at_10"] = recall(ref)
+    out["refine16_recall_at_10"] = recall(ref16)
     out["steal_jiffies"] = bench._steal_jiffies()
     print(json.dumps(out))
 
