@@ -787,6 +787,76 @@ def cmd_knn_query(args) -> int:
     return 0
 
 
+def cmd_dedup_incremental(args) -> int:
+    """Admit only-new rows of a snapshot against an existing corpus
+    (dedup/bloom.py): build or reuse the persisted bloom artifact,
+    probe the increment, anti-join the bloom-positive sliver — exact
+    without re-shuffling the corpus."""
+    from data_prepper_spark.dedup import bloom as bl
+
+    spark = _get_spark(args)
+    new = spark.read.parquet(args.new)
+    corpus = spark.read.parquet(args.corpus)
+    reused = args.bloom and os.path.isdir(args.bloom)
+    if reused:
+        b = spark.read.parquet(args.bloom)
+    else:
+        b = bl.build_bloom(corpus, text_col=args.text_col, fpr=args.fpr)
+        if args.bloom:
+            b.write.mode("overwrite").parquet(args.bloom)
+            b = spark.read.parquet(args.bloom)
+    out = bl.dedup_incremental(
+        new, b, corpus, text_col=args.text_col, id_col=args.id_col
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    admitted = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "out": args.out, "new_rows": new.count(), "admitted": admitted,
+        "bloom": args.bloom, "bloom_reused": bool(reused),
+    }))
+    return 0
+
+
+def cmd_mix(args) -> int:
+    """Training-mixture construction (text/mix.py): domain weights +
+    token budget -> per-domain epoch factors -> replicated corpus."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.text import mix as tm
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.docs)
+    if args.token_col not in docs.columns:
+        docs = docs.withColumn(
+            args.token_col,
+            F.size(F.filter(
+                F.split(F.col(args.text_col), r"\s+"), lambda x: x != ""
+            )),
+        )
+    counts = tm.domain_token_counts(docs, args.domain_col, args.token_col)
+    weights = {}
+    for kv in args.weights.split(","):
+        d, w = kv.split("=", 1)
+        weights[d] = float(w)
+    if args.budget:
+        budget = int(args.budget)
+    else:
+        budget = int(sum(counts.values()) * args.budget_factor)
+    epochs = tm.plan_mixture(
+        counts, weights, budget, max_epochs=args.max_epochs
+    )
+    out = tm.materialize_mixture(
+        docs, epochs, domain_col=args.domain_col, id_col=args.id_col
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "out": args.out, "rows": n, "budget_tokens": budget,
+        "epochs": {d: round(e, 4) for d, e in sorted(epochs.items())},
+    }))
+    return 0
+
+
 def cmd_pq_build(args) -> int:
     """Train PQ codebooks on a bounded sample and encode the corpus
     (dedup/pq.py): writes <out>/books and <out>/codes parquet."""
@@ -1557,6 +1627,43 @@ def main(argv: list[str] | None = None) -> int:
                     "with --filter)")
     kq.add_argument("--local-cores", type=int, default=None)
     kq.set_defaults(fn=cmd_knn_query)
+
+    di = sub.add_parser(
+        "dedup-incremental", help="admit only-new snapshot rows vs an "
+        "existing corpus via a persisted bloom artifact (exact)")
+    di.add_argument("--corpus", required=True, help="existing corpus parquet")
+    di.add_argument("--new", required=True, help="new snapshot parquet")
+    di.add_argument("--out", required=True, help="admitted rows output")
+    di.add_argument("--bloom", default=None,
+                    help="bloom artifact path: reused if present, "
+                    "written after build otherwise")
+    di.add_argument("--fpr", type=float, default=0.01)
+    di.add_argument("--text-col", default="text")
+    di.add_argument("--id-col", default="doc_id")
+    di.add_argument("--local-cores", type=int, default=None)
+    di.set_defaults(fn=cmd_dedup_incremental)
+
+    mx = sub.add_parser(
+        "mix", help="training-mixture construction: domain weights + "
+        "token budget -> epoch factors -> replicated corpus")
+    mx.add_argument("--docs", required=True)
+    mx.add_argument("--out", required=True)
+    mx.add_argument("--weights", required=True,
+                    help="comma list domain=weight, e.g. web=0.6,code=0.4")
+    mx.add_argument("--budget", type=int, default=None,
+                    help="token budget (absolute)")
+    mx.add_argument("--budget-factor", type=float, default=1.0,
+                    help="budget = factor * total corpus tokens "
+                    "(used when --budget absent)")
+    mx.add_argument("--max-epochs", type=float, default=4.0)
+    mx.add_argument("--domain-col", default="domain")
+    mx.add_argument("--token-col", default="n_tokens",
+                    help="token-count column; derived by whitespace "
+                    "split of --text-col when absent")
+    mx.add_argument("--text-col", default="text")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--local-cores", type=int, default=None)
+    mx.set_defaults(fn=cmd_mix)
 
     pb = sub.add_parser(
         "pq-build", help="train product-quantization codebooks and "
