@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 from data_prepper_spark.dedup.dedup import normalize_text
 
 BLOOM_SCHEMA = (
-    "part int, bitmap binary, n_bits long, n_hashes int, n_items long"
+    "part int, bitmap binary, n_bits long, n_hashes int, n_items long, "
+    "n_partitions int"
 )
 
 
@@ -110,6 +111,7 @@ def build_bloom(
                 "n_bits": [n_bits],
                 "n_hashes": [k],
                 "n_items": [len(pdf)],
+                "n_partitions": [n_partitions],
             }
         )
 
@@ -125,11 +127,31 @@ def probe_bloom(
 ) -> DataFrame:
     """-> (id_col, maybe_dup boolean). maybe_dup=False is definitive
     (the doc is NOT in the corpus); maybe_dup=True is a candidate at
-    the filter's FPR. `n_partitions` defaults to the bloom table's own
-    partition count (max(part)+1) — pass it explicitly to skip that
-    lookup job when the caller already knows it."""
+    the filter's FPR. `n_partitions` defaults to the value recorded in
+    the bloom artifact — pass it explicitly to skip that lookup job
+    when the caller already knows it. It must be the BUILD-time
+    modulus: the artifact only holds rows for partitions that had
+    corpus digests, so inferring it as max(part)+1 under-counts
+    whenever the top partitions happen to be empty and silently
+    re-hashes every probe against the wrong slice (older artifacts
+    without the column fall back to that inference, with that
+    caveat)."""
     if n_partitions is None:
-        n_partitions = bloom.agg(F.max("part")).collect()[0][0] + 1
+        if "n_partitions" in bloom.columns:
+            vals = [
+                r[0] for r in
+                bloom.select("n_partitions").distinct().collect()
+            ]
+            if len(vals) != 1:
+                raise ValueError(
+                    "bloom slices disagree on n_partitions "
+                    f"({sorted(vals)}); a union of slices is only "
+                    "probe-able when all were built with the same "
+                    "partition modulus"
+                )
+            n_partitions = int(vals[0])
+        else:  # pre-fix artifact: best-effort inference
+            n_partitions = bloom.agg(F.max("part")).collect()[0][0] + 1
 
     hashed = _hash_cols(new_docs, text_col, n_partitions).select(
         F.col(id_col).alias("_id"), "part", "_h1", "_h2"
@@ -143,14 +165,24 @@ def probe_bloom(
         if blm.empty:  # no corpus digests landed in this slice
             return pd.DataFrame(
                 {"_id": probes["_id"], "maybe_dup": False})
-        bitmap = np.frombuffer(blm["bitmap"].iloc[0], dtype=np.uint8)
-        n_bits = int(blm["n_bits"].iloc[0])
-        k = int(blm["n_hashes"].iloc[0])
-        pos = _positions(
-            probes["_h1"].to_numpy(), probes["_h2"].to_numpy(), k, n_bits
-        )
-        hit = (bitmap[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
-        return pd.DataFrame({"_id": probes["_id"], "maybe_dup": hit.all(axis=0)})
+        # a part may carry SEVERAL bloom rows (a union of incremental
+        # slices); a doc is a candidate if ANY slice claims it, so
+        # hit-test each row and OR the verdicts — valid even when
+        # slices were sized differently (different n_bits/k)
+        h1 = probes["_h1"].to_numpy()
+        h2 = probes["_h2"].to_numpy()
+        verdict = np.zeros(len(probes), dtype=bool)
+        for _, row in blm.iterrows():
+            bitmap = np.frombuffer(row["bitmap"], dtype=np.uint8)
+            n_bits = int(row["n_bits"])
+            k = int(row["n_hashes"])
+            pos = _positions(h1, h2, k, n_bits)
+            hit = (
+                bitmap[pos >> 3]
+                & (np.uint8(1) << (pos & 7).astype(np.uint8))
+            ) != 0
+            verdict |= hit.all(axis=0)
+        return pd.DataFrame({"_id": probes["_id"], "maybe_dup": verdict})
 
     out_schema = f"_id {dict(new_docs.dtypes)[id_col]}, maybe_dup boolean"
     verdict = (

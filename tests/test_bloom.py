@@ -88,3 +88,55 @@ def test_artifact_roundtrip(spark, frames, tmp_path):
     a = {r.doc_id: r.maybe_dup for r in bl.probe_bloom(new, blm, "text").collect()}
     b = {r.doc_id: r.maybe_dup for r in bl.probe_bloom(new, reloaded, "text").collect()}
     assert a == b
+
+
+def test_tiny_corpus_sparse_partitions_still_exact(spark):
+    # regression: with far fewer corpus docs than partitions the top
+    # partitions carry no bloom row; the probe must still use the
+    # BUILD-time modulus (recorded in the artifact), not max(part)+1,
+    # or every probe re-hashes to the wrong slice and true dups leak
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "a genuinely new doc")],
+        "doc_id long, text string",
+    )
+    blm = bl.build_bloom(corpus, "text")  # default 64 partitions
+    admitted = bl.dedup_incremental(new, blm, corpus)
+    assert [r.doc_id for r in admitted.collect()] == [11]
+
+
+def test_multi_slice_union_or_folds(spark):
+    # regression: a union of incremental bloom slices may put several
+    # rows in one part; the probe must OR across ALL of them
+    c1 = spark.createDataFrame(
+        [(1, "first corpus document here")], "doc_id long, text string"
+    )
+    c2 = spark.createDataFrame(
+        [(2, "second corpus document there")], "doc_id long, text string"
+    )
+    union = bl.build_bloom(c1, "text", n_partitions=4).unionByName(
+        bl.build_bloom(c2, "text", n_partitions=4)
+    )
+    new = spark.createDataFrame(
+        [(10, "first corpus document here"),
+         (11, "second corpus document there"),
+         (12, "neither of those")],
+        "doc_id long, text string",
+    )
+    v = {r.doc_id: r.maybe_dup for r in
+         bl.probe_bloom(new, union, "text").collect()}
+    assert v[10] and v[11] and not v[12]
+
+
+def test_mixed_modulus_slices_refused(spark):
+    import pytest as _pt
+
+    c = spark.createDataFrame([(1, "doc")], "doc_id long, text string")
+    bad = bl.build_bloom(c, "text", n_partitions=4).unionByName(
+        bl.build_bloom(c, "text", n_partitions=8)
+    )
+    with _pt.raises(ValueError, match="n_partitions"):
+        bl.probe_bloom(c, bad, "text").collect()

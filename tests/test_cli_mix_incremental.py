@@ -1,0 +1,109 @@
+"""CLI surface for the doc-promised mix / dedup-incremental /
+semdedup / pq subcommands (cli.py), driven through cli.main like the
+sibling CLI tests."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def docs_path(spark, tmp_path):
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "web"),
+            (2, "epsilon zeta eta theta", "web"),
+            (3, "iota kappa lam mu", "code"),
+            (4, "nu xi omicron pi", "code"),
+            (5, "rho sigma tau upsilon", "papers"),
+        ],
+        "doc_id long, text string, domain string",
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_mix_cli(spark, tmp_path, docs_path, capsys):
+    from data_prepper_spark import cli
+
+    out = str(tmp_path / "mixture")
+    rc = cli.main([
+        "mix", "--docs", docs_path, "--out", out,
+        "--weights", "web=0.5,code=0.3,papers=0.2",
+        "--budget-factor", "2.0", "--max-epochs", "3",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] > 5  # replication happened
+    got = spark.read.parquet(out)
+    assert "epoch" in got.columns
+    # every emitted row is a replica of an input doc
+    assert got.select("doc_id").distinct().count() <= 5
+
+
+def test_dedup_incremental_cli_reuses_bloom(spark, tmp_path, docs_path,
+                                            capsys):
+    from data_prepper_spark import cli
+
+    new_p = str(tmp_path / "new")
+    spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta", "web"),   # dup of doc 1
+            (11, "a genuinely new document", "web"),
+        ],
+        "doc_id long, text string, domain string",
+    ).write.mode("overwrite").parquet(new_p)
+    bloom = str(tmp_path / "bloom")
+    out = str(tmp_path / "admitted")
+    rc = cli.main([
+        "dedup-incremental", "--corpus", docs_path, "--new", new_p,
+        "--out", out, "--bloom", bloom,
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["admitted"] == 1 and rep["bloom_reused"] is False
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [11]
+    assert os.path.isdir(bloom)
+    # second run must reuse the persisted artifact
+    rc = cli.main([
+        "dedup-incremental", "--corpus", docs_path, "--new", new_p,
+        "--out", str(tmp_path / "admitted2"), "--bloom", bloom,
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["admitted"] == 1 and rep["bloom_reused"] is True
+
+
+def test_semdedup_and_pq_cli(spark, tmp_path, capsys):
+    from data_prepper_spark import cli
+
+    vecs = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, 0.0, float((i * 7) % 5)], i % 2)
+         for i in range(40)],
+        "vec_id long, embedding array<double>, label int",
+    ).write.mode("overwrite").parquet(vecs)
+    rc = cli.main([
+        "semdedup", "--vectors", vecs, "--out", str(tmp_path / "sd"),
+        "--cluster-col", "label", "--rank-by", "id", "--eps", "0.999",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < rep["kept"] <= 40
+
+    idx = str(tmp_path / "pq")
+    rc = cli.main([
+        "pq-build", "--vectors", vecs, "--out", idx, "--m", "2",
+        "--ksub", "8", "--sample", "40",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["vectors"] == 40 and rep["bytes_per_vector"] == 2
+    rc = cli.main([
+        "pq-query", "--index", idx, "--vector", "1.0,1.0,0.0,2.0",
+        "--k", "3",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len([l for l in lines if l.startswith("{")]) == 3
