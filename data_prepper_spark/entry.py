@@ -946,8 +946,39 @@ def q_samplers(spark, sf_dir):
 # ---------------------------------------------------------- dedup / text
 
 def q_dedup_exact(spark, sf_dir):
-    out = dd.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
-    return out.select("doc_id", F.col("dup_count").cast("long").alias("dup_count"))
+    """Exact dedup + incremental Bloom admission in one slot (r5
+    merge): the corpus is split by doc_id parity — even docs play the
+    EXISTING corpus, odd docs the NEW snapshot — and dedup_incremental
+    (dedup/bloom.py: bloom probe + anti-join of the positive sliver)
+    decides which odd docs are genuinely new. `admitted` rides the
+    representative rows with odd ids (null for even representatives);
+    the oracle recomputes it as a NOT EXISTS over normalized text, so
+    the whole bloom build/probe/anti-join path is hash-checked for
+    exactness."""
+    from data_prepper_spark.dedup import bloom as bl
+
+    docs = _docs(spark, sf_dir)
+    out = dd.exact_dedup(docs, "text", "doc_id")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    blm = bl.build_bloom(corpus, "text")
+    admitted = bl.dedup_incremental(new, blm, corpus).select(
+        "doc_id", F.lit(True).alias("_adm")
+    )
+    flags = new.select("doc_id").join(admitted, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("_adm"), F.lit("admitted"))
+        .otherwise(F.lit("dup_of_corpus")).alias("admission"),
+    )
+    return (
+        out.select(
+            "doc_id", F.col("dup_count").cast("long").alias("dup_count")
+        )
+        .join(flags, "doc_id", "left")
+        .withColumn(
+            "admission", F.coalesce(F.col("admission"), F.lit("corpus"))
+        )
+    )
 
 
 def q_dedup_signatures(spark, sf_dir):
@@ -1869,9 +1900,23 @@ ORACLE: dict[str, str | None] = {
         SELECT 'tail' AS sampler, event_id, 0::BIGINT AS delay_s FROM events
         WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""",
     "dedup_exact": """
-        SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count
-        FROM documents
-        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))""",
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+          FROM documents),
+        reps AS (
+          SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count
+          FROM norm GROUP BY md5(nt)),
+        adm AS (
+          SELECT n.doc_id,
+                 CASE WHEN NOT EXISTS (SELECT 1 FROM norm c
+                                       WHERE c.doc_id % 2 = 0
+                                         AND c.nt = n.nt)
+                      THEN 'admitted' ELSE 'dup_of_corpus' END AS admission
+          FROM norm n WHERE n.doc_id % 2 = 1)
+        SELECT r.doc_id, r.dup_count,
+               coalesce(adm.admission, 'corpus') AS admission
+        FROM reps r LEFT JOIN adm ON adm.doc_id = r.doc_id""",
     "dedup_signatures": f"""
         WITH mh AS ({_minhash_sig_sql(8)}), sims AS ({_simhash_sql(16)})
         SELECT mh.*, sims.simhash FROM mh JOIN sims USING (doc_id)""",
